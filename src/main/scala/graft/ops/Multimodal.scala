@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches (the Scala analog of `mapInPandas`).
+  *
+  * The container has no codec libraries, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`DecodeStub`) that derives fake
+  * image dimensions from the payload bytes; everything around it — the
+  * binary schema, the typed-metadata struct, the per-partition batched
+  * UDF signature, and the partitioning — is real and is what a codec
+  * integration would drop into.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** DETERMINISTIC STUB of the codec: a real implementation would decode
+    * `payload` (JPEG/WAV/MP4) here; this derives stable fake dimensions
+    * from the byte length so the pipeline is testable end-to-end. */
+  object DecodeStub {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.payload.length.toLong
+      MediaFeatures(r.doc_id, r.media_type, n,
+        width = (n % 640).toInt + 16,
+        height = (n % 480).toInt + 16,
+        n_frames = (n % 30).toInt + 1)
+    }
+  }
+
+  /** Build a binary media table from documents (payload = UTF-8 bytes of
+    * the text standing in for an encoded image), run the batched decode,
+    * and aggregate features. `mapPartitions` keeps the decode vectorized
+    * per-partition: one iterator in, one iterator out, no per-row setup —
+    * the same batch shape `mapInPandas` gives PySpark. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        // media type derived from the source column: a typed metadata field
+        concat(lit("image/"), col("source")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    val features = media.mapPartitions { it =>
+      // batch boundary: a real codec would init its native context once here
+      it.map(DecodeStub.decode)
+    }
+    features.toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"),
+        sum(col("n_frames")).as("total_frames"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * - `bruteForceTopK`: exact cosine top-k for a small query set — the
+  *   correctness baseline. Dot products are computed with `zip_with` +
+  *   `aggregate` in double precision, sequentially over the vector, so the
+  *   result is bit-reproducible across engines.
+  * - `lshTopK`: sign-random-projection LSH — each vector lands in a bucket
+  *   keyed by the sign pattern of `NumPlanes` fixed hyperplanes; top-k is
+  *   computed within matching buckets only. At 100 TB this turns the
+  *   O(n·q) scan into a bucket-local join; the plane matrix is a broadcast
+  *   literal (deterministic, seeded).
+  * - `embeddingNearDup`: near-duplicate pairs (cosine ≥ τ) among a
+  *   deterministic sample, the embedding-space audit of Dedup.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+    * The query side is broadcast; the corpus is scanned once. */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < 10)
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ---- LSH-bucketed ANN ---------------------------------------------
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed → same buckets on
+    * every run and every cluster). */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id of an embedding column. */
+  def srpBucket(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k via SRP-LSH: candidates share the bucket of the query;
+    * exact cosine re-ranks within the bucket. Approximate — no oracle. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs among vec_id%10==0. The synthetic
+    * embeddings top out around cosine 0.38 pairwise, so the threshold is 0.3
+    * (with real near-dup corpora this would be ~0.95). */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("a_emb"), col("b_emb")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stateless row operators — SURVEY.md §2.2 (O1–O16).
+  *
+  * Each method is the batch DataFrame form of one reference operator, expressed
+  * as pure column expressions so the whole chain stays inside whole-stage
+  * codegen and filters/projections push down to the parquet scan.
+  *
+  * Reference sites (see SURVEY.md for full citations):
+  *  - mapValues:  MapFunctionLambdaExample.java:123
+  *  - map:        MapFunctionLambdaExample.java:132
+  *  - selectKey:  SumLambdaExample.java:142
+  *  - flatMap (poison pills): HandlingCorruptedInputRecordsIntegrationTest.java:79-98
+  *  - flatMapValues (tokenize): WordCountLambdaExample.java:197
+  *  - filter:     SumLambdaExample.java:136, KafkaMusicExample.java:312
+  *  - table filter (HAVING): AnomalyDetectionLambdaExample.java:140
+  *  - branch:     microservices/FraudService.java:107-110
+  *  - fan-out:    FanoutLambdaIntegrationTest.java:80-84
+  *  - pass-through: PassThroughIntegrationTest.java:64
+  *  - JSON→typed: JsonToAvroExample.java:113-126
+  *  - validation: microservices/OrderDetailsService.java:175-183
+  *  - string ops: MixAndMatchLambdaIntegrationTest.java:60-89
+  *  - math ops:   SumLambdaExample.java:136,146
+  */
+object Stateless {
+
+  /** O1 `mapValues`: 1:1 value transform, key untouched. */
+  def mapValuesUpper(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), upper(col("event_type")).as("value_upper"))
+
+  /** O2 `map`: transform key and value together (re-key + doubling). */
+  def mapRekeyDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      concat(col("event_type"), lit("#"), col("user_id").cast(StringType)).as("new_key"),
+      (col("value") * 2).as("doubled"))
+
+  /** O3 `selectKey`: re-key only; the payload is untouched. */
+  def selectKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id").as("key"), col("event_id"), col("value"))
+
+  /** O4 `flatMap` poison-pill skipping: permissive parse, drop unparseable. */
+  def flatMapCorrupt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("event_id"), (col("k") * 2).as("k2"))
+
+  /** O5 `flatMapValues`: tokenize a line into words (1:N). Subset keeps output small. */
+  def flatMapWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** O6 `filter` on a stream: predicate on key+value. */
+  def filterStream(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** O7 `filter` on a table = HAVING over the aggregated view. */
+  def filterTableHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+
+  /** O9 `split().branch()`: two filters over one scan, tagged and unioned.
+    * Catalyst reuses the scan; the union is the batch view of both branches. */
+  def branch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val above = e.filter(col("value") >= 100).withColumn("branch", lit("limit-above"))
+    val below = e.filter(col("value") < 100).withColumn("branch", lit("limit-below"))
+    above.unionByName(below)
+  }
+
+  /** O10 fan-out: one source feeding two independent aggregations. */
+  def fanout(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val counts = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("val"))
+      .withColumn("metric", lit("count"))
+    val sums = e.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("val"))
+      .withColumn("metric", lit("sum"))
+    counts.unionByName(sums)
+  }
+
+  /** O12 pass-through / pipe: identity copy. */
+  def passThrough(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+
+  /** O13 JSON→typed record conversion, dropping unparseable rows. */
+  def jsonToTyped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .filter(col("k").isNotNull)
+
+  /** O14 record validation: field-range predicate → PASS/FAIL counts. */
+  def validation(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(when(col("l_quantity") >= 0 && col("l_extendedprice") >= 0
+          && col("l_returnflag").isNotNull, "PASS").otherwise("FAIL").as("result"))
+      .groupBy(col("result")).agg(count(lit(1)).as("cnt"))
+
+  /** O15 string ops: case-mapping, concat, regex anonymization. */
+  def stringOps(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(col("lang"), lit(":"), upper(col("source"))).as("tag"),
+      regexp_replace(substring(col("text"), 1, 50), "[aeiou]", "*").as("anon"))
+
+  /** O16 math ops: per-row arithmetic (revenue expr, mod, greatest). */
+  def mathOps(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") * 2).as("qty2"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+}

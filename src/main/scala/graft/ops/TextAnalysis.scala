@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are pure column expressions (codegen'd, no UDFs), embarrassingly
+  * parallel per document — they scale linearly with input splits and
+  * involve no shuffle until the final small aggregation.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram language-ID heuristic. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "que", "los"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def markerHits(words: Seq[String]): Column = {
+    val pattern = words.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(col("text")), lit(pattern), lit(0)))
+  }
+
+  /** Language ID: count marker-word hits per language, argmax with
+    * alphabetical tie-break; emit the (label, predicted) confusion matrix. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang") +: markers.map { case (l, ws) => markerHits(ws).as(s"s_$l") }: _*)
+    val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    // Alphabetical order doubles as the deterministic tie-break.
+    val predAlpha = markers.map { case (l, _) => (l, col(s"s_$l") === best && best > 0) }
+      .reverse
+      .foldLeft(lit("und")) { case (acc, (l, cond)) => when(cond, l).otherwise(acc) }
+    scored
+      .withColumn("pred", predAlpha)
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — combined into one deterministic score per document. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|and|of|a|to|in|is|it)\\b"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_words", nWords)
+      .withColumn("punct_ratio", nPunct.cast("double") / greatest(length(col("text")), lit(1)))
+      .withColumn("stop_ratio", nStop.cast("double") / greatest(nWords, lit(1)))
+      .withColumn("avg_word_len",
+        (length(col("text")).cast("double") / greatest(nWords, lit(1))))
+      .withColumn("quality",
+        col("stop_ratio") * 2.0 - col("punct_ratio") * 4.0
+          + when(col("n_words") >= 20 && col("n_words") <= 2000, 1.0).otherwise(0.0))
+      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+        col("stop_ratio"), col("avg_word_len"), col("quality"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs, single digits, single punctuation marks), per language. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val ws = size(split(trim(col("text")), "\\s+"))
+    val bpe = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("lang"), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Document fingerprinting: md5 of the whitespace-normalized text plus the
+    * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
+    * edits, and exactly reproducible in any engine with md5). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("min_shingle_hash",
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("norm")) - 4, lit(1))),
+          i => md5(col("norm").substr(i, lit(5))))))
+      .select(col("doc_id"), col("fp"), col("min_shingle_hash"))
+  }
+}

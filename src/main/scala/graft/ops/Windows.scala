@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Windowing operators (batch forms) — SURVEY.md §2.4 (W1–W5).
+  *
+  * Session windows live in Aggregations.sessionSpend (A9/W3); streaming
+  * watermark/suppression forms live in graft.streaming.
+  *
+  * Reference sites:
+  *  - tumbling: AnomalyDetectionLambdaExample.java:137, TopArticlesLambdaExample.java:195
+  *  - hopping:  PageViewRegionLambdaExample.java:183
+  *  - custom daily window (tz-aware, 18:00 start): window/DailyTimeWindows.java:30-67
+  *  - grace / late data: window/CustomWindowTest.java:133
+  */
+object Windows {
+
+  /** W1 tumbling window: hourly event counts per type. */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** W2 hopping window: 1-hour windows advancing every 15 minutes — each
+    * event lands in 4 windows. */
+  def hopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** W4 custom calendar window: daily windows that start at 18:00 in
+    * Europe/Paris, DST-aware (DailyTimeWindows). The assignment shifts into
+    * Paris local time, subtracts the 18 h start offset, truncates to the
+    * local day, and converts the window-start back to UTC — so a window is
+    * 23/24/25 UTC-hours long across DST transitions, exactly like the
+    * reference's `windowsFor`. */
+  def dailyParis(s: SparkSession, dir: String): DataFrame = {
+    val local = from_utc_timestamp(col("ts"), "Europe/Paris")
+    val localDayStart = date_trunc("day", local - expr("INTERVAL 18 HOURS"))
+    val windowStartUtc =
+      to_utc_timestamp(localDayStart + expr("INTERVAL 18 HOURS"), "Europe/Paris")
+    Tables.events(s, dir)
+      .withColumn("window_start", windowStartUtc)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** W5 watermark / late-data drop, batch model: arrival order is event_id;
+    * the watermark is the running max event time minus a 10-minute grace.
+    * Records older than the watermark at their arrival are dropped. */
+  def lateDataFilter(s: SparkSession, dir: String): DataFrame = {
+    val arrival = W.orderBy(col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .withColumn("wm", max(col("ts")).over(arrival) - expr("INTERVAL 10 MINUTES"))
+      .filter(col("ts") >= col("wm"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("kept"))
+  }
+}
