@@ -1,0 +1,386 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+
+/** DuckDB-equivalent SQL for every entry in SparkEntry.queries.
+  *
+  * Rules followed throughout so the driver's sort-columns/sort-rows/hash
+  * compare is exact:
+  *  - column names identical to the Spark result (aliases on BOTH sides);
+  *  - money sums accumulate as DECIMAL(18,2) and cast to DOUBLE (exact,
+  *    order-independent) on both sides;
+  *  - BIGINT casts on DuckDB sums (DuckDB's sum(int) yields HUGEINT);
+  *  - floating similarity scores rounded to 6 digits on both sides;
+  *  - all hashes are md5 (identical hex in both engines).
+  *
+  * The repetitive minhash/simhash/LSH SQL is generated from the same
+  * constants (Dedup.NumPerms, Dedup.Bands, Similarity.planes) that drive
+  * the Spark side, so the two can't drift apart.
+  */
+object OracleSql {
+
+  // ---- shared SQL fragments -----------------------------------------
+
+  /** Lowercase word tokens of documents.text (same regex as Dedup.tokens). */
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), y -> length(y) > 0)"
+
+  /** DECIMAL-exact sum of a 2-decimal double column, emitted as DOUBLE. */
+  private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private val nPerms = Dedup.NumPerms
+  private val nBands = Dedup.Bands
+  private val rowsPerBand = nPerms / nBands
+
+  /** minhash signature CTEs: tok -> sh -> sig with columns mh0..mh{n-1}. */
+  private val minhashCtes: String = {
+    val mhCols = (0 until nPerms)
+      .map(i => s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i")
+      .mkString(", ")
+    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+       |sig AS (SELECT doc_id, $mhCols FROM sh)""".stripMargin
+  }
+
+  /** simhash CTE chain ending in sim(doc_id, simhash). */
+  private val simhashCtes: String = {
+    val bits = Dedup.SimHashBits
+    val voteCols = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val fp = (0 until bits)
+      .map(j => s"CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |wrd AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM tok),
+       |hsh AS (SELECT doc_id, CAST(list_sum(
+       |  [(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT << ((8 - i) * 4)
+       |   for i in range(1, 9)]) AS BIGINT) AS h FROM wrd),
+       |votes AS (SELECT doc_id, $voteCols FROM hsh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  /** Sequential-double cosine similarity between two 64-dim list columns. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, len($x) + 1)])"
+    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** SRP-LSH bucket of an embedding, using the exact plane constants the
+    * Spark side uses (Similarity.planes, seeded). */
+  private val srpBucketCtes: String = {
+    val planeRows = Similarity.planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(_.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""planes(p, pw) AS (SELECT * FROM (VALUES $planeRows)),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |bk AS (SELECT vec_id, embedding, CAST(sum(CASE WHEN
+       |    list_sum([CAST(embedding[i] AS DOUBLE) * pw[i] for i in range(1, len(embedding) + 1)]) >= 0
+       |    THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM emb CROSS JOIN planes GROUP BY vec_id, embedding)""".stripMargin
+  }
+
+  // ---- the map -------------------------------------------------------
+
+  val all: Map[String, String] = Map(
+    // §2.2 stateless
+    "o1_map_values" ->
+      "SELECT event_id, upper(event_type) AS value_upper FROM events",
+    "o2_map_rekey" ->
+      ("SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS new_key, " +
+        "value * 2 AS doubled FROM events"),
+    "o3_select_key" ->
+      "SELECT user_id AS key, event_id, value FROM events",
+    "o4_flatmap_corrupt" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2 " +
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"),
+    "o5_flatmap_words" ->
+      ("SELECT doc_id, w AS word FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w " +
+        "FROM documents WHERE doc_id % 10 = 0) WHERE length(w) > 0"),
+    "o6_filter_stream" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "WHERE event_type = 'purchase' AND value > 100"),
+    "o7_filter_having" ->
+      ("SELECT user_id, count(*) AS cnt FROM events " +
+        "GROUP BY user_id HAVING count(*) >= 3"),
+    "o9_branch" ->
+      ("SELECT event_id, value, 'limit-above' AS branch FROM events WHERE value >= 100 " +
+        "UNION ALL SELECT event_id, value, 'limit-below' AS branch FROM events WHERE value < 100"),
+    "o10_fanout" ->
+      (s"SELECT event_type, CAST(count(*) AS DOUBLE) AS val, 'count' AS metric " +
+        s"FROM events GROUP BY event_type " +
+        s"UNION ALL SELECT event_type, ${dsum("value")} AS val, 'sum' AS metric " +
+        s"FROM events GROUP BY event_type"),
+    "o12_passthrough" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "o13_json_typed" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"),
+    "o14_validation" ->
+      ("SELECT result, count(*) AS cnt FROM (SELECT CASE WHEN l_quantity >= 0 " +
+        "AND l_extendedprice >= 0 AND l_returnflag IS NOT NULL THEN 'PASS' ELSE 'FAIL' END " +
+        "AS result FROM lineitem) GROUP BY result"),
+    "o15_string_ops" ->
+      ("SELECT doc_id, lang || ':' || upper(source) AS tag, " +
+        "regexp_replace(substring(text, 1, 50), '[aeiou]', '*', 'g') AS anon FROM documents"),
+    "o16_math_ops" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue, " +
+        "l_quantity * 2 AS qty2, greatest(l_tax, l_discount) AS max_rate " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0"),
+    // §2.3 aggregations
+    "a1_sum_by_key" ->
+      (s"SELECT user_id, ${dsum("value")} AS total, count(*) AS n " +
+        s"FROM events GROUP BY user_id"),
+    "a2_wordcount" ->
+      ("SELECT w AS word, count(*) AS cnt FROM (SELECT " +
+        "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w FROM documents) " +
+        "WHERE length(w) > 0 GROUP BY w"),
+    "a4_q1_pricing" ->
+      (s"SELECT l_returnflag, l_linestatus, ${dsum("l_quantity")} AS sum_qty, " +
+        s"${dsum("l_extendedprice")} AS sum_base_price, count(*) AS count_order, " +
+        s"${dsum("l_quantity")} / count(*) AS avg_qty " +
+        s"FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "a3_latest_regroup" ->
+      ("SELECT event_type, count(*) AS n_users FROM (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 GROUP BY event_type"),
+    "a5_ordered_concat" ->
+      ("SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY user_id"),
+    "a6_custom_agg" ->
+      ("SELECT lang, CAST(sum(length(text)) AS BIGINT) AS total_len, " +
+        "max(n_chars) AS max_chars FROM documents GROUP BY lang"),
+    "a8_topn_per_group" ->
+      ("SELECT p_brand, p_partkey, p_retailprice, rank FROM (SELECT p_brand, p_partkey, " +
+        "p_retailprice, CAST(row_number() OVER (PARTITION BY p_brand " +
+        "ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rank FROM part) " +
+        "WHERE rank <= 5"),
+    "a9_session_spend" ->
+      (s"""WITH flagged AS (SELECT user_id, ts, value, CASE WHEN
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR
+         |  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS new_s FROM events),
+         |grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |  ROWS UNBOUNDED PRECEDING) AS g FROM flagged)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${dsum("value")} AS spend FROM grp GROUP BY user_id, g""".stripMargin),
+    "a10_minmax" ->
+      ("SELECT event_type, min(value) AS min_val, max(value) AS max_val, " +
+        "min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY event_type"),
+    "a11_running_count" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS INTEGER) AS seq FROM events"),
+    "a12_reservation" ->
+      ("""WITH run AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  sum(l_quantity) OVER (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS reserved FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CASE WHEN reserved <= CAST(p_size * 100 AS DOUBLE) THEN 'PASS' ELSE 'FAIL' END AS result
+        |FROM run JOIN part ON l_partkey = p_partkey""".stripMargin),
+    // §2.5 joins
+    "j1_stream_table" ->
+      (s"SELECT c_mktsegment, ${dsum("o_totalprice")} AS revenue, count(*) AS n_orders " +
+        s"FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "j2_stream_table_left" ->
+      ("SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders " +
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY coalesce(c_mktsegment, 'UNKNOWN')"),
+    "j3_fk_chain" ->
+      ("SELECT p_brand, n_name, count(*) AS n_lines, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY p_brand, n_name"),
+    "j5_windowed_inner" ->
+      ("""SELECT p.user_id AS user_id, count(*) AS pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts + INTERVAL 10 MINUTE
+        |GROUP BY p.user_id""".stripMargin),
+    "j6_windowed_outer" ->
+      ("""SELECT status, count(*) AS cnt FROM (SELECT CASE
+        |  WHEN v.v_id IS NULL THEN 'purchase-only'
+        |  WHEN p.p_id IS NULL THEN 'view-only' ELSE 'matched' END AS status
+        |FROM (SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM events
+        |      WHERE event_type = 'view') v
+        |FULL OUTER JOIN (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ON v.v_user = p.p_user AND p.p_ts >= v.v_ts
+        |  AND p.p_ts <= v.v_ts + INTERVAL 5 MINUTE) GROUP BY status""".stripMargin),
+    "j7_table_table" ->
+      ("""WITH lp AS (SELECT user_id, ts AS last_purchase FROM (SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |lc AS (SELECT user_id, ts AS last_click FROM (SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1)
+        |SELECT lp.user_id AS user_id, last_purchase, last_click
+        |FROM lp JOIN lc ON lp.user_id = lc.user_id""".stripMargin),
+    "j8_asof" ->
+      ("""WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |pur AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, ts, 0 AS kind, click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |      FROM clicks
+        |      UNION ALL SELECT user_id, ts, 1, CAST(NULL AS BIGINT), purchase_id FROM pur),
+        |x AS (SELECT *, last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, kind ROWS UNBOUNDED PRECEDING) AS asof_click_id FROM u)
+        |SELECT purchase_id, user_id, asof_click_id FROM x WHERE kind = 1""".stripMargin),
+    // §2.4 windows
+    "w1_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY date_trunc('hour', ts), event_type"),
+    "w2_hopping" ->
+      ("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS window_start,
+        |  event_type, count(*) AS cnt
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) hops(k)
+        |GROUP BY 1, event_type""".stripMargin),
+    "w4_daily_paris" ->
+      ("""SELECT CAST(timezone('Europe/Paris', date_trunc('day',
+        |    timezone('Europe/Paris', CAST(ts AS TIMESTAMPTZ)) - INTERVAL 18 HOUR)
+        |    + INTERVAL 18 HOUR) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS cnt FROM events GROUP BY 1, event_type""".stripMargin),
+    "w5_late_data" ->
+      ("""SELECT event_type, count(*) AS kept FROM (SELECT event_type, ts,
+        |  max(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |    - INTERVAL 10 MINUTE AS wm FROM events)
+        |WHERE ts >= wm GROUP BY event_type""".stripMargin),
+    // dedup
+    "d1_exact_id" ->
+      ("SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_dups " +
+        "FROM events GROUP BY user_id, event_type"),
+    "d2_exact_text" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY md5(text)"),
+    "d3_minhash_sig" ->
+      (s"WITH $minhashCtes SELECT * FROM sig"),
+    "d4_minhash_lsh" -> {
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, CAST($agree AS DOUBLE) / $nPerms AS est_jaccard
+         |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5""".stripMargin
+    },
+    "d5_simhash" ->
+      (s"WITH $simhashCtes SELECT doc_id, simhash FROM sim"),
+    "d6_simhash_pairs" ->
+      (s"""WITH $simhashCtes,
+         |buckets AS (SELECT b AS band, (simhash >> (b * 8)) & 255 AS bucket, doc_id, simhash
+         |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b))
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |FROM buckets l JOIN buckets r
+         |ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin),
+    "d7_ngram_jaccard" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS w
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id AS doc_a, b_id AS doc_b,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM shared JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3""".stripMargin),
+    // similarity
+    "s1_brute_topk" ->
+      (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+         |s AS (SELECT q_id, c_id, ${cosSql("q_emb", "c_emb")} AS sim
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
+    "s2_lsh_topk" ->
+      (s"""WITH $srpBucketCtes,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM bk WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM bk),
+         |s AS (SELECT q_id, c_id, ${cosSql("q_emb", "c_emb")} AS sim
+         |  FROM c JOIN q USING (bucket) WHERE q_id <> c_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
+    "s3_embedding_neardup" ->
+      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin),
+    // text analysis
+    "t1_langid" -> {
+      val markers = graft.ops.TextAnalysis.markers
+      val scores = markers.map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+      }.mkString(", ")
+      val best = s"greatest(${markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val pred = markers.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT lang, $scores FROM documents),
+         |b AS (SELECT *, $best AS best FROM scored)
+         |SELECT lang, CASE $pred ELSE 'und' END AS pred, count(*) AS cnt
+         |FROM b GROUP BY lang, pred""".stripMargin
+    },
+    "t2_quality" ->
+      ("""WITH m AS (SELECT doc_id, text,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is|it)\b')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+        |  CAST(length(text) AS DOUBLE) / greatest(n_words, 1) AS avg_word_len,
+        |  (CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 2.0
+        |    - (CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 4.0
+        |    + CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 1.0 ELSE 0.0 END AS quality
+        |FROM m""".stripMargin),
+    "t3_token_counts" ->
+      ("""SELECT lang,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |    AS total_bpe_tokens,
+        |  count(*) AS n_docs FROM documents GROUP BY lang""".stripMargin),
+    "t4_fingerprint" ->
+      ("""WITH n AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  list_min([md5(substr(norm, i, 5))
+        |    for i in range(1, greatest(length(norm) - 4, 1) + 1)]) AS min_shingle_hash
+        |FROM n""".stripMargin),
+    // multimodal
+    "m1_decode_features" ->
+      ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS total_bytes,
+        |  CAST(max(n % 640 + 16) AS INTEGER) AS max_width,
+        |  CAST(max(n % 480 + 16) AS INTEGER) AS max_height,
+        |  CAST(sum(n % 30 + 1) AS BIGINT) AS total_frames
+        |FROM f GROUP BY media_type""".stripMargin),
+  )
+}

@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * pipeline extensions) is one named entry in `queries`; `oracleSql` holds
+  * the DuckDB-equivalent SQL over the same parquet tables with identical
+  * column names, so the driver's sort-columns/sort-rows/hash compare is
+  * exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Joins.broadcastFkChain(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 stateless (O1–O16)
+    "o1_map_values"     -> (Stateless.mapValuesUpper _),
+    "o2_map_rekey"      -> (Stateless.mapRekeyDouble _),
+    "o3_select_key"     -> (Stateless.selectKey _),
+    "o4_flatmap_corrupt" -> (Stateless.flatMapCorrupt _),
+    "o5_flatmap_words"  -> (Stateless.flatMapWords _),
+    "o6_filter_stream"  -> (Stateless.filterStream _),
+    "o7_filter_having"  -> (Stateless.filterTableHaving _),
+    "o9_branch"         -> (Stateless.branch _),
+    "o10_fanout"        -> (Stateless.fanout _),
+    "o12_passthrough"   -> (Stateless.passThrough _),
+    "o13_json_typed"    -> (Stateless.jsonToTyped _),
+    "o14_validation"    -> (Stateless.validation _),
+    "o15_string_ops"    -> (Stateless.stringOps _),
+    "o16_math_ops"      -> (Stateless.mathOps _),
+    // §2.3 aggregations (A1–A12)
+    "a1_sum_by_key"     -> (Aggregations.sumByKey _),
+    "a2_wordcount"      -> (Aggregations.wordCount _),
+    "a4_q1_pricing"     -> (Aggregations.q1PricingSummary _),
+    "a3_latest_regroup" -> (Aggregations.latestPerKeyRegroup _),
+    "a5_ordered_concat" -> (Aggregations.orderedConcat _),
+    "a6_custom_agg"     -> (Aggregations.customAggregate _),
+    "a8_topn_per_group" -> (Aggregations.topNPerGroup _),
+    "a9_session_spend"  -> (Aggregations.sessionSpend _),
+    "a10_minmax"        -> (Aggregations.minMax _),
+    "a11_running_count" -> (Aggregations.runningCount _),
+    "a12_reservation"   -> (Aggregations.reservation _),
+    // §2.5 joins (J1–J8)
+    "j1_stream_table"   -> (Joins.streamTableInner _),
+    "j2_stream_table_left" -> (Joins.streamTableLeft _),
+    "j3_fk_chain"       -> (Joins.broadcastFkChain _),
+    "j5_windowed_inner" -> (Joins.windowedInner _),
+    "j6_windowed_outer" -> (Joins.windowedOuter _),
+    "j7_table_table"    -> (Joins.tableTable _),
+    "j8_asof"           -> (Joins.asOfJoin _),
+    // §2.4 windows (W1–W5)
+    "w1_tumbling"       -> (Windows.tumblingHourly _),
+    "w2_hopping"        -> (Windows.hopping _),
+    "w4_daily_paris"    -> (Windows.dailyParis _),
+    "w5_late_data"      -> (Windows.lateDataFilter _),
+    // §2.8 + training-data dedup
+    "d1_exact_id"       -> (Dedup.exactById _),
+    "d2_exact_text"     -> (Dedup.exactText _),
+    "d3_minhash_sig"    -> (Dedup.minhashSignatures _),
+    "d4_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "d5_simhash"        -> (Dedup.simhash _),
+    "d6_simhash_pairs"  -> (Dedup.simhashPairs _),
+    "d7_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    // similarity search
+    "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
+    "s2_lsh_topk"       -> (Similarity.lshTopK _),
+    "s3_embedding_neardup" -> (Similarity.embeddingNearDup _),
+    // text analysis
+    "t1_langid"         -> (TextAnalysis.langId _),
+    "t2_quality"        -> (TextAnalysis.qualityScore _),
+    "t3_token_counts"   -> (TextAnalysis.tokenCounts _),
+    "t4_fingerprint"    -> (TextAnalysis.fingerprint _),
+    // multimodal plumbing
+    "m1_decode_features" -> (Multimodal.decodeFeatures _),
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column names).
+    * Built in OracleSql to keep this file readable. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -47,7 +47,7 @@ object Dedup {
   private def shingleCol(n: Int): Column =
     when(size(tokens) >= n,
       array_distinct(transform(sequence(lit(0), size(tokens) - n),
-        i => array_join(slice(tokens, i + 1, n), " "))))
+        i => array_join(slice(tokens, i + 1, lit(n)), " "))))
       .otherwise(array(array_join(tokens, " ")))
 
   /** MinHash signature: perm i = min over shingles of md5(i:shingle). */
