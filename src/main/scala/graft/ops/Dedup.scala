@@ -50,49 +50,56 @@ object Dedup {
         i => array_join(slice(tokens, i + 1, lit(n)), " "))))
       .otherwise(array(array_join(tokens, " ")))
 
-  /** MinHash signature: perm i = min over shingles of md5(i:shingle). */
-  private def minhashSig(shingles: Column): Seq[Column] =
-    (0 until NumPerms).map { i =>
-      array_min(transform(shingles, sh => md5(concat(lit(s"$i:"), sh)))).as(s"mh$i")
-    }
-
-  /** MinHash signatures per document (inspectable intermediate). */
+  /** MinHash signatures per document: perm i = min over shingles of
+    * md5(i:shingle).
+    *
+    * Computed by exploding shingles and min-aggregating per doc rather than
+    * as 16 array expressions over a shingle column: CollapseProject would
+    * inline the tokenize+shingle pipeline into every one of the 16
+    * expressions (16× the work), whereas the explode shape hashes each
+    * shingle exactly once and the min() combines map-side before the one
+    * doc_id shuffle — the shape that survives a 100× scale-up. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id") +: minhashSig(shingleCol(3)): _*)
+      .select(col("doc_id"), explode(shingleCol(3)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until NumPerms).map(i =>
+          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")): _*)
 
   /** MinHash+LSH near-dup pairs: band signatures into buckets, join within
     * buckets only, then score candidates by signature agreement.
-    * Emits pairs (a < b) whose estimated Jaccard ≥ 0.5. */
+    * Emits pairs (a < b) whose estimated Jaccard ≥ 0.5.
+    *
+    * Scale design: the signature travels as ONE array column through the
+    * band explode, so the expensive tokenize→shingle→16×md5 pipeline runs
+    * once per side — and because both self-join sides are identical
+    * subtrees shuffled on the same (band, bucket) key, Catalyst plans a
+    * ReusedExchange and the pipeline physically runs once. Agreement is
+    * computed inline from the two carried arrays (no extra joins back to
+    * the signature table), and duplicate candidates from multi-band
+    * collisions collapse in the final groupBy. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
     val rows = NumPerms / Bands
-    val banded = sigs.select(col("doc_id") +:
-      (0 until Bands).map { b =>
-        md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*))
-          .as(s"bucket$b")
-      }: _*)
-    val bandCols = (0 until Bands).map { b =>
-      banded.select(lit(b).as("band"), col("bucket" + b).as("bucket"), col("doc_id"))
-    }
-    val bucketed = bandCols.reduce(_ unionByName _)
-    val l = bucketed.as("l")
-    val r = bucketed.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
-          && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val sigA = sigs.toDF("a_id" +: (0 until NumPerms).map(i => s"a_mh$i"): _*)
-    val sigB = sigs.toDF("b_id" +: (0 until NumPerms).map(i => s"b_mh$i"): _*)
-    val agree = (0 until NumPerms)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    candidates
-      .join(sigA, col("doc_a") === col("a_id"))
-      .join(sigB, col("doc_b") === col("b_id"))
+    val sig = minhashSignatures(s, dir)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"mh$i")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (b * rows until (b + 1) * rows)
+              .map(i => col("sig").getItem(i)): _*)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.toDF("doc_a", "sig_a", "band", "bucket")
+    val r = banded.toDF("doc_b", "sig_b", "band", "bucket")
+    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (a, b) => a === b), x => x))
+    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (agree.cast(DoubleType) / NumPerms).as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
 
