@@ -118,6 +118,22 @@ object OracleSql {
         s"FROM events GROUP BY event_type"),
     "o12_passthrough" ->
       "SELECT r_regionkey, r_name FROM region",
+    "s2_latest_per_key" ->
+      ("SELECT user_id, event_type, value FROM (SELECT user_id, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+    "s6_dynamic_routing" ->
+      ("SELECT 'events-' || event_type AS topic, count(*) AS n_records " +
+        "FROM events GROUP BY 1"),
+    "o8_tombstone_filter" ->
+      ("SELECT event_id, value AS v FROM events WHERE value >= 5"),
+    "a7_topn_latest" ->
+      ("""SELECT event_type, pos, user_id, value FROM (SELECT event_type, user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, user_id ASC) AS INTEGER) AS pos
+        |  FROM (SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1) WHERE pos <= 3""".stripMargin),
     "o13_json_typed" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"),

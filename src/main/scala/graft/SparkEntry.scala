@@ -30,6 +30,10 @@ object SparkEntry {
     "o9_branch"         -> (Stateless.branch _),
     "o10_fanout"        -> (Stateless.fanout _),
     "o12_passthrough"   -> (Stateless.passThrough _),
+    "s2_latest_per_key" -> (Stateless.latestPerKey _),
+    "s6_dynamic_routing" -> (Stateless.dynamicRouting _),
+    "o8_tombstone_filter" -> (Stateless.tombstoneFilter _),
+    "a7_topn_latest"    -> (Aggregations.topNLatest _),
     "o13_json_typed"    -> (Stateless.jsonToTyped _),
     "o14_validation"    -> (Stateless.validation _),
     "o15_string_ops"    -> (Stateless.stringOps _),

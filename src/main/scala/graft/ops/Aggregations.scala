@@ -81,6 +81,25 @@ object Aggregations {
       .groupBy(col("lang"))
       .agg(sum(length(col("text"))).as("total_len"), max(col("n_chars")).as("max_chars"))
 
+  /** A7 table-groupBy aggregate with subtractor, batch form: the KTable
+    * (latest event per user) re-grouped by event_type, keeping the top-3
+    * users by latest value. The reference maintains this incrementally
+    * with add/subtract callbacks (TopArticlesLambdaExample.java:218-235);
+    * batch recomputation from the latest view makes retractions implicit. */
+  def topNLatest(s: SparkSession, dir: String): DataFrame = {
+    val latest = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("user_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .withColumn("pos", row_number().over(rank))
+      .filter(col("pos") <= 3)
+      .select(col("event_type"), col("pos"), col("user_id"), col("value"))
+  }
+
   /** A8 top-N per group: 5 priciest parts per brand via rank window.
     * Deterministic tie-break on p_partkey. */
   def topNPerGroup(s: SparkSession, dir: String): DataFrame = {

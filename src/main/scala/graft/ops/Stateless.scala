@@ -94,6 +94,35 @@ object Stateless {
     counts.unionByName(sums)
   }
 
+  /** S2 `builder.table(topic)`: the changelog materialized as a table —
+    * latest value per key (ts desc, event_id desc tie-break). */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** S6 dynamic topic routing (`TopicNameExtractor`): the sink topic is a
+    * per-record column; batch form counts records per routed topic (the
+    * write itself is `partitionBy(topic)` / Kafka's per-row `topic`). */
+  def dynamicRouting(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("topic", concat(lit("events-"), col("event_type")))
+      .groupBy(col("topic")).agg(count(lit(1)).as("n_records"))
+
+  /** O8 tombstone filter: a changelog with null values (deletes) keeps only
+    * live records. Tombstones are synthesized deterministically (value < 5
+    * → null payload), then dropped — `filter($"v".isNotNull)`. */
+  def tombstoneFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("value") >= 5, col("value")).otherwise(lit(null)).as("v"))
+      .filter(col("v").isNotNull)
+
   /** O12 pass-through / pipe: identity copy. */
   def passThrough(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
