@@ -179,7 +179,7 @@ object OracleSql {
     "a9_session_spend" ->
       (s"""WITH flagged AS (SELECT user_id, ts, value, CASE WHEN
          |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR
-         |  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          |  THEN 1 ELSE 0 END AS new_s FROM events),
          |grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
          |  ROWS UNBOUNDED PRECEDING) AS g FROM flagged)

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the reference's streaming-only semantics
+  * (SURVEY.md §2.4/§2.8/A11/A12/S2). Every transform takes a DataFrame and
+  * works identically on a batch or streaming input — Spark's unified
+  * Dataset API is what replaces the KStream/KTable split.
+  *
+  * Reference sites are cited per method; the MemoryStream specs in
+  * src/test/scala/graft/streaming assert the reference tests' golden
+  * outputs.
+  */
+object StreamOps {
+
+  /** WordCount topology (WordCountLambdaExample.java:185-208): tokenize →
+    * re-key by word → count. Streaming: update/complete-mode changelog of
+    * per-word counts — the exact KTable<word,count> semantics. `(?U)`
+    * matches the reference's Pattern.UNICODE_CHARACTER_CLASS (`:191`). */
+  def wordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
+    lines
+      .select(explode(split(lower(col(textCol)), "(?U)\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).count()
+
+  /** Event dedup with TTL (EventDeduplicationLambdaIntegrationTest.java:
+    * 84-158): first occurrence of an id forwards, duplicates within the
+    * window drop; the watermark bounds state exactly like the reference's
+    * WindowStore retention. */
+  def dedupWithTTL(events: DataFrame, idCol: String, tsCol: String,
+      ttl: String): DataFrame =
+    events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(idCol)
+
+  /** Tumbling-window counts with grace (AnomalyDetectionLambdaExample.java:
+    * 131-141; grace = watermark delay, W5). Append mode emits only closed
+    * windows — the reference's suppress(untilWindowCloses) (W6) is the
+    * default here, not an extra operator. */
+  def tumblingCounts(df: DataFrame, tsCol: String, keyCol: String,
+      size: String, grace: String): DataFrame =
+    df.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), size).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Hopping-window counts (PageViewRegionLambdaExample.java:183). */
+  def hoppingCounts(df: DataFrame, tsCol: String, keyCol: String,
+      size: String, slide: String, grace: String): DataFrame =
+    df.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), size, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Session-window aggregate (SessionWindowsExample.java:157-172,
+    * FraudService.java:91-99): inactivity-gap sessions, merged by the
+    * state store exactly like the reference's session merger; grace via
+    * watermark. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String, grace: String): DataFrame =
+    df.withWatermark(tsCol, grace)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("cnt"))
+
+  /** Windowed stream-stream join (J5/J6, StreamToStreamJoinIntegrationTest
+    * .java:96-110): both sides buffered within the time bound; joinType
+    * "inner" | "left_outer" | "full_outer" — outer rows emit null-padded
+    * after the watermark closes the window, matching the reference's
+    * "shown/not-clicked-yet" behavior. */
+  def windowedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      bound: String, joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("ts", bound)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", bound)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $bound") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bound"),
+      joinType)
+  }
+
+  /** Stream⋈static join (J1/J3, GlobalKTablesExample.java:183-196): the
+    * static side is broadcast — the GlobalKTable. */
+  def streamStaticJoin(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
+  // ---- typed stateful ops (Processor API analogs) --------------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Counted(event_id: Long, user_id: Long, seq: Long)
+  case class Latest(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  case class OrderLine(order_id: Long, product: Long, quantity: Double,
+      ts: Timestamp)
+  case class Reservation(order_id: Long, product: Long, result: String)
+
+  /** A11 running per-record count (StateStoresInTheDSLIntegrationTest
+    * .java:65-106): ever-incrementing count per key, one output row per
+    * input record. Keyed state = the KV store; rows within a batch are
+    * ordered by (ts, event_id) for determinism. */
+  def runningCount(events: Dataset[Event]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Counted](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Event], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            n += 1
+            Counted(e.event_id, key, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** S2 KTable: latest value per key as an update-mode changelog
+    * (UserRegionLambdaExample.java:125). Emits the new latest row for a
+    * key whenever it changes. */
+  def latestPerKey(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Event], state: GroupState[Latest]) =>
+          val candidates = state.getOption.toSeq ++ it.map(e =>
+            Latest(key, e.ts, e.event_id, e.event_type, e.value))
+          val best = candidates.maxBy(l => (l.ts.getTime, l.event_id))
+          state.update(best)
+          best
+      }
+  }
+
+  /** A12 stock reservation (InventoryService.java:132-169): per-product
+    * running reserved quantity checked against a fixed stock level;
+    * order-dependent PASS/FAIL per order line. `stock` is the inventory
+    * table collected to a map — the reference reads it from a KTable
+    * store; at scale this is a broadcast lookup. */
+  def reservation(orders: Dataset[OrderLine],
+      stock: Map[Long, Double]): Dataset[Reservation] = {
+    import orders.sparkSession.implicits._
+    val stockB = orders.sparkSession.sparkContext.broadcast(stock)
+    orders.groupByKey(_.product)
+      .flatMapGroupsWithState[Double, Reservation](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (product: Long, it: Iterator[OrderLine], state: GroupState[Double]) =>
+          var reserved = state.getOption.getOrElse(0.0)
+          val limit = stockB.value.getOrElse(product, 0.0)
+          val out = it.toSeq.sortBy(o => (o.ts.getTime, o.order_id)).map { o =>
+            if (reserved + o.quantity <= limit) {
+              reserved += o.quantity
+              Reservation(o.order_id, product, "PASS")
+            } else Reservation(o.order_id, product, "FAIL")
+          }
+          state.update(reserved)
+          out.iterator
+      }
+  }
+
+  /** A7/A3 re-grouped-table aggregation, streaming form: recompute the
+    * top-N from the latest-per-key view inside foreachBatch — the batch
+    * recomputation makes the reference's add/subtract retraction logic
+    * implicit (SURVEY.md §7.4). Call as:
+    * `latestChangelog.writeStream.foreachBatch(topNForeachBatch(n, sink))`. */
+  def topN(latest: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).desc, col(keyCol).asc)
+    latest.withColumn("pos", row_number().over(w)).filter(col("pos") <= n)
+  }
+}

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming specs asserting the reference tests' golden
+  * outputs over MemoryStream inputs (SURVEY.md §5 tier-1 mirror). */
+class StreamOpsSpec extends SparkSpec {
+  import StreamOps._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  /** Run a streaming query on a memory sink and return the named table. */
+  private def runQuery(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode)(feed: => Unit): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+  }
+
+  test("wordCount matches WordCountLambdaExampleTest golden counts") {
+    // reference: WordCountLambdaExampleTest.java:99-121
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    runQuery(wordCount(in.toDF()), "wc", OutputMode.Complete()) {
+      in.addData("Hello Kafka Streams", "All streams lead to Kafka",
+        "Join Kafka Summit", "И теперь пошли русские слова")
+    }
+    val got = spark.table("wc").as[(String, Long)].collect().toMap
+    val expected = Map("hello" -> 1L, "all" -> 1L, "streams" -> 2L,
+      "lead" -> 1L, "to" -> 1L, "join" -> 1L, "kafka" -> 3L, "summit" -> 1L,
+      "и" -> 1L, "теперь" -> 1L, "пошли" -> 1L, "русские" -> 1L,
+      "слова" -> 1L)
+    assert(got === expected)
+  }
+
+  test("dedupWithTTL forwards first occurrence only (EventDeduplication golden)") {
+    // reference: EventDeduplicationLambdaIntegrationTest.java:160-167
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("event_id", "ts")
+    runQuery(dedupWithTTL(df, "event_id", "ts", "10 minutes"), "dd",
+      OutputMode.Append()) {
+      val ids = Seq("a", "b", "a", "a", "b", "c", "c", "a", "b")
+      in.addData(ids.zipWithIndex.map { case (id, i) => (id, ts(1000L + i)) })
+    }
+    val got = spark.table("dd").select("event_id").as[String].collect().toSet
+    assert(got === Set("a", "b", "c"))
+    assert(spark.table("dd").count() === 3)
+  }
+
+  test("runningCount emits per-record ever-incrementing counts (StateStoresInTheDSL golden)") {
+    // reference: StateStoresInTheDSLIntegrationTest.java:110-125 — keys
+    // foo=1, bar=2, quux=3 in arrival order.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val keyed = Seq(1L, 2L, 1L, 3L, 2L, 1L) // foo bar foo quux bar foo
+    runQuery(runningCount(in.toDS()).toDF(), "rc", OutputMode.Update()) {
+      in.addData(keyed.zipWithIndex.map { case (k, i) =>
+        Event(i.toLong, ts(1000L + i), k, "word", 1.0) })
+    }
+    val got = spark.table("rc").as[Counted].collect()
+      .sortBy(_.event_id).map(c => (c.user_id, c.seq)).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 1L), (2L, 2L), (1L, 3L)))
+  }
+
+  test("runningCount state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val df = runningCount(in.toDS()).toDF()
+    val q = df.writeStream.format("memory").queryName("rc2")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(0, ts(1000), 1, "w", 1.0)); q.processAllAvailable()
+      in.addData(Event(1, ts(2000), 1, "w", 1.0)); q.processAllAvailable()
+      in.addData(Event(2, ts(3000), 1, "w", 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rc2").as[Counted].collect().sortBy(_.event_id).map(_.seq)
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("windowedJoin left_outer emits matched and not-clicked-yet rows (StreamToStreamJoin golden)") {
+    // reference: StreamToStreamJoinIntegrationTest.java:70-75 — the
+    // car-advertisement impression has no click and must surface
+    // null-padded once the watermark passes the join window.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(String, Timestamp, String)]
+    val clicks = MemoryStream[(String, Timestamp, String)]
+    val impDf = imps.toDF().toDF("key", "ts", "value")
+    val clkDf = clicks.toDF().toDF("key", "ts", "value")
+    val joined = windowedJoin(impDf, clkDf, "key", "5 seconds", "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      imps.addData(("newspaper-ad", ts(1000), "shown"),
+        ("gadget-ad", ts(2000), "shown"), ("car-ad", ts(3000), "shown"))
+      clicks.addData(("newspaper-ad", ts(2500), "clicked"),
+        ("gadget-ad", ts(4000), "clicked"))
+      q.processAllAvailable()
+      // advance both watermarks far past the windows to close car-ad
+      imps.addData(("late-ad", ts(100000), "shown"))
+      clicks.addData(("late-click", ts(100000), "clicked"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj")
+      .selectExpr("l_key", "l_value", "r_value").collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSet
+    assert(rows.contains(("newspaper-ad", "shown", "clicked")))
+    assert(rows.contains(("gadget-ad", "shown", "clicked")))
+    assert(rows.contains(("car-ad", "shown", null)), s"got $rows")
+  }
+
+  test("sessionCounts merges events within the gap and splits across it") {
+    // semantics of SessionWindowsExample.java:157-172 (gap sessions)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val agg = sessionCounts(df, "ts", "user_id", "10 seconds", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // session 1: 3 events within 10s of each other; session 2: one event
+      // 60s later; then a watermark-advancing event.
+      in.addData((1L, ts(1000)), (1L, ts(5000)), (1L, ts(12000)),
+        (1L, ts(70000)))
+      q.processAllAvailable()
+      in.addData((99L, ts(500000)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess").where("user_id = 1")
+      .selectExpr("cnt").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("latestPerKey keeps the newest value per key across batches (KTable semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = latestPerKey(in.toDS()).toDF().writeStream.format("memory")
+      .queryName("lpk").outputMode("update").start()
+    try {
+      in.addData(Event(0, ts(1000), 1, "signup", 1.0),
+        Event(1, ts(2000), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(1500), 1, "stale", 9.0)) // older than current
+      q.processAllAvailable()
+      in.addData(Event(3, ts(3000), 1, "purchase", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update for key 1 must be the ts=3000 purchase; the stale
+    // ts=1500 record must never displace the ts=2000 click.
+    val updates = spark.table("lpk").as[Latest].collect()
+    assert(updates.last.event_type === "purchase")
+    assert(!updates.exists(_.event_type === "stale"))
+  }
+
+  test("reservation passes orders until stock is exhausted (InventoryService semantics)") {
+    // reference: InventoryService.java:132-169
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[OrderLine]
+    val res = reservation(in.toDS(), Map(7L -> 10.0))
+    val q = res.toDF().writeStream.format("memory").queryName("resv")
+      .outputMode("update").start()
+    try {
+      in.addData(OrderLine(1, 7, 6.0, ts(1000)), OrderLine(2, 7, 5.0, ts(2000)),
+        OrderLine(3, 7, 4.0, ts(3000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("resv").as[Reservation].collect()
+      .sortBy(_.order_id).map(_.result).toSeq
+    // 6 fits (6<=10), 5 would exceed (11>10) -> FAIL, 4 fits (10<=10)
+    assert(got === Seq("PASS", "FAIL", "PASS"))
+  }
+
+  test("topN recomputes the chart from a latest view (KafkaMusic top-five semantics)") {
+    // reference: KafkaMusicExample.java:455-498 (plays desc, id asc)
+    import spark.implicits._
+    val latest = Seq(("punk", 1L, 5.0), ("punk", 2L, 9.0), ("punk", 3L, 9.0),
+      ("rock", 4L, 2.0)).toDF("genre", "song_id", "plays")
+    val got = topN(latest, "genre", "plays", "song_id", 2)
+      .select("genre", "pos", "song_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set(("punk", 1, 2L), ("punk", 2, 3L), ("rock", 1, 4L)))
+  }
+}
