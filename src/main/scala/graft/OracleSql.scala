@@ -32,17 +32,25 @@ object OracleSql {
   private val nBands = Dedup.Bands
   private val rowsPerBand = nPerms / nBands
 
-  /** minhash signature CTEs: tok -> sh -> sig with columns mh0..mh{n-1}. */
+  /** minhash signature CTEs: tok -> sh -> sig with columns mh0..mh{n-1}.
+    * Same affine family as Dedup.minhashSignatures: one md5 per shingle
+    * (first 15 hex chars → 60-bit int mod 2^31−1), then (a·h + b) mod p
+    * with the (a, b) constants shared via Dedup.minhashPerms. */
   private val minhashCtes: String = {
-    val mhCols = (0 until nPerms)
-      .map(i => s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i")
+    val p = Dedup.MinhashPrime
+    val mhCols = Dedup.minhashPerms.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % $p) AS mh$i" }
       .mkString(", ")
     s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(t) >= 3
        |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
        |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
-       |sig AS (SELECT doc_id, $mhCols FROM sh)""".stripMargin
+       |ex AS (SELECT doc_id, CAST(list_sum(
+       |  [(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)::BIGINT << ((15 - i) * 4)
+       |   for i in range(1, 16)]) AS BIGINT) % $p AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+       |sig AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id)""".stripMargin
   }
 
   /** simhash CTE chain ending in sim(doc_id, simhash). */

@@ -27,6 +27,19 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+  /** The testdata parquet files are single-row-group, so Spark scans them
+    * as ONE split — which would serialize every CPU-heavy per-row pipeline
+    * (tokenize, shingle, hash, cosine) on one core. Fan the scan out to
+    * the cluster's parallelism when the scan itself can't provide splits.
+    * On production multi-split inputs (100 TB = thousands of row groups)
+    * the condition is false and no shuffle is added. */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
 }

@@ -50,23 +50,42 @@ object Dedup {
         i => array_join(slice(tokens, i + 1, lit(n)), " "))))
       .otherwise(array(array_join(tokens, " ")))
 
-  /** MinHash signatures per document: perm i = min over shingles of
-    * md5(i:shingle).
+  /** Mersenne prime 2^31−1: modulus of the affine permutation family. */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p. Seeded so
+    * the DuckDB oracle (OracleSql) derives the identical family. */
+  lazy val minhashPerms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPerms)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures per document: ONE md5 per shingle (first 15 hex
+    * chars → 60-bit int, reduced mod 2^31−1), then NumPerms affine
+    * permutations `(a·h + b) mod p` — pure 64-bit arithmetic, exact and
+    * identical in any engine, 16× less hashing than an md5-per-perm
+    * scheme.
     *
-    * Computed by exploding shingles and min-aggregating per doc rather than
-    * as 16 array expressions over a shingle column: CollapseProject would
-    * inline the tokenize+shingle pipeline into every one of the 16
-    * expressions (16× the work), whereas the explode shape hashes each
-    * shingle exactly once and the min() combines map-side before the one
-    * doc_id shuffle — the shape that survives a 100× scale-up. */
+    * Computed by exploding shingles and min-aggregating per doc rather
+    * than as array expressions over a shingle column: CollapseProject
+    * would inline the tokenize+shingle pipeline into every permutation
+    * expression, whereas the explode shape hashes each shingle exactly
+    * once and the min() combines map-side before the one doc_id shuffle —
+    * the shape that survives a 100× scale-up. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingleCol(3)).as("sh"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType)
+          % MinhashPrime).as("h"))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
-        (1 until NumPerms).map(i =>
-          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")): _*)
+        min((col("h") * minhashPerms(0)._1 + minhashPerms(0)._2) % MinhashPrime).as("mh0"),
+        (1 until NumPerms).map { i =>
+          val (a, b) = minhashPerms(i)
+          min((col("h") * a + b) % MinhashPrime).as(s"mh$i")
+        }: _*)
 
   /** MinHash+LSH near-dup pairs: band signatures into buckets, join within
     * buckets only, then score candidates by signature agreement.
@@ -91,13 +110,31 @@ object Dedup {
               .map(i => col("sig").getItem(i)): _*)).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.toDF("doc_a", "sig_a", "band", "bucket")
-    val r = banded.toDF("doc_b", "sig_b", "band", "bucket")
-    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"),
-      (a, b) => a === b), x => x))
-    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (agree.cast(DoubleType) / NumPerms).as("est_jaccard"))
+    // Pair generation is bucket-local: collect each (band, bucket) group and
+    // emit its i<j pairs with an indexed transform. One signature
+    // computation, one shuffle, no self-join (a self-join would re-run the
+    // whole minhash pipeline per side — Catalyst does not reuse the
+    // exchange across the two subtrees). LSH bucket sizes are tiny by
+    // design (bands exist precisely to keep them small); a degenerate
+    // mega-bucket of near-identical docs would concentrate in one task —
+    // at that point the pair OUTPUT is quadratic anyway and the fix is
+    // more bands, not a different join shape.
+    def did(x: Column) = x.getField("doc_id")
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(
+            least(did(x), did(y)).as("doc_a"),
+            greatest(did(x), did(y)).as("doc_b"),
+            (size(filter(zip_with(x.getField("sig"), y.getField("sig"),
+              (a, b) => a === b), v => v)).cast(DoubleType) / NumPerms)
+              .as("est_jaccard")))))).as("p"))
+    pairs
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.est_jaccard").as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)

@@ -32,18 +32,34 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** L2 norm of a float-array column, accumulated sequentially in double. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Exact brute-force cosine top-5 neighbors for query vectors vec_id < 10.
-    * The query side is broadcast; the corpus is scanned once. */
+    * The query side is broadcast; the corpus is scanned once. Norms are
+    * computed once per vector BEFORE the pair join (n + q norms instead of
+    * 2·n·q), so each of the n·q candidate pairs costs exactly one dot
+    * product — the shape that survives a 100× corpus. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val queries = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .filter(col("q_id") < 10)
-    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_norm"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      l2norm(col("embedding")).as("c_norm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
@@ -74,15 +90,19 @@ object Similarity {
     * exact cosine re-ranks within the bucket. Approximate — no oracle. */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"),
+        l2norm(col("embedding")).as("norm"))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"), col("norm").as("q_norm"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("bucket"), col("norm").as("c_norm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
@@ -93,10 +113,13 @@ object Similarity {
     * (with real near-dup corpora this would be ~0.95). */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      l2norm(col("embedding")).as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      l2norm(col("embedding")).as("b_norm"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("a_emb"), col("b_emb")), 6).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6).as("sim"))
       .filter(col("sim") >= 0.3)
   }
 }
