@@ -39,16 +39,23 @@ object Windows {
     * local day, and converts the window-start back to UTC — so a window is
     * 23/24/25 UTC-hours long across DST transitions, exactly like the
     * reference's `windowsFor`. */
-  def dailyParis(s: SparkSession, dir: String): DataFrame = {
-    val local = from_utc_timestamp(col("ts"), "Europe/Paris")
-    val localDayStart = date_trunc("day", local - expr("INTERVAL 18 HOURS"))
-    val windowStartUtc =
-      to_utc_timestamp(localDayStart + expr("INTERVAL 18 HOURS"), "Europe/Paris")
+  /** DST-aware daily window assignment (DailyTimeWindows.windowsFor):
+    * shift into local time, subtract the start-hour offset, truncate to
+    * the local day, add the offset back, convert to UTC. Days around a
+    * DST transition come out 23/25 UTC-hours long — the correct local
+    * calendar — unlike a fixed-period `window(ts, "1 day", offset)`. */
+  def dailyWindowStart(ts: org.apache.spark.sql.Column, tz: String,
+      startHour: Int): org.apache.spark.sql.Column = {
+    val local = from_utc_timestamp(ts, tz)
+    val localDayStart = date_trunc("day", local - expr(s"INTERVAL $startHour HOURS"))
+    to_utc_timestamp(localDayStart + expr(s"INTERVAL $startHour HOURS"), tz)
+  }
+
+  def dailyParis(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("window_start", windowStartUtc)
+      .withColumn("window_start", dailyWindowStart(col("ts"), "Europe/Paris", 18))
       .groupBy(col("window_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** W5 watermark / late-data drop, batch model: arrival order is event_id;
     * the watermark is the running max event time minus a 10-minute grace.

@@ -81,6 +81,29 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(3L -> 2L, 4L -> 2L, 5L -> -1L))
   }
 
+  test("dailyWindowStart handles the Paris DST transition (CustomWindowTest golden)") {
+    import spark.implicits._
+    // reference: window/CustomWindowTest.java:192-235 — events at Paris
+    // local 01:39/02:00/02:10 on 2019-03-30 (CET, UTC+1) and 2019-03-31
+    // (DST switch night) must land in the 18:00-Paris daily windows of
+    // Mar 29 and Mar 30 respectively, each summing 1+2+7=10.
+    val instants = Seq(
+      ("2019-03-30T00:39:00Z", 1), ("2019-03-30T01:00:00Z", 2),
+      ("2019-03-30T01:10:00Z", 7), // = Paris 01:39/02:00/02:10 CET
+      ("2019-03-31T00:39:00Z", 1), ("2019-03-31T01:00:00Z", 2),
+      ("2019-03-31T01:10:00Z", 7)  // Paris 01:39/02:00/02:10 around switch
+    ).map { case (s, v) =>
+      (java.sql.Timestamp.from(java.time.Instant.parse(s)), v)
+    }.toDF("ts", "v")
+    val got = instants
+      .groupBy(ops.Windows.dailyWindowStart(col("ts"), "Europe/Paris", 18).as("ws"))
+      .agg(sum(col("v")).as("total"))
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toMap
+    assert(got === Map(
+      "2019-03-29T17:00:00Z" -> 10L, // 18:00 CET
+      "2019-03-30T17:00:00Z" -> 10L))
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
