@@ -390,6 +390,13 @@ object OracleSql {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
         |    AS total_bpe_tokens,
         |  count(*) AS n_docs FROM documents GROUP BY lang""".stripMargin),
+    "t5_ngram_counts" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents)
+         |SELECT bigram, count(*) AS cnt FROM (SELECT
+         |  unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE [] END) AS bigram FROM tok)
+         |GROUP BY bigram HAVING count(*) >= 5""".stripMargin),
     "t4_fingerprint" ->
       ("""WITH n AS (SELECT doc_id,
         |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)

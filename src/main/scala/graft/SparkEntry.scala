@@ -80,6 +80,7 @@ object SparkEntry {
     "t2_quality"        -> (TextAnalysis.qualityScore _),
     "t3_token_counts"   -> (TextAnalysis.tokenCounts _),
     "t4_fingerprint"    -> (TextAnalysis.fingerprint _),
+    "t5_ngram_counts"   -> (TextAnalysis.ngramCounts _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
   )

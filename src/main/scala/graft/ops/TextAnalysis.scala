@@ -75,6 +75,21 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
   }
 
+  /** N-gram frequency counts: corpus-wide bigram counts (≥ 5 occurrences),
+    * the vocabulary/statistics pass of a training-data pipeline. Explode +
+    * count combines map-side; the only shuffle keys on the bigram. */
+  def ngramCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    Tables.documents(s, dir)
+      .select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+  }
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
     * edits, and exactly reproducible in any engine with md5). */
