@@ -259,6 +259,9 @@ object OracleSql {
         |x AS (SELECT *, last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
         |      ORDER BY ts, kind ROWS UNBOUNDED PRECEDING) AS asof_click_id FROM u)
         |SELECT purchase_id, user_id, asof_click_id FROM x WHERE kind = 1""".stripMargin),
+    "j9_salted" ->
+      (s"SELECT c_mktsegment, count(*) AS n_events, ${dsum("value")} AS total " +
+        s"FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment"),
     // §2.4 windows
     "w1_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +

@@ -58,6 +58,7 @@ object SparkEntry {
     "j6_windowed_outer" -> (Joins.windowedOuter _),
     "j7_table_table"    -> (Joins.tableTable _),
     "j8_asof"           -> (Joins.asOfJoin _),
+    "j9_salted"         -> (Joins.saltedJoin _),
     // §2.4 windows (W1–W5)
     "w1_tumbling"       -> (Windows.tumblingHourly _),
     "w2_hopping"        -> (Windows.hopping _),

@@ -109,6 +109,30 @@ object Joins {
       .join(latest("click", "last_click"), Seq("user_id"))
   }
 
+  /** Skew-resilient salted join: when one join key dominates (hot user,
+    * boilerplate doc), a plain shuffle join puts the whole key in one task.
+    * Salting splits the fact side S ways with a DETERMINISTIC salt (hash of
+    * the row id — reproducible across engines and retries) and replicates
+    * the dimension row per salt, so the hot key spreads over S tasks.
+    * Results are identical to the unsalted join — the DuckDB oracle runs
+    * the plain join. Spark's AQE skew handling covers sort-merge spills;
+    * explicit salting is the pattern for the hash-partitioned stateful
+    * stages AQE can't rewrite. */
+  val SaltBuckets = 8
+
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        pmod(hash(col("event_id")), lit(SaltBuckets)).as("salt"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
+    fact.join(dim, col("user_id") === col("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+  }
+
   /** J8 custom as-of stream-table join: each purchase picks up the most
     * recent click at-or-before it for the same user.
     *
