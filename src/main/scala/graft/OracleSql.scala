@@ -407,6 +407,27 @@ object OracleSql {
         |  list_min([md5(substr(norm, i, 5))
         |    for i in range(1, greatest(length(norm) - 4, 1) + 1)]) AS min_shingle_hash
         |FROM n""".stripMargin),
+    // composite topologies
+    "c1_pageview_region" ->
+      ("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS window_start,
+        |  coalesce(region, 'UNKNOWN') AS region, count(*) AS view_count
+        |FROM (SELECT e.ts, n.n_name AS region FROM events e
+        |  LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE e.event_type = 'view')
+        |CROSS JOIN (VALUES (0), (1), (2), (3)) hops(k)
+        |GROUP BY 1, 2""".stripMargin),
+    "c2_top_articles" ->
+      ("""SELECT window_start, event_type, user_id, cnt, pos FROM (
+        |  SELECT window_start, event_type, user_id, cnt,
+        |    CAST(row_number() OVER (PARTITION BY window_start, event_type
+        |      ORDER BY cnt DESC, user_id ASC) AS INTEGER) AS pos
+        |  FROM (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |      user_id, count(*) AS cnt
+        |    FROM events GROUP BY 1, 2, 3)) WHERE pos <= 3""".stripMargin),
+    "c3_anomaly" ->
+      ("""SELECT date_trunc('minute', ts) AS window_start, user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
     // multimodal
     "m1_decode_features" ->
       ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n

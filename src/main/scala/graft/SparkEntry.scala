@@ -84,6 +84,10 @@ object SparkEntry {
     "t5_ngram_counts"   -> (TextAnalysis.ngramCounts _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
+    // composite reference topologies
+    "c1_pageview_region" -> (Composites.pageViewRegion _),
+    "c2_top_articles"   -> (Composites.topArticles _),
+    "c3_anomaly"        -> (Composites.anomalyDetection _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).
