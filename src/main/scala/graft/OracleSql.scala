@@ -311,6 +311,34 @@ object OracleSql {
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
          |WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5""".stripMargin
     },
+    "d8_dedup_clusters" -> {
+      // the same banded-LSH pair graph as d4, then connected components via
+      // a recursive CTE (min reachable doc_id = cluster id)
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
     "d5_simhash" ->
       (s"WITH $simhashCtes SELECT doc_id, simhash FROM sim"),
     "d6_simhash_pairs" ->
@@ -400,6 +428,10 @@ object OracleSql {
          |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
          |    ELSE [] END) AS bigram FROM tok)
          |GROUP BY bigram HAVING count(*) >= 5""".stripMargin),
+    "t6_deterministic_sample" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
+        |  << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) % 10 = 0""".stripMargin),
     "t4_fingerprint" ->
       ("""WITH n AS (SELECT doc_id,
         |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
@@ -428,6 +460,17 @@ object OracleSql {
     "c3_anomaly" ->
       ("""SELECT date_trunc('minute', ts) AS window_start, user_id, count(*) AS cnt
         |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    "c4_prep_funnel" ->
+      ("""WITH filtered AS (SELECT doc_id, text, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 2000),
+        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+        |    min(n_words) AS n_words
+        |  FROM filtered GROUP BY md5(text))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+        |FROM deduped GROUP BY lang""".stripMargin),
     // multimodal
     "m1_decode_features" ->
       ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n

@@ -72,6 +72,7 @@ object SparkEntry {
     "d5_simhash"        -> (Dedup.simhash _),
     "d6_simhash_pairs"  -> (Dedup.simhashPairs _),
     "d7_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),
@@ -82,12 +83,14 @@ object SparkEntry {
     "t3_token_counts"   -> (TextAnalysis.tokenCounts _),
     "t4_fingerprint"    -> (TextAnalysis.fingerprint _),
     "t5_ngram_counts"   -> (TextAnalysis.ngramCounts _),
+    "t6_deterministic_sample" -> (TextAnalysis.deterministicSample _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     // composite reference topologies
     "c1_pageview_region" -> (Composites.pageViewRegion _),
     "c2_top_articles"   -> (Composites.topArticles _),
     "c3_anomaly"        -> (Composites.anomalyDetection _),
+    "c4_prep_funnel"    -> (Composites.prepFunnel _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

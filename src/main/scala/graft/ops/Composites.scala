@@ -49,6 +49,26 @@ object Composites {
     counts.withColumn("pos", row_number().over(rank)).filter(col("pos") <= 3)
   }
 
+  /** Training-data prep funnel: quality-filter → exact-dedup → token count
+    * per language — the canonical corpus-preparation chain, fused into one
+    * plan (filters push into the scan; one shuffle for the dedup groupBy,
+    * one for the final per-language rollup). */
+  def prepFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_words", toks)
+      .filter(col("n_words") >= 20 && col("n_words") <= 2000)
+    val deduped = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        // same text => same n_words; min(lang) makes the rare same-text/
+        // different-label case deterministic
+        min(col("lang")).as("lang"), min(col("n_words")).as("n_words"))
+    deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("total_tokens"))
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the

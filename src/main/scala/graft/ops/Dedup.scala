@@ -140,6 +140,39 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** Near-duplicate clusters: connected components over the MinHash-LSH
+    * pair graph — the step that turns pairwise matches into "keep one doc
+    * per cluster". Iterative min-label propagation (the simplified
+    * star-contraction loop used at web scale); each iteration is one
+    * shuffle-bounded join, converging in O(log n) rounds for real dedup
+    * graphs (component diameter is tiny). Deterministic: the cluster id is
+    * the minimum doc_id of the component. The DuckDB oracle walks the same
+    * graph with a recursive CTE. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   val SimHashBits = 32

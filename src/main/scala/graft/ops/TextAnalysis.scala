@@ -75,6 +75,17 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sample: keep ~1/10 of documents per language
+    * by a content-hash bucket (md5-derived, so the choice is stable across
+    * engines, runs, and cluster sizes — unlike rand()-based sampling).
+    * The building block for training-mix construction. */
+  def deterministicSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 10)
+      .filter(col("bucket") === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** N-gram frequency counts: corpus-wide bigram counts (≥ 5 occurrences),
     * the vocabulary/statistics pass of a training-data pipeline. Explode +
     * count combines map-side; the only shuffle keys on the bigram. */
