@@ -150,26 +150,28 @@ object Dedup {
     * graph with a recursive CTE. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions
+    // undirected edge list, both directions; materialized ONCE (the minhash
+    // pipeline above it must not re-run per propagation round)
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
+    edges.count()
+    // Min-label propagation, one hop per round; labels are checkpointed
+    // eagerly each round so the logical plan stays constant-size (a lazily
+    // accumulated loop makes Catalyst planning time explode exponentially
+    // with rounds). Near-dup clusters are dense — diameter beyond 8 would
+    // need a chain of distinct docs each ≥0.5-similar only to its
+    // neighbors; rounds cover eccentricity ≤ 8.
+    val Rounds = 8
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 20) {
+      .withColumn("label", col("id")).localCheckpoint()
+    for (_ <- 1 to Rounds) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iters += 1
+      labels = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
