@@ -157,6 +157,9 @@ object OracleSql {
         "l_quantity * 2 AS qty2, greatest(l_tax, l_discount) AS max_rate " +
         "FROM lineitem WHERE l_orderkey % 100 = 0"),
     // §2.3 aggregations
+    "o17_order_limit" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
     "a1_sum_by_key" ->
       (s"SELECT user_id, ${dsum("value")} AS total, count(*) AS n " +
         s"FROM events GROUP BY user_id"),
@@ -381,6 +384,12 @@ object OracleSql {
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
     "s3_embedding_neardup" ->
+      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin),
+    "s4_native_cosine" ->
       (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim

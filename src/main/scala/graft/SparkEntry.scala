@@ -38,6 +38,7 @@ object SparkEntry {
     "o14_validation"    -> (Stateless.validation _),
     "o15_string_ops"    -> (Stateless.stringOps _),
     "o16_math_ops"      -> (Stateless.mathOps _),
+    "o17_order_limit"   -> (Stateless.orderLimit _),
     // §2.3 aggregations (A1–A12)
     "a1_sum_by_key"     -> (Aggregations.sumByKey _),
     "a2_wordcount"      -> (Aggregations.wordCount _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),
     "s3_embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "s4_native_cosine"  -> (Similarity.embeddingNearDupNative _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions with a session.
+  *
+  * Two paths to the same registry entry:
+  *  - `.withExtensions(new GraftExtensions)` at session build
+  *    (`spark.sql.extensions=graft.functions.GraftExtensions` works too);
+  *  - `GraftExtensions.register(spark)` on an existing session
+  *    (idempotent), used by the driver-contract queries which receive the
+  *    session from outside.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineEntry)
+}
+
+object GraftExtensions {
+  private val cosineEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+    (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1)))
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineEntry
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

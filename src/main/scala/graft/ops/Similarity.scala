@@ -108,6 +108,22 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** s3 with the native codegen'd expression (graft.functions
+    * .CosineSimilarityExpr) instead of higher-order functions: one fused
+    * loop per pair, no intermediate arrays, inside whole-stage codegen.
+    * Same values bit-for-bit (identical sequential double accumulation),
+    * same oracle. */
+  def embeddingNearDupNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(call_function("graft_cosine", col("a_emb"), col("b_emb")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+  }
+
   /** Embedding-cosine near-duplicate pairs among vec_id%10==0. The synthetic
     * embeddings top out around cosine 0.38 pairwise, so the threshold is 0.3
     * (with real near-dup corpora this would be ~0.95). */

@@ -148,6 +148,15 @@ object Stateless {
       concat(col("lang"), lit(":"), upper(col("source"))).as("tag"),
       regexp_replace(substring(col("text"), 1, 50), "[aeiou]", "*").as("anon"))
 
+  /** §2.6 serving-path sort+limit (MusicPlaysRestService top-five read):
+    * global ORDER BY ... LIMIT — Spark plans TakeOrderedAndProject
+    * (per-partition top-k + merge), never a full sort. */
+  def orderLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
   /** O16 math ops: per-row arithmetic (revenue expr, mod, greatest). */
   def mathOps(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

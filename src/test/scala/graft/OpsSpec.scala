@@ -115,6 +115,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("native graft_cosine matches the higher-order-function cosine bit-for-bit") {
+    graft.functions.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf001).limit(50)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val diff = a.join(b, col("a_id") < col("b_id"))
+      .select(
+        Similarity.cosine(col("a_emb"), col("b_emb")).as("hof"),
+        call_function("graft_cosine", col("a_emb"), col("b_emb")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff === 0L)
+  }
+
+  test("order+limit plans TakeOrderedAndProject, not a global sort") {
+    val plan = Stateless.orderLimit(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, sf001).orderBy("doc_id").head()
     val b = Dedup.minhashSignatures(spark, sf001).orderBy("doc_id").head()
