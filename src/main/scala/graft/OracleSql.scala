@@ -480,6 +480,15 @@ object OracleSql {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
         |FROM deduped GROUP BY lang""".stripMargin),
+    "t7_length_quantiles" ->
+      ("""SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.95) AS p95, count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin),
+    "m2_frame_sample" ->
+      ("""SELECT doc_id, k * 5 AS frame_idx,
+        |  md5(doc_id || ':' || (k * 5)) AS frame_key
+        |FROM (SELECT doc_id, length(text) % 30 + 1 AS n_frames FROM documents),
+        |  unnest(range(0, ((n_frames - 1) // 5) + 1)) AS t(k)""".stripMargin),
     // multimodal
     "m1_decode_features" ->
       ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n

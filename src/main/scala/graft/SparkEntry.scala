@@ -88,6 +88,8 @@ object SparkEntry {
     "t6_deterministic_sample" -> (TextAnalysis.deterministicSample _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
+    "m2_frame_sample"   -> (Multimodal.frameSample _),
+    "t7_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // composite reference topologies
     "c1_pageview_region" -> (Composites.pageViewRegion _),
     "c2_top_articles"   -> (Composites.topArticles _),

@@ -37,6 +37,24 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: expand each media record into its sampled frames
+    * (1:N, every 5th frame) with deterministic per-frame metadata — the
+    * shape of a video→frames feature-extraction stage. The explode happens
+    * AFTER the cheap metadata projection, so only (doc_id, n_frames)
+    * fans out, never the payload bytes. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") % 30 + 1).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), expr("(n_frames - 1) div 5"))).as("k"))
+      .select(col("doc_id"), (col("k") * 5).as("frame_idx"),
+        // a real decoder would emit pixels; the deterministic stand-in
+        // derives a per-frame checksum from (doc, frame)
+        md5(concat(col("doc_id"), lit(":"), col("k") * 5)).as("frame_key"))
+  }
+
   /** Build a binary media table from documents (payload = UTF-8 bytes of
     * the text standing in for an encoded image), run the batched decode,
     * and aggregate features. `mapPartitions` keeps the decode vectorized

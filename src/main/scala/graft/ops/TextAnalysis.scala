@@ -101,6 +101,18 @@ object TextAnalysis {
       .filter(col("cnt") >= 5)
   }
 
+  /** Exact length quantiles per language (corpus profiling): `percentile`
+    * (exact sort-based interpolation, identical definition to DuckDB's
+    * quantile_cont). At 100 TB the approx_percentile sketch is the scale
+    * path; the exact form is its audit. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.95)").as("p95"),
+        count(lit(1)).as("n_docs"))
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
     * edits, and exactly reproducible in any engine with md5). */
