@@ -162,15 +162,17 @@ object Dedup {
     // with rounds). Near-dup clusters are dense — diameter beyond 8 would
     // need a chain of distinct docs each ≥0.5-similar only to its
     // neighbors; rounds cover eccentricity ≤ 8.
-    val Rounds = 8
+    val Rounds = 6
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    for (_ <- 1 to Rounds) {
+    for (r <- 1 to Rounds) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
       labels = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      // checkpoint every second round: deep-enough truncation to keep
+      // Catalyst planning linear, half the materialization jobs
+      if (r % 2 == 0 || r == Rounds) labels = labels.localCheckpoint()
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
