@@ -143,6 +143,60 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("session merge: a bridging event collapses two sessions into one (SessionWindowsExampleTest)") {
+    // reference: SessionWindowsExampleTest.java:86-139 — two sessions a
+    // gap+1 apart, then an event between them merges everything into one
+    // 3-count session. Spark emits the merged final (the reference
+    // additionally emits tombstones for the merged partials — changelog
+    // detail documented in SURVEY.md §7.4).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapMs = 10000L
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val agg = sessionCounts(df, "ts", "user_id", "10 seconds", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("merge")
+      .outputMode("append").start()
+    try {
+      in.addData(("erica", ts(1000)), ("erica", ts(1000 + gapMs + 1)),
+        ("erica", ts(1000 + gapMs / 2)))
+      q.processAllAvailable()
+      in.addData(("zz", ts(10000000))) // advance watermark to close windows
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("merge").where("user_id = 'erica'")
+      .selectExpr("cnt", "session_start").collect()
+    assert(rows.length === 1, "partials must merge into one session")
+    assert(rows.head.getLong(0) === 3L)
+    assert(rows.head.getTimestamp(1) === ts(1000))
+  }
+
+  test("late events beyond the watermark are dropped (CustomWindowTest late-arrival)") {
+    // reference: window/CustomWindowTest.java:133 — a record later than
+    // window end + grace is discarded.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("key", "ts")
+    val agg = tumblingCounts(df, "ts", "key", "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1000)), (1L, ts(2000)))
+      q.processAllAvailable()
+      in.addData((1L, ts(60000))) // watermark -> 55s; window [0,10s) closes
+      q.processAllAvailable()
+      in.addData((1L, ts(3000)))  // 52s late: must be dropped
+      q.processAllAvailable()
+      in.addData((1L, ts(120000)))
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("late")
+      .where("window_start = timestamp'1970-01-01 00:00:00'")
+      .selectExpr("cnt").collect()
+    assert(w0.map(_.getLong(0)).toSeq === Seq(2L), "late event must not count")
+  }
+
   test("latestPerKey keeps the newest value per key across batches (KTable semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
