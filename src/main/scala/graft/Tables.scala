@@ -14,8 +14,10 @@ object Tables {
   def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
   def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
-  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
-  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame    =
+    fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+  def lineitem(s: SparkSession, dir: String): DataFrame  =
+    fanOut(s, s.read.parquet(s"$dir/lineitem.parquet"))
   /** events.ts is INT64 TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read it as a long and truncate to micros (exactly what DuckDB
     * does natively, so the oracle sees identical values). Integer `div`
@@ -23,9 +25,9 @@ object Tables {
     * nanos (≈1.7e18 > 2^53). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    fanOut(s, s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
   /** The testdata parquet files are single-row-group, so Spark scans them
     * as ONE split — which would serialize every CPU-heavy per-row pipeline
