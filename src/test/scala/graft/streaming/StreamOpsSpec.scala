@@ -143,6 +143,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("hoppingCounts lands each event in size/slide windows (PageViewRegion windowing)") {
+    // reference: PageViewRegionLambdaExample.java:183 — 5-min windows
+    // advancing 1 min => every event belongs to 5 windows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("key", "ts")
+    val agg = hoppingCounts(df, "ts", "key", "5 minutes", "1 minute", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(600000))) // 10:00 into [05:00..10:00]..[10:00..15:00]
+      q.processAllAvailable()
+      in.addData((99L, ts(100000000))) // close all windows
+      q.processAllAvailable(); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hop").where("key = 1").collect()
+    assert(rows.length === 5, s"event must appear in 5 hopping windows, got ${rows.length}")
+    assert(rows.forall(_.getLong(2) === 1L))
+  }
+
   test("session merge: a bridging event collapses two sessions into one (SessionWindowsExampleTest)") {
     // reference: SessionWindowsExampleTest.java:86-139 — two sessions a
     // gap+1 apart, then an event between them merges everything into one
