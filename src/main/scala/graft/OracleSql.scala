@@ -342,6 +342,22 @@ object OracleSql {
          |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    "d9_contamination" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+         |ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh),
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 10)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS overlap
+         |FROM ex LEFT JOIN bench USING (sh) WHERE doc_id >= 10
+         |GROUP BY doc_id
+         |HAVING round(CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*), 6) >= 0.3""".stripMargin),
     "d5_simhash" ->
       (s"WITH $simhashCtes SELECT doc_id, simhash FROM sim"),
     "d6_simhash_pairs" ->
@@ -441,6 +457,13 @@ object OracleSql {
       ("""SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
         |  << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) % 10 = 0""".stripMargin),
+    "t8_repetition" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+         |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+         |    / greatest(len(t), 1), 6) AS rep_ratio
+         |FROM tok""".stripMargin),
     "t4_fingerprint" ->
       ("""WITH n AS (SELECT doc_id,
         |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)

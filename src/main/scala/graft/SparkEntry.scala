@@ -74,6 +74,7 @@ object SparkEntry {
     "d6_simhash_pairs"  -> (Dedup.simhashPairs _),
     "d7_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
+    "d9_contamination"  -> (Dedup.contamination _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),
     "t7_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
+    "t8_repetition"     -> (TextAnalysis.repetitionScore _),
     // composite reference topologies
     "c1_pageview_region" -> (Composites.pageViewRegion _),
     "c2_top_articles"   -> (Composites.topArticles _),

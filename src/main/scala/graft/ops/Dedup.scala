@@ -177,6 +177,27 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark-contamination check: share of each training document's
+    * distinct 3-shingles that appear in a held-out benchmark set (here:
+    * doc_id < 10) — the decontamination pass every training pipeline needs.
+    * The benchmark shingle set is small by construction → broadcast join;
+    * the per-doc ratio is one groupBy. Emits docs with ≥ 30% overlap. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(shingleCol(3))).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    shingled.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hits"))
+      .withColumn("overlap",
+        round(col("n_hits").cast(DoubleType) / col("n_shingles"), 6))
+      .filter(col("overlap") >= 0.3)
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   val SimHashBits = 32

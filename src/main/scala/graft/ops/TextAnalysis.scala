@@ -101,6 +101,20 @@ object TextAnalysis {
       .filter(col("cnt") >= 5)
   }
 
+  /** Within-document repetition score: 1 − distinct/total tokens — the
+    * standard boilerplate/low-quality signal (high ratio = the document
+    * repeats itself). Pure per-row arithmetic, no shuffle. */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / greatest(col("n_tokens"), lit(1)), 6))
+  }
+
   /** Exact length quantiles per language (corpus profiling): `percentile`
     * (exact sort-based interpolation, identical definition to DuckDB's
     * quantile_cont). At 100 TB the approx_percentile sketch is the scale
