@@ -59,7 +59,13 @@ object Windows {
 
   /** W5 watermark / late-data drop, batch model: arrival order is event_id;
     * the watermark is the running max event time minus a 10-minute grace.
-    * Records older than the watermark at their arrival are dropped. */
+    * Records older than the watermark at their arrival are dropped.
+    *
+    * Scale note: the running max over a GLOBAL arrival order is inherently
+    * sequential, so this batch emulation single-partitions — it exists as
+    * the DuckDB-checkable oracle of the semantics. The production path is
+    * the streaming form (`withWatermark` in graft.streaming), where Spark
+    * tracks the watermark per-partition and scales out. */
   def lateDataFilter(s: SparkSession, dir: String): DataFrame = {
     val arrival = W.orderBy(col("event_id"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -104,6 +104,24 @@ class OpsSpec extends SparkSpec {
       "2019-03-30T17:00:00Z" -> 10L))
   }
 
+  test("corrupt JSON records are dropped, valid ones survive (poison pills)") {
+    // semantics of HandlingCorruptedInputRecordsIntegrationTest.java:79-98
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, """{"k": 3}"""), (2L, "not json at all"), (3L, """{"k": null}"""),
+      (4L, """{"wrong": 1}"""), (5L, """{"k": 7}""")
+    ).toDF("event_id", "props")
+    val parsed = df
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("event_id"), (col("k") * 2).as("k2"))
+    val got = parsed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 6, 5L -> 14))
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

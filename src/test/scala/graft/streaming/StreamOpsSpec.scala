@@ -259,6 +259,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Seq("PASS", "FAIL", "PASS"))
   }
 
+  test("streamStaticJoin enriches a stream against a broadcast table (GlobalKTable)") {
+    // reference: GlobalKTablesExample.java:183-196
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val customers = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "level")
+    val in = MemoryStream[(Long, Long)] // (order_id, customer_id)
+    val orders = in.toDF().toDF("order_id", "customer_id")
+    val q = streamStaticJoin(orders, customers, "customer_id", "cust_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      in.addData((100L, 1L), (101L, 2L), (102L, 3L)) // 3L: no such customer
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin").selectExpr("order_id", "level").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(100L -> "gold", 101L -> "silver"))
+  }
+
   test("topN recomputes the chart from a latest view (KafkaMusic top-five semantics)") {
     // reference: KafkaMusicExample.java:455-498 (plays desc, id asc)
     import spark.implicits._
