@@ -165,6 +165,38 @@ object StreamOps {
       }
   }
 
+  case class ChangelogEntry(group: String, id: Long, value: Option[Double])
+  case class ChartRow(group: String, pos: Int, id: Long, value: Double)
+
+  /** A7 TRUE incremental re-grouped-table top-N (TopArticlesLambdaExample
+    * .java:218-235, KafkaMusicExample.java:342-375): the per-group state is
+    * the live member→value map; each changelog update ADDS the new value
+    * and implicitly SUBTRACTS the old one (the reference's adder/subtractor
+    * pair), a `None` value is the KTable tombstone and removes the member.
+    * Emits the refreshed chart for every touched group — the continuous
+    * top-N changelog. State is O(members per group); for bounded charts at
+    * huge cardinality, cap the map at the top-K + margin. */
+  def incrementalTopN(updates: Dataset[ChangelogEntry], n: Int): Dataset[ChartRow] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[Long, Double], ChartRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[ChangelogEntry], state: GroupState[Map[Long, Double]]) =>
+          val members = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Double])) {
+            (m, e) => e.value match {
+              case Some(v) => m.updated(e.id, v) // add (replaces = subtract old)
+              case None    => m - e.id           // tombstone
+            }
+          }
+          state.update(members)
+          members.toSeq
+            .sortBy { case (id, v) => (-v, id) } // value desc, id asc
+            .take(n).zipWithIndex
+            .map { case ((id, v), i) => ChartRow(group, i + 1, id, v) }
+            .iterator
+      }
+  }
+
   /** A7/A3 re-grouped-table aggregation, streaming form: recompute the
     * top-N from the latest-per-key view inside foreachBatch — the batch
     * recomputation makes the reference's add/subtract retraction logic

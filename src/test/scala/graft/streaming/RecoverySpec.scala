@@ -44,6 +44,40 @@ class RecoverySpec extends SparkSpec {
     assert(seen.get(2L) === Some(3L), s"got $seen")
   }
 
+  test("incrementalTopN handles updates and tombstones like the add/subtract aggregate (TopArticles/KafkaMusic)") {
+    // reference: the adder+subtractor pair of KafkaMusicExample.java:342-354
+    // — an updated count displaces chart entries; a tombstone evicts.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps._
+    val in = MemoryStream[ChangelogEntry]
+    val q = incrementalTopN(in.toDS(), 2).toDF()
+      .writeStream.format("memory").queryName("itn").outputMode("update").start()
+    def chart(): Seq[(Int, Long, Double)] = {
+      // last emitted chart for punk = rows of the final batch
+      val batches = spark.table("itn").where("group = 'punk'").collect()
+      // memory sink in update mode appends every emission; reconstruct the
+      // latest chart as the rows emitted after the final update: take the
+      // trailing rows with pos restarting at 1
+      val rows = batches.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val lastStart = rows.lastIndexWhere(_._1 == 1)
+      rows.drop(lastStart).toSeq
+    }
+    try {
+      in.addData(ChangelogEntry("punk", 1L, Some(5.0)),
+        ChangelogEntry("punk", 2L, Some(3.0)),
+        ChangelogEntry("punk", 3L, Some(1.0)))
+      q.processAllAvailable()
+      assert(chart() === Seq((1, 1L, 5.0), (2, 2L, 3.0)))
+      in.addData(ChangelogEntry("punk", 2L, Some(7.0))) // update displaces id1
+      q.processAllAvailable()
+      assert(chart() === Seq((1, 2L, 7.0), (2, 1L, 5.0)))
+      in.addData(ChangelogEntry("punk", 2L, None)) // tombstone: id2 leaves
+      q.processAllAvailable()
+      assert(chart() === Seq((1, 1L, 5.0), (2, 3L, 1.0)))
+    } finally q.stop()
+  }
+
   test("music chart pipeline: filter -> broadcast join -> count -> topN (KafkaMusicExample)") {
     // reference topology: KafkaMusicExample.java:296-377 — play events
     // filtered to >=30s, joined to the songs table, counted per song, then
