@@ -80,7 +80,7 @@ object Similarity {
   /** Sign-random-projection bucket id of an embedding column. */
   def srpBucket(emb: Column): Column =
     (0 until NumPlanes).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
       val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast(DoubleType) * w),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L << p).otherwise(0L)
