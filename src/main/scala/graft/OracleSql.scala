@@ -405,6 +405,12 @@ object OracleSql {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin),
+    "s5_bucketed_neardup" ->
+      (s"""WITH $srpBucketCtes
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin),
     "s4_native_cosine" ->
       (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

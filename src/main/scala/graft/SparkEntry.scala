@@ -80,6 +80,7 @@ object SparkEntry {
     "s2_lsh_topk"       -> (Similarity.lshTopK _),
     "s3_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "s4_native_cosine"  -> (Similarity.embeddingNearDupNative _),
+    "s5_bucketed_neardup" -> (Similarity.bucketedNearDup _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

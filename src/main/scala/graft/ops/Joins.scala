@@ -141,8 +141,13 @@ object Joins {
     * user_id, no per-row lookup, no skew-prone range join. Clicks order
     * before purchases at equal ts (kind 0 < 1) making the match inclusive.
     * The DuckDB oracle uses its native ASOF JOIN. */
-  def asOfJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+  def asOfJoin(s: SparkSession, dir: String): DataFrame =
+    asOfJoinFrame(Tables.events(s, dir))
+
+  /** Frame-level form of [[asOfJoin]]: any frame with (event_id, ts,
+    * user_id, event_type) columns — lets specs drive the real operator
+    * with in-memory data. */
+  def asOfJoinFrame(e: DataFrame): DataFrame = {
     // Collapse clicks to one per (user, ts) — max event_id wins — so the
     // as-of result is unique and deterministic.
     val clicks = e.filter(col("event_type") === "click")

@@ -124,6 +124,35 @@ object Similarity {
       .filter(col("sim") >= 0.3)
   }
 
+  /** s5: scale-safe embedding near-dup — the production path. Candidates
+    * are generated by an EQUALITY join on the SRP bucket (cosine-similar
+    * vectors land in the same sign pattern with high probability), then
+    * exact cosine re-ranks the candidates. No BroadcastNestedLoopJoin /
+    * CartesianProduct anywhere in the plan (PlanAudit asserts this): at
+    * 100 TB the work is one shuffle of the bucketed table against itself,
+    * bucket-local pairing, never all-pairs. The bucketed+normed table is
+    * checkpointed so the SRP projection runs once, not once per join side
+    * (on a cluster: persist/write the bucketed table). The s3/s4 BNLJ
+    * form stays as the exact audit on a bounded sample; this is the one
+    * you run on the full corpus. Recall is tunable via NumPlanes (fewer
+    * planes → bigger buckets → higher recall, more candidates). */
+  def bucketedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        srpBucket(col("embedding")).as("bucket"),
+        l2norm(col("embedding")).as("norm"))
+      .localCheckpoint()
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("bucket"), col("norm").as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("bucket"), col("norm").as("b_norm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6).as("sim"))
+      .filter(col("sim") >= 0.2)
+  }
+
   /** Embedding-cosine near-duplicate pairs among vec_id%10==0. The synthetic
     * embeddings top out around cosine 0.38 pairwise, so the threshold is 0.3
     * (with real near-dup corpora this would be ~0.95). */

@@ -57,26 +57,8 @@ class OpsSpec extends SparkSpec {
       (5L, 5L, 200L, "purchase", 5.0)   // user 200 has no click -> null
     ).map { case (id, t, u, ty, v) => (id, new java.sql.Timestamp(t), u, ty, v) }
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    events.createOrReplaceTempView("ev")
-    // exercise the same plan via a private-shape copy: union + window
-    val out = Joins.asOfJoin _ // signature check
-    // inline re-run of the operator over a temp dir is covered by the
-    // oracle; here assert the core window logic on the tiny frame
-    val clicks = events.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
-      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("click_id"),
-        lit(null).cast("long").as("purchase_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("kind"),
-        lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val got = clicks.unionByName(purchases)
-      .withColumn("asof", last(col("click_id"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
-      .select("purchase_id", "asof").collect()
+    val got = Joins.asOfJoinFrame(events)
+      .select("purchase_id", "asof_click_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got === Map(3L -> 2L, 4L -> 2L, 5L -> -1L))
   }
@@ -150,6 +132,25 @@ class OpsSpec extends SparkSpec {
     val plan = Stateless.orderLimit(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("connectedComponents converges on a chain of diameter 12 (one cluster)") {
+    import spark.implicits._
+    // A path graph 0-1-2-...-12: min-label propagation moves the 0 label
+    // one hop per round, so any fixed round count < 12 leaves the far end
+    // mis-clustered. The fixed-point loop must label every node 0.
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, "doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 13)
+    assert(labels.values.forall(_ == 0L), s"non-zero labels: $labels")
+    // two disjoint chains stay separate
+    val two = ((0L until 9L).map(i => (i, i + 1)) ++
+      (100L until 109L).map(i => (i, i + 1))).toDF("a", "b")
+    val got = Dedup.connectedComponents(two, "id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._1 < 100).values.toSet === Set(0L))
+    assert(got.filter(_._1 >= 100).values.toSet === Set(100L))
   }
 
   test("minhash signatures are deterministic across runs") {
