@@ -160,6 +160,11 @@ object OracleSql {
     "o17_order_limit" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    // the oracle aggregates the RAW columns; the Spark side aggregates the
+    // avro-decoded ones — equality proves the round-trip is lossless
+    "o18_avro_roundtrip" ->
+      (s"SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, " +
+        s"${dsum("value")} AS total FROM events GROUP BY event_type"),
     "a1_sum_by_key" ->
       (s"SELECT user_id, ${dsum("value")} AS total, count(*) AS n " +
         s"FROM events GROUP BY user_id"),

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+import java.io.ByteArrayOutputStream
+
+/** Avro binary encode/decode over DataFrame columns — the reference's
+  * dominant wire format (Schemas.java:77-83 registers Avro serdes for
+  * every microservices topic; JsonToAvroExample.java:113-126 converts a
+  * JSON stream to Avro records).
+  *
+  * Spark-first shape: the environment ships Apache Avro core but no
+  * spark-avro connector, so the codec runs as `mapPartitions` — one
+  * parsed Schema, one reusable DatumWriter/DatumReader and one reusable
+  * binary en/decoder per PARTITION (the per-batch amortization the
+  * reference gets from its Serde instances), never per row, and the
+  * plumbing stays a narrow transformation: no shuffle, encode/decode
+  * happens wherever the rows already are. With the connector present the
+  * same call sites would be `from_avro`/`to_avro` columns.
+  *
+  * Supported field types: long, int, double, float, boolean, string,
+  * bytes — the types the reference's schemas use (order.avsc etc.).
+  * Avro binary encoding is deterministic for a given record, so encoded
+  * bytes are stable across engines and runs.
+  */
+object AvroCodec {
+
+  /** Demo schema over the events table, mirroring the shape of the
+    * reference's avro/microservices/order.avsc (id + enum-ish string +
+    * numeric). */
+  val eventSchemaJson: String =
+    """{"type":"record","name":"Event","namespace":"graft.avro","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** Encode the schema's fields of every row into one Avro binary column;
+    * `keep` columns pass through unchanged. */
+  def encode(df: DataFrame, schemaJson: String, keep: Seq[String] = Seq.empty,
+      outCol: String = "avro_bytes"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(
+      keep.map(k => inSchema(k)) :+ StructField(outCol, BinaryType, nullable = false))
+    val keepIdx = keep.map(inSchema.fieldIndex)
+    df.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fieldIdx = schema.getFields.toArray.map { f =>
+        inSchema.fieldIndex(f.asInstanceOf[Schema.Field].name)
+      }
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val out = new ByteArrayOutputStream()
+      var enc = EncoderFactory.get().binaryEncoder(out, null)
+      it.map { row =>
+        out.reset()
+        enc = EncoderFactory.get().binaryEncoder(out, enc)
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fieldIdx.length) {
+          rec.put(i, row.get(fieldIdx(i)))
+          i += 1
+        }
+        writer.write(rec, enc)
+        enc.flush()
+        Row.fromSeq(keepIdx.map(row.get) :+ out.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode an Avro binary column back into typed columns (schema field
+    * order); `keep` columns pass through. */
+  def decode(df: DataFrame, schemaJson: String, bytesCol: String = "avro_bytes",
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val inSchema = df.schema
+    val schema0 = new Schema.Parser().parse(schemaJson)
+    val decodedFields = schema0.getFields.toArray.map { f0 =>
+      val f = f0.asInstanceOf[Schema.Field]
+      StructField(f.name, sparkType(f.schema), nullable = false)
+    }
+    val outSchema = StructType(keep.map(k => inSchema(k)) ++ decodedFields)
+    val keepIdx = keep.map(inSchema.fieldIndex)
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var dec = DecoderFactory.get().binaryDecoder(Array.empty[Byte], null)
+      var rec: GenericRecord = null
+      val n = schema.getFields.size()
+      it.map { row =>
+        dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](bytesIdx), dec)
+        rec = reader.read(rec, dec)
+        val vals = (0 until n).map(i => fromAvro(rec.get(i)))
+        Row.fromSeq(keepIdx.map(row.get) ++ vals)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.BYTES   => BinaryType
+    case t => throw new IllegalArgumentException(s"unsupported avro type $t")
+  }
+
+  private def fromAvro(v: AnyRef): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case x => x
+  }
+}

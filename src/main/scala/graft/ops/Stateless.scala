@@ -134,6 +134,24 @@ object Stateless {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .filter(col("k").isNotNull)
 
+  /** O18 Avro wire-format round-trip (JsonToAvroExample.java:113-126,
+    * Schemas.java:77-83): project events into Avro binary records, decode
+    * them back, and aggregate the DECODED columns — the oracle checks the
+    * aggregate against the raw table, so any en/decode corruption fails
+    * the hash compare. Encode and decode are narrow mapPartitions stages
+    * (no shuffle added by the serde). */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AvroCodec
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val decoded = AvroCodec.decode(
+      AvroCodec.encode(ev, AvroCodec.eventSchemaJson), AvroCodec.eventSchemaJson)
+    decoded.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+  }
+
   /** O14 record validation: field-range predicate → PASS/FAIL counts. */
   def validation(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
