@@ -100,14 +100,20 @@ object OrderPipeline {
     walked
   }
 
-  /** ValidationsAggregatorService.java:96-139: an order is VALIDATED when
-    * all NumRules checks PASS, FAILED as soon as any rule FAILs. */
+  /** ValidationsAggregatorService.java:96-139: an order FAILs as soon as
+    * any rule FAILs, becomes VALIDATED once all NumRules rules PASS, and
+    * stays CREATED while verdicts are still outstanding — the pending
+    * state matters in the streaming form, where a validator's verdict can
+    * arrive in a later micro-batch than its siblings'. */
   def aggregateValidations(validations: DataFrame, orders: DataFrame): DataFrame = {
     val verdict = validations
       .groupBy(col("order_id"))
-      .agg(sum(when(col("result") === "PASS", 1).otherwise(0)).as("n_pass"))
+      .agg(sum(when(col("result") === "PASS", 1).otherwise(0)).as("n_pass"),
+        sum(when(col("result") === "FAIL", 1).otherwise(0)).as("n_fail"))
       .select(col("order_id"),
-        when(col("n_pass") >= NumRules, "VALIDATED").otherwise("FAILED").as("state"))
+        when(col("n_fail") > 0, "FAILED")
+          .when(col("n_pass") >= NumRules, "VALIDATED")
+          .otherwise("CREATED").as("state"))
     orders.drop("state").join(verdict, Seq("order_id"), "left")
       .withColumn("state", coalesce(col("state"), lit("CREATED")))
   }

@@ -174,20 +174,33 @@ object StreamOps {
     * and implicitly SUBTRACTS the old one (the reference's adder/subtractor
     * pair), a `None` value is the KTable tombstone and removes the member.
     * Emits the refreshed chart for every touched group — the continuous
-    * top-N changelog. State is O(members per group); for bounded charts at
-    * huge cardinality, cap the map at the top-K + margin. */
-  def incrementalTopN(updates: Dataset[ChangelogEntry], n: Int): Dataset[ChartRow] = {
+    * top-N changelog.
+    *
+    * State is CAPPED at the top n + `margin` members per group, so a group
+    * with huge member cardinality (every song ever played) keeps bounded
+    * state. The changelog carries ABSOLUTE aggregate values (KTable
+    * semantics), so an evicted member re-enters correctly the moment any
+    * new value arrives for it — eviction never corrupts a later value.
+    * The one approximated case is passive re-entry: if a charted member is
+    * tombstoned and an already-evicted member should fill the freed slot
+    * WITHOUT receiving a new update, its value is gone — the cost of
+    * bounded state; widen `margin` to make it arbitrarily rare. */
+  def incrementalTopN(updates: Dataset[ChangelogEntry], n: Int,
+      margin: Int = 8): Dataset[ChartRow] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.group)
       .flatMapGroupsWithState[Map[Long, Double], ChartRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (group: String, it: Iterator[ChangelogEntry], state: GroupState[Map[Long, Double]]) =>
-          val members = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Double])) {
+          val updated = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Double])) {
             (m, e) => e.value match {
               case Some(v) => m.updated(e.id, v) // add (replaces = subtract old)
               case None    => m - e.id           // tombstone
             }
           }
+          val members = if (updated.size <= n + margin) updated
+            else updated.toSeq.sortBy { case (id, v) => (-v, id) }
+              .take(n + margin).toMap
           state.update(members)
           members.toSeq
             .sortBy { case (id, v) => (-v, id) } // value desc, id asc

@@ -44,6 +44,53 @@ class RecoverySpec extends SparkSpec {
     assert(seen.get(2L) === Some(3L), s"got $seen")
   }
 
+  test("crash after sink write, before commit: replay + idempotent sink = no duplicates (EOS)") {
+    // OrderDetailsService.java:77-107 produces transactionally so a crash
+    // between produce and offset-commit cannot duplicate. Spark's analog:
+    // a failed batch is REPLAYED with the same batchId after restart, so a
+    // sink keyed on (batchId, row-key) — an idempotent/upsert sink — yields
+    // exactly-once effects over at-least-once delivery.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-eos").toString
+    val in = MemoryStream[Event]
+    val deliveries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sink = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    @volatile var armed = true
+
+    def start() = in.toDS().toDF().select("event_id")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val ids = batch.collect().map(_.getLong(0))
+        ids.foreach { id =>
+          deliveries.synchronized { deliveries += ((bid, id)) } // at-least-once log
+          sink.put((bid, id), id)                               // idempotent upsert
+        }
+        if (armed && ids.contains(2L)) {
+          armed = false // crash AFTER the sink write, BEFORE the batch commits
+          throw new RuntimeException("injected crash between sink write and commit")
+        }
+      }.start()
+
+    val q1 = start()
+    in.addData(Event(1, ts(1000), 1, "order", 1.0))
+    q1.processAllAvailable()
+    in.addData(Event(2, ts(2000), 1, "order", 2.0))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+
+    val q2 = start() // restart from the checkpoint: batch with event 2 replays
+    q2.processAllAvailable()
+    in.addData(Event(3, ts(3000), 1, "order", 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(sink.keySet.map(_._2) === Set(1L, 2L, 3L))
+    assert(sink.size === 3, s"duplicate sink effects: ${sink.keySet}")
+    val delivered2 = deliveries.count(_._2 == 2L)
+    assert(delivered2 >= 2, s"expected a replay of event 2, deliveries=$deliveries")
+  }
+
   test("incrementalTopN handles updates and tombstones like the add/subtract aggregate (TopArticles/KafkaMusic)") {
     // reference: the adder+subtractor pair of KafkaMusicExample.java:342-354
     // — an updated count displaces chart entries; a tombstone evicts.
@@ -51,18 +98,18 @@ class RecoverySpec extends SparkSpec {
     import spark.implicits._
     import StreamOps._
     val in = MemoryStream[ChangelogEntry]
+    // capture the latest non-empty emission per batch explicitly (memory-sink
+    // row order across batches is an implementation detail; foreachBatch is
+    // not), ordered by chart position
+    @volatile var latest: Seq[(Int, Long, Double)] = Nil
     val q = incrementalTopN(in.toDS(), 2).toDF()
-      .writeStream.format("memory").queryName("itn").outputMode("update").start()
-    def chart(): Seq[(Int, Long, Double)] = {
-      // last emitted chart for punk = rows of the final batch
-      val batches = spark.table("itn").where("group = 'punk'").collect()
-      // memory sink in update mode appends every emission; reconstruct the
-      // latest chart as the rows emitted after the final update: take the
-      // trailing rows with pos restarting at 1
-      val rows = batches.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
-      val lastStart = rows.lastIndexWhere(_._1 == 1)
-      rows.drop(lastStart).toSeq
-    }
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.where("group = 'punk'").orderBy("pos").collect()
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        if (rows.nonEmpty) latest = rows
+      }.start()
+    def chart(): Seq[(Int, Long, Double)] = latest
     try {
       in.addData(ChangelogEntry("punk", 1L, Some(5.0)),
         ChangelogEntry("punk", 2L, Some(3.0)),
@@ -75,6 +122,39 @@ class RecoverySpec extends SparkSpec {
       in.addData(ChangelogEntry("punk", 2L, None)) // tombstone: id2 leaves
       q.processAllAvailable()
       assert(chart() === Seq((1, 1L, 5.0), (2, 3L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("incrementalTopN cap: evicted member re-enters the chart on a new update") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps._
+    val in = MemoryStream[ChangelogEntry]
+    @volatile var latest: Seq[(Int, Long, Double)] = Nil
+    // n=2, margin=1 -> state capped at 3 members
+    val q = incrementalTopN(in.toDS(), 2, margin = 1).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.orderBy("pos").collect()
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        if (rows.nonEmpty) latest = rows
+      }.start()
+    try {
+      in.addData(ChangelogEntry("g", 1L, Some(10.0)), ChangelogEntry("g", 2L, Some(9.0)),
+        ChangelogEntry("g", 3L, Some(8.0)), ChangelogEntry("g", 4L, Some(7.0)),
+        ChangelogEntry("g", 5L, Some(6.0)))
+      q.processAllAvailable()
+      assert(latest === Seq((1, 1L, 10.0), (2, 2L, 9.0)))
+      // ids 4 and 5 were evicted (state = {1,2,3}); tombstone the leader:
+      // the chart refills from RETAINED state only (3 moves up, 4 cannot
+      // passively reappear — the documented cap trade-off)
+      in.addData(ChangelogEntry("g", 1L, None))
+      q.processAllAvailable()
+      assert(latest === Seq((1, 2L, 9.0), (2, 3L, 8.0)))
+      // an evicted member updated back upward re-enters with the new value
+      in.addData(ChangelogEntry("g", 5L, Some(20.0)))
+      q.processAllAvailable()
+      assert(latest === Seq((1, 5L, 20.0), (2, 2L, 9.0)))
     } finally q.stop()
   }
 

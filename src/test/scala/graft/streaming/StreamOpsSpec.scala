@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -216,6 +217,100 @@ class StreamOpsSpec extends SparkSpec {
       .where("window_start = timestamp'1970-01-01 00:00:00'")
       .selectExpr("cnt").collect()
     assert(w0.map(_.getLong(0)).toSeq === Seq(2L), "late event must not count")
+  }
+
+  test("suppression (W6): append emits nothing before window+grace closes, exactly one final per window") {
+    // reference: window/CustomWindowTest.java:281-293 — suppress(
+    // untilWindowCloses): no intermediate emissions, one final result per
+    // window once the watermark passes window end + grace.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("key", "ts")
+    val agg = tumblingCounts(df, "ts", "key", "1 minute", "10 seconds")
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[(Timestamp, Long)]]
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch.synchronized {
+          perBatch += batch.select("window_start", "cnt").collect()
+            .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+        }
+        ()
+      }.start()
+    try {
+      in.addData((1L, ts(10000)), (1L, ts(20000))); q.processAllAvailable()
+      // suppression: watermark (10s) is inside the window — nothing emitted
+      assert(perBatch.flatten.isEmpty, s"early emission: $perBatch")
+      in.addData((1L, ts(50000))); q.processAllAvailable() // wm=40s: still open
+      assert(perBatch.flatten.isEmpty, s"early emission: $perBatch")
+      in.addData((1L, ts(95000))); q.processAllAvailable() // wm=85s>60s: [0,60) finalizes
+      in.addData((1L, ts(30000))); q.processAllAvailable() // late (wm 85s): dropped, no re-emission
+      in.addData((1L, ts(210000)))
+      q.processAllAvailable(); q.processAllAvailable()     // wm=200s: [60,120) finalizes
+    } finally q.stop()
+    val all = perBatch.flatten
+    assert(all.count(_._1 == ts(0)) === 1, s"exactly one final for [0,60): $all")
+    assert(all.find(_._1 == ts(0)).get._2 === 3L, "late event must not re-open or re-count")
+    assert(all.count(_._1 == ts(60000)) === 1, s"exactly one final for [60,120): $all")
+    assert(all.find(_._1 == ts(60000)).get._2 === 1L)
+  }
+
+  test("interactive queries: top-five chart lookup by name from the live memory table (MusicPlaysRestService)") {
+    // reference: interactivequeries/kafkamusic/MusicPlaysRestService.java
+    // top-five read path — the serving layer queries the materialized
+    // chart by store name while the stream keeps updating it.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val songs = Seq((1L, "punk", "Chemical Warfare"), (2L, "punk", "Fear of the Dark"),
+      (3L, "rock", "Rocket Man")).toDF("song_id", "genre", "name")
+    val plays = MemoryStream[(Long, Long)] // (song_id, duration_ms)
+    val counts = plays.toDF().toDF("song_id", "duration")
+      .filter(col("duration") >= 30000)
+      .join(broadcast(songs), Seq("song_id"))
+      .groupBy("genre", "song_id", "name").count()
+    val q = Sources.serveAsTable(counts, "music_charts").start()
+    def topFive(genre: String): Seq[(Long, Long)] =
+      spark.sql(s"SELECT song_id, count FROM music_charts WHERE genre = '$genre' " +
+          "ORDER BY count DESC, song_id ASC LIMIT 5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      plays.addData((1L, 40000L), (2L, 31000L), (2L, 35000L), (3L, 60000L))
+      q.processAllAvailable()
+      assert(topFive("punk") === Seq((2L, 2L), (1L, 1L)))
+      assert(topFive("rock") === Seq((3L, 1L)))
+      // the chart is LIVE: new plays re-rank the lookup
+      plays.addData((1L, 50000L), (1L, 45000L), (3L, 10000L)) // 10s play filtered
+      q.processAllAvailable()
+      assert(topFive("punk") === Seq((1L, 3L), (2L, 2L)))
+      assert(topFive("rock") === Seq((3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("interactive queries: a second session reads the served chart (MetadataService remote lookup)") {
+    // reference: interactivequeries/MetadataService.java:1-93 — another
+    // app instance discovers and queries the store. Spark analog: the
+    // chart is published per batch as a GLOBAL temp view, readable from
+    // any SparkSession of the app (spark.newSession() here).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val plays = MemoryStream[(String, Long)] // (genre, song_id)
+    val counts = plays.toDF().toDF("genre", "song_id").groupBy("genre", "song_id").count()
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize the chart snapshot, then publish it app-wide
+        val snap = batch.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        snap.toSeq.toDF("genre", "song_id", "count")
+          .createOrReplaceGlobalTempView("served_chart")
+      }.start()
+    try {
+      plays.addData(("punk", 1L), ("punk", 1L), ("rock", 2L))
+      q.processAllAvailable()
+      val second = spark.newSession()
+      val got = second.sql("SELECT song_id, count FROM global_temp.served_chart " +
+          "WHERE genre = 'punk' ORDER BY count DESC, song_id LIMIT 5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 2L)))
+    } finally q.stop()
   }
 
   test("latestPerKey keeps the newest value per key across batches (KTable semantics)") {
