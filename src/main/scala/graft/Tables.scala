@@ -37,7 +37,12 @@ object Tables {
     * the condition is false and no shuffle is added. */
   private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // metadata-only estimate (file listing): a single-row-group file yields
+    // one populated split no matter how maxPartitionBytes slices it, so few
+    // files => fan out. Production inputs have >= target files and skip the
+    // shuffle. (df.rdd.getNumPartitions would force a full physical plan
+    // per table load just to read this number.)
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def documents(s: SparkSession, dir: String): DataFrame =

@@ -24,9 +24,53 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int)
 
-  /** DETERMINISTIC STUB of the codec: a real implementation would decode
-    * `payload` (JPEG/WAV/MP4) here; this derives stable fake dimensions
-    * from the byte length so the pipeline is testable end-to-end. */
+  /** Real header decoders for the two formats parseable without codec
+    * libraries — BMP (BITMAPINFOHEADER) and PCM WAV (RIFF) — plus the
+    * deterministic stub for everything else (JPEG/MP4 need codecs the
+    * container doesn't ship). The dispatch is what a full codec
+    * integration would extend, format by format. */
+  object Decode {
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+        ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+    private def tag(p: Array[Byte], off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s(i).toByte)
+
+    /** BMP: magic "BM"; width/height are little-endian ints at offsets
+      * 18/22 of the BITMAPINFOHEADER (height may be negative for
+      * top-down rows — absolute value is the pixel height). */
+    def decodeBmp(r: MediaRecord): Option[MediaFeatures] =
+      if (r.payload.length >= 26 && tag(r.payload, 0, "BM"))
+        Some(MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          width = le32(r.payload, 18), height = math.abs(le32(r.payload, 22)),
+          n_frames = 1))
+      else None
+
+    /** PCM WAV: RIFF/WAVE magic; channels@22, bits-per-sample@34, data
+      * byte count@40 → n_frames = samples per channel. */
+    def decodeWav(r: MediaRecord): Option[MediaFeatures] =
+      if (r.payload.length >= 44 && tag(r.payload, 0, "RIFF") &&
+          tag(r.payload, 8, "WAVE"))
+        Some {
+          val channels = le16(r.payload, 22)
+          val bytesPerSample = le16(r.payload, 34) / 8
+          val dataLen = le32(r.payload, 40)
+          val samples = if (channels * bytesPerSample > 0)
+            dataLen / (channels * bytesPerSample) else 0
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = 0, height = 0, n_frames = samples)
+        }
+      else None
+
+    def decode(r: MediaRecord): MediaFeatures =
+      decodeBmp(r).orElse(decodeWav(r)).getOrElse(DecodeStub.decode(r))
+  }
+
+  /** DETERMINISTIC STUB for formats whose codecs the container lacks
+    * (JPEG/MP4): derives stable fake dimensions from the byte length so
+    * the pipeline is testable end-to-end. */
   object DecodeStub {
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length.toLong
@@ -70,7 +114,7 @@ object Multimodal {
       .as[MediaRecord]
     val features = media.mapPartitions { it =>
       // batch boundary: a real codec would init its native context once here
-      it.map(DecodeStub.decode)
+      it.map(Decode.decode)
     }
     features.toDF()
       .groupBy(col("media_type"))

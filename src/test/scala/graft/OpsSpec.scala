@@ -128,6 +128,26 @@ class OpsSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("native graft_cosine agrees with the HOF on null elements and length mismatch (both null)") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+      .union(Seq((Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f)))
+        .toDF("a", "b"))
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      call_function("graft_cosine", col("a"), col("b")).as("native")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    // the null-element and mismatch rows are null, the clean row is not
+    assert(got.count(_.isNullAt(1)) === 2)
+  }
+
   test("order+limit plans TakeOrderedAndProject, not a global sort") {
     val plan = Stateless.orderLimit(spark, sf001)
       .queryExecution.executedPlan.toString
