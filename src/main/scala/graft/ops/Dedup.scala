@@ -43,12 +43,18 @@ object Dedup {
   val NumPerms = 16
   val Bands = 4 // 4 bands × 4 rows
 
-  /** 3-word shingles of the document text. */
-  private def shingleCol(n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(sequence(lit(0), size(tokens) - n),
-        i => array_join(slice(tokens, i + 1, lit(n)), " "))))
+  /** n-word shingles of the document text, built by zipping n staggered
+    * slices of the token array — the tokenizer expression is evaluated a
+    * constant number of times per row. (A transform+slice-per-index form
+    * re-evaluates the whole tokenize pipeline per shingle: O(len²) per
+    * document.) */
+  private def shingleCol(n: Int): Column = {
+    val m = size(tokens) - (n - 1)
+    val shingles = (1 to n).map(k => slice(tokens, lit(k), m))
+      .reduce((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(tokens) >= n, array_distinct(shingles))
       .otherwise(array(array_join(tokens, " ")))
+  }
 
   /** Mersenne prime 2^31−1: modulus of the affine permutation family. */
   val MinhashPrime = 2147483647L

@@ -91,12 +91,16 @@ object TextAnalysis {
     * count combines map-side; the only shuffle keys on the bigram. */
   def ngramCounts(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    // Bigrams as two staggered slices zipped: the tokenizer expression is
+    // evaluated a CONSTANT number of times per row. (The previous
+    // transform+element_at form re-ran the whole tokenize pipeline per
+    // element access — O(len²) per document, the round-1 bench hog.)
+    val bigrams = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
-      .select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
   }
