@@ -410,6 +410,24 @@ object OracleSql {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin),
+    "s7_multiprobe_topk" ->
+      (s"""WITH $srpBucketCtes,
+         |probes AS (SELECT q_id, q_emb, q_norm, unnest(pr) AS bucket FROM (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |      for i in range(1, len(embedding) + 1)])) AS q_norm,
+         |    [bucket] || [xor(bucket, CAST(1::BIGINT << p AS BIGINT)) for p in range(0, 8)] AS pr
+         |  FROM bk WHERE vec_id < 10)),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket,
+         |  sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |    for i in range(1, len(embedding) + 1)])) AS c_norm FROM bk),
+         |s AS (SELECT q_id, c_id,
+         |  (list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)
+         |    for i in range(1, len(q_emb) + 1)])) / (q_norm * c_norm) AS sim
+         |  FROM c JOIN probes USING (bucket) WHERE q_id <> c_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
     "s5_bucketed_neardup" ->
       (s"""WITH $srpBucketCtes
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

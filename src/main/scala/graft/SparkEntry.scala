@@ -82,6 +82,7 @@ object SparkEntry {
     "s3_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "s4_native_cosine"  -> (Similarity.embeddingNearDupNative _),
     "s5_bucketed_neardup" -> (Similarity.bucketedNearDup _),
+    "s7_multiprobe_topk" -> (Similarity.lshTopKMultiProbe _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN quality measurement: recall of the SRP-LSH top-k paths — the
+  * number VERDICT r1 flagged as unmeasured.
+  *
+  * Two regimes, measured separately:
+  * - The synthetic corpus's "nearest" neighbors are near-orthogonal
+  *   (cos ≈ 0.3 ≈ 72°): P[8 matching sign bits] ≈ (1−72/180)^8 ≈ 0.02,
+  *   so SRP recall is INHERENTLY tiny there — asserted only for
+  *   multi ≥ single dominance.
+  * - On PLANTED near-duplicates (cos ≈ 0.995, the regime near-dup LSH is
+  *   built for) recall is high and asserted with real floors.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe SRP recall dominates single-probe on the synthetic corpus") {
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
+    val single = pairs(Similarity.lshTopK(spark, sf01))
+    val multi = pairs(Similarity.lshTopKMultiProbe(spark, sf01))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    info(f"near-orthogonal regime recall@5: single=$rSingle%.3f multi=$rMulti%.3f (truth=${truth.size})")
+    assert(rMulti >= rSingle, f"multi-probe must not lose recall: $rMulti%.3f < $rSingle%.3f")
+    // per-query monotonicity: the multi-probe candidate set is a superset,
+    // so a true neighbor can only be displaced by a truer one
+    truth.map(_._1).foreach { q =>
+      val s = (single & truth).count(_._1 == q)
+      val m = (multi & truth).count(_._1 == q)
+      assert(m >= s, s"query $q: multi-probe recall dropped ($m < $s)")
+    }
+  }
+
+  test("SRP bucket recall on planted near-duplicates (cos ~ 0.995) clears real floors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val Dim = Similarity.Dim
+    val planted = (0 until 100).map { i =>
+      val base = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      (i.toLong, base, dup)
+    }
+    val df = planted.toDF("id", "a", "b")
+      .select(col("id"),
+        Similarity.srpBucket(col("a")).as("ba"),
+        Similarity.srpBucket(col("b")).as("bb"),
+        Similarity.cosine(col("a"), col("b")).as("cos"))
+      .collect()
+    val meanCos = df.map(_.getDouble(3)).sum / df.length
+    val singleHit = df.count(r => r.getLong(1) == r.getLong(2))
+    val multiHit = df.count { r =>
+      java.lang.Long.bitCount(r.getLong(1) ^ r.getLong(2)) <= 1
+    }
+    val rSingle = singleHit.toDouble / df.length
+    val rMulti = multiHit.toDouble / df.length
+    info(f"planted near-dup regime: mean cos=$meanCos%.4f bucket-recall single=$rSingle%.2f multi=$rMulti%.2f")
+    assert(meanCos > 0.98, f"planted pairs must be near-duplicates, got $meanCos%.4f")
+    assert(rSingle >= 0.5, f"single-probe planted recall: $rSingle%.2f")
+    assert(rMulti >= 0.8, f"multi-probe planted recall: $rMulti%.2f")
+    assert(rMulti >= rSingle)
+  }
+}
