@@ -174,10 +174,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idCol: String, labelCol: String,
       maxRounds: Int = 64): DataFrame = {
     val cols = pairs.columns
-    val edges = pairs.unionByName(
+    val spark = pairs.sparkSession
+    val edges0 = pairs.unionByName(
         pairs.select(col(cols(1)).as(cols(0)), col(cols(0)).as(cols(1))))
       .toDF("src", "dst").persist()
+    val nEdges = edges0.count()
+    // Size the iteration's partitioning to the graph, not the session
+    // default: each round is a join+groupBy over the LABELS (≈ nodes ≤
+    // edges), and on a small graph 32-partition shuffles and checkpoints
+    // are pure scheduling overhead (~1 s/round at sf0.1). ~100k edges per
+    // partition, capped at the cluster parallelism — a 100 TB pair graph
+    // still gets full width.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    val edges = edges0.repartition(parts, col("src")).persist()
     edges.count()
+    edges0.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var labelSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
