@@ -142,6 +142,10 @@ object OracleSql {
         |  FROM (SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |    FROM events) WHERE rn = 1) WHERE pos <= 3""".stripMargin),
+    // peek is an identity relation with observed side-channel metrics;
+    // the oracle checks the identity (the metrics are asserted in OpsSpec)
+    "o11_peek" ->
+      "SELECT n_nationkey, n_name FROM nation",
     "o13_json_typed" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"),

@@ -34,6 +34,7 @@ object SparkEntry {
     "s6_dynamic_routing" -> (Stateless.dynamicRouting _),
     "o8_tombstone_filter" -> (Stateless.tombstoneFilter _),
     "a7_topn_latest"    -> (Aggregations.topNLatest _),
+    "o11_peek"          -> (Stateless.peek _),
     "o13_json_typed"    -> (Stateless.jsonToTyped _),
     "o14_validation"    -> (Stateless.validation _),
     "o15_string_ops"    -> (Stateless.stringOps _),

@@ -123,6 +123,19 @@ object Stateless {
         when(col("value") >= 5, col("value")).otherwise(lit(null)).as("v"))
       .filter(col("v").isNotNull)
 
+  /** O11 peek (`KStream.peek`, WordCountLambdaExample's
+    * `.peek((k, v) -> ...)` debugging taps): observe side-channel metrics
+    * on the flowing data WITHOUT altering it — `Dataset.observe` attaches
+    * named aggregates evaluated as rows stream past (no extra pass, no
+    * fork of the plan), surfaced via `Observation`/QueryExecutionListener.
+    * The relation itself is the identity, which is exactly what the
+    * oracle checks. */
+  def peek(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+      .observe("o11_peek", count(lit(1)).as("n_rows"),
+        max(col("n_nationkey")).as("max_key"))
+
   /** O12 pass-through / pipe: identity copy. */
   def passThrough(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))

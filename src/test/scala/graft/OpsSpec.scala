@@ -148,6 +148,19 @@ class OpsSpec extends SparkSpec {
     assert(got.count(_.isNullAt(1)) === 2)
   }
 
+  test("peek observes side-channel metrics without altering the relation (O11)") {
+    // identity relation, checked against the raw table
+    val n = Tables.nation(spark, sf001).count()
+    assert(Stateless.peek(spark, sf001).count() === n)
+    // the observe side channel actually delivers: same shape, Observation handle
+    val obs = new org.apache.spark.sql.Observation()
+    val df = Tables.nation(spark, sf001)
+      .observe(obs, count(lit(1)).as("n_rows"), max(col("n_nationkey")).as("max_key"))
+    df.collect()
+    assert(obs.get("n_rows") === n)
+    assert(obs.get("max_key") === 24L)
+  }
+
   test("order+limit plans TakeOrderedAndProject, not a global sort") {
     val plan = Stateless.orderLimit(spark, sf001)
       .queryExecution.executedPlan.toString
