@@ -105,7 +105,14 @@ object StreamOps {
   /** A11 running per-record count (StateStoresInTheDSLIntegrationTest
     * .java:65-106): ever-incrementing count per key, one output row per
     * input record. Keyed state = the KV store; rows within a batch are
-    * ordered by (ts, event_id) for determinism. */
+    * ordered by (ts, event_id) for determinism.
+    *
+    * The per-group sort materializes one key's worth of ONE micro-batch
+    * (not all state) — bounded by trigger sizing. A zero-copy fold would
+    * need the rows pre-sorted by (key, ts), which GroupState's
+    * no-update-after-return contract can't consume incrementally; if a
+    * single hot key's per-batch volume ever exceeds executor memory,
+    * shrink the trigger interval. */
   def runningCount(events: Dataset[Event]): Dataset[Counted] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
