@@ -525,6 +525,11 @@ object OracleSql {
     "c3_anomaly" ->
       ("""SELECT date_trunc('minute', ts) AS window_start, user_id, count(*) AS cnt
         |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    // the Spark side round-trips WikiFeed records through Avro binary
+    // before filter+count; the oracle aggregates the raw table directly
+    "c5_wikifeed_avro" ->
+      ("SELECT CAST(user_id AS VARCHAR) AS username, count(*) AS cnt " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1"),
     "c4_prep_funnel" ->
       ("""WITH filtered AS (SELECT doc_id, text, lang,
         |    len(string_split_regex(trim(text), '\s+')) AS n_words

@@ -101,6 +101,7 @@ object SparkEntry {
     "c2_top_articles"   -> (Composites.topArticles _),
     "c3_anomaly"        -> (Composites.anomalyDetection _),
     "c4_prep_funnel"    -> (Composites.prepFunnel _),
+    "c5_wikifeed_avro"  -> (Composites.wikipediaFeed _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

@@ -77,7 +77,7 @@ object AvroCodec {
     val schema0 = new Schema.Parser().parse(schemaJson)
     val decodedFields = schema0.getFields.toArray.map { f0 =>
       val f = f0.asInstanceOf[Schema.Field]
-      StructField(f.name, sparkType(f.schema), nullable = false)
+      StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
     }
     val outSchema = StructType(keep.map(k => inSchema(k)) ++ decodedFields)
     val keepIdx = keep.map(inSchema.fieldIndex)
@@ -105,8 +105,28 @@ object AvroCodec {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.STRING  => StringType
     case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.UNION   =>
+      // the idiomatic Avro nullable: a 2-branch union with "null"
+      val branches = nonNullBranches(s)
+      if (branches.size == 1) sparkType(branches.head)
+      else throw new IllegalArgumentException(s"unsupported avro union ${s}")
     case t => throw new IllegalArgumentException(s"unsupported avro type $t")
   }
+
+  private def nonNullBranches(s: Schema) = {
+    val it = s.getTypes.iterator()
+    val b = Seq.newBuilder[Schema]
+    while (it.hasNext) { val t = it.next(); if (t.getType != Schema.Type.NULL) b += t }
+    b.result()
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && {
+      val it = s.getTypes.iterator()
+      var hasNull = false
+      while (it.hasNext) if (it.next().getType == Schema.Type.NULL) hasNull = true
+      hasNull
+    }
 
   private def fromAvro(v: AnyRef): Any = v match {
     case u: org.apache.avro.util.Utf8 => u.toString

@@ -69,6 +69,36 @@ object Composites {
         sum(col("n_words")).cast("long").as("total_tokens"))
   }
 
+  /** WikiFeed schema (WikipediaFeedAvroExample; src/main/resources/avro/
+    * io/confluent/examples/streams/wikifeed.avsc) — incl. the idiomatic
+    * nullable union for `content`. */
+  val wikiFeedSchemaJson: String =
+    """{"type":"record","name":"WikiFeed","namespace":"graft.avro","fields":[
+      |{"name":"username","type":"string"},
+      |{"name":"is_new","type":"boolean"},
+      |{"name":"content","type":["string","null"]}]}""".stripMargin
+
+  /** WikipediaFeedAvro (WikipediaFeedAvroLambdaExample.java:130-136): the
+    * reference's Avro-typed flagship — WikiFeed records arrive on the
+    * wire, old feeds are filtered out, and new-user feeds are counted per
+    * user. Here the records genuinely round-trip through Avro binary
+    * (AvroCodec) before the filter+count, so the oracle (which aggregates
+    * the raw table) fails if the wire format corrupts anything —
+    * including null `content` union branches. */
+  def wikipediaFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AvroCodec
+    val feed = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("username"),
+      (col("event_type") === "signup").as("is_new"),
+      // nullable content exercises the union branch
+      when(col("event_id") % 10 =!= 0, col("props")).as("content"))
+    val decoded = AvroCodec.decode(
+      AvroCodec.encode(feed, wikiFeedSchemaJson), wikiFeedSchemaJson)
+    decoded.filter(col("is_new"))
+      .groupBy(col("username"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the

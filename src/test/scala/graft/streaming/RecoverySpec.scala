@@ -44,6 +44,33 @@ class RecoverySpec extends SparkSpec {
     assert(seen.get(2L) === Some(3L), s"got $seen")
   }
 
+  test("application reset: a fresh checkpoint reprocesses from scratch (ApplicationResetExample)") {
+    // ApplicationResetExample.java: the reset tool rewinds input offsets
+    // and wipes local state so the app reprocesses from the beginning.
+    // Spark analog: point the query at a NEW checkpoint location — fresh
+    // offsets AND fresh state (vs. the restart test above, which resumes).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    def run(ckpt: String): Map[Long, Long] = {
+      val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      val q = runningCount(in.toDS()).toDF()
+        .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.put(r.getLong(0), r.getLong(2)))
+        }.start()
+      q.processAllAvailable(); q.stop()
+      seen.toMap
+    }
+    in.addData(Event(10, ts(1000), 5, "w", 1.0), Event(11, ts(2000), 5, "w", 1.0))
+    val first = run(Files.createTempDirectory("graft-reset1").toString)
+    assert(first === Map(10L -> 1L, 11L -> 2L))
+    // reset: new checkpoint => the SAME input replays and the counter
+    // restarts at 1 instead of resuming at 3
+    val second = run(Files.createTempDirectory("graft-reset2").toString)
+    assert(second === Map(10L -> 1L, 11L -> 2L))
+  }
+
   test("crash after sink write, before commit: replay + idempotent sink = no duplicates (EOS)") {
     // OrderDetailsService.java:77-107 produces transactionally so a crash
     // between produce and offset-commit cannot duplicate. Spark's analog:
