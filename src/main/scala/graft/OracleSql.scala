@@ -166,6 +166,9 @@ object OracleSql {
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
     // the oracle aggregates the RAW columns; the Spark side aggregates the
     // avro-decoded ones — equality proves the round-trip is lossless
+    "o19_sum_odd" ->
+      ("SELECT CAST(sum(event_id) AS BIGINT) AS sum_odd FROM events " +
+        "WHERE event_id % 2 = 1"),
     "o18_avro_roundtrip" ->
       (s"SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, " +
         s"${dsum("value")} AS total FROM events GROUP BY event_type"),

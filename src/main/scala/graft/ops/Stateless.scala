@@ -136,6 +136,16 @@ object Stateless {
       .observe("o11_peek", count(lit(1)).as("n_rows"),
         max(col("n_nationkey")).as("max_key"))
 
+  /** SumLambdaExample.java:96-110: filter to odd numbers, re-key to a
+    * constant, reduce-sum into one running total — the smallest stateful
+    * topology in the reference. The constant re-key that Kafka Streams
+    * needs to co-locate the reduction is exactly what a global aggregate
+    * already is in Spark (partial sums per partition, one merged row). */
+  def sumOdd(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") % 2 === 1)
+      .agg(sum(col("event_id")).as("sum_odd"))
+
   /** O12 pass-through / pipe: identity copy. */
   def passThrough(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))

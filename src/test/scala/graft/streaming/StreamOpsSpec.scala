@@ -313,6 +313,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CQRS long-poll: a reader blocks until the write materializes (OrdersService)") {
+    // reference: microservices/OrdersService.java:141-228 — GET /orders/{id}
+    // parks the request until the order reaches the materialized view.
+    // Spark analog: poll the served table until the micro-batch containing
+    // the order commits.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val in = MemoryStream[(Long, String)]
+    val q = Sources.serveAsTable(in.toDF().toDF("order_id", "state"),
+      "orders_view", "append").start()
+    def lookup(id: Long) = spark.table("orders_view")
+      .where(col("order_id") === id).collect()
+    try {
+      in.addData((1L, "CREATED")); q.processAllAvailable()
+      assert(lookup(42L).isEmpty) // not yet written: the reader would park
+      val reader = Future { // the parked GET
+        val deadline = System.nanoTime + 10_000_000_000L
+        var rows = lookup(42L)
+        while (rows.isEmpty && System.nanoTime < deadline) {
+          Thread.sleep(50); rows = lookup(42L)
+        }
+        rows
+      }
+      in.addData((42L, "VALIDATED")); q.processAllAvailable()
+      val got = Await.result(reader, scala.concurrent.duration.Duration(15, "s"))
+      assert(got.nonEmpty && got.head.getString(1) === "VALIDATED")
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps the newest value per key across batches (KTable semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
