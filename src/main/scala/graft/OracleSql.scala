@@ -166,6 +166,9 @@ object OracleSql {
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
     // the oracle aggregates the RAW columns; the Spark side aggregates the
     // avro-decoded ones — equality proves the round-trip is lossless
+    "t9_distinct_users" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "count(*) AS n_events FROM events GROUP BY event_type"),
     "o19_sum_odd" ->
       ("SELECT CAST(sum(event_id) AS BIGINT) AS sum_odd FROM events " +
         "WHERE event_id % 2 = 1"),

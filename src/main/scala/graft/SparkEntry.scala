@@ -42,6 +42,7 @@ object SparkEntry {
     "o17_order_limit"   -> (Stateless.orderLimit _),
     "o18_avro_roundtrip" -> (Stateless.avroRoundtrip _),
     "o19_sum_odd"       -> (Stateless.sumOdd _),
+    "t9_distinct_users" -> (TextAnalysis.distinctUsers _),
     // §2.3 aggregations (A1–A12)
     "a1_sum_by_key"     -> (Aggregations.sumByKey _),
     "a2_wordcount"      -> (Aggregations.wordCount _),

@@ -131,6 +131,19 @@ object TextAnalysis {
         expr("percentile(n_chars, 0.95)").as("p95"),
         count(lit(1)).as("n_docs"))
 
+  /** Distinct-cardinality statistics per event type: exact COUNT(DISTINCT)
+    * — the corpus-statistics pass (unique users/documents/sources) every
+    * training pipeline runs. Exact distinct is a two-phase hash aggregate
+    * (partial dedup map-side, one shuffle on the group key); at 100 TB the
+    * one-pass mergeable sketch `approx_count_distinct` (HyperLogLog++) is
+    * the scale path — SimilaritySpec's sibling spec in OpsSpec asserts its
+    * error stays inside the configured bound against this exact form. */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
     * edits, and exactly reproducible in any engine with md5). */

@@ -199,6 +199,22 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) <= 5 && r.getInt(2) <= 5))
   }
 
+  test("approx_count_distinct (HLL++) stays inside its error bound vs the exact form") {
+    // the 100 TB scale path for t9: a one-pass mergeable sketch whose
+    // rsd=0.05 must hold against the exact COUNT(DISTINCT)
+    val exact = TextAnalysis.distinctUsers(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.15,
+        s"$k: approx $a vs exact $e exceeds 3x rsd")
+    }
+  }
+
   test("langId confusion matrix covers every document") {
     val total = TextAnalysis.langId(spark, sf001)
       .agg(sum("cnt")).head().getLong(0)
