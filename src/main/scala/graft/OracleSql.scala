@@ -166,6 +166,20 @@ object OracleSql {
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
     // the oracle aggregates the RAW columns; the Spark side aggregates the
     // avro-decoded ones — equality proves the round-trip is lossless
+    "t10_tfidf_top" ->
+      ("""WITH toks AS (SELECT doc_id,
+        |    unnest([w for w in string_split_regex(lower(text), '[^a-z0-9]+') if len(w) > 0]) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, term, n, sum(n) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |    round((CAST(n AS DOUBLE) / doc_len) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM dl JOIN dfq USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
+        |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rk = 1""".stripMargin),
     "t9_distinct_users" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "count(*) AS n_events FROM events GROUP BY event_type"),

@@ -43,6 +43,7 @@ object SparkEntry {
     "o18_avro_roundtrip" -> (Stateless.avroRoundtrip _),
     "o19_sum_odd"       -> (Stateless.sumOdd _),
     "t9_distinct_users" -> (TextAnalysis.distinctUsers _),
+    "t10_tfidf_top"     -> (TextAnalysis.tfidfTopTerm _),
     // §2.3 aggregations (A1–A12)
     "a1_sum_by_key"     -> (Aggregations.sumByKey _),
     "a2_wordcount"      -> (Aggregations.wordCount _),

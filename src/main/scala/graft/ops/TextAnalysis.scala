@@ -144,6 +144,37 @@ object TextAnalysis {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** TF-IDF per (document, term) — the classic relevance/feature-weight
+    * pass. Shape: one explode to (doc, term) counts, a broadcast-sized
+    * document-frequency table joined back (the term vocabulary is tiny
+    * relative to the corpus), and pure column math. Two shuffles total
+    * ((doc,term) count and term df), both map-side combined; the df join
+    * broadcasts. tf = term_count/doc_len, idf = ln((N+1)/(df+1)) + 1
+    * (smoothed), rounded to 6 digits so the DuckDB oracle hash-matches
+    * despite last-ulp libm differences. Emits the top term per doc for a
+    * bounded, deterministic result. */
+  def tfidfTopTerm(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), explode(toks).as("term"))
+    val tf = docs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("doc_len", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val nDocs = Tables.documents(s, dir).select(countDistinct(col("doc_id")))
+      .head.getLong(0)
+    val df = docs.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", round(
+        (col("n").cast("double") / col("doc_len")) *
+          (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+  }
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
     * edits, and exactly reproducible in any engine with md5). */
