@@ -129,6 +129,42 @@ object StreamOps {
       }
   }
 
+  /** A11 running count on the transformWithState API — Spark 4's typed
+    * replacement for the Processor API and the closest structural analog
+    * of the reference's `Processor` + KV store
+    * (StateStoresInTheDSLIntegrationTest.java:65-106): named state
+    * variables (ValueState/ListState/MapState, optional TTL) on a
+    * RocksDB-backed store, explicit init/handleInputRows lifecycle.
+    * Semantics identical to [[runningCount]]; requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider. */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Counted] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, ValueState, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Counted] = {
+      var n = if (countState.exists()) countState.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1
+        Counted(e.event_id, key, n)
+      }
+      countState.update(n)
+      out.iterator
+    }
+  }
+
+  def runningCountTws(events: Dataset[Event]): Dataset[Counted] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** S2 KTable: latest value per key as an update-mode changelog
     * (UserRegionLambdaExample.java:125). Emits the new latest row for a
     * key whenever it changes. */

@@ -70,6 +70,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 1L), (2L, 2L), (1L, 3L)))
   }
 
+  test("transformWithState running count matches the flatMapGroupsWithState golden (Processor API)") {
+    // the Spark 4 typed Processor-API analog: named ValueState on RocksDB
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val keyed = Seq(1L, 2L, 1L, 3L, 2L, 1L) // foo bar foo quux bar foo
+      runQuery(runningCountTws(in.toDS()).toDF(), "rctws", OutputMode.Update()) {
+        in.addData(keyed.zipWithIndex.map { case (k, i) =>
+          Event(i.toLong, ts(1000L + i), k, "word", 1.0) })
+      }
+      val got = spark.table("rctws").as[Counted].collect()
+        .sortBy(_.event_id).map(c => (c.user_id, c.seq)).toSeq
+      assert(got === Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 1L), (2L, 2L), (1L, 3L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningCount state persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
