@@ -155,15 +155,18 @@ object TextAnalysis {
     * bounded, deterministic result. */
   def tfidfTopTerm(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), explode(toks).as("term"))
-    val tf = docs.groupBy(col("doc_id"), col("term"))
+    // ONE tokenize+explode+shuffle: doc_len rides along as size(toks) (a
+    // per-doc constant in the group key — no window re-shuffle), and the
+    // df table derives FROM the materialized tf rather than from a second
+    // explode subtree (Catalyst would recompute, round-1 finding). tf is
+    // (doc, term) — vocabulary-bounded, the natural table to persist.
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("doc_len"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("doc_len", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val nDocs = Tables.documents(s, dir).select(countDistinct(col("doc_id")))
-      .head.getLong(0)
-    val df = docs.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val nDocs = Tables.documents(s, dir).count()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
