@@ -20,10 +20,17 @@ object Bench {
         df.count()
       } catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_BENCH_REPS > 1: per-query best-of-N (the driver runs the
+    // default 1 — unchanged contract; use 3 locally for load-robust numbers
+    // per BASELINE.md's falsifiability note)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
