@@ -517,12 +517,23 @@ object OracleSql {
          |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
          |    / greatest(len(t), 1), 6) AS rep_ratio
          |FROM tok""".stripMargin),
+    // base-31 polynomial window hash, exact 64-bit integer math — mirrors
+    // TextAnalysis.fingerprint's zip-of-slices rolling hash
     "t4_fingerprint" ->
       ("""WITH n AS (SELECT doc_id,
         |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
         |SELECT doc_id, md5(norm) AS fp,
-        |  list_min([md5(substr(norm, i, 5))
-        |    for i in range(1, greatest(length(norm) - 4, 1) + 1)]) AS min_shingle_hash
+        |  CAST(CASE WHEN length(norm) >= 5 THEN
+        |    list_min([unicode(substr(norm, i, 1))::BIGINT * 923521
+        |      + unicode(substr(norm, i + 1, 1))::BIGINT * 29791
+        |      + unicode(substr(norm, i + 2, 1))::BIGINT * 961
+        |      + unicode(substr(norm, i + 3, 1))::BIGINT * 31
+        |      + unicode(substr(norm, i + 4, 1))::BIGINT
+        |      for i in range(1, length(norm) - 3)])
+        |  WHEN length(norm) = 0 THEN 0
+        |  ELSE list_reduce([unicode(substr(norm, i, 1))::BIGINT
+        |      for i in range(1, length(norm) + 1)], (acc, x) -> acc * 31 + x)
+        |  END AS BIGINT) AS min_shingle_hash
         |FROM n""".stripMargin),
     // composite topologies
     "c1_pageview_region" ->

@@ -57,15 +57,14 @@ object Aggregations {
     * Latest event per user (ts desc, event_id desc as tie-break), then count
     * users by the event_type of their latest event. Batch recomputation from
     * the latest view makes the reference's retraction stream implicit. */
-  def latestPerKeyRegroup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def latestPerKeyRegroup(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      // max_by aggregate (no sort-window): partial_max_by combines map-side
+      // so the shuffle carries one row per user — the changelog scale shape.
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("event_type"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
-  }
 
   /** A5 ordered-concat reduce: per-user event-type sequence in event order. */
   def orderedConcat(s: SparkSession, dir: String): DataFrame =
@@ -87,14 +86,17 @@ object Aggregations {
     * with add/subtract callbacks (TopArticlesLambdaExample.java:218-235);
     * batch recomputation from the latest view makes retractions implicit. */
   def topNLatest(s: SparkSession, dir: String): DataFrame = {
-    val latest = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val rank = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("user_id").asc)
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
+      // Stage 1 latest-per-key as a max_by aggregate (map-side combined, no
+      // sort-window); only the tiny latest view reaches the rank window.
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("l.event_type").as("event_type"),
+        col("l.value").as("value"))
       .withColumn("pos", row_number().over(rank))
       .filter(col("pos") <= 3)
       .select(col("event_type"), col("pos"), col("user_id"), col("value"))

@@ -96,15 +96,14 @@ object Joins {
   /** J7 table⋈table join: latest purchase vs latest click per user (two
     * latest-per-key changelog views joined on key). */
   def tableTable(s: SparkSession, dir: String): DataFrame = {
-    def latest(eventType: String, alias: String): DataFrame = {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    // Latest-per-key as a hash aggregate, not a sort-window: the selected
+    // column IS the ordering column, so max(ts) suffices — map-side
+    // combine, no sort, one row per user into the join.
+    def latest(eventType: String, alias: String): DataFrame =
       Tables.events(s, dir)
         .filter(col("event_type") === eventType)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("ts").as(alias))
-    }
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as(alias))
     latest("purchase", "last_purchase")
       .join(latest("click", "last_click"), Seq("user_id"))
   }

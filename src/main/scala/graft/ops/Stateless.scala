@@ -95,16 +95,24 @@ object Stateless {
   }
 
   /** S2 `builder.table(topic)`: the changelog materialized as a table —
-    * latest value per key (ts desc, event_id desc tie-break). */
-  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    * latest value per key (ts desc, event_id desc tie-break).
+    *
+    * `max_by(payload, struct(ts, event_id))` instead of a rn=1 sort-window:
+    * the aggregate combines map-side (`partial_max_by` below the exchange),
+    * so on a 100 TB changelog the shuffle carries one row per key per
+    * mapper — the window form shuffles every record and only then sorts.
+    * (Spark plans SortAggregate here, not HashAggregate, because the
+    * struct buffer isn't hash-mutable; the mapper-local sort keys only
+    * user_id and is the price of the collapsed shuffle.) The struct
+    * ordering key reproduces the (ts, event_id) tie-break exactly. */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_type").as("event_type"),
+        col("latest.value").as("value"))
 
   /** S6 dynamic topic routing (`TopicNameExtractor`): the sink topic is a
     * per-record column; batch form counts records per routed topic (the

@@ -165,31 +165,56 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val nDocs = Tables.documents(s, dir).count()
+    // N (corpus size) stays IN the plan — a one-row aggregate over the
+    // checkpointed tf cross-joined in as a broadcast literal, so the whole
+    // query is one job (no separate driver-side count() action). Every
+    // document has ≥1 token, so distinct doc_id over tf == count(documents).
+    val nd = tf.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nd))
       .withColumn("tfidf", round(
         (col("n").cast("double") / col("doc_len")) *
-          (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+          (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
   }
 
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
-    * minimum 5-char-shingle hash (a 1-permutation MinHash — robust to small
-    * edits, and exactly reproducible in any engine with md5). */
+    * minimum 5-char-shingle POLYNOMIAL hash (a 1-permutation MinHash —
+    * robust to small edits). The per-window hash is base-31 over char
+    * codes: h(i) = Σ code(c_{i+j})·31^(4−j), pure 64-bit integer math
+    * (max ≈ 6·10^10 — no overflow, no modulus), reproduced exactly by the
+    * DuckDB oracle. One pass per document: the char-code array is built
+    * once and the 5 staggered slices are zipped (constant evaluations per
+    * row), replacing the md5-per-position form whose hash constant
+    * dominated the query at scale. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    // Char codes of norm; the length-1 filter drops any zero-width split
+    // artifacts so codes(i) is exactly unicode(norm[i]).
+    val codes = transform(filter(split(col("norm"), ""), c => length(c) === 1),
+      c => ascii(c))
+    val c = col("codes")
+    val m = size(c) - 4
+    def sl(k: Int) = slice(c, lit(k), m)
+    val windowHashes =
+      zip_with(zip_with(zip_with(zip_with(
+        sl(1), sl(2), (a, b) => a.cast("long") * 31L + b),
+        sl(3), (a, b) => a * 31L + b),
+        sl(4), (a, b) => a * 31L + b),
+        sl(5), (a, b) => a * 31L + b)
+    // Short documents (< 5 chars): polynomial over the whole string.
+    val shortHash = aggregate(c, lit(0L), (acc, x) => acc * 31L + x)
     Tables.documents(s, dir)
       .select(col("doc_id"), norm.as("norm"))
+      .withColumn("codes", codes)
       .withColumn("fp", md5(col("norm")))
       .withColumn("min_shingle_hash",
-        array_min(transform(
-          sequence(lit(1), greatest(length(col("norm")) - 4, lit(1))),
-          i => md5(col("norm").substr(i, lit(5))))))
+        when(size(c) >= 5, array_min(windowHashes)).otherwise(shortHash))
       .select(col("doc_id"), col("fp"), col("min_shingle_hash"))
   }
 }
