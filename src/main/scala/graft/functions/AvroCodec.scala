@@ -69,13 +69,24 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
-  /** Decode an Avro binary column back into typed columns (schema field
-    * order); `keep` columns pass through. */
+  /** Decode an Avro binary column back into typed columns (reader-schema
+    * field order); `keep` columns pass through.
+    *
+    * When `readerSchemaJson` is given and differs from the writer schema,
+    * standard Avro schema resolution applies — the behavior the
+    * reference's Schema-Registry-backed serdes provide
+    * (SessionWindowsExample.java:158-160: the registry resolves the
+    * writer's schema against the consumer's compiled reader schema):
+    * fields the reader adds are filled from their declared defaults,
+    * fields the reader drops are skipped over in the byte stream, and
+    * matching is by field NAME, not position. The output columns follow
+    * the READER schema. */
   def decode(df: DataFrame, schemaJson: String, bytesCol: String = "avro_bytes",
-      keep: Seq[String] = Seq.empty): DataFrame = {
+      keep: Seq[String] = Seq.empty, readerSchemaJson: String = null): DataFrame = {
+    val readerJson = if (readerSchemaJson == null) schemaJson else readerSchemaJson
     val inSchema = df.schema
-    val schema0 = new Schema.Parser().parse(schemaJson)
-    val decodedFields = schema0.getFields.toArray.map { f0 =>
+    val reader0 = new Schema.Parser().parse(readerJson)
+    val decodedFields = reader0.getFields.toArray.map { f0 =>
       val f = f0.asInstanceOf[Schema.Field]
       StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
     }
@@ -83,11 +94,14 @@ object AvroCodec {
     val keepIdx = keep.map(inSchema.fieldIndex)
     val bytesIdx = inSchema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
+      // One writer→reader-resolved DatumReader per partition: resolution
+      // (the field-matching "symbol table") is computed once, not per row.
+      val writerSchema = new Schema.Parser().parse(schemaJson)
+      val readerSchema = new Schema.Parser().parse(readerJson)
+      val reader = new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
       var dec = DecoderFactory.get().binaryDecoder(Array.empty[Byte], null)
       var rec: GenericRecord = null
-      val n = schema.getFields.size()
+      val n = readerSchema.getFields.size()
       it.map { row =>
         dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](bytesIdx), dec)
         rec = reader.read(rec, dec)

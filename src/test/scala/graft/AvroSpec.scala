@@ -36,6 +36,45 @@ class AvroSpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
+  // Reader-vs-writer schema resolution — the Schema-Registry compatibility
+  // behavior of the reference's serdes (SessionWindowsExample.java:158-160).
+  val evolvedSchemaJson: String =
+    """{"type":"record","name":"Event","namespace":"graft.avro","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"source","type":"string","default":"unknown"},
+      |{"name":"flags","type":["null","string"],"default":null}]}""".stripMargin
+
+  test("schema evolution: new reader fills added fields from defaults") {
+    import spark.implicits._
+    // Bytes written with the OLD 3-field schema, read with the NEW 5-field
+    // reader: added fields come back as their declared defaults.
+    val in = Seq((1L, "click", 2.5), (-7L, "view", 0.25))
+      .toDF("event_id", "event_type", "value")
+    val out = AvroCodec.decode(
+        AvroCodec.encode(in, AvroCodec.eventSchemaJson),
+        AvroCodec.eventSchemaJson, readerSchemaJson = evolvedSchemaJson)
+      .as[(Long, String, Double, String, Option[String])].collect().toSet
+    assert(out === Set((1L, "click", 2.5, "unknown", None),
+      (-7L, "view", 0.25, "unknown", None)))
+  }
+
+  test("schema evolution: old reader skips fields the writer added") {
+    import spark.implicits._
+    // Bytes written with the NEW 5-field schema, read with the OLD 3-field
+    // reader: the extra fields are skipped in the byte stream; surviving
+    // values are byte-exact.
+    val in = Seq((1L, "click", 2.5, "mobile", Some("x")),
+        (Long.MaxValue, "päge_view", 1e-300, "web", None))
+      .toDF("event_id", "event_type", "value", "source", "flags")
+    val out = AvroCodec.decode(
+        AvroCodec.encode(in, evolvedSchemaJson),
+        evolvedSchemaJson, readerSchemaJson = AvroCodec.eventSchemaJson)
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "click", 2.5), (Long.MaxValue, "päge_view", 1e-300)))
+  }
+
   test("o18 aggregate over decoded columns matches the raw-column aggregate") {
     val raw = Tables.events(spark, sf001)
       .groupBy(col("event_type"))
