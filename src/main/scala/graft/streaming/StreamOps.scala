@@ -253,6 +253,94 @@ object StreamOps {
       }
   }
 
+  case class SessionEvent(user: String, ts: Timestamp)
+  /** One update-mode changelog record: `cnt = None` is the tombstone for a
+    * session window that was merged away; `seq` is a per-key monotonic
+    * emission number so tests can assert the exact sequence without
+    * depending on sink row order. */
+  case class SessionChange(user: String, start: Long, end: Long,
+      cnt: Option[Long], seq: Long)
+  case class SessionListState(sessions: List[(Long, Long, Long)], seq: Long)
+
+  /** Session-window MERGE CHANGELOG (SessionWindowsExample.java:157-172,
+    * golden sequence SessionWindowsExampleTest.java:125-137): the exact
+    * update-mode emission semantics of a Kafka Streams session aggregation
+    * with caching disabled. Per incoming event: every existing session
+    * overlapping [ts−gap, ts+gap] is merged; each merged-away window whose
+    * bounds changed gets a TOMBSTONE (cnt=None, in session-start order),
+    * then the merged window emits its new count. A lone event emits just
+    * its 1-count session. State is the per-key list of open sessions —
+    * the session store; native `session_window` aggregation (sessionCounts)
+    * emits merged FINALS only, this operator emits the reference's full
+    * changelog. */
+  def sessionChangelog(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionChange] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[SessionListState, SessionChange](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: String, it: Iterator[SessionEvent], state: GroupState[SessionListState]) =>
+          var st = state.getOption.getOrElse(SessionListState(Nil, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionChange]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            val (overlap, rest) = st.sessions.partition { case (s, en, _) =>
+              t >= s - gapMs && t <= en + gapMs }
+            val ns = (t :: overlap.map(_._1)).min
+            val ne = (t :: overlap.map(_._2)).max
+            val cnt = overlap.map(_._3).sum + 1
+            var seq = st.seq
+            overlap.sortBy(_._1).foreach { case (s, en, _) =>
+              if ((s, en) != (ns, ne)) {
+                out += SessionChange(user, s, en, None, seq); seq += 1
+              }
+            }
+            out += SessionChange(user, ns, ne, Some(cnt), seq); seq += 1
+            st = SessionListState(((ns, ne, cnt) :: rest).sortBy(_._1), seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** One side's changelog record for the incremental table⋈table join:
+    * `side` is "L" or "R", `value = None` is the KTable tombstone, `ord`
+    * is the arrival order within a batch (the topic-offset analog). */
+  case class TableUpdate(key: String, side: String, value: Option[String], ord: Long)
+  case class TableJoined(key: String, value: Option[String], seq: Long)
+  case class TableJoinState(left: Option[String], right: Option[String],
+      last: Option[String], seq: Long)
+
+  /** J7 STREAMING form — incremental KTable⋈KTable inner join
+    * (TableToTableJoinIntegrationTest.java:105-113): both sides'
+    * changelogs union into one keyed stream; state holds the latest value
+    * per side. An update from EITHER side re-emits the joined row
+    * `left + "/" + right` when both sides are present; a tombstone (or an
+    * update that removes one side) emits a join tombstone only if the
+    * previous emission was non-null — exactly Kafka Streams' inner-join
+    * emission rule. Batch `Joins.tableTable` is the recompute form of the
+    * same result. */
+  def tableTableJoinChangelog(updates: Dataset[TableUpdate]): Dataset[TableJoined] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.key)
+      .flatMapGroupsWithState[TableJoinState, TableJoined](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[TableUpdate], state: GroupState[TableJoinState]) =>
+          var st = state.getOption.getOrElse(TableJoinState(None, None, None, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TableJoined]
+          it.toSeq.sortBy(_.ord).foreach { u =>
+            st = if (u.side == "L") st.copy(left = u.value)
+                 else st.copy(right = u.value)
+            val joined = for { l <- st.left; r <- st.right } yield s"$l/$r"
+            if (joined.isDefined || st.last.isDefined) {
+              out += TableJoined(key, joined, st.seq)
+              st = st.copy(last = joined, seq = st.seq + 1)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** A7/A3 re-grouped-table aggregation, streaming form: recompute the
     * top-N from the latest-per-key view inside foreachBatch — the batch
     * recomputation makes the reference's add/subtract retraction logic

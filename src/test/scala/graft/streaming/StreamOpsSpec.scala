@@ -216,6 +216,83 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.head.getTimestamp(1) === ts(1000))
   }
 
+  test("session merge CHANGELOG: tombstones for merged windows, then the merged session (SessionWindowsExampleTest golden)") {
+    // reference: SessionWindowsExampleTest.java:125-137 — the exact
+    // update-mode sequence: session1 (1), session2 (1), then the bridging
+    // event emits tombstone(session1), tombstone(session2),
+    // merged(start→second, 3). Events are fed as separate micro-batches in
+    // ARRIVAL order (the pipeInput analog); emissions are ordered by the
+    // per-key seq the operator assigns, not by sink row order.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapMs = 10000L
+    val start = 1000L
+    val second = start + gapMs + 1
+    val mergeT = start + gapMs / 2
+    val in = MemoryStream[SessionEvent]
+    val q = sessionChangelog(in.toDS(), gapMs)
+      .writeStream.format("memory").queryName("schg")
+      .outputMode("update").start()
+    try {
+      Seq(start, second, mergeT).foreach { t =>
+        in.addData(SessionEvent("erica", ts(t)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("schg")
+      .as[SessionChange].collect().sortBy(_.seq)
+      .map(c => (c.start, c.end, c.cnt)).toSeq
+    assert(got === Seq(
+      (start, start, Some(1L)),   // first lone session
+      (second, second, Some(1L)), // second lone session
+      (start, start, None),       // tombstone: merged away
+      (second, second, None),     // tombstone: merged away
+      (start, second, Some(3L)))) // the merged session
+  }
+
+  test("incremental table-table join re-emits on updates from either side (TableToTableJoinIntegrationTest golden)") {
+    // reference: TableToTableJoinIntegrationTest.java:60-113 — regions
+    // piped first (no emissions: right side empty), then each login
+    // update joins against the CURRENT region; a later region (left-side)
+    // update re-emits against the latest login.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TableUpdate]
+    val q = tableTableJoinChangelog(in.toDS())
+      .writeStream.format("memory").queryName("ttj")
+      .outputMode("update").start()
+    def feed(us: (String, String, Option[String])*): Unit = {
+      in.addData(us.zipWithIndex.map { case ((k, s, v), i) =>
+        TableUpdate(k, s, v, i.toLong) })
+      q.processAllAvailable()
+    }
+    try {
+      // batch 1: all region (left) records — right side empty, no output
+      feed(("alice", "L", Some("asia")), ("bob", "L", Some("europe")),
+        ("alice", "L", Some("europe")), ("charlie", "L", Some("europe")),
+        ("bob", "L", Some("asia")))
+      assert(spark.table("ttj").count() === 0,
+        "left-only updates must not emit for an inner join")
+      // batches 2-5: login (right) records, one per batch like pipeInput
+      feed(("alice", "R", Some("1485500000")))
+      feed(("bob", "R", Some("1485520000")))
+      feed(("alice", "R", Some("1485530000")))
+      feed(("bob", "R", Some("1485560000")))
+      // left-side update AFTER logins: re-emits with the latest right value
+      feed(("alice", "L", Some("africa")))
+      // tombstone on the right retracts the join result exactly once
+      feed(("bob", "R", None))
+      feed(("bob", "L", Some("oceania"))) // right still absent: no emission
+    } finally q.stop()
+    val got = spark.table("ttj").as[TableJoined].collect()
+      .groupBy(_.key).view.mapValues(_.sortBy(_.seq).map(_.value).toSeq).toMap
+    assert(got("alice") === Seq(Some("europe/1485500000"),
+      Some("europe/1485530000"), Some("africa/1485530000")))
+    assert(got("bob") === Seq(Some("asia/1485520000"),
+      Some("asia/1485560000"), None))
+    assert(!got.contains("charlie"), "charlie never has a right side")
+  }
+
   test("late events beyond the watermark are dropped (CustomWindowTest late-arrival)") {
     // reference: window/CustomWindowTest.java:133 — a record later than
     // window end + grace is discarded.
