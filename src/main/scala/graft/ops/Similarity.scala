@@ -71,20 +71,46 @@ object Similarity {
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed seed → same buckets on
-    * every run and every cluster). */
-  lazy val planes: Array[Array[Double]] = {
+    * every run and every cluster). `planesFor(n)` extends the same
+    * sequence, so the first 8 planes of a 16-plane code are exactly
+    * [[planes]] — configs are comparable. */
+  def planesFor(numPlanes: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+    Array.fill(numPlanes, Dim)(rnd.nextGaussian())
   }
 
-  /** Sign-random-projection bucket id of an embedding column. */
-  def srpBucket(emb: Column): Column =
-    (0 until NumPlanes).map { p =>
-      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
+  lazy val planes: Array[Array[Double]] = planesFor(NumPlanes)
+
+  /** Sign-random-projection bucket id of an embedding column.
+    *
+    * `numPlanes` is THE recall/cost knob of every SRP path (s2/s5/s7):
+    * for vectors at angle θ each extra plane multiplies the same-bucket
+    * probability by (1−θ/π), so more planes → smaller buckets → fewer
+    * candidate pairs and lower recall. SimilaritySpec sweeps 8/12/16 and
+    * asserts both monotonicities; at 100 TB size `numPlanes` so the
+    * expected bucket (corpus / 2^planes) fits one task, then buy recall
+    * back with `probeRadius` (fan-out is query-side only). */
+  def srpBucket(emb: Column, numPlanes: Int = NumPlanes): Column = {
+    val ps = planesFor(numPlanes)
+    (0 until numPlanes).map { p =>
+      val plane = array(ps(p).toIndexedSeq.map(lit): _*)
       val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast(DoubleType) * w),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** All XOR masks with ≤ `radius` bits set over `numPlanes` bits — the
+    * multi-probe fan-out (mask 0 = the home bucket). Radius 1 → 1+n
+    * probes; radius 2 adds n·(n−1)/2 pair flips. */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
+    val singles = (0 until numPlanes).map(p => 1L << p)
+    val base = Seq(0L) ++ (if (radius >= 1) singles else Nil)
+    if (radius >= 2)
+      base ++ (for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
+        yield (1L << i) | (1L << j))
+    else base
+  }
 
   /** ANN top-k via SRP-LSH: candidates share the bucket of the query;
     * exact cosine re-ranks within the bucket. Approximate — no oracle. */
@@ -132,26 +158,42 @@ object Similarity {
     * (query) side, which is broadcast; each corpus vector still has one
     * bucket, so no candidate duplicates arise. Exact cosine re-ranks.
     * Recall vs the exact baseline is measured in SimilaritySpec. */
-  def lshTopKMultiProbe(s: SparkSession, dir: String): DataFrame = {
+  def lshTopKMultiProbe(s: SparkSession, dir: String): DataFrame =
+    lshTopKMultiProbeParam(s, dir, NumPlanes, probeRadius = 1)
+
+  /** Parameterized multi-probe: candidate pairs of query probes (Hamming
+    * ≤ `probeRadius` around the query's bucket) against corpus buckets,
+    * exact cosine re-rank, top-k. The knobs trade recall against
+    * candidate count — see [[srpBucket]] and the SimilaritySpec sweep. */
+  def lshTopKMultiProbeParam(s: SparkSession, dir: String, numPlanes: Int,
+      probeRadius: Int, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    multiProbeCandidates(s, dir, numPlanes, probeRadius)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** The candidate-pair stage of the multi-probe path, exposed so the
+    * sweep spec can measure |candidates| per (numPlanes, probeRadius). */
+  def multiProbeCandidates(s: SparkSession, dir: String, numPlanes: Int,
+      probeRadius: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"),
+      .select(col("vec_id"), col("embedding"),
+        srpBucket(col("embedding"), numPlanes).as("bucket"),
         l2norm(col("embedding")).as("norm"))
-    val probes = array(col("bucket") +: (0 until NumPlanes).map(p =>
-      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probes = array(probeMasks(numPlanes, probeRadius).map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), explode(probes).as("bucket"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("bucket"), col("norm").as("c_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
   }
 
   /** s5: scale-safe embedding near-dup — the production path. Candidates

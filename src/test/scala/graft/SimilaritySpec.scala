@@ -39,6 +39,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("plane-count sweep: candidates shrink and planted recall falls monotonically (8/12/16)") {
+    import spark.implicits._
+    // Candidate-count side, real corpus: each extra plane halves the
+    // expected bucket, so |candidates| must fall strictly across the sweep.
+    val sweep = Seq(8, 12, 16)
+    val cand = sweep.map(n =>
+      n -> Similarity.multiProbeCandidates(spark, sf01, n, 1).count())
+    info(s"radius-1 candidate pairs by planes: ${cand.map { case (n, c) => s"$n→$c" }.mkString(", ")}")
+    cand.sliding(2).foreach { case Seq((n1, c1), (n2, c2)) =>
+      assert(c1 > c2, s"candidates must shrink with more planes: $n1→$c1 vs $n2→$c2")
+    }
+    // Recall side, planted near-duplicates (the regime the operator is
+    // for): bucket-recall at radius 1 is (1−θ/π)-per-plane, so it can only
+    // fall as planes are added. 300 pairs keeps sampling noise below the
+    // 8-vs-16 gap; adjacent steps assert non-strictly.
+    val rnd = new scala.util.Random(123)
+    val planted = (0 until 300).map { i =>
+      val base = Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, base, base.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("id", "a", "b")
+    val recalls = sweep.map { n =>
+      val hits = planted.select(
+          Similarity.srpBucket(col("a"), n).as("ba"),
+          Similarity.srpBucket(col("b"), n).as("bb"))
+        .collect()
+        .count(r => java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1)) <= 1)
+      n -> hits / 300.0
+    }
+    info(s"radius-1 planted bucket-recall by planes: ${recalls.map { case (n, r) => f"$n→$r%.3f" }.mkString(", ")}")
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r1 >= r2, f"recall must not rise with more planes: $n1→$r1%.3f vs $n2→$r2%.3f")
+    }
+    assert(recalls.head._2 > recalls.last._2,
+      "8 vs 16 planes must show a real recall gap on planted pairs")
+    // Radius knob: widening the probe ring recovers candidates at fixed planes.
+    val r2cand = Similarity.multiProbeCandidates(spark, sf01, 16, 2).count()
+    val r1cand = cand.last._2
+    info(s"16 planes: radius-1 candidates=$r1cand radius-2 candidates=$r2cand")
+    assert(r2cand > r1cand, "radius 2 must widen the candidate set")
+  }
+
   test("SRP bucket recall on planted near-duplicates (cos ~ 0.995) clears real floors") {
     import spark.implicits._
     val rnd = new scala.util.Random(123)
