@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-aware interactive-query routing — the Spark-native analog of
+  * the reference's MetadataService + scatter-gather REST layer
+  * (microservices/util/MetadataService.java:1-93: `metadataForStoreAndKey`
+  * routes a key lookup to the app instance hosting that store partition;
+  * MusicPlaysRestService fans a "top five" read across all instances and
+  * merges).
+  *
+  * The Spark mapping: keyed state and shuffled data land in partition
+  * `pmod(murmur3(key, seed=42), n)` — `HashPartitioning`'s
+  * partitionIdExpression, which is exactly `functions.hash`. So:
+  *  - [[statePartition]] / [[partitionOf]] compute the hosting partition
+  *    of a key, column-side and driver-side, PROVABLY identical to where
+  *    Spark physically places the row (ServingSpec asserts equality with
+  *    `spark_partition_id()` after a real repartition);
+  *  - a store written `partitionBy(p)` serves a key lookup by reading ONE
+  *    partition directory (PartitionFilters prune the rest) — the
+  *    "route to the hosting instance" hop;
+  *  - [[hostFor]] maps partition → host exactly like the reference's
+  *    round-robin task assignment, and a scatter-gather read unions the
+  *    per-host partition subsets and merges — ServingSpec shows it equals
+  *    the global answer.
+  */
+object Serving {
+
+  /** Hosting partition of a key, as a column — Spark's HashPartitioning
+    * rule (murmur3 seed 42, positive mod). */
+  def statePartition(key: Column, numPartitions: Int): Column =
+    pmod(hash(key), lit(numPartitions))
+
+  /** Hosting partition of a key, driver-side — same murmur3/pmod as
+    * [[statePartition]], evaluated through the identical Catalyst
+    * expression so the two can never drift. */
+  def partitionOf(key: Any, numPartitions: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal(key)), 42).eval(null).asInstanceOf[Int]
+    ((h % numPartitions) + numPartitions) % numPartitions
+  }
+
+  /** Partition → host assignment (the reference assigns store partitions
+    * to instances round-robin; `StreamsMetadata.hostInfo`). */
+  def hostFor(partition: Int, hosts: Seq[String]): String =
+    hosts(partition % hosts.size)
+
+  /** `metadataForStoreAndKey` analog: which host serves this key. */
+  def metadataForKey(key: Any, numPartitions: Int, hosts: Seq[String]): (Int, String) = {
+    val p = partitionOf(key, numPartitions)
+    (p, hostFor(p, hosts))
+  }
+
+  /** Materialize a keyed store laid out by hosting partition: one
+    * directory per state partition, so a key lookup reads exactly one
+    * directory. This is the serving-layer copy of a KTable/state store —
+    * on a cluster each "host" mounts its partition subset. */
+  def writePartitionedStore(df: DataFrame, keyCol: String, numPartitions: Int,
+      path: String): Unit =
+    df.withColumn("p", statePartition(col(keyCol), numPartitions))
+      .write.partitionBy("p").mode("overwrite").parquet(path)
+
+  /** Key lookup routed to the hosting partition: the `p = partitionOf(key)`
+    * predicate is a PartitionFilter — only that directory's files are
+    * read, however many partitions the store has. */
+  def lookup(s: SparkSession, path: String, keyCol: String, key: Any,
+      numPartitions: Int): DataFrame =
+    s.read.parquet(path)
+      .where(col("p") === partitionOf(key, numPartitions) && col(keyCol) === key)
+
+  /** Scatter-gather read (MusicPlaysRestService top-five): each host
+    * serves only its own partitions; the coordinator unions the per-host
+    * partial top-k and re-ranks. Returns the merged global top-k. */
+  def scatterGatherTopK(s: SparkSession, path: String, hosts: Seq[String],
+      numPartitions: Int, valueCol: String, k: Int): DataFrame = {
+    val perHost = hosts.map { h =>
+      val owned = (0 until numPartitions).filter(p => hostFor(p, hosts) == h)
+      s.read.parquet(path)
+        .where(col("p").isin(owned: _*))          // the host's partition subset
+        .orderBy(col(valueCol).desc).limit(k)     // local top-k on that host
+    }
+    perHost.reduce(_ unionByName _)               // gather
+      .orderBy(col(valueCol).desc).limit(k)       // merge/re-rank
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Partition-aware routing goldens — the MetadataService.java:1-93 /
+  * MusicPlaysRestService scatter-gather semantics on Spark's own
+  * partition placement. */
+class ServingSpec extends SparkSpec {
+
+  test("partitionOf matches Spark's physical HashPartitioning placement") {
+    import spark.implicits._
+    val n = 8
+    val df = (1L to 500L).toDF("k").repartition(n, col("k"))
+      .select(col("k"), spark_partition_id().as("pid"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getInt(1) === Serving.partitionOf(r.getLong(0), n),
+        s"key ${r.getLong(0)}: routing disagrees with physical placement")
+    }
+    // and the column form agrees with the driver form
+    val colSide = (1L to 500L).toDF("k")
+      .select(col("k"), Serving.statePartition(col("k"), n).as("p")).collect()
+    colSide.foreach(r =>
+      assert(r.getInt(1) === Serving.partitionOf(r.getLong(0), n)))
+  }
+
+  test("routed lookup reads exactly one store partition (PartitionFilters prune)") {
+    import spark.implicits._
+    val n = 8
+    val path = Files.createTempDirectory("graft-store").toString
+    val store = (1L to 500L).map(k => (k, k * 10)).toDF("k", "v")
+    Serving.writePartitionedStore(store, "k", n, path)
+    val hit = Serving.lookup(spark, path, "k", 42L, n)
+    assert(hit.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((42L, 420L)))
+    // pruning evidence: the p=partitionOf(key) predicate must land in the
+    // scan's PartitionFilters (directory pruning), not in a post-scan
+    // Filter over all partitions
+    val p = Serving.partitionOf(42L, n)
+    val planStr = hit.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined, planStr.take(800))
+    assert(scanLine.get.contains(s"= $p)"),
+      s"lookup partition $p not pruned at the scan: ${scanLine.get.trim.take(200)}")
+  }
+
+  test("metadataForKey distributes keys across hosts like the reference's assignment") {
+    val hosts = Seq("host-a:7070", "host-b:7070", "host-c:7070")
+    val n = 12
+    val byHost = (1L to 300L).groupBy(k => Serving.metadataForKey(k, n, hosts)._2)
+    assert(byHost.keySet === hosts.toSet, "every host serves some keys")
+    // partition → host is stable and exhaustive
+    (0 until n).foreach(p =>
+      assert(hosts.contains(Serving.hostFor(p, hosts))))
+  }
+
+  test("scatter-gather top-k across hosts equals the global top-k (MusicPlaysRestService)") {
+    import spark.implicits._
+    val n = 8
+    val hosts = Seq("host-a", "host-b", "host-c")
+    val path = Files.createTempDirectory("graft-chart").toString
+    val rnd = new scala.util.Random(7)
+    val store = (1L to 400L).map(k => (k, rnd.nextInt(100000).toLong))
+      .toDF("song_id", "plays")
+    Serving.writePartitionedStore(store, "song_id", n, path)
+    val gathered = Serving
+      .scatterGatherTopK(spark, path, hosts, n, "plays", 5)
+      .select("song_id", "plays").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val global = spark.read.parquet(path)
+      .orderBy(col("plays").desc).limit(5)
+      .select("song_id", "plays").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gathered.toSeq === global.toSeq)
+  }
+}
