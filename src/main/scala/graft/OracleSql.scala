@@ -452,6 +452,28 @@ object OracleSql {
          |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
+    // IVF-Flat: same deterministic centroids (vec_id % stride = 0), same
+    // sequential-double cosine for assignment and search
+    "s8_ivf_topk" -> {
+      val stride = Similarity.CentroidStride
+      val nprobe = Similarity.NProbe
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $stride = 0),
+         |scored AS (SELECT e.vec_id, e.embedding, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell
+         |  FROM ranked WHERE vec_id < 10 AND rk <= $nprobe),
+         |s AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${cosSql("q_emb", "c.embedding")} AS sim
+         |  FROM cells c JOIN qc USING (cell) WHERE q_id <> c.vec_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
+    },
     "s5_bucketed_neardup" ->
       (s"""WITH $srpBucketCtes
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -87,6 +87,7 @@ object SparkEntry {
     "s4_native_cosine"  -> (Similarity.embeddingNearDupNative _),
     "s5_bucketed_neardup" -> (Similarity.bucketedNearDup _),
     "s7_multiprobe_topk" -> (Similarity.lshTopKMultiProbe _),
+    "s8_ivf_topk"       -> (Similarity.ivfTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -196,6 +196,61 @@ object Similarity {
         (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
   }
 
+  // ---- IVF-Flat ANN --------------------------------------------------
+
+  /** Every `CentroidStride`-th vector is a coarse-quantizer centroid — a
+    * deterministic "sampled centroids" build (the k-means seeding step;
+    * real IVF would Lloyd-iterate, which only moves the centroids, not
+    * the search shape). */
+  val CentroidStride = 10
+  /** Cells probed per query. */
+  val NProbe = 2
+
+  /** IVF-Flat ANN top-k — the inverted-file alternative to SRP-LSH
+    * (s2/s7): vectors are assigned to their nearest centroid's CELL once
+    * (the index build: an n×C broadcast nested-loop scored by cosine,
+    * checkpointed like a persisted index), and a query searches only its
+    * `NProbe` nearest cells via an EQUALITY join on cell id — at 100 TB
+    * the search is a bucket join exactly like s5/s7, with recall tuned by
+    * C (cell size ≈ corpus/C) and NProbe instead of planes/radius.
+    * Exact cosine re-ranks; ties break on id. Fully reproduced in the
+    * DuckDB oracle (same centroids, same sequential-double math). */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    val cents = emb.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    def nearestCells(v: DataFrame, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
+          (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= keep)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cent_id").as("cell"))
+    }
+    // the index: one cell per vector, materialized once
+    val cells = nearestCells(emb, 1).localCheckpoint()
+    val queries = nearestCells(emb.filter(col("vec_id") < 10), NProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    cells
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("cell"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** s5: scale-safe embedding near-dup — the production path. Candidates
     * are generated by an EQUALITY join on the SRP bucket (cosine-similar
     * vectors land in the same sign pattern with high probability), then

@@ -39,6 +39,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-Flat recall: probing 2 of ~20 cells recovers a measurable share of exact top-5") {
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
+    val ivf = pairs(Similarity.ivfTopK(spark, sf01))
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(f"IVF nprobe=${Similarity.NProbe} recall@5 vs exact: $recall%.3f (${(ivf & truth).size}/${truth.size})")
+    // Searching NProbe/C of the corpus must beat the same random fraction
+    // of it, and every query must return SOMETHING from its probed cells.
+    val frac = Similarity.NProbe.toDouble * Similarity.CentroidStride /
+      Tables.embeddings(spark, sf01).count()
+    assert(recall > frac, f"IVF recall $recall%.3f no better than random $frac%.3f")
+    assert(ivf.map(_._1) === truth.map(_._1), "every query must produce results")
+  }
+
   test("plane-count sweep: candidates shrink and planted recall falls monotonically (8/12/16)") {
     import spark.implicits._
     // Candidate-count side, real corpus: each extra plane halves the
