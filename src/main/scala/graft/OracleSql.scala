@@ -541,6 +541,21 @@ object OracleSql {
          |FROM tok""".stripMargin),
     // base-31 polynomial window hash, exact 64-bit integer math — mirrors
     // TextAnalysis.fingerprint's zip-of-slices rolling hash
+    // chunk k holds 1-based token positions [k*stride+1, k*stride+size];
+    // DuckDB's inclusive slice t[a:b] expresses it directly
+    "t11_chunking" -> {
+      val size = graft.ops.TextAnalysis.ChunkSize
+      val overlap = graft.ops.TextAnalysis.ChunkOverlap
+      val stride = size - overlap
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |c AS (SELECT doc_id, k AS chunk_idx, t[k * $stride + 1 : k * $stride + $size] AS ct
+         |  FROM tok, unnest(range(0, greatest(CAST(ceil((len(t) - $overlap) / $stride.0)
+         |    AS BIGINT), 1))) AS u(k)
+         |  WHERE len(t) >= 1)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(len(ct) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(ct, ' ')) AS chunk_hash FROM c""".stripMargin
+    },
     "t4_fingerprint" ->
       ("""WITH n AS (SELECT doc_id,
         |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)

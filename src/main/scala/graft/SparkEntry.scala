@@ -95,6 +95,7 @@ object SparkEntry {
     "t4_fingerprint"    -> (TextAnalysis.fingerprint _),
     "t5_ngram_counts"   -> (TextAnalysis.ngramCounts _),
     "t6_deterministic_sample" -> (TextAnalysis.deterministicSample _),
+    "t11_chunking"      -> (TextAnalysis.chunkDocuments _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

@@ -183,6 +183,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
   }
 
+  /** Context-window chunking: size-token chunks with overlap. */
+  val ChunkSize = 50
+  val ChunkOverlap = 10
+
+  /** Split each document into `ChunkSize`-token chunks overlapping by
+    * `ChunkOverlap` (stride = size − overlap) — the context-window
+    * chunking pass of a training pipeline. Scale shape: ONE posexplode of
+    * the token array, each token routed to its 1-2 owning chunks via a
+    * tiny per-token array, then a keyed (doc, chunk) re-assembly — O(len)
+    * work per document, no quadratic lambda re-evaluation (a
+    * `transform(sequence(...), k => slice(toks, ...))` would re-run the
+    * tokenizer per chunk) and no token-array duplication per chunk row.
+    * Emits chunk index, token count and an md5 of the chunk text. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[chunkDocuments]]: any frame with (doc_id, text)
+    * — lets specs drive the real operator with constructed documents. */
+  def chunkFrame(documents: DataFrame): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    // chunk count = max(ceil((n - overlap) / stride), 1); exact in double
+    // for any realistic token count
+    val nChunks = greatest(
+      floor((col("n_toks") - ChunkOverlap + stride - 1) / stride).cast("int"), lit(1))
+    val lastChunk = (nChunks - 1).cast("int")
+    val k1 = floor(col("pos") / stride).cast("int")
+    // owners: the token's primary chunk (clamped into range — tail tokens
+    // beyond the last stride boundary belong to the final chunk) plus the
+    // previous chunk when the token falls inside the overlap region
+    val owners = array_distinct(filter(
+      array(least(k1, lastChunk),
+        when(pmod(col("pos"), lit(stride)) < ChunkOverlap && k1 >= 1,
+          least(k1 - 1, lastChunk))),
+      x => x.isNotNull))
+    documents
+      .select(col("doc_id"), size(toks).as("n_toks"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        explode(owners).as("chunk_idx"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_hash"))
+  }
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle POLYNOMIAL hash (a 1-permutation MinHash —
     * robust to small edits). The per-window hash is base-31 over char

@@ -227,4 +227,25 @@ class OpsSpec extends SparkSpec {
     val b = Stateless.branch(spark, sf001).count()
     assert(e === b)
   }
+
+  test("chunking: 50-token windows at stride 40, 10-token overlap, exact boundaries") {
+    import spark.implicits._
+    // 130 tokens -> ceil((130-10)/40) = 3 chunks: [1..50], [41..90], [81..130]
+    val words = (1 to 130).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "one two")) // 2-token doc: 1 chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkFrame(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    def h(s: Seq[String]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got.keySet === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(got((1L, 0)) === ((50L, h(words.slice(0, 50)))))
+    assert(got((1L, 1)) === ((50L, h(words.slice(40, 90)))))   // 10-token overlap
+    assert(got((1L, 2)) === ((50L, h(words.slice(80, 130))))) // tail exactly covered
+    assert(got((2L, 0)) === ((2L, h(Seq("one", "two")))))
+  }
 }
