@@ -474,6 +474,15 @@ object OracleSql {
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
     },
+    "s9_quantize_stats" ->
+      ("""WITH q AS (SELECT vec_id, embedding,
+        |    list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |      for i in range(1, len(embedding) + 1)]) AS amax FROM embeddings)
+        |SELECT vec_id, round(amax, 6) AS amax,
+        |  round(sqrt(list_sum([pow(CAST(embedding[i] AS DOUBLE)
+        |      - round(CAST(embedding[i] AS DOUBLE) / (amax / 127.0)) * (amax / 127.0), 2)
+        |    for i in range(1, len(embedding) + 1)]) / len(embedding)) / amax, 6) AS rel_rmse
+        |FROM q""".stripMargin),
     "s5_bucketed_neardup" ->
       (s"""WITH $srpBucketCtes
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

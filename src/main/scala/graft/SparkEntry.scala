@@ -88,6 +88,7 @@ object SparkEntry {
     "s5_bucketed_neardup" -> (Similarity.bucketedNearDup _),
     "s7_multiprobe_topk" -> (Similarity.lshTopKMultiProbe _),
     "s8_ivf_topk"       -> (Similarity.ivfTopK _),
+    "s9_quantize_stats" -> (Similarity.quantizeStats _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -280,6 +280,28 @@ object Similarity {
       .filter(col("sim") >= 0.2)
   }
 
+  /** Symmetric int8 quantization stats per embedding — the compression
+    * pass of an embedding pipeline (scale = max|x|/127, q = round(x/s),
+    * error = reconstruction RMSE relative to the scale's range). Pure
+    * column math, no shuffle; the per-element lambda re-references the
+    * amax expression, a FIXED d×d=64×64 constant per row — not the
+    * data-dependent O(len²) tokenizer trap. Both engines round
+    * half-away-from-zero on identical doubles, so the oracle hash-matches
+    * at 6 digits. */
+  def quantizeStats(s: SparkSession, dir: String): DataFrame = {
+    val xd = (x: Column) => x.cast(DoubleType)
+    val emb = col("embedding")
+    val amax = array_max(transform(emb, x => abs(xd(x))))
+    val scale = amax / 127.0
+    val sqerr = aggregate(
+      transform(emb, x => pow(xd(x) - round(xd(x) / scale) * scale, lit(2))),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(amax, 6).as("amax"),
+        round(sqrt(sqerr / size(emb)) / amax, 6).as("rel_rmse"))
+  }
+
   /** Embedding-cosine near-duplicate pairs among vec_id%10==0. The synthetic
     * embeddings top out around cosine 0.38 pairwise, so the threshold is 0.3
     * (with real near-dup corpora this would be ~0.95). */
