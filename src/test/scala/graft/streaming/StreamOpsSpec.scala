@@ -250,6 +250,30 @@ class StreamOpsSpec extends SparkSpec {
       (start, second, Some(3L)))) // the merged session
   }
 
+  test("session extension emits a tombstone for the old window, then the widened session") {
+    // the other changelog corner: a single session GROWING also re-keys
+    // its window, so the old (start,end) entry must tombstone before the
+    // widened one emits — same rule that drives the merge sequence.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[SessionEvent]
+    val q = sessionChangelog(in.toDS(), 10000L)
+      .writeStream.format("memory").queryName("sext")
+      .outputMode("update").start()
+    try {
+      Seq(1000L, 5000L).foreach { t =>
+        in.addData(SessionEvent("bob", ts(t)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("sext").as[SessionChange].collect().sortBy(_.seq)
+      .map(c => (c.start, c.end, c.cnt)).toSeq
+    assert(got === Seq(
+      (1000L, 1000L, Some(1L)), // lone session
+      (1000L, 1000L, None),     // tombstone: window grows
+      (1000L, 5000L, Some(2L))))// widened session
+  }
+
   test("incremental table-table join re-emits on updates from either side (TableToTableJoinIntegrationTest golden)") {
     // reference: TableToTableJoinIntegrationTest.java:60-113 — regions
     // piped first (no emissions: right side empty), then each login
