@@ -82,7 +82,20 @@ object AvroCodec {
     * matching is by field NAME, not position. The output columns follow
     * the READER schema. */
   def decode(df: DataFrame, schemaJson: String, bytesCol: String = "avro_bytes",
-      keep: Seq[String] = Seq.empty, readerSchemaJson: String = null): DataFrame = {
+      keep: Seq[String] = Seq.empty, readerSchemaJson: String = null): DataFrame =
+    decodeImpl(df, schemaJson, bytesCol, keep, readerSchemaJson, lenient = false)
+
+  /** [[decode]] that SKIPS undecodable records instead of failing the
+    * task — the reference's poison-pill handling, which is specifically
+    * about Avro deserialization failures
+    * (HandlingCorruptedInputRecordsIntegrationTest.java:79-98: flatMap
+    * with a try/catch around the serde, corrupt records dropped). */
+  def decodeLenient(df: DataFrame, schemaJson: String, bytesCol: String = "avro_bytes",
+      keep: Seq[String] = Seq.empty, readerSchemaJson: String = null): DataFrame =
+    decodeImpl(df, schemaJson, bytesCol, keep, readerSchemaJson, lenient = true)
+
+  private def decodeImpl(df: DataFrame, schemaJson: String, bytesCol: String,
+      keep: Seq[String], readerSchemaJson: String, lenient: Boolean): DataFrame = {
     val readerJson = if (readerSchemaJson == null) schemaJson else readerSchemaJson
     val inSchema = df.schema
     val reader0 = new Schema.Parser().parse(readerJson)
@@ -100,13 +113,18 @@ object AvroCodec {
       val readerSchema = new Schema.Parser().parse(readerJson)
       val reader = new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
       var dec = DecoderFactory.get().binaryDecoder(Array.empty[Byte], null)
-      var rec: GenericRecord = null
       val n = readerSchema.getFields.size()
-      it.map { row =>
-        dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](bytesIdx), dec)
-        rec = reader.read(rec, dec)
-        val vals = (0 until n).map(i => fromAvro(rec.get(i)))
-        Row.fromSeq(keepIdx.map(row.get) ++ vals)
+      it.flatMap { row =>
+        try {
+          dec = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](bytesIdx), dec)
+          // no record reuse: a partially-read record from a corrupt row
+          // must not leak stale fields into the next one
+          val rec: GenericRecord = reader.read(null, dec)
+          val vals = (0 until n).map(i => fromAvro(rec.get(i)))
+          Some(Row.fromSeq(keepIdx.map(row.get) ++ vals))
+        } catch {
+          case _: Exception if lenient => None
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -75,6 +75,29 @@ class AvroSpec extends SparkSpec {
     assert(out === Set((1L, "click", 2.5), (Long.MaxValue, "päge_view", 1e-300)))
   }
 
+  test("lenient decode drops corrupt records, keeps the rest (HandlingCorruptedInputRecords)") {
+    import spark.implicits._
+    // reference: HandlingCorruptedInputRecordsIntegrationTest.java:79-98 —
+    // a try/catch around the Avro serde skips poison pills.
+    val in = Seq((1L, "click", 2.5), (2L, "view", 1.0), (3L, "buy", 9.9))
+      .toDF("event_id", "event_type", "value")
+    val enc = AvroCodec.encode(in, AvroCodec.eventSchemaJson)
+    // corrupt record 2: truncate its payload mid-string
+    val schema = enc.schema
+    val poisoned = spark.createDataFrame(
+      enc.rdd.map { r =>
+        val b = r.getAs[Array[Byte]](0)
+        if (b(0) == 0x04) org.apache.spark.sql.Row(b.take(2)) else r
+      }, schema)
+    val strictFails = intercept[org.apache.spark.SparkException] {
+      AvroCodec.decode(poisoned, AvroCodec.eventSchemaJson).collect()
+    }
+    assert(strictFails.getMessage != null)
+    val out = AvroCodec.decodeLenient(poisoned, AvroCodec.eventSchemaJson)
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "click", 2.5), (3L, "buy", 9.9)))
+  }
+
   test("o18 aggregate over decoded columns matches the raw-column aggregate") {
     val raw = Tables.events(spark, sf001)
       .groupBy(col("event_type"))
