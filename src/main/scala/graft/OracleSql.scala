@@ -618,6 +618,25 @@ object OracleSql {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
         |FROM deduped GROUP BY lang""".stripMargin),
+    // closed-form chunk arithmetic cross-validates the expanded rows:
+    // nc = max(ceil((n-overlap)/stride), 1), sum tokens = n + overlap*(nc-1)
+    "c6_prep_chunked" -> {
+      val size = graft.ops.TextAnalysis.ChunkSize
+      val overlap = graft.ops.TextAnalysis.ChunkOverlap
+      val stride = size - overlap
+      s"""WITH f AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 2000),
+         |d AS (SELECT doc_id, lang, text FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f) WHERE rk = 1),
+         |ch AS (SELECT doc_id, lang, len($tokensSql) AS n FROM d),
+         |m AS (SELECT doc_id, lang, n,
+         |    greatest(CAST(ceil((n - $overlap) / $stride.0) AS BIGINT), 1) AS nc
+         |  FROM ch WHERE n >= 1)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n + $overlap * (nc - 1)) AS BIGINT) AS total_chunk_tokens
+         |FROM m GROUP BY lang""".stripMargin
+    },
     "t7_length_quantiles" ->
       ("""SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
         |  quantile_cont(n_chars, 0.95) AS p95, count(*) AS n_docs

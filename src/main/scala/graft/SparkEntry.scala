@@ -108,6 +108,7 @@ object SparkEntry {
     "c3_anomaly"        -> (Composites.anomalyDetection _),
     "c4_prep_funnel"    -> (Composites.prepFunnel _),
     "c5_wikifeed_avro"  -> (Composites.wikipediaFeed _),
+    "c6_prep_chunked"   -> (Composites.prepChunkedFunnel _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

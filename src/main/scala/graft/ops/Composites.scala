@@ -69,6 +69,33 @@ object Composites {
         sum(col("n_words")).cast("long").as("total_tokens"))
   }
 
+  /** The prep funnel extended to the chunked training set: quality filter
+    * → exact dedup (keeper = min-doc_id row, its lang rides along via
+    * min_by) → context-window chunking → per-language chunk/token rollup.
+    * The DuckDB oracle computes the chunk counts in CLOSED FORM
+    * (nc = ⌈(n−overlap)/stride⌉, Σtokens = n + overlap·(nc−1)), so the
+    * expanded chunk rows cross-validate against arithmetic that never ran
+    * the expansion. `deduped` is checkpointed: it feeds both the chunker
+    * and the lang join, and Catalyst does not reuse exchanges across
+    * self-join subtrees. */
+  def prepChunkedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val deduped = Tables.documents(s, dir)
+      .withColumn("n_words", nWords)
+      .filter(col("n_words") >= 20 && col("n_words") <= 2000)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("text")), col("doc_id")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+        col("d.text").as("text"))
+      .localCheckpoint()
+    TextAnalysis.chunkFrame(deduped)
+      .join(deduped.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("total_chunk_tokens"))
+  }
+
   /** WikiFeed schema (WikipediaFeedAvroExample; src/main/resources/avro/
     * io/confluent/examples/streams/wikifeed.avsc) — incl. the idiomatic
     * nullable union for `content`. */
