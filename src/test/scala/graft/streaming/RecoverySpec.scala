@@ -44,6 +44,38 @@ class RecoverySpec extends SparkSpec {
     assert(seen.get(2L) === Some(3L), s"got $seen")
   }
 
+  test("table-table join state survives a restart: a right update joins pre-restart left state") {
+    // the KTable⋈KTable stores are changelog-restored in the reference;
+    // Spark's analog is the flatMapGroupsWithState checkpoint. The left
+    // value arrives BEFORE the restart, the right value after — the join
+    // can only emit if the left state was recovered.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-ttj-ckpt").toString
+    val in = MemoryStream[TableUpdate]
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Option[String]]
+
+    def start() = tableTableJoinChangelog(in.toDS()).toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt).outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.put(r.getLong(2), Option(r.getString(1))))
+      }.start()
+
+    val q1 = start()
+    in.addData(TableUpdate("alice", "L", Some("europe"), 0L))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.isEmpty, "left-only must not emit")
+
+    val q2 = start()
+    in.addData(TableUpdate("alice", "R", Some("1485500000"), 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.values.toSeq === Seq(Some("europe/1485500000")),
+      s"right update must join the recovered left state, got $seen")
+  }
+
   test("application reset: a fresh checkpoint reprocesses from scratch (ApplicationResetExample)") {
     // ApplicationResetExample.java: the reset tool rewinds input offsets
     // and wipes local state so the app reprocesses from the beginning.
