@@ -272,7 +272,10 @@ object StreamOps {
     * its 1-count session. State is the per-key list of open sessions —
     * the session store; native `session_window` aggregation (sessionCounts)
     * emits merged FINALS only, this operator emits the reference's full
-    * changelog. */
+    * changelog. Like the reference's session store, sessions stay in
+    * state until retention: a production deployment evicts sessions
+    * older than (max seen ts − retention) on each invocation — one
+    * filter over the state list per batch. */
   def sessionChangelog(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionChange] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user)

@@ -61,8 +61,11 @@ class ServingSpec extends SparkSpec {
     val n = 8
     val hosts = Seq("host-a", "host-b", "host-c")
     val path = Files.createTempDirectory("graft-chart").toString
+    // distinct play counts — a tie at the top-k boundary would make
+    // gathered-vs-global comparison order-dependent
     val rnd = new scala.util.Random(7)
-    val store = (1L to 400L).map(k => (k, rnd.nextInt(100000).toLong))
+    val store = rnd.shuffle((1L to 400L).toList).zipWithIndex
+      .map { case (k, i) => (k, (i + 1).toLong * 7) }
       .toDF("song_id", "plays")
     Serving.writePartitionedStore(store, "song_id", n, path)
     val gathered = Serving
