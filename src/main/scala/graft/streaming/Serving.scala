@@ -71,16 +71,19 @@ object Serving {
 
   /** Scatter-gather read (MusicPlaysRestService top-five): each host
     * serves only its own partitions; the coordinator unions the per-host
-    * partial top-k and re-ranks. Returns the merged global top-k. */
+    * partial top-k and re-ranks. `keyCol` breaks value ties so the
+    * merged chart is deterministic regardless of host order. Returns the
+    * merged global top-k. */
   def scatterGatherTopK(s: SparkSession, path: String, hosts: Seq[String],
-      numPartitions: Int, valueCol: String, k: Int): DataFrame = {
+      numPartitions: Int, valueCol: String, keyCol: String, k: Int): DataFrame = {
+    val rank = Seq(col(valueCol).desc, col(keyCol).asc)
     val perHost = hosts.map { h =>
       val owned = (0 until numPartitions).filter(p => hostFor(p, hosts) == h)
       s.read.parquet(path)
         .where(col("p").isin(owned: _*))          // the host's partition subset
-        .orderBy(col(valueCol).desc).limit(k)     // local top-k on that host
+        .orderBy(rank: _*).limit(k)               // local top-k on that host
     }
     perHost.reduce(_ unionByName _)               // gather
-      .orderBy(col(valueCol).desc).limit(k)       // merge/re-rank
+      .orderBy(rank: _*).limit(k)                 // merge/re-rank
   }
 }

@@ -272,11 +272,13 @@ object StreamOps {
     * its 1-count session. State is the per-key list of open sessions —
     * the session store; native `session_window` aggregation (sessionCounts)
     * emits merged FINALS only, this operator emits the reference's full
-    * changelog. Like the reference's session store, sessions stay in
-    * state until retention: a production deployment evicts sessions
-    * older than (max seen ts − retention) on each invocation — one
-    * filter over the state list per batch. */
-  def sessionChangelog(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionChange] = {
+    * changelog. Like the reference's session store, state is bounded by
+    * RETENTION (SessionWindows grace/retention): sessions whose end falls
+    * behind the key's max seen time by more than `retentionMs` are
+    * evicted, so a key's state holds only its recent sessions — a late
+    * event beyond retention starts a fresh session instead of merging. */
+  def sessionChangelog(events: Dataset[SessionEvent], gapMs: Long,
+      retentionMs: Long = Long.MaxValue): Dataset[SessionChange] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user)
       .flatMapGroupsWithState[SessionListState, SessionChange](
@@ -284,8 +286,12 @@ object StreamOps {
         (user: String, it: Iterator[SessionEvent], state: GroupState[SessionListState]) =>
           var st = state.getOption.getOrElse(SessionListState(Nil, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionChange]
+          var maxTs = st.sessions.map(_._2).foldLeft(Long.MinValue)(_ max _)
           it.toSeq.sortBy(_.ts.getTime).foreach { e =>
             val t = e.ts.getTime
+            maxTs = maxTs max t
+            if (retentionMs != Long.MaxValue)
+              st = st.copy(sessions = st.sessions.filter(_._2 >= maxTs - retentionMs))
             val (overlap, rest) = st.sessions.partition { case (s, en, _) =>
               t >= s - gapMs && t <= en + gapMs }
             val ns = (t :: overlap.map(_._1)).min

@@ -69,7 +69,7 @@ class ServingSpec extends SparkSpec {
       .toDF("song_id", "plays")
     Serving.writePartitionedStore(store, "song_id", n, path)
     val gathered = Serving
-      .scatterGatherTopK(spark, path, hosts, n, "plays", 5)
+      .scatterGatherTopK(spark, path, hosts, n, "plays", "song_id", 5)
       .select("song_id", "plays").collect().map(r => (r.getLong(0), r.getLong(1)))
     val global = spark.read.parquet(path)
       .orderBy(col("plays").desc).limit(5)

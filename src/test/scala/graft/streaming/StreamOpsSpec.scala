@@ -274,6 +274,30 @@ class StreamOpsSpec extends SparkSpec {
       (1000L, 5000L, Some(2L))))// widened session
   }
 
+  test("session retention: a late event beyond retention starts fresh instead of merging") {
+    // reference: SessionWindows retention — the store drops sessions past
+    // (observed stream time - retention), so a too-late event cannot merge.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[SessionEvent]
+    val q = sessionChangelog(in.toDS(), gapMs = 10000L, retentionMs = 20000L)
+      .writeStream.format("memory").queryName("sret")
+      .outputMode("update").start()
+    try {
+      Seq(1000L, 100000L, 1005L).foreach { t =>
+        in.addData(SessionEvent("kai", ts(t)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("sret").as[SessionChange].collect().sortBy(_.seq)
+      .map(c => (c.start, c.end, c.cnt)).toSeq
+    assert(got === Seq(
+      (1000L, 1000L, Some(1L)),     // original session
+      (100000L, 100000L, Some(1L)), // far-future event advances stream time
+      (1005L, 1005L, Some(1L))))    // late event: the 1000-session was
+                                    // evicted, so NO tombstone+merge — fresh
+  }
+
   test("incremental table-table join re-emits on updates from either side (TableToTableJoinIntegrationTest golden)") {
     // reference: TableToTableJoinIntegrationTest.java:60-113 — regions
     // piped first (no emissions: right side empty), then each login
