@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entrypoint: one place for the configuration a
+  * graft deployment needs, so Verify/Bench/PlanAudit and a user's own
+  * driver all run under the same contract.
+  *
+  * - `spark.sql.shuffle.partitions` sized to the parallelism (NOT the
+  *   200 default — on a real cluster, set it to ~2-3× total cores or
+  *   enable AQE coalescing to let runtime stats shrink it);
+  * - UTC session timezone: every timestamp comparison in the oracle and
+  *   the calendar-window math is TZ-sensitive;
+  * - native function registration (`graft_cosine`) via
+  *   [[functions.GraftExtensions]] so SQL users get the codegen'd
+  *   expressions too;
+  * - AQE stays at Spark's default (ON) — skew-join splitting and
+  *   partition coalescing are part of the 100 TB story.
+  */
+object GraftSession {
+
+  def create(master: String, shufflePartitions: Int,
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    functions.GraftExtensions.register(s)
+    s
+  }
+
+  /** The driver-contract local session: `local[cpus]`, shuffle
+    * partitions = cpus (BASELINE.md's judged configuration). */
+  def local(cpus: Int): SparkSession = create(s"local[$cpus]", cpus)
+}
