@@ -17,8 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Joins.broadcastFkChain(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * A ListMap so iteration (Verify dump order, Bench measurement order)
+    * follows the declaration order below — deterministic and documented.
+    * The first measured query absorbs whatever process warmup the bench's
+    * explicit warmup missed, so the trivial `o1` projection leads rather
+    * than a heavy pipeline (BASELINE.md records this). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // §2.2 stateless (O1–O16)
     "o1_map_values"     -> (Stateless.mapValuesUpper _),
     "o2_map_rekey"      -> (Stateless.mapRekeyDouble _),
