@@ -88,12 +88,18 @@ object Composites {
       .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
         col("d.text").as("text"))
       .localCheckpoint()
+    // chunks roll up to DOC grain before the lang join: the join carries
+    // one row per document, not per chunk, and the distinct-doc count
+    // becomes a plain count — at scale the chunk-grain rows never shuffle
+    // beyond their own (doc, chunk) aggregation
     TextAnalysis.chunkFrame(deduped)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("chunk_tokens"))
       .join(deduped.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).as("total_chunk_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_tokens")).as("total_chunk_tokens"))
   }
 
   /** WikiFeed schema (WikipediaFeedAvroExample; src/main/resources/avro/
