@@ -537,6 +537,13 @@ object OracleSql {
          |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
          |    ELSE [] END) AS bigram FROM tok)
          |GROUP BY bigram HAVING count(*) >= 5""".stripMargin),
+    "t12_lang_balanced" -> {
+      val cap = graft.ops.TextAnalysis.LangCap
+      s"""SELECT doc_id, lang, n_chars, rk FROM (SELECT doc_id, lang, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(text) ASC, doc_id ASC) AS INTEGER) AS rk
+         |  FROM documents) WHERE rk <= $cap""".stripMargin
+    },
     "t6_deterministic_sample" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT

@@ -104,6 +104,7 @@ object SparkEntry {
     "t5_ngram_counts"   -> (TextAnalysis.ngramCounts _),
     "t6_deterministic_sample" -> (TextAnalysis.deterministicSample _),
     "t11_chunking"      -> (TextAnalysis.chunkDocuments _),
+    "t12_lang_balanced" -> (TextAnalysis.langBalancedSample _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

@@ -183,6 +183,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
   }
 
+  /** Per-language cap for training-mix balancing. */
+  val LangCap = 100
+
+  /** Language-balanced sampling: keep at most `LangCap` documents per
+    * language, chosen by a DETERMINISTIC content-hash rank (md5 of text,
+    * doc_id tie-break) — the training-mix balancing pass that stops one
+    * dominant language from swamping the mix, stable across engines,
+    * runs and cluster sizes (unlike rand()). Spark plans the rank as a
+    * WindowGroupLimit: each partition keeps only its local top-K per
+    * language before the shuffle, so the full corpus never sorts. */
+  def langBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("text")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= LangCap)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+  }
+
   /** Context-window chunking: size-token chunks with overlap. */
   val ChunkSize = 50
   val ChunkOverlap = 10
