@@ -653,6 +653,21 @@ object OracleSql {
         |  md5(doc_id || ':' || (k * 5)) AS frame_key
         |FROM (SELECT doc_id, length(text) % 30 + 1 AS n_frames FROM documents),
         |  unnest(range(0, ((n_frames - 1) // 5) + 1)) AS t(k)""".stripMargin),
+    // 64-box thumbnail fit over the stub dims, no upscaling; byte size =
+    // 54-byte BMP header + 4-byte-aligned 24bpp rows
+    "m3_thumbnail_plan" ->
+      ("""WITH f AS (SELECT doc_id, 'image/' || source AS media_type,
+        |    strlen(text)::BIGINT AS n FROM documents),
+        |d AS (SELECT doc_id, media_type, CAST(n % 640 + 16 AS INTEGER) AS w,
+        |    CAST(n % 480 + 16 AS INTEGER) AS h FROM f),
+        |t AS (SELECT doc_id, media_type, w, h,
+        |    least(1.0, 64.0 / greatest(greatest(w, h), 1)) AS sc FROM d),
+        |g AS (SELECT doc_id, media_type,
+        |    greatest(CAST(floor(w * sc) AS INTEGER), 1) AS thumb_w,
+        |    greatest(CAST(floor(h * sc) AS INTEGER), 1) AS thumb_h FROM t)
+        |SELECT doc_id, media_type, thumb_w, thumb_h,
+        |  CAST(54 + (thumb_w * 3 + 3) // 4 * 4 * CAST(thumb_h AS BIGINT) AS BIGINT)
+        |    AS thumb_bytes FROM g""".stripMargin),
     // multimodal
     "m1_decode_features" ->
       ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n

@@ -108,6 +108,7 @@ object SparkEntry {
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),
+    "m3_thumbnail_plan" -> (Multimodal.thumbnailPlan _),
     "t7_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "t8_repetition"     -> (TextAnalysis.repetitionScore _),
     // composite reference topologies

@@ -68,6 +68,75 @@ object Multimodal {
       decodeBmp(r).orElse(decodeWav(r)).getOrElse(DecodeStub.decode(r))
   }
 
+  /** REAL image resize for the codec-free format: nearest-neighbor
+    * downsample of an uncompressed 24-bit BMP, pure byte arithmetic
+    * (header parse, 4-byte row stride, pixel copy). Formats needing
+    * codecs fall back to the metadata-only thumbnail plan
+    * ([[thumbnailPlan]]). */
+  object Resize {
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+        ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+    private def w16(p: Array[Byte], off: Int, v: Int): Unit = {
+      p(off) = (v & 0xFF).toByte; p(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    private def w32(p: Array[Byte], off: Int, v: Int): Unit = {
+      p(off) = (v & 0xFF).toByte; p(off + 1) = ((v >> 8) & 0xFF).toByte
+      p(off + 2) = ((v >> 16) & 0xFF).toByte; p(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+
+    /** Thumbnail dims: fit (w, h) into a maxSide box, never upscaling. */
+    def fit(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      val sc = math.min(1.0, maxSide.toDouble / math.max(math.max(w, h), 1))
+      (math.max(1, math.floor(w * sc).toInt), math.max(1, math.floor(h * sc).toInt))
+    }
+
+    /** Nearest-neighbor resize of an uncompressed 24-bit BMP into the
+      * maxSide box; None for anything that isn't one (codec formats take
+      * the metadata-only path). Row order (bottom-up vs top-down) is
+      * preserved via the height sign. */
+    def resizeBmp(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
+      if (payload.length < 54 || payload(0) != 'B'.toByte || payload(1) != 'M'.toByte)
+        return None
+      if (le16(payload, 28) != 24 || le32(payload, 30) != 0) return None
+      val off = le32(payload, 10)
+      val w = le32(payload, 18)
+      val hRaw = le32(payload, 22)
+      val h = math.abs(hRaw)
+      if (w <= 0 || h == 0) return None
+      val srcStride = (w * 3 + 3) / 4 * 4
+      if (payload.length.toLong < off.toLong + srcStride.toLong * h) return None
+      val (tw, th) = fit(w, h, maxSide)
+      val dstStride = (tw * 3 + 3) / 4 * 4
+      val out = new Array[Byte](54 + dstStride * th)
+      out(0) = 'B'.toByte; out(1) = 'M'.toByte
+      w32(out, 2, out.length)          // file size
+      w32(out, 10, 54)                 // pixel-data offset
+      w32(out, 14, 40)                 // BITMAPINFOHEADER size
+      w32(out, 18, tw)
+      w32(out, 22, if (hRaw < 0) -th else th)
+      w16(out, 26, 1)                  // planes
+      w16(out, 28, 24)                 // bits per pixel
+      w32(out, 30, 0)                  // BI_RGB
+      w32(out, 34, dstStride * th)     // image size
+      var y = 0
+      while (y < th) {
+        val sy = y.toLong * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x.toLong * w / tw
+          System.arraycopy(payload, off + (sy * srcStride + sx * 3).toInt,
+            out, 54 + y * dstStride + x * 3, 3)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+  }
+
   /** DETERMINISTIC STUB for formats whose codecs the container lacks
     * (JPEG/MP4): derives stable fake dimensions from the byte length so
     * the pipeline is testable end-to-end. */
@@ -97,6 +166,30 @@ object Multimodal {
         // a real decoder would emit pixels; the deterministic stand-in
         // derives a per-frame checksum from (doc, frame)
         md5(concat(col("doc_id"), lit(":"), col("k") * 5)).as("frame_key"))
+  }
+
+  /** m3 resize/thumbnail stage: per record, the TARGET geometry of a
+    * 64-px-box thumbnail (no upscaling) and its exact output byte size
+    * under the 24-bit BMP layout (54-byte header + 4-byte-aligned rows) —
+    * metadata only, the payload never moves. Real BMP payloads resize for
+    * real via [[Resize.resizeBmp]] (MultimodalSpec pins exact pixels on a
+    * hand-built BMP); codec formats would plug into the same dispatch.
+    * Same mapPartitions batch shape as the decode. */
+  def thumbnailPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("image/"), col("source")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = Decode.decode(r)
+        val (tw, th) = Resize.fit(f.width, f.height, 64)
+        val stride = (tw * 3 + 3) / 4 * 4
+        (r.doc_id, r.media_type, tw, th, 54L + stride.toLong * th)
+      }
+    }.toDF("doc_id", "media_type", "thumb_w", "thumb_h", "thumb_bytes")
   }
 
   /** Build a binary media table from documents (payload = UTF-8 bytes of

@@ -49,6 +49,57 @@ class MultimodalSpec extends SparkSpec {
     assert((f.width, f.height) === (0, 0))
   }
 
+  /** A full 24bpp BMP with pixel data: `rows` are stored-order rows of
+    * (b,g,r) pixels; stride pads each row to 4 bytes. */
+  private def bmpWithPixels(width: Int, height: Int,
+      rows: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val stride = (width * 3 + 3) / 4 * 4
+    val b = ByteBuffer.allocate(54 + stride * rows.size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + stride * rows.size); b.putInt(0); b.putInt(54)
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24)     // planes, 24 bpp
+    b.putInt(0)                        // BI_RGB
+    b.putInt(stride * rows.size); b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+    rows.foreach { row =>
+      val start = b.position()
+      row.foreach { case (bl, g, r) =>
+        b.put(bl.toByte).put(g.toByte).put(r.toByte) }
+      b.position(start + stride)
+    }
+    b.array()
+  }
+
+  test("BMP resize: nearest-neighbor downsample with exact pixels and stride") {
+    import graft.ops.Multimodal.Resize
+    // 2x2 bottom-up: stored row 0 = bottom (pixels A B), row 1 = top (C D)
+    val src = bmpWithPixels(2, 2, Seq(
+      Seq((10, 11, 12), (20, 21, 22)),
+      Seq((30, 31, 32), (40, 41, 42))))
+    // downsample into a 1-px box -> 1x1; nearest source pixel is (0,0)
+    val out = Resize.resizeBmp(src, 1).get
+    val f = Decode.decode(MediaRecord(9L, "image/bmp", out))
+    assert((f.width, f.height) === (1, 1))
+    assert(out.length === 54 + 4)             // one 4-byte-aligned row
+    assert(out.slice(54, 57).toSeq === Seq[Byte](10, 11, 12))
+    // box >= image: geometry and every pixel byte survive unchanged
+    val same = Resize.resizeBmp(src, 64).get
+    val g = Decode.decode(MediaRecord(9L, "image/bmp", same))
+    assert((g.width, g.height) === (2, 2))
+    assert(same.slice(54, 54 + 6).toSeq === src.slice(54, 54 + 6).toSeq)
+    assert(same.slice(62, 62 + 6).toSeq === src.slice(62, 62 + 6).toSeq)
+    // non-BMP payloads take the metadata-only path
+    assert(Resize.resizeBmp("not a bitmap".getBytes, 64).isEmpty)
+  }
+
+  test("thumbnail fit never upscales and respects the 64-px box") {
+    import graft.ops.Multimodal.Resize
+    assert(Resize.fit(640, 480, 64) === ((64, 48)))
+    assert(Resize.fit(480, 640, 64) === ((48, 64)))
+    assert(Resize.fit(32, 16, 64) === ((32, 16))) // no upscaling
+    assert(Resize.fit(1000, 10, 64) === ((64, 1)))
+  }
+
   test("unknown formats fall back to the deterministic stub") {
     val payload = "just some text bytes".getBytes
     val viaDispatch = Decode.decode(MediaRecord(4L, "image/unknown", payload))
