@@ -48,19 +48,14 @@ object Bench {
       // ~6 s of compiler time (measured: t10 8.1 s cold vs 1.7 s warm in
       // one JVM). Steady-state operator cost is what the bench reports;
       // BASELINE.md records the warmup conditions.
-      // three passes so the hot tokenize/explode/agg loops cross the C2
-      // compile threshold, not just the Janino one
+      // three passes of the REAL TF-IDF operator on a bounded slice so the
+      // hot tokenize/explode/agg loops cross the C2 compile threshold, not
+      // just the Janino one — driving the actual operator (not an inline
+      // copy) means the warmed codegen shapes can never drift from what
+      // the measured queries run
       (1 to 3).foreach { _ =>
-        val doc = spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
-        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-        val wtf = doc.select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
-          .groupBy(col("doc_id"), col("len"), col("term")).agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        wtf.join(broadcast(wtf.groupBy(col("term")).agg(count(lit(1)).as("df"))), Seq("term"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("n").desc, col("term"))))
-          .filter(col("rn") === 1)
+        graft.ops.TextAnalysis.tfidfFrame(
+            spark.read.parquet(s"$sfDir/documents.parquet").limit(500))
           .queryExecution.toRdd.count()
       }
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)

@@ -173,7 +173,7 @@ object OracleSql {
         |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, term, n, sum(n) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
         |sc AS (SELECT doc_id, term,
         |    round((CAST(n AS DOUBLE) / doc_len) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |  FROM dl JOIN dfq USING (term) CROSS JOIN nd),

@@ -105,9 +105,15 @@ object Multimodal {
       val w = le32(payload, 18)
       val hRaw = le32(payload, 22)
       val h = math.abs(hRaw)
-      if (w <= 0 || h == 0) return None
-      val srcStride = (w * 3 + 3) / 4 * 4
-      if (payload.length.toLong < off.toLong + srcStride.toLong * h) return None
+      // bounds-harden against malformed headers: the offset must point
+      // past the header and into the payload, and the stride math runs in
+      // Long so huge widths can't overflow past the length check — any
+      // violation falls back (None), never an ArrayIndexOutOfBounds task
+      // failure
+      if (w <= 0 || h == 0 || off < 54 || off > payload.length) return None
+      val srcStrideL = (w.toLong * 3 + 3) / 4 * 4
+      if (off.toLong + srcStrideL * h > payload.length) return None
+      val srcStride = srcStrideL.toInt
       val (tw, th) = fit(w, h, maxSide)
       val dstStride = (tw * 3 + 3) / 4 * 4
       val out = new Array[Byte](54 + dstStride * th)

@@ -101,16 +101,14 @@ object Similarity {
   }
 
   /** All XOR masks with ≤ `radius` bits set over `numPlanes` bits — the
-    * multi-probe fan-out (mask 0 = the home bucket). Radius 1 → 1+n
-    * probes; radius 2 adds n·(n−1)/2 pair flips. */
-  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
-    val singles = (0 until numPlanes).map(p => 1L << p)
-    val base = Seq(0L) ++ (if (radius >= 1) singles else Nil)
-    if (radius >= 2)
-      base ++ (for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
-        yield (1L << i) | (1L << j))
-    else base
-  }
+    * multi-probe fan-out (mask 0 = the home bucket), for ANY radius:
+    * Σ_{r≤radius} C(numPlanes, r) probes. Radius 1 → 1+n; radius 2 adds
+    * n·(n−1)/2 pair flips; and so on. */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] =
+    (0 to math.min(radius, numPlanes)).flatMap { r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq
+    }
 
   /** ANN top-k via SRP-LSH: candidates share the bucket of the query;
     * exact cosine re-ranks within the bucket. Approximate — no oracle. */

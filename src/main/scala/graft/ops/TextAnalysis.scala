@@ -153,22 +153,29 @@ object TextAnalysis {
     * (smoothed), rounded to 6 digits so the DuckDB oracle hash-matches
     * despite last-ulp libm differences. Emits the top term per doc for a
     * bounded, deterministic result. */
-  def tfidfTopTerm(s: SparkSession, dir: String): DataFrame = {
+  def tfidfTopTerm(s: SparkSession, dir: String): DataFrame =
+    tfidfFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[tfidfTopTerm]]: any frame with (doc_id, text)
+    * — lets the bench warm the REAL operator's codegen shapes on a
+    * bounded slice instead of a drift-prone inline copy. */
+  def tfidfFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     // ONE tokenize+explode+shuffle: doc_len rides along as size(toks) (a
     // per-doc constant in the group key — no window re-shuffle), and the
     // df table derives FROM the materialized tf rather than from a second
     // explode subtree (Catalyst would recompute, round-1 finding). tf is
     // (doc, term) — vocabulary-bounded, the natural table to persist.
-    val tf = Tables.documents(s, dir)
+    val tf = documents
       .select(col("doc_id"), size(toks).as("doc_len"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     // N (corpus size) stays IN the plan — a one-row aggregate over the
     // checkpointed tf cross-joined in as a broadcast literal, so the whole
-    // query is one job (no separate driver-side count() action). Every
-    // document has ≥1 token, so distinct doc_id over tf == count(documents).
+    // query is one job (no separate driver-side count() action). N is
+    // DEFINED as the tokenized-document count (distinct doc_id over tf,
+    // mirrored in the oracle), so zero-token documents affect neither side.
     val nd = tf.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -34,10 +34,16 @@ object Serving {
 
   /** Hosting partition of a key, driver-side — same murmur3/pmod as
     * [[statePartition]], evaluated through the identical Catalyst
-    * expression so the two can never drift. */
-  def partitionOf(key: Any, numPartitions: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    val h = Murmur3Hash(Seq(Literal(key)), 42).eval(null).asInstanceOf[Int]
+    * expression so the two can never drift. NOTE murmur3 hashes Int and
+    * Long differently: the key's runtime type must match the stored
+    * column type ([[lookup]] casts for you via the store schema; pass
+    * `keyType` here when routing without one). */
+  def partitionOf(key: Any, numPartitions: Int,
+      keyType: org.apache.spark.sql.types.DataType = null): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+    val lit = if (keyType == null) Literal(key)
+      else Literal.create(Cast(Literal(key), keyType, Some("UTC")).eval(null), keyType)
+    val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
     ((h % numPartitions) + numPartitions) % numPartitions
   }
 
@@ -63,11 +69,16 @@ object Serving {
 
   /** Key lookup routed to the hosting partition: the `p = partitionOf(key)`
     * predicate is a PartitionFilter — only that directory's files are
-    * read, however many partitions the store has. */
+    * read, however many partitions the store has. The key is hashed AS
+    * the stored column's type (murmur3 of an Int and a Long differ, and
+    * the equality predicate would silently coerce while the route did
+    * not — a wrong-directory empty result). */
   def lookup(s: SparkSession, path: String, keyCol: String, key: Any,
-      numPartitions: Int): DataFrame =
-    s.read.parquet(path)
-      .where(col("p") === partitionOf(key, numPartitions) && col(keyCol) === key)
+      numPartitions: Int): DataFrame = {
+    val df = s.read.parquet(path)
+    val p = partitionOf(key, numPartitions, df.schema(keyCol).dataType)
+    df.where(col("p") === p && col(keyCol) === key)
+  }
 
   /** Scatter-gather read (MusicPlaysRestService top-five): each host
     * serves only its own partitions; the coordinator unions the per-host

@@ -90,6 +90,22 @@ class MultimodalSpec extends SparkSpec {
     assert(same.slice(62, 62 + 6).toSeq === src.slice(62, 62 + 6).toSeq)
     // non-BMP payloads take the metadata-only path
     assert(Resize.resizeBmp("not a bitmap".getBytes, 64).isEmpty)
+    // malformed headers fall back instead of crashing the task: negative /
+    // header-overlapping pixel offsets, absurd widths
+    val badOff = bmpWithPixels(2, 2, Seq(Seq((1, 2, 3), (4, 5, 6)),
+      Seq((7, 8, 9), (10, 11, 12))))
+    badOff(10) = 0x9C.toByte; badOff(11) = 0xFF.toByte
+    badOff(12) = 0xFF.toByte; badOff(13) = 0xFF.toByte // offset = -100
+    assert(Resize.resizeBmp(badOff, 64).isEmpty)
+    val overlap = bmpWithPixels(2, 2, Seq(Seq((1, 2, 3), (4, 5, 6)),
+      Seq((7, 8, 9), (10, 11, 12))))
+    overlap(10) = 10 // offset inside the header
+    assert(Resize.resizeBmp(overlap, 64).isEmpty)
+    val hugeW = bmpWithPixels(2, 2, Seq(Seq((1, 2, 3), (4, 5, 6)),
+      Seq((7, 8, 9), (10, 11, 12))))
+    hugeW(18) = 0xFF.toByte; hugeW(19) = 0xFF.toByte
+    hugeW(20) = 0xFF.toByte; hugeW(21) = 0x7F.toByte // width = Int.MaxValue
+    assert(Resize.resizeBmp(hugeW, 64).isEmpty)
   }
 
   test("thumbnail fit never upscales and respects the 64-px box") {

@@ -39,7 +39,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF-Flat recall: probing 2 of ~20 cells recovers a measurable share of exact top-5") {
+  test("IVF-Flat recall: probing nprobe of corpus/stride cells beats the random fraction") {
     val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
     val ivf = pairs(Similarity.ivfTopK(spark, sf01))
     val recall = (ivf & truth).size.toDouble / truth.size
@@ -91,6 +91,10 @@ class SimilaritySpec extends SparkSpec {
     val r1cand = cand.last._2
     info(s"16 planes: radius-1 candidates=$r1cand radius-2 candidates=$r2cand")
     assert(r2cand > r1cand, "radius 2 must widen the candidate set")
+    // probeMasks generalizes to any radius: sum of binomials, all distinct
+    assert(Similarity.probeMasks(8, 3).size === 1 + 8 + 28 + 56)
+    assert(Similarity.probeMasks(8, 3).distinct.size === 93)
+    assert(Similarity.probeMasks(4, 9).size === 16, "radius beyond planes = full ball")
   }
 
   test("SRP bucket recall on planted near-duplicates (cos ~ 0.995) clears real floors") {

@@ -46,6 +46,18 @@ class ServingSpec extends SparkSpec {
       s"lookup partition $p not pruned at the scan: ${scanLine.get.trim.take(200)}")
   }
 
+  test("lookup hashes the key as the stored column's type (Int key on a Long store)") {
+    import spark.implicits._
+    val n = 8
+    val path = Files.createTempDirectory("graft-store-typed").toString
+    Serving.writePartitionedStore(
+      (1L to 200L).map(k => (k, k * 3)).toDF("k", "v"), "k", n, path)
+    // a boxed Int would murmur3 to a different partition than the Long the
+    // store was bucketed by; lookup must cast before routing
+    val hit = Serving.lookup(spark, path, "k", 42, n).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((42L, 126L)))
+  }
+
   test("metadataForKey distributes keys across hosts like the reference's assignment") {
     val hosts = Seq("host-a:7070", "host-b:7070", "host-c:7070")
     val n = 12
