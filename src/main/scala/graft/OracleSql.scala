@@ -677,5 +677,74 @@ object OracleSql {
         |  CAST(max(n % 480 + 16) AS INTEGER) AS max_height,
         |  CAST(sum(n % 30 + 1) AS BIGINT) AS total_frames
         |FROM f GROUP BY media_type""".stripMargin),
+    // KafkaMusic chart: plays>=30s -> song join -> count -> top-5 per
+    // genre + top-5 overall ('all'), ties plays-desc/song_id-asc
+    "c7_music_chart" ->
+      ("""WITH plays AS (SELECT (event_id % 200) + 1 AS song_id
+        |    FROM events WHERE value >= 30),
+        |counts AS (SELECT song_id, p_name AS song_name,
+        |    lower(p_brand) AS genre, count(*) AS plays
+        |  FROM plays JOIN part ON song_id = p_partkey
+        |  GROUP BY song_id, p_name, lower(p_brand)),
+        |g AS (SELECT genre AS chart, CAST(row_number() OVER (
+        |    PARTITION BY genre ORDER BY plays DESC, song_id ASC) AS INTEGER)
+        |    AS pos, song_id, song_name, plays FROM counts),
+        |o AS (SELECT 'all' AS chart, CAST(row_number() OVER (
+        |    ORDER BY plays DESC, song_id ASC) AS INTEGER)
+        |    AS pos, song_id, song_name, plays FROM counts)
+        |SELECT chart, pos, song_id, song_name, plays FROM g WHERE pos <= 5
+        |UNION ALL
+        |SELECT chart, pos, song_id, song_name, plays FROM o WHERE pos <= 5"""
+        .stripMargin),
+    // microservices validation end-to-end: the three validators (details /
+    // session-fraud / sequential inventory walk via recursive CTE) mirror
+    // OrderPipeline exactly, incl. the (ts, order_id) tie order and the
+    // non-reserving inventory FAIL
+    "c8_microservices" -> {
+      val limit = graft.pipelines.OrderPipeline.FraudLimit
+      s"""WITH RECURSIVE
+        |o AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
+        |    l_suppkey AS customer_id, l_partkey AS product,
+        |    CASE WHEN (l_orderkey + l_linenumber) % 97 = 0
+        |      THEN -l_quantity ELSE l_quantity END AS quantity,
+        |    l_extendedprice / 5000.0 AS price, l_shipdate AS ts
+        |  FROM lineitem),
+        |det AS (SELECT order_id, CASE WHEN quantity >= 0 AND price >= 0
+        |    AND product IS NOT NULL THEN 0 ELSE 1 END AS fail FROM o),
+        |fl AS (SELECT order_id, customer_id, quantity * price AS amt, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR
+        |      CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 3600
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY customer_id ORDER BY ts, order_id)),
+        |fg AS (SELECT *, sum(ns) OVER (PARTITION BY customer_id
+        |    ORDER BY ts, order_id ROWS UNBOUNDED PRECEDING) AS sess FROM fl),
+        |fr AS (SELECT order_id, CASE WHEN sum(amt) OVER (
+        |    PARTITION BY customer_id, sess ORDER BY ts, order_id
+        |    ROWS UNBOUNDED PRECEDING) < $limit THEN 0 ELSE 1 END AS fail FROM fg),
+        |inv0 AS (SELECT o.order_id, o.product, o.quantity,
+        |    coalesce(p.stock, 0.0) AS stock,
+        |    row_number() OVER (PARTITION BY o.product
+        |      ORDER BY o.ts, o.order_id) AS rn
+        |  FROM o LEFT JOIN (SELECT p_partkey AS product,
+        |      CAST(p_size * 20 AS DOUBLE) AS stock FROM part) p USING (product)),
+        |walk AS (
+        |  SELECT product, rn, order_id,
+        |    CASE WHEN quantity <= stock THEN quantity ELSE 0.0 END AS reserved,
+        |    CASE WHEN quantity <= stock THEN 0 ELSE 1 END AS fail
+        |  FROM inv0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT l.product, l.rn, l.order_id,
+        |    CASE WHEN w.reserved + l.quantity <= l.stock
+        |      THEN w.reserved + l.quantity ELSE w.reserved END,
+        |    CASE WHEN w.reserved + l.quantity <= l.stock THEN 0 ELSE 1 END
+        |  FROM walk w JOIN inv0 l ON l.product = w.product AND l.rn = w.rn + 1),
+        |v AS (SELECT order_id, fail FROM det
+        |  UNION ALL SELECT order_id, fail FROM fr
+        |  UNION ALL SELECT order_id, fail FROM walk),
+        |st AS (SELECT order_id, CASE WHEN sum(fail) > 0 THEN 'FAILED'
+        |    ELSE 'VALIDATED' END AS state FROM v GROUP BY order_id)
+        |SELECT state, count(*) AS n_orders, sum(quantity) AS total_qty
+        |FROM o JOIN st USING (order_id) GROUP BY state""".stripMargin
+    },
   )
 }

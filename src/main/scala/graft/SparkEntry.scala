@@ -118,6 +118,8 @@ object SparkEntry {
     "c4_prep_funnel"    -> (Composites.prepFunnel _),
     "c5_wikifeed_avro"  -> (Composites.wikipediaFeed _),
     "c6_prep_chunked"   -> (Composites.prepChunkedFunnel _),
+    "c7_music_chart"    -> (Composites.musicChart _),
+    "c8_microservices"  -> (Composites.microservicesValidation _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

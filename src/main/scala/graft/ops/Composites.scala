@@ -132,6 +132,91 @@ object Composites {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** KafkaMusic flagship chart (interactivequeries/kafkamusic/
+    * KafkaMusicExample.java:296-377): play events with a chartable
+    * duration (≥ 30, `:312`, MIN_CHARTABLE_DURATION `:169`) re-key to
+    * their song (`:314`), join the song table (`:318-320`), count per
+    * song (`:323-327`), and the top-5 per genre plus the top-5 overall
+    * (`:342-377`, TOP_FIVE_KEY = "all" `:176`) are the two rank
+    * branches — ties break plays-desc / songId-asc exactly like the
+    * TopFiveSongs comparator (`:457-468`).
+    *
+    * Testdata mapping: events.value is the play duration, `part` is the
+    * song table (lower(p_brand) = genre, `:341`'s toLowerCase), and the
+    * play→song key is event_id mod 200 + 1 (every SF has ≥ 200 parts).
+    * Scale shape: the song dim broadcasts, the count is one shuffle at
+    * song grain, and both rank branches read the tiny checkpointed
+    * counts table (song-grain, ≪ plays) — the rank+filter pair plans as
+    * WindowGroupLimit, so even the global chart does a partial top-5
+    * per partition before the single-partition merge. */
+  def musicChart(s: SparkSession, dir: String): DataFrame = {
+    val songs = Tables.part(s, dir).select(
+      col("p_partkey").as("song_id"), col("p_name").as("song_name"),
+      lower(col("p_brand")).as("genre"))
+    // song-grain counts feed both chart branches; checkpointed because
+    // Catalyst does not reuse exchanges across union subtrees
+    val counts = Tables.events(s, dir)
+      .filter(col("value") >= 30)
+      .select((pmod(col("event_id"), lit(200)) + 1).as("song_id"))
+      .join(broadcast(songs), Seq("song_id"))
+      .groupBy(col("song_id"), col("song_name"), col("genre"))
+      .agg(count(lit(1)).as("plays"))
+      .localCheckpoint()
+    val perGenre = Window.partitionBy(col("genre"))
+      .orderBy(col("plays").desc, col("song_id").asc)
+    val overall = Window.partitionBy()
+      .orderBy(col("plays").desc, col("song_id").asc)
+    val byGenre = counts
+      .withColumn("pos", row_number().over(perGenre))
+      .filter(col("pos") <= 5)
+      .withColumn("chart", col("genre"))
+    val allChart = counts
+      .withColumn("pos", row_number().over(overall))
+      .filter(col("pos") <= 5)
+      .withColumn("chart", lit("all"))
+    byGenre.unionByName(allChart)
+      .select(col("chart"), col("pos"), col("song_id"),
+        col("song_name"), col("plays"))
+  }
+
+  /** The microservices order-validation dataflow end-to-end
+    * (microservices/EndToEndTest.java:184-193) as one batch plan:
+    * orders synthesized deterministically from lineitem fan out to the
+    * three validators (OrderDetails / Fraud / Inventory), verdicts
+    * aggregate per order, and the final states roll up to counts.
+    *
+    * Testdata mapping: one order per lineitem row — order_id =
+    * "orderkey-linenumber", customer = l_suppkey (100 customers with
+    * multi-order 1h-gap sessions on day-granular shipdates), product =
+    * l_partkey, price = l_extendedprice/5000 (sessions straddle the
+    * 2000 fraud limit), quantity negated on ~1% of rows (pmod 97) so
+    * the details check fails occasionally; warehouse stock = p_size·20
+    * (most products exhaust mid-sequence, exercising the non-reserving
+    * FAIL walk). All three verdicts exist for every order in batch, so
+    * the final state is VALIDATED or FAILED — CREATED only appears in
+    * the streaming form where verdicts straddle micro-batches. */
+  def microservicesValidation(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.OrderPipeline
+    val orders = Tables.lineitem(s, dir).select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("order_id"),
+      col("l_suppkey").as("customer_id"),
+      col("l_partkey").as("product"),
+      when(pmod(col("l_orderkey") + col("l_linenumber"), lit(97)) === 0,
+        -col("l_quantity")).otherwise(col("l_quantity")).as("quantity"),
+      (col("l_extendedprice") / 5000.0).as("price"),
+      // shipdate parquet-decodes as TIMESTAMP_NTZ; the UTC session makes
+      // this cast read the naive value as UTC, exactly DuckDB's epoch()
+      col("l_shipdate").cast("timestamp").as("ts"))
+    val warehouse = Tables.part(s, dir).select(
+      col("p_partkey").as("product"),
+      (col("p_size") * 20).cast("double").as("stock"))
+    OrderPipeline.validateOrders(orders, warehouse)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_orders"),
+        // quantities are integral doubles, so the sum is order-exact
+        sum(col("quantity")).as("total_qty"))
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the

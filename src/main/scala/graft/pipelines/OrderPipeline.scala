@@ -44,7 +44,10 @@ object OrderPipeline {
     * ARRIVAL (the reference's cache-disabled changelog emits one decision
     * per order) — batch form: running sum within the session island. */
   def fraudCheck(orders: DataFrame): DataFrame = {
-    val byCust = Window.partitionBy(col("customer_id")).orderBy(col("ts"))
+    // order_id breaks ts ties so the running total is deterministic when
+    // several orders share a timestamp (day-granular feeds)
+    val byCust = Window.partitionBy(col("customer_id"))
+      .orderBy(col("ts"), col("order_id"))
     val newSession = when(
       col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byCust) > 3600, 1)
       .otherwise(when(lag(col("ts"), 1).over(byCust).isNull, 1).otherwise(0))
@@ -52,7 +55,8 @@ object OrderPipeline {
       .withColumn("sess", sum(newSession).over(
         byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val inSession = Window.partitionBy(col("customer_id"), col("sess"))
-      .orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("ts"), col("order_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessioned
       .withColumn("session_total",
         sum(col("quantity") * col("price")).over(inSession))
