@@ -69,29 +69,47 @@ object Bench {
     // default 1 — unchanged contract; use 3 locally for load-robust numbers
     // per BASELINE.md's falsifiability note)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A query that throws is recorded in `errors`, NOT timed — a regression
+    // must surface as an error entry, never as a suspiciously fast number.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // Full materialization: toRdd.count() produces every output row
         // through the complete codegen pipeline. A bare df.count() lets
         // Catalyst prune projected expressions, so projection-ending
         // queries (o1/o2/o3/o12/o15/m2/s2…) would time the scan only.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(160)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+          None
+        }
       }
-      name -> times.min
+      if (times.nonEmpty) Some(name -> times.min) else None
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     // total + load lead the line (and a copy goes to stderr) so a truncated
     // capture of stdout can never lose the headline number again.
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load1_start":$loadStart,"load1_end":$load1,"n_queries":${results.size},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // a SHORT headline line AFTER the big JSON: a head-truncated capture
+    // keeps the big line's leading total, a tail-truncated capture keeps
+    // this one — either direction retains the headline.
+    val headline = s"""{"total":$total,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"load1_end":$load1}"""
+    println(headline)
     System.err.println(json)
+    System.err.println(headline)
     spark.stop()
   }
 }

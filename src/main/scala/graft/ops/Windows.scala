@@ -61,17 +61,30 @@ object Windows {
     * the watermark is the running max event time minus a 10-minute grace.
     * Records older than the watermark at their arrival are dropped.
     *
-    * Scale note: the running max over a GLOBAL arrival order is inherently
-    * sequential, so this batch emulation single-partitions — it exists as
-    * the DuckDB-checkable oracle of the semantics. The production path is
-    * the streaming form (`withWatermark` in graft.streaming), where Spark
-    * tracks the watermark per-partition and scales out. */
+    * Scale shape: the global running max is a two-level prefix scan, NOT a
+    * single-partition window over the data. Rows bucket by
+    * `event_id div 4096`; the running max WITHIN a bucket is a window
+    * partitioned by bucket (parallel), and the max of all PRIOR buckets
+    * comes from the bucket-grain summary table (rows/4096 — the only
+    * global-order window runs there) broadcast back. greatest(local
+    * running max, prior-bucket max) IS the global running max, so the
+    * DuckDB oracle is unchanged and bit-exact. The production path is
+    * still the streaming form (`withWatermark` in graft.streaming). */
   def lateDataFilter(s: SparkSession, dir: String): DataFrame = {
-    val arrival = W.orderBy(col("event_id"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    Tables.events(s, dir)
+    val bucketWidth = 4096L
+    val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("event_type"))
-      .withColumn("wm", max(col("ts")).over(arrival) - expr("INTERVAL 10 MINUTES"))
+      .withColumn("b", expr(s"event_id div $bucketWidth"))
+    val inBucket = W.partitionBy(col("b")).orderBy(col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val prior = ev.groupBy(col("b")).agg(max(col("ts")).as("bmax"))
+      .withColumn("prev_max", max(col("bmax")).over(
+        W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)))
+      .select(col("b"), col("prev_max"))
+    ev.withColumn("local_max", max(col("ts")).over(inBucket))
+      .join(broadcast(prior), Seq("b"))
+      .withColumn("wm",
+        greatest(col("local_max"), col("prev_max")) - expr("INTERVAL 10 MINUTES"))
       .filter(col("ts") >= col("wm"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("kept"))
   }
