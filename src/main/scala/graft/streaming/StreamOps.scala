@@ -311,6 +311,75 @@ object StreamOps {
       }
   }
 
+  /** One user→region changelog record; `region = None` is the KTable
+    * tombstone, `ord` the arrival order (topic-offset analog). */
+  case class UserRegion(user: String, region: Option[String], ord: Long)
+  /** The re-key repartition record: the reference's adder (+1) or
+    * subtractor (−1) for one region. */
+  case class RegionDelta(region: String, delta: Int, ord: Long)
+  /** Downstream count changelog row: `count = None` is the tombstone the
+    * `count >= minCount` HAVING filter emits when a region drops below
+    * the threshold; `ord` is the triggering update's offset. */
+  case class RegionCount(region: String, count: Option[Long], ord: Long)
+
+  /** A3 stage 1 — the KTable groupBy re-key (UserRegionLambdaExample
+    * .java:131): keyed latest region per user; a region CHANGE emits the
+    * subtractor for the old region and the adder for the new one, a user
+    * tombstone emits just the subtractor. The delta stream is the
+    * reference's repartition topic — at scale it shuffles user-grain
+    * deltas, never recomputes region counts from scratch. A re-register
+    * of the unchanged region is coalesced (no-op), like the reference
+    * with record caching on. */
+  def regroupDeltas(updates: Dataset[UserRegion]): Dataset[RegionDelta] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.user)
+      .flatMapGroupsWithState[Option[String], RegionDelta](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: String, it: Iterator[UserRegion], state: GroupState[Option[String]]) =>
+          var cur = state.getOption.flatten
+          val out = scala.collection.mutable.ArrayBuffer.empty[RegionDelta]
+          it.toSeq.sortBy(_.ord).foreach { u =>
+            if (u.region != cur) {
+              cur.foreach(r => out += RegionDelta(r, -1, u.ord))
+              u.region.foreach(r => out += RegionDelta(r, 1, u.ord))
+              cur = u.region
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** A3 stage 2 — incremental per-region count with the HAVING filter's
+    * tombstone (UserRegionLambdaExample.java:132-135): state is one Long
+    * per region, each delta adjusts it in place (the add/subtract pair of
+    * a region move lands as two deltas), and the changelog emits the new
+    * count while ≥ `minCount`, or a tombstone when the region falls back
+    * below the threshold — exactly the filtered-KTable view a downstream
+    * materialization observes. Chain after [[regroupDeltas]] through a
+    * sink (the repartition topic): Spark does not allow two update-mode
+    * stateful operators in one query. */
+  def regroupCountChangelog(deltas: Dataset[RegionDelta],
+      minCount: Long = 2): Dataset[RegionCount] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.region)
+      .flatMapGroupsWithState[(Long, Boolean), RegionCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (region: String, it: Iterator[RegionDelta], state: GroupState[(Long, Boolean)]) =>
+          var (count, visible) = state.getOption.getOrElse((0L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RegionCount]
+          it.toSeq.sortBy(_.ord).foreach { d =>
+            count += d.delta
+            val nowVisible = count >= minCount
+            if (nowVisible) out += RegionCount(region, Some(count), d.ord)
+            else if (visible) out += RegionCount(region, None, d.ord)
+            visible = nowVisible
+          }
+          state.update((count, visible))
+          out.iterator
+      }
+  }
+
   /** One side's changelog record for the incremental table⋈table join:
     * `side` is "L" or "R", `value = None` is the KTable tombstone, `ord`
     * is the arrival order within a batch (the topic-offset analog). */

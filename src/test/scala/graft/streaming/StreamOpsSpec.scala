@@ -561,4 +561,53 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(got === Set(("punk", 1, 2L), ("punk", 2, 3L), ("rock", 1, 4L)))
   }
+
+  test("regroup count changelog emits add/subtract deltas and the HAVING tombstone (UserRegion golden)") {
+    // reference: UserRegionLambdaExample.java:72-106 — the javadoc's exact
+    // input sequence (alice moves asia→europe at offset 4) and the
+    // `count >= 2` filtered changelog it produces. Each update is its own
+    // micro-batch; the delta stream between the two stateful stages is the
+    // reference's repartition topic (Spark disallows two update-mode
+    // stateful operators in one query, like Streams repartitions between
+    // the groupBy and the count).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val updates = Seq(
+      UserRegion("alice", Some("asia"), 0), UserRegion("bob", Some("americas"), 1),
+      UserRegion("chao", Some("asia"), 2), UserRegion("dave", Some("europe"), 3),
+      UserRegion("alice", Some("europe"), 4), UserRegion("eve", Some("americas"), 5),
+      UserRegion("fang", Some("asia"), 6), UserRegion("gandalf", Some("europe"), 7))
+
+    val in = MemoryStream[UserRegion]
+    val q1 = regroupDeltas(in.toDS()).writeStream.format("memory")
+      .queryName("deltas").outputMode("update").start()
+    try {
+      updates.foreach { u => in.addData(u); q1.processAllAvailable() }
+    } finally q1.stop()
+    val deltas = spark.table("deltas").as[RegionDelta].collect().sortBy(_.ord)
+    // alice's move is the subtractor/adder pair at ord 4
+    assert(deltas.filter(_.ord == 4).toList ===
+      List(RegionDelta("asia", -1, 4), RegionDelta("europe", 1, 4)))
+    assert(deltas.length === 9) // 8 adds + 1 subtract
+
+    val in2 = MemoryStream[RegionDelta]
+    val q2 = regroupCountChangelog(in2.toDS()).writeStream.format("memory")
+      .queryName("counts").outputMode("update").start()
+    try {
+      // one micro-batch per original update offset, like the repartition
+      // topic consumed in arrival order
+      deltas.groupBy(_.ord).toSeq.sortBy(_._1).foreach { case (_, ds) =>
+        in2.addData(ds.toSeq); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val got = spark.table("counts").as[RegionCount].collect()
+      .sortBy(r => (r.ord, r.region)).toList
+    assert(got === List(
+      RegionCount("asia", Some(2), 2),      // chao joins alice
+      RegionCount("asia", None, 4),         // alice leaves: drops below 2
+      RegionCount("europe", Some(2), 4),    // ...and joins dave
+      RegionCount("americas", Some(2), 5),  // eve joins bob
+      RegionCount("asia", Some(2), 6),      // fang re-fills asia
+      RegionCount("europe", Some(3), 7)))   // gandalf
+  }
 }
