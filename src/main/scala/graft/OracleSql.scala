@@ -457,8 +457,24 @@ object OracleSql {
     "s8_ivf_topk" -> {
       val stride = Similarity.CentroidStride
       val nprobe = Similarity.NProbe
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+      // one Lloyd round (Similarity.LloydIters): assign to the seeded
+      // centroids, recenter each cell at the vec_id-ordered sequential-
+      // double mean — the same defined fold the Spark side runs
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id % $stride = 0),
+         |sc0 AS (SELECT e.vec_id, e.embedding, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents0),
+         |as0 AS (SELECT vec_id, embedding, cent_id AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc0) WHERE rk = 1),
+         |agg AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+         |  FROM as0 GROUP BY cell),
+         |cents AS (SELECT cent_id,
+         |  [CAST(s AS DOUBLE) / len(ms) for s in
+         |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS c_emb
+         |  FROM agg),
          |scored AS (SELECT e.vec_id, e.embedding, cent_id,
          |    ${cosSql("e.embedding", "c_emb")} AS csim
          |  FROM embeddings e CROSS JOIN cents),

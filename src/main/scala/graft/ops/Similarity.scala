@@ -196,30 +196,44 @@ object Similarity {
 
   // ---- IVF-Flat ANN --------------------------------------------------
 
-  /** Every `CentroidStride`-th vector is a coarse-quantizer centroid — a
-    * deterministic "sampled centroids" build (the k-means seeding step;
-    * real IVF would Lloyd-iterate, which only moves the centroids, not
-    * the search shape). */
+  /** Every `CentroidStride`-th vector seeds a coarse-quantizer centroid
+    * (the deterministic k-means seeding step). */
   val CentroidStride = 10
   /** Cells probed per query. */
   val NProbe = 2
+  /** Lloyd refinement rounds over the seeded centroids. */
+  val LloydIters = 1
 
   /** IVF-Flat ANN top-k — the inverted-file alternative to SRP-LSH
-    * (s2/s7): vectors are assigned to their nearest centroid's CELL once
-    * (the index build: an n×C broadcast nested-loop scored by cosine,
-    * checkpointed like a persisted index), and a query searches only its
-    * `NProbe` nearest cells via an EQUALITY join on cell id — at 100 TB
-    * the search is a bucket join exactly like s5/s7, with recall tuned by
-    * C (cell size ≈ corpus/C) and NProbe instead of planes/radius.
-    * Exact cosine re-ranks; ties break on id. Fully reproduced in the
-    * DuckDB oracle (same centroids, same sequential-double math). */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    * (s2/s7): seeded centroids are refined by `LloydIters` rounds of
+    * Lloyd's algorithm (assign → recenter), vectors are assigned to
+    * their nearest refined centroid's CELL once (the index build: an
+    * n×C broadcast nested-loop scored by cosine, checkpointed like a
+    * persisted index), and a query searches only its `NProbe` nearest
+    * cells via an EQUALITY join on cell id — at 100 TB the search is a
+    * bucket join exactly like s5/s7, with recall tuned by C (cell size
+    * ≈ corpus/C) and NProbe instead of planes/radius. Exact cosine
+    * re-ranks; ties break on id.
+    *
+    * Determinism (the DuckDB oracle reproduces the refinement
+    * bit-exactly): each cell's new centroid is the mean of its members
+    * summed SEQUENTIALLY in vec_id order in double precision — a
+    * defined fold, not an order-free shuffle sum — so both engines
+    * produce identical doubles, identical re-assignments, identical
+    * search results. Cell membership is bounded (≈ CentroidStride
+    * vectors), so the per-cell collect is small. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(s, dir, LloydIters)
+
+  /** [[ivfTopK]] with an explicit Lloyd round count — 0 = the raw seeded
+    * centroids (SimilaritySpec measures the refinement's recall delta). */
+  def ivfTopKWith(s: SparkSession, dir: String, lloydIters: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
-    val cents = emb.filter(col("vec_id") % CentroidStride === 0)
+    val cents0 = emb.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
-    def nearestCells(v: DataFrame, keep: Int): DataFrame = {
+    def nearestCells(v: DataFrame, keep: Int, cents: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
       v.crossJoin(broadcast(cents))
@@ -230,9 +244,26 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("norm"),
           col("cent_id").as("cell"))
     }
+    // Lloyd rounds: reassign, then recenter each cell at the vec_id-ordered
+    // sequential-double mean of its members (deterministic across engines).
+    // Checkpointed per round: the next round's n×C scoring reads the
+    // materialized centroids instead of re-deriving them.
+    val cents = (1 to lloydIters).foldLeft(cents0) { (c, _) =>
+      nearestCells(emb, 1, c)
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
+        .select(col("cell").as("cent_id"),
+          transform(
+            aggregate(col("ms"), array_repeat(lit(0.0), lit(Dim)),
+              (acc, m) => zip_with(acc, m.getField("embedding"),
+                (a, x) => a + x.cast(DoubleType))),
+            x => x / size(col("ms"))).as("c_emb"))
+        .withColumn("c_norm", l2norm(col("c_emb")))
+        .localCheckpoint()
+    }
     // the index: one cell per vector, materialized once
-    val cells = nearestCells(emb, 1).localCheckpoint()
-    val queries = nearestCells(emb.filter(col("vec_id") < 10), NProbe)
+    val cells = nearestCells(emb, 1, cents).localCheckpoint()
+    val queries = nearestCells(emb.filter(col("vec_id") < 10), NProbe, cents)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window

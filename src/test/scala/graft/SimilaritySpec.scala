@@ -43,7 +43,11 @@ class SimilaritySpec extends SparkSpec {
     val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
     val ivf = pairs(Similarity.ivfTopK(spark, sf01))
     val recall = (ivf & truth).size.toDouble / truth.size
-    info(f"IVF nprobe=${Similarity.NProbe} recall@5 vs exact: $recall%.3f (${(ivf & truth).size}/${truth.size})")
+    val seeded = pairs(Similarity.ivfTopKWith(spark, sf01, 0))
+    val seededRecall = (seeded & truth).size.toDouble / truth.size
+    info(f"IVF nprobe=${Similarity.NProbe} recall@5 vs exact: " +
+      f"seeded=$seededRecall%.3f refined(${Similarity.LloydIters} Lloyd)=$recall%.3f " +
+      f"(${(ivf & truth).size}/${truth.size})")
     // Searching NProbe/C of the corpus must beat the same random fraction
     // of it, and every query must return SOMETHING from its probed cells.
     val frac = Similarity.NProbe.toDouble * Similarity.CentroidStride /
