@@ -80,6 +80,22 @@ object Serving {
     df.where(col("p") === p && col(keyCol) === key)
   }
 
+  /** Key-SET lookup routed to the union of hosting partitions — the
+    * batched "range"/all-keys read of the reference's REST layer
+    * (WordCountInteractiveQueriesRestService's range endpoint hits each
+    * hosting instance once, not once per key). Every key is hashed as
+    * the stored column's type, the distinct hosting partitions become
+    * ONE `p IN (…)` PartitionFilter, and the key equality prunes rows
+    * within those directories — k keys read at most min(k, n) partition
+    * directories in a single scan, never k scans. */
+  def lookupAll(s: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any], numPartitions: Int): DataFrame = {
+    val df = s.read.parquet(path)
+    val kt = df.schema(keyCol).dataType
+    val ps = keys.map(k => partitionOf(k, numPartitions, kt)).distinct
+    df.where(col("p").isin(ps: _*) && col(keyCol).isin(keys: _*))
+  }
+
   /** Scatter-gather read (MusicPlaysRestService top-five): each host
     * serves only its own partitions; the coordinator unions the per-host
     * partial top-k and re-ranks. `keyCol` breaks value ties so the

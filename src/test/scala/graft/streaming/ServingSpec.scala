@@ -46,6 +46,37 @@ class ServingSpec extends SparkSpec {
       s"lookup partition $p not pruned at the scan: ${scanLine.get.trim.take(200)}")
   }
 
+  test("multi-key lookup prunes to the union of hosting partitions in one scan") {
+    import spark.implicits._
+    val n = 8
+    val path = Files.createTempDirectory("graft-store-multi").toString
+    Serving.writePartitionedStore(
+      (1L to 500L).map(k => (k, k * 10)).toDF("k", "v"), "k", n, path)
+    // the scan must read exactly the distinct hosting partitions of the
+    // key set (≤ key count when keys collide), never the full store
+    val keys: Seq[Any] = Seq(42L, 43L, 44L, 45L)
+    val expectedPs = keys.map(k =>
+      Serving.partitionOf(k, n,
+        org.apache.spark.sql.types.LongType)).distinct
+    val hit = Serving.lookupAll(spark, path, "k", keys, n)
+    assert(hit.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === keys.map { case k: Long => (k, k * 10) }.sorted)
+    // pruning evidence: one scan whose PartitionFilters is p IN (union),
+    // never a per-key scan or a full-store read
+    val planStr = hit.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined, planStr.take(800))
+    assert(scanLine.get.contains("IN ("),
+      s"no IN partition filter: ${scanLine.get.trim.take(200)}")
+    expectedPs.foreach(p => assert(scanLine.get.matches(s".*IN \\([^)]*\\b$p\\b[^)]*\\).*"),
+      s"partition $p missing from PartitionFilters: ${scanLine.get.trim.take(200)}"))
+    // the IN list holds exactly the distinct hosting partitions
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(scanLine.get).get.group(1)
+    assert(inList.split(",").length === expectedPs.size,
+      s"scan reads ${inList.split(",").length} partitions, expected ${expectedPs.size}")
+  }
+
   test("lookup hashes the key as the stored column's type (Int key on a Long store)") {
     import spark.implicits._
     val n = 8
