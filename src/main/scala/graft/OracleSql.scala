@@ -371,6 +371,39 @@ object OracleSql {
          |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    // d8's clusters applied: drop non-canonical members, roll up survivors
+    "d10_dedup_apply" -> {
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         |losers AS (SELECT id AS doc_id FROM reach GROUP BY id
+         |  HAVING id <> min(r))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |    AS total_tokens
+         |FROM documents ANTI JOIN losers USING (doc_id)
+         |GROUP BY lang""".stripMargin
+    },
     "d9_contamination" ->
       (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |sh AS (SELECT doc_id,

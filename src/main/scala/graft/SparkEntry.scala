@@ -13,9 +13,11 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The KafkaMusic chart — the reference's own flagship app — end-to-end:
+    * filter ≥30s plays → song join → count → top-5 per genre + overall. */
   def entry(spark: SparkSession): DataFrame =
-    Joins.broadcastFkChain(spark, "/root/testdata/sf0.001")
+    Composites.musicChart(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
@@ -87,6 +89,7 @@ object SparkEntry {
     "d7_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "d9_contamination"  -> (Dedup.contamination _),
+    "d10_dedup_apply"   -> (Dedup.dedupApply _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),

@@ -232,6 +232,25 @@ object Dedup {
       .filter(col("overlap") >= 0.3)
   }
 
+  /** §2.8 the APPLY stage of near-dup dedup — the step a training-data
+    * pipeline ships AFTER d8's cluster labeling: drop every cluster
+    * member except its canonical min-doc_id representative (cluster_id
+    * IS the min label, so losers are members with doc_id ≠ cluster_id)
+    * and report the surviving corpus per language. At 100 TB the drop
+    * list is the small near-dup fraction of the corpus, so the anti-join
+    * broadcasts it against the full scan — one pass over documents, no
+    * corpus shuffle before the per-language rollup. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val losers = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).cast(LongType).as("total_tokens"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   val SimHashBits = 32
