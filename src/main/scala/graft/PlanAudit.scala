@@ -48,6 +48,12 @@ object PlanAudit {
         Seq("WindowGroupLimit"), Seq()),
       ("w5_late_data", "the batch watermark is a two-level prefix scan: the row-grain running max is a Window PARTITIONED by bucket, the bucket summary (rows/4096, map-side partial_max) broadcasts back — the only global-order window runs at bucket grain",
         Seq("Window", "partial_max", "BroadcastHashJoin"), Seq()),
+      ("c7_music_chart", "both chart branches read the checkpointed song-grain counts (ExistingRDD — the broadcast song join ran once inside the checkpoint) and the rank+filter pair plans WindowGroupLimit: partial top-5 before any single-partition merge",
+        Seq("ExistingRDD", "WindowGroupLimit"), Seq("CartesianProduct", "FileScan parquet")),
+      ("c8_microservices", "the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
+        Seq("BroadcastHashJoin", "partial_sum"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d10_dedup_apply", "the non-canonical drop list broadcasts against the single corpus scan as a LeftAnti BroadcastHashJoin — one documents pass, no corpus shuffle before the language rollup",
+        Seq("BroadcastHashJoin", "LeftAnti, BuildRight"), Seq("SortMergeJoin")),
       // The a_id<b_id pair join is BNLJ (inequality-only), which never joins
       // whole-stage codegen; the native expression is in the join condition
       // (evaluated via its compiled eval), with no Python/UDF anywhere.
