@@ -89,7 +89,10 @@ object Bench {
           None
         }
       }
-      if (times.nonEmpty) Some(name -> times.min) else None
+      // a query that failed on ANY rep is an error, never a timing — a
+      // flaky best-of-N success must not hide the failure in the headline
+      if (times.nonEmpty && !errors.contains(name)) Some(name -> times.min)
+      else None
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace regex class shared by the Spark operators AND the DuckDB
+    * oracle SQL (OracleSql interpolates these constants). Spelled as an
+    * explicit char class because Java's `\s` and RE2's `\s` disagree on
+    * `\x0B` (vertical tab) — with one literal class interpreted
+    * identically by both engines, tokenization can never drift between
+    * the engine and its oracle. */
+  val WsChars = " \\t\\n\\f\\r"
+  val Ws: String = "[" + WsChars + "]"
+
   /** Marker words per language for the n-gram language-ID heuristic. */
   val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "und", "die", "nicht"),
@@ -43,8 +52,8 @@ object TextAnalysis {
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length — combined into one deterministic score per document. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(split(trim(col("text")), "\\s+"))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
+    val nWords = size(split(trim(col("text")), Ws + "+"))
+    val nPunct = size(regexp_extract_all(col("text"), lit(s"[^\\w$WsChars]"), lit(0)))
     val nStop = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|and|of|a|to|in|is|it)\\b"), lit(0)))
     Tables.documents(s, dir)
@@ -64,9 +73,9 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs, single digits, single punctuation marks), per language. */
   def tokenCounts(s: SparkSession, dir: String): DataFrame = {
-    val ws = size(split(trim(col("text")), "\\s+"))
+    val ws = size(split(trim(col("text")), Ws + "+"))
     val bpe = size(regexp_extract_all(col("text"),
-      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+      lit(s"[A-Za-z]+|[0-9]|[^A-Za-z0-9$WsChars]"), lit(0)))
     Tables.documents(s, dir)
       .select(col("lang"), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
       .groupBy(col("lang"))
@@ -267,7 +276,7 @@ object TextAnalysis {
     * row), replacing the md5-per-position form whose hash constant
     * dominated the query at scale. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val norm = regexp_replace(trim(lower(col("text"))), TextAnalysis.Ws + "+", " ")
     // Char codes of norm; the length-1 filter drops any zero-width split
     // artifacts so codes(i) is exactly unicode(norm[i]).
     val codes = transform(filter(split(col("norm"), ""), c => length(c) === 1),

@@ -67,12 +67,16 @@ class ServingSpec extends SparkSpec {
     val planStr = hit.queryExecution.executedPlan.toString
     val scanLine = planStr.linesIterator.find(_.contains("PartitionFilters"))
     assert(scanLine.isDefined, planStr.take(800))
-    assert(scanLine.get.contains("IN ("),
-      s"no IN partition filter: ${scanLine.get.trim.take(200)}")
-    expectedPs.foreach(p => assert(scanLine.get.matches(s".*IN \\([^)]*\\b$p\\b[^)]*\\).*"),
-      s"partition $p missing from PartitionFilters: ${scanLine.get.trim.take(200)}"))
+    // the scan line also carries a DataFilters IN-list over the KEYS (and the
+    // metadata renders alphabetically, DataFilters first) — anchor every
+    // assertion to the PartitionFilters segment or we'd be counting keys
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(scanLine.get)
+      .getOrElse(fail(s"no PartitionFilters segment: ${scanLine.get.trim.take(200)}"))
+    assert(pf.contains("IN ("), s"no IN partition filter: ${pf.take(200)}")
+    expectedPs.foreach(p => assert(pf.matches(s".*IN \\([^)]*\\b$p\\b[^)]*\\).*"),
+      s"partition $p missing from PartitionFilters: ${pf.take(200)}"))
     // the IN list holds exactly the distinct hosting partitions
-    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(scanLine.get).get.group(1)
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf).get.group(1)
     assert(inList.split(",").length === expectedPs.size,
       s"scan reads ${inList.split(",").length} partitions, expected ${expectedPs.size}")
   }
