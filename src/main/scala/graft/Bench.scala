@@ -114,5 +114,9 @@ object Bench {
     System.err.println(json)
     System.err.println(headline)
     spark.stop()
+    // Totals are only comparable across runs at n_errors=0 (an erroring
+    // query is dropped from `total`, shrinking it) — so a run with errors
+    // exits nonzero and can never be read as a fast baseline.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -25,6 +25,13 @@ object OracleSql {
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), y -> length(y) > 0)"
 
+  /** Whitespace char class INTERPOLATED from TextAnalysis.WsChars — the
+    * engine operators and their oracle SQL share one literal class by
+    * construction (Java's `\s` and RE2's `\s` disagree on `\x0B`, so
+    * neither side ever spells `\s` for tokenization). */
+  private val wsChars = graft.ops.TextAnalysis.WsChars
+  private val ws = "[" + wsChars + "]"
+
   /** DECIMAL-exact sum of a 2-decimal double column, emitted as DOUBLE. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -399,7 +406,7 @@ object OracleSql {
          |losers AS (SELECT id AS doc_id FROM reach GROUP BY id
          |  HAVING id <> min(r))
          |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |  CAST(sum(len(string_split_regex(trim(text), '$ws+'))) AS BIGINT)
          |    AS total_tokens
          |FROM documents ANTI JOIN losers USING (doc_id)
          |GROUP BY lang""".stripMargin
@@ -490,27 +497,33 @@ object OracleSql {
     "s8_ivf_topk" -> {
       val stride = Similarity.CentroidStride
       val nprobe = Similarity.NProbe
-      // one Lloyd round (Similarity.LloydIters): assign to the seeded
-      // centroids, recenter each cell at the vec_id-ordered sequential-
-      // double mean — the same defined fold the Spark side runs
+      // Lloyd refinement CTEs GENERATED from Similarity.LloydIters (one
+      // assign→recenter block per round), so bumping the Spark-side
+      // constant can never silently desynchronize engine and oracle. Each
+      // round recenters every cell at the vec_id-ordered sequential-double
+      // mean — the same defined fold the Spark side runs.
+      val iters = Similarity.LloydIters
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
       s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id % $stride = 0),
-         |sc0 AS (SELECT e.vec_id, e.embedding, cent_id,
-         |    ${cosSql("e.embedding", "c_emb")} AS csim
-         |  FROM embeddings e CROSS JOIN cents0),
-         |as0 AS (SELECT vec_id, embedding, cent_id AS cell
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc0) WHERE rk = 1),
-         |agg AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
-         |  FROM as0 GROUP BY cell),
-         |cents AS (SELECT cent_id,
-         |  [CAST(s AS DOUBLE) / len(ms) for s in
-         |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
-         |      for i in range(1, len(a) + 1)])] AS c_emb
-         |  FROM agg),
+         |$refine
          |scored AS (SELECT e.vec_id, e.embedding, cent_id,
          |    ${cosSql("e.embedding", "c_emb")} AS csim
-         |  FROM embeddings e CROSS JOIN cents),
+         |  FROM embeddings e CROSS JOIN cents$iters),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
          |cells AS (SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rk = 1),
@@ -560,10 +573,10 @@ object OracleSql {
          |FROM b GROUP BY lang, pred""".stripMargin
     },
     "t2_quality" ->
-      ("""WITH m AS (SELECT doc_id, text,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-        |  len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is|it)\b')) AS n_stop
+      (s"""WITH m AS (SELECT doc_id, text,
+        |  len(string_split_regex(trim(text), '$ws+')) AS n_words,
+        |  len(regexp_extract_all(text, '[^\\w$wsChars]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to|in|is|it)\\b')) AS n_stop
         |  FROM documents)
         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
         |  CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
@@ -574,9 +587,9 @@ object OracleSql {
         |    + CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 1.0 ELSE 0.0 END AS quality
         |FROM m""".stripMargin),
     "t3_token_counts" ->
-      ("""SELECT lang,
-        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
-        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+      (s"""SELECT lang,
+        |  CAST(sum(len(string_split_regex(trim(text), '$ws+'))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9$wsChars]'))) AS BIGINT)
         |    AS total_bpe_tokens,
         |  count(*) AS n_docs FROM documents GROUP BY lang""".stripMargin),
     "t5_ngram_counts" ->
@@ -622,8 +635,8 @@ object OracleSql {
          |  md5(array_to_string(ct, ' ')) AS chunk_hash FROM c""".stripMargin
     },
     "t4_fingerprint" ->
-      ("""WITH n AS (SELECT doc_id,
-        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      (s"""WITH n AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '$ws+', ' ', 'g') AS norm FROM documents)
         |SELECT doc_id, md5(norm) AS fp,
         |  CAST(CASE WHEN length(norm) >= 5 THEN
         |    list_min([unicode(substr(norm, i, 1))::BIGINT * 923521
@@ -664,10 +677,10 @@ object OracleSql {
       ("SELECT CAST(user_id AS VARCHAR) AS username, count(*) AS cnt " +
         "FROM events WHERE event_type = 'signup' GROUP BY 1"),
     "c4_prep_funnel" ->
-      ("""WITH filtered AS (SELECT doc_id, text, lang,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words
+      (s"""WITH filtered AS (SELECT doc_id, text, lang,
+        |    len(string_split_regex(trim(text), '$ws+')) AS n_words
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 2000),
+        |  WHERE len(string_split_regex(trim(text), '$ws+')) BETWEEN 20 AND 2000),
         |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
         |    min(n_words) AS n_words
         |  FROM filtered GROUP BY md5(text))
@@ -681,7 +694,7 @@ object OracleSql {
       val overlap = graft.ops.TextAnalysis.ChunkOverlap
       val stride = size - overlap
       s"""WITH f AS (SELECT doc_id, lang, text FROM documents
-         |  WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 2000),
+         |  WHERE len(string_split_regex(trim(text), '$ws+')) BETWEEN 20 AND 2000),
          |d AS (SELECT doc_id, lang, text FROM (SELECT *, row_number()
          |    OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f) WHERE rk = 1),
          |ch AS (SELECT doc_id, lang, len($tokensSql) AS n FROM d),

@@ -54,7 +54,7 @@ object Composites {
     * plan (filters push into the scan; one shuffle for the dedup groupBy,
     * one for the final per-language rollup). */
   def prepFunnel(s: SparkSession, dir: String): DataFrame = {
-    val toks = size(split(trim(col("text")), "\\s+"))
+    val toks = size(split(trim(col("text")), TextAnalysis.Ws + "+"))
     val docs = Tables.documents(s, dir)
       .withColumn("n_words", toks)
       .filter(col("n_words") >= 20 && col("n_words") <= 2000)
@@ -79,7 +79,7 @@ object Composites {
     * and the lang join, and Catalyst does not reuse exchanges across
     * self-join subtrees. */
   def prepChunkedFunnel(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nWords = size(split(trim(col("text")), TextAnalysis.Ws + "+"))
     val deduped = Tables.documents(s, dir)
       .withColumn("n_words", nWords)
       .filter(col("n_words") >= 20 && col("n_words") <= 2000)

@@ -248,7 +248,8 @@ object Dedup {
       .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+"))).cast(LongType).as("total_tokens"))
+        sum(size(split(trim(col("text")), TextAnalysis.Ws + "+")))
+          .cast(LongType).as("total_tokens"))
   }
 
   // ---- SimHash -------------------------------------------------------
