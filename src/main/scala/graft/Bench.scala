@@ -65,15 +65,25 @@ object Bench {
         .agg(sum(col("d")).as("s"))
         .queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
-    // SPARK_GRAFT_BENCH_REPS > 1: per-query best-of-N (the driver runs the
-    // default 1 — unchanged contract; use 3 locally for load-robust numbers
-    // per BASELINE.md's falsifiability note)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // SPARK_GRAFT_BENCH_REPS (default 2): every query runs `reps` times.
+    // The HEADLINE fields ("value", "queries") record the FIRST rep —
+    // the single-shot number every earlier round recorded, so the driver
+    // contract and cross-round comparability are unchanged. The best-of-N
+    // per-query minima ride alongside ("total_best", "queries_best") as
+    // the load-robust number BASELINE.md's round-7 re-baseline keys off
+    // (this box's external load contaminates single-shot totals by up to
+    // 2×; the per-query min of two back-to-back reps sheds most bursts).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // A query that throws is recorded in `errors`, NOT timed — a regression
     // must surface as an error entry, never as a suspiciously fast number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
+        // d8 is the LABEL phase of the label/apply dedup pipeline and
+        // memoizes its labels for d10's apply phase; re-measuring it must
+        // recompute, not serve the memo. (d10 keeps the memo — measuring
+        // the apply phase against prepared labels IS its contract.)
+        if (name == "d8_dedup_clusters") graft.ops.Dedup.invalidateLabels()
         val t0 = System.nanoTime()
         // Full materialization: toRdd.count() produces every output row
         // through the complete codegen pipeline. A bare df.count() lets
@@ -91,24 +101,31 @@ object Bench {
       }
       // a query that failed on ANY rep is an error, never a timing — a
       // flaky best-of-N success must not hide the failure in the headline
-      if (times.nonEmpty && !errors.contains(name)) Some(name -> times.min)
+      if (times.nonEmpty && !errors.contains(name))
+        Some(name -> (times.head, times.min))
       else None
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalBest = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val qsBest = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     // total + load lead the line (and a copy goes to stderr) so a truncated
     // capture of stdout can never lose the headline number again.
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_best":$totalBest,"reps":$reps,""" +
       s""""load1_start":$loadStart,"load1_end":$load1,"n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,""" +
+      s""""queries_best":$qsBest,"sf":"$sfDir"}"""
     println(json)
     // a SHORT headline line AFTER the big JSON: a head-truncated capture
     // keeps the big line's leading total, a tail-truncated capture keeps
     // this one — either direction retains the headline.
-    val headline = s"""{"total":$total,"n_queries":${results.size},""" +
+    val headline = s"""{"total":$total,"total_best":$totalBest,""" +
+      s""""n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"load1_end":$load1}"""
     println(headline)
     System.err.println(json)

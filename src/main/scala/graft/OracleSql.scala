@@ -30,7 +30,7 @@ object OracleSql {
     * construction (Java's `\s` and RE2's `\s` disagree on `\x0B`, so
     * neither side ever spells `\s` for tokenization). */
   private val wsChars = graft.ops.TextAnalysis.WsChars
-  private val ws = "[" + wsChars + "]"
+  private val ws = graft.ops.TextAnalysis.Ws
 
   /** DECIMAL-exact sum of a 2-decimal double column, emitted as DOUBLE. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -469,7 +469,8 @@ object OracleSql {
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
     "s3_embedding_neardup" ->
-      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0 AND vec_id < ${Similarity.AuditCap})
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -552,7 +553,8 @@ object OracleSql {
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin),
     "s4_native_cosine" ->
-      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0 AND vec_id < ${Similarity.AuditCap})
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -3,15 +3,16 @@ package graft
 
 /** Emits PLANS.md: physical-plan evidence for the scale-design claims —
   * broadcasts where dims are small, pushdown reaching the scan, SMJ (not
-  * cartesian) on time-bound joins, single-subtree LSH pipelines. */
+  * cartesian) on time-bound joins, single-subtree LSH pipelines.
+  *
+  * The same checks run as assertions inside `sbt test` (PlanSpec), so a
+  * plan regression — a broadcast falling back to SMJ after a threshold
+  * change, a filter no longer reaching the scan — fails the suite instead
+  * of shipping silently until someone regenerates PLANS.md. */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val out = if (args.length > 1) args(1) else "PLANS.md"
-    val spark = GraftSession.local(4)
-    spark.sparkContext.setLogLevel("ERROR")
 
-    val checks = Seq(
+  /** (query name, claim, must-contain fragments, must-not-contain). */
+  val checks: Seq[(String, String, Seq[String], Seq[String])] = Seq(
       ("j3_fk_chain", "every dimension join is a BroadcastHashJoin; no shuffle of the fact side before the final aggregation",
         Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
       ("o6_filter_stream", "predicates reach the parquet scan (DataFilters/PushedFilters)",
@@ -52,25 +53,46 @@ object PlanAudit {
         Seq("ExistingRDD", "WindowGroupLimit"), Seq("CartesianProduct", "FileScan parquet")),
       ("c8_microservices", "the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
         Seq("BroadcastHashJoin", "partial_sum"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("d10_dedup_apply", "the non-canonical drop list broadcasts against the single corpus scan as a LeftAnti BroadcastHashJoin — one documents pass, no corpus shuffle before the language rollup",
-        Seq("BroadcastHashJoin", "LeftAnti, BuildRight"), Seq("SortMergeJoin")),
+      ("d10_dedup_apply", "the APPLY phase reads the memoized label table (ExistingRDD — the LSH+CC labeling pipeline ran once, in d8's label phase, not again here) and the non-canonical drop list broadcasts against the single corpus scan as a LeftAnti BroadcastHashJoin — one documents pass, no corpus shuffle before the language rollup",
+        Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
+        Seq("SortMergeJoin", "Generate explode")),
+      ("s3_embedding_neardup", "the exact-cosine audit joins a FIXED-SIZE sample: the corpus-size-independent vec_id cap is pushed down to the parquet scan, so the quadratic pair count cannot grow with the corpus",
+        Seq(s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"), Seq()),
       // The a_id<b_id pair join is BNLJ (inequality-only), which never joins
       // whole-stage codegen; the native expression is in the join condition
       // (evaluated via its compiled eval), with no Python/UDF anywhere.
-      ("s4_native_cosine", "native graft_cosine in the join condition; no UDF/Python evaluation",
-        Seq("graft_cosine"), Seq("BatchEvalPython"))
+      ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
+        Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
+        Seq("BatchEvalPython"))
     )
+
+  /** Materialize one checked query (so AQE's FINAL plan — including
+    * codegen spans — is what gets read) and evaluate its fragments.
+    * Returns (physical plan, missing musts, present must-nots): both
+    * lists empty = the check holds. Shared by main (PLANS.md) and
+    * PlanSpec (sbt test assertions). */
+  def evaluate(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      name: String, must: Seq[String], mustNot: Seq[String])
+      : (String, Seq[String], Seq[String]) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    (plan, must.filter(m => !plan.contains(m)), mustNot.filter(m => plan.contains(m)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")
-    sb.append(s"Scale-design evidence at `$sfDir`. Regenerate: `sbt \"runMain graft.PlanAudit\"`.\n")
+    sb.append(s"Scale-design evidence at `$sfDir`. Regenerate: `sbt \"runMain graft.PlanAudit\"`. ")
+    sb.append("The same checks run as PlanSpec assertions in `sbt test`.\n")
     checks.foreach { case (name, claim, must, mustNot) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // materialize so AQE's FINAL plan (incl. codegen spans) is read
-      val plan = df.queryExecution.executedPlan.toString
+      val (plan, okMust, okNot) = evaluate(spark, sfDir, name, must, mustNot)
       val scans = "FileScan parquet".r.findAllIn(plan).size
-      val okMust = must.filter(m => !plan.contains(m))
-      val okNot = mustNot.filter(m => plan.contains(m))
       val verdict = if (okMust.isEmpty && okNot.isEmpty) "OK" else
         s"VIOLATION missing=$okMust present=$okNot"
       sb.append(s"\n## $name — $verdict\n\n")

@@ -139,7 +139,7 @@ object Similarity {
     * same oracle. */
   def embeddingNearDupNative(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
-    val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+    val emb = Tables.embeddings(s, dir).filter(auditSample)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -331,11 +331,22 @@ object Similarity {
         round(sqrt(sqerr / size(emb)) / amax, 6).as("rel_rmse"))
   }
 
-  /** Embedding-cosine near-duplicate pairs among vec_id%10==0. The synthetic
-    * embeddings top out around cosine 0.38 pairwise, so the threshold is 0.3
-    * (with real near-dup corpora this would be ~0.95). */
+  /** Bound of the s3/s4 exact-audit sample: the BNLJ pair join is
+    * quadratic in its input, so the input must NOT grow with the corpus —
+    * a %10 decimation alone scales linearly and the audit itself would
+    * break at 100×. The vec_id cap fixes the sample at ≤ AuditCap/10
+    * vectors (≤ 100 → ≤ 4,950 pairs) no matter the corpus size; both
+    * predicates push down to the parquet scan (PLANS.md s3/s4 checks). */
+  val AuditCap = 1000
+  private def auditSample: Column =
+    col("vec_id") % 10 === 0 && col("vec_id") < AuditCap
+
+  /** Embedding-cosine near-duplicate pairs among a FIXED-SIZE audit
+    * sample (vec_id%10==0 and vec_id<AuditCap). The synthetic embeddings
+    * top out around cosine 0.38 pairwise, so the threshold is 0.3 (with
+    * real near-dup corpora this would be ~0.95). */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+    val emb = Tables.embeddings(s, dir).filter(auditSample)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       l2norm(col("embedding")).as("a_norm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),

@@ -169,14 +169,19 @@ class OpsSpec extends SparkSpec {
 
   test("connectedComponents converges on a chain of diameter 12 (one cluster)") {
     import spark.implicits._
-    // A path graph 0-1-2-...-12: min-label propagation moves the 0 label
-    // one hop per round, so any fixed round count < 12 leaves the far end
-    // mis-clustered. The fixed-point loop must label every node 0.
+    // A path graph 0-1-2-...-12: plain min-label propagation moves the 0
+    // label one hop per round (12 rounds to the far end); pointer jumping
+    // roughly doubles label distance per round, so the fixed point —
+    // including its final no-change detection round — must land in ≤ 4
+    // rounds. Any fixed round count < diameter would mis-cluster the far
+    // end without the fixed-point loop.
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain, "doc_id", "cluster_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labelsDf, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "doc_id", "cluster_id")
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 13)
     assert(labels.values.forall(_ == 0L), s"non-zero labels: $labels")
+    assert(rounds <= 4, s"pointer jumping should converge in ≤4 rounds, took $rounds")
     // two disjoint chains stay separate
     val two = ((0L until 9L).map(i => (i, i + 1)) ++
       (100L until 109L).map(i => (i, i + 1))).toDF("a", "b")
