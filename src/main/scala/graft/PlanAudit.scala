@@ -58,6 +58,8 @@ object PlanAudit {
         Seq("SortMergeJoin", "Generate explode")),
       ("s3_embedding_neardup", "the exact-cosine audit joins a FIXED-SIZE sample: the corpus-size-independent vec_id cap is pushed down to the parquet scan, so the quadratic pair count cannot grow with the corpus",
         Seq(s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"), Seq()),
+      ("c6_prep_chunked", "the chunk rollup reads the checkpointed dedup table (ExistingRDD) and Catalyst column-prunes the per-chunk md5/collect_list (chunk_hash is t11's oracle cross-check, dead weight here) — c6 pays for the chunk expansion itself, never for hashing it",
+        Seq("ExistingRDD"), Seq("md5", "collect_list")),
       // The a_id<b_id pair join is BNLJ (inequality-only), which never joins
       // whole-stage codegen; the native expression is in the join condition
       // (evaluated via its compiled eval), with no Python/UDF anywhere.

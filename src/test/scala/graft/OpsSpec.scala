@@ -191,6 +191,33 @@ class OpsSpec extends SparkSpec {
     assert(got.filter(_._1 >= 100).values.toSet === Set(100L))
   }
 
+  test("dedupApplyFrom drops exactly the non-canonical cluster members") {
+    import spark.implicits._
+    // labels: {1,2,3} cluster to 1; {10} is its own cluster; docs 2 and 3
+    // are the losers — the survivors' per-lang rollup must count 1 and 10
+    // only, with whitespace-split token totals.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "en", "one two three"),
+      (2L, "en", "one two three"),
+      (3L, "en", "one  two"),
+      (10L, "fr", "un deux"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.dedupApplyFrom(labels, docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("en" -> (1L, 3L), "fr" -> (1L, 2L)))
+  }
+
+  test("clusterLabels memoizes per (context, dir): d10 reuses d8's labels") {
+    Dedup.invalidateLabels()
+    val first = Dedup.clusterLabels(spark, sf001)
+    val second = Dedup.clusterLabels(spark, sf001)
+    assert(first eq second,
+      "second call must return the memoized (checkpointed) labels table")
+    Dedup.invalidateLabels()
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, sf001).orderBy("doc_id").head()
     val b = Dedup.minhashSignatures(spark, sf001).orderBy("doc_id").head()
