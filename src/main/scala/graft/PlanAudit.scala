@@ -51,8 +51,9 @@ object PlanAudit {
         Seq("Window", "partial_max", "BroadcastHashJoin"), Seq()),
       ("c7_music_chart", "both chart branches read the checkpointed song-grain counts (ExistingRDD — the broadcast song join ran once inside the checkpoint) and the rank+filter pair plans WindowGroupLimit: partial top-5 before any single-partition merge",
         Seq("ExistingRDD", "WindowGroupLimit"), Seq("CartesianProduct", "FileScan parquet")),
-      ("c8_microservices", "the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
-        Seq("BroadcastHashJoin", "partial_sum"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c8_microservices", "the synthesized orders topic is materialized ONCE (ExistingRDD) and consumed by all three validators plus the rejoin — no per-service re-scan of lineitem; the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
+        Seq("ExistingRDD", "BroadcastHashJoin", "partial_sum"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "lineitem")),
       ("d10_dedup_apply", "the APPLY phase reads the memoized label table (ExistingRDD — the LSH+CC labeling pipeline ran once, in d8's label phase, not again here) and the non-canonical drop list broadcasts against the single corpus scan as a LeftAnti BroadcastHashJoin — one documents pass, no corpus shuffle before the language rollup",
         Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
         Seq("SortMergeJoin", "Generate explode")),

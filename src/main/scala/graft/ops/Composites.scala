@@ -197,6 +197,11 @@ object Composites {
     * the streaming form where verdicts straddle micro-batches. */
   def microservicesValidation(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.OrderPipeline
+    // The synthesized orders feed FOUR subtrees (three validators + the
+    // final rejoin) and Catalyst does not reuse scans across union/join
+    // subtrees — checkpointed, this is the reference's own shape: the
+    // orders topic is materialized once and every service consumes it,
+    // rather than each service re-deriving it from the source table.
     val orders = Tables.lineitem(s, dir).select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("order_id"),
       col("l_suppkey").as("customer_id"),
@@ -207,6 +212,7 @@ object Composites {
       // shipdate parquet-decodes as TIMESTAMP_NTZ; the UTC session makes
       // this cast read the naive value as UTC, exactly DuckDB's epoch()
       col("l_shipdate").cast("timestamp").as("ts"))
+      .localCheckpoint()
     val warehouse = Tables.part(s, dir).select(
       col("p_partkey").as("product"),
       (col("p_size") * 20).cast("double").as("stock"))
