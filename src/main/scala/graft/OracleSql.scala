@@ -440,7 +440,7 @@ object OracleSql {
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin),
     "d7_ngram_jaccard" ->
       (s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS w
-         |  FROM documents WHERE doc_id % 20 = 0),
+         |  FROM documents WHERE doc_id % 20 = 0 AND doc_id < ${Dedup.JaccardAuditCap}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
          |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
          |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id

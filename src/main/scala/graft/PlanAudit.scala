@@ -61,6 +61,8 @@ object PlanAudit {
         Seq(s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"), Seq()),
       ("c6_prep_chunked", "the chunk rollup reads the checkpointed dedup table (ExistingRDD) and Catalyst column-prunes the per-chunk md5/collect_list (chunk_hash is t11's oracle cross-check, dead weight here) — c6 pays for the chunk expansion itself, never for hashing it",
         Seq("ExistingRDD"), Seq("md5", "collect_list")),
+      ("d7_ngram_jaccard", "the exact-Jaccard audit reads a FIXED-SIZE sample: the corpus-size-independent doc_id cap is pushed to the parquet scan, so the audit's pair output cannot grow with the corpus",
+        Seq(s"LessThan(doc_id,${graft.ops.Dedup.JaccardAuditCap})"), Seq()),
       // The a_id<b_id pair join is BNLJ (inequality-only), which never joins
       // whole-stage codegen; the native expression is in the join condition
       // (evaluated via its compiled eval), with no Python/UDF anywhere.

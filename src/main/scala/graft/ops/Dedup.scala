@@ -361,13 +361,20 @@ object Dedup {
 
   // ---- exact n-gram Jaccard (oracle-friendly ground truth) -----------
 
-  /** Exact word-set Jaccard over a deterministic document subset
-    * (doc_id % 20 == 0): pairs with similarity ≥ 0.3. The subset keeps the
-    * all-pairs comparison bounded; at full scale minhashLsh is the
-    * scalable path and this is its audit query. */
+  /** Cap of the exact-Jaccard audit sample: like Similarity.AuditCap, a
+    * %-decimation alone grows linearly with the corpus and the audit's
+    * pair output quadratically — the doc_id cut fixes the sample at
+    * ≤ JaccardAuditCap/20 documents at ANY corpus size. */
+  val JaccardAuditCap = 10000
+
+  /** Exact word-set Jaccard over a FIXED-SIZE deterministic document
+    * subset (doc_id % 20 == 0 and doc_id < JaccardAuditCap): pairs with
+    * similarity ≥ 0.3. The bounded subset keeps the all-pairs comparison
+    * corpus-size-independent; at full scale minhashLsh is the scalable
+    * path and this is its audit query. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .filter(col("doc_id") % 20 === 0)
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") < JaccardAuditCap)
       .select(col("doc_id"), explode(array_distinct(tokens)).as("w"))
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = docs.toDF("a_id", "w")
