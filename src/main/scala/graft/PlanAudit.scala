@@ -43,7 +43,7 @@ object PlanAudit {
         Seq("zip_with"), Seq("Exchange hashpartitioning", "Window")),
       ("t10_tfidf_top", "tf is checkpointed (ExistingRDD) and N folds in as a one-row broadcast — a single job, no separate driver-side count action",
         Seq("ExistingRDD"), Seq()),
-      ("s8_ivf_topk", "IVF search is an EQUALITY join on cell id over the checkpointed index (ExistingRDD) — the n×C scoring is confined to the index build",
+      ("s8_ivf_topk", "IVF search is an EQUALITY join on cell id over the checkpointed index (ExistingRDD) — the n×C scoring is confined to the index build, whose per-vector top-1 cell is a map-side-combining max_by aggregate (asserted by SimilaritySpec, invisible here because the checkpoint consumes the build plan)",
         Seq("ExistingRDD", "BroadcastHashJoin"), Seq("CartesianProduct")),
       ("t12_lang_balanced", "the per-language cap plans WindowGroupLimit: partial top-K per partition before the shuffle, never a full corpus sort",
         Seq("WindowGroupLimit"), Seq()),

@@ -227,23 +227,45 @@ object Similarity {
 
   /** [[ivfTopK]] with an explicit Lloyd round count — 0 = the raw seeded
     * centroids (SimilaritySpec measures the refinement's recall delta). */
+  /** Nearest `keep` centroid cells per vector (the IVF assign step).
+    * keep == 1 (the index build over the FULL corpus) is a max_by
+    * aggregate, NOT a window: the n×C scored rows partial-combine
+    * map-side to one row per vector before the vec_id shuffle (at 100 TB
+    * the window form would shuffle and sort every scored pair — the
+    * SimilaritySpec plan golden asserts partial_max_by and no Window).
+    * The (csim, -cent_id) struct order reproduces the window's
+    * csim-desc/cent_id-asc tie-break exactly, so the chosen cell is
+    * bit-identical. keep > 1 only ever runs on the tiny query side
+    * (NProbe cells for <10 queries), where the window is fine. */
+  private[graft] def nearestCells(v: DataFrame, keep: Int,
+      cents: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
+    if (keep == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("embedding"), col("norm"), col("cent_id")),
+          struct(col("csim"), (-col("cent_id")).as("tb"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.norm").as("norm"), col("m.cent_id").as("cell"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= keep)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cent_id").as("cell"))
+    }
+  }
+
   def ivfTopKWith(s: SparkSession, dir: String, lloydIters: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
     val cents0 = emb.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
-    def nearestCells(v: DataFrame, keep: Int, cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
-      v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
-          (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= keep)
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          col("cent_id").as("cell"))
-    }
     // Lloyd rounds: reassign, then recenter each cell at the vec_id-ordered
     // sequential-double mean of its members (deterministic across engines).
     // Checkpointed per round: the next round's n×C scoring reads the

@@ -101,6 +101,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.probeMasks(4, 9).size === 16, "radius beyond planes = full ball")
   }
 
+  test("IVF index build: top-1 cell is a map-side max_by, bit-equal to the window form") {
+    import spark.implicits._
+    // c5 and c3 are identical directions (exact csim tie): the struct
+    // tie-break must pick the LOWER cent_id, exactly like the window's
+    // csim-desc/cent_id-asc ordering. v2 leans toward c9.
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val v = Seq(
+      (1L, mk(Seq(1.0, 0.0)), 1.0),
+      (2L, mk(Seq(0.0, 1.0)), 1.0))
+      .toDF("vec_id", "embedding", "norm")
+    val cents = Seq(
+      (5L, mk(Seq(2.0, 0.0)), 2.0),
+      (3L, mk(Seq(4.0, 0.0)), 4.0),
+      (9L, mk(Seq(0.0, 1.0)), 1.0))
+      .toDF("cent_id", "c_emb", "c_norm")
+    val cells = Similarity.nearestCells(v, 1, cents)
+    val got = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 9L), s"got $got")
+    // scale shape: the full-corpus assign step partial-combines map-side
+    // (partial_max_by) and never window-sorts the scored pairs
+    cells.count()
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
   test("SRP bucket recall on planted near-duplicates (cos ~ 0.995) clears real floors") {
     import spark.implicits._
     val rnd = new scala.util.Random(123)
