@@ -27,8 +27,10 @@ object PlanAudit {
         Seq("ExistingRDD"), Seq("FileScan parquet")),
       ("s5_bucketed_neardup", "SRP-bucket equality join generates candidates — no all-pairs",
         Seq(), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
-      ("s7_multiprobe_topk", "multi-probe fan-out stays on the broadcast query side; candidates via BroadcastHashJoin, never all-pairs",
-        Seq("BroadcastHashJoin"), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("s7_multiprobe_topk", "multi-probe fan-out stays on the broadcast query side; candidates via BroadcastHashJoin, never all-pairs; the per-query top-k plans WindowGroupLimit (partial top-k per partition before the q_id shuffle)",
+        Seq("BroadcastHashJoin", "WindowGroupLimit"), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("s1_brute_topk", "the exact baseline scans the corpus once against broadcast queries and its per-query top-k plans WindowGroupLimit — even the brute-force path never shuffles all n×q scored rows to the rank step",
+        Seq("WindowGroupLimit"), Seq("SortMergeJoin")),
       ("o18_avro_roundtrip", "the Avro encode/decode stages are narrow (mapPartitions): the only exchange is the final aggregation's",
         Seq("MapPartitions"), Seq()),
       ("a2_wordcount", "partial aggregation before the word shuffle (map-side combine)",
