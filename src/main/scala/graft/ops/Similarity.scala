@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
   * - `bruteForceTopK`: exact cosine top-k for a small query set — the
-  *   correctness baseline. Dot products are computed with `zip_with` +
-  *   `aggregate` in double precision, sequentially over the vector, so the
-  *   result is bit-reproducible across engines.
+  *   correctness baseline. Dot products are the native codegen'd
+  *   [[graft.functions.DotProductExpr]] (one fused loop), accumulating in
+  *   double precision sequentially over the vector — bit-identical to the
+  *   `zip_with`+`aggregate` formulation and reproducible across engines.
   * - `lshTopK`: sign-random-projection LSH — each vector lands in a bucket
   *   keyed by the sign pattern of `NumPlanes` fixed hyperplanes; top-k is
   *   computed within matching buckets only. At 100 TB this turns the
@@ -32,13 +33,27 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** L2 norm of a float-array column, accumulated sequentially in double. */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+  /** L2 norm of a float-array column, accumulated sequentially in double
+    * (one fused native loop — see [[dot]]; `transform`+`aggregate` sums
+    * squares in the identical order, so values are unchanged). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Dot product of two float-array columns in double. */
+  /** Dot product of two numeric-array columns in double — the native
+    * codegen'd [[graft.functions.DotProductExpr]] (one fused loop, no
+    * intermediate array, inside whole-stage codegen) as SQL function
+    * `graft_dot`, registered by GraftSession / GraftExtensions (every
+    * session entry point in this library registers it). Accumulates
+    * sequentially index 0..n−1 in double: bit-identical to the
+    * `aggregate(zip_with(...))` formulation (OpsSpec asserts) and to the
+    * DuckDB oracle, so every similarity query's values are unchanged. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The higher-order-function dot (the pre-native formulation) — kept as
+    * the independent reference implementation: s3 uses it so the s3/s4
+    * oracle pair keeps cross-checking HOF vs native end-to-end, and
+    * OpsSpec asserts bit-equality of the two forms directly. */
+  private[graft] def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -94,9 +109,7 @@ object Similarity {
     val ps = planesFor(numPlanes)
     (0 until numPlanes).map { p =>
       val plane = array(ps(p).toIndexedSeq.map(lit): _*)
-      val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, 1L << p).otherwise(0L)
+      when(dot(emb, plane) >= 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
   }
 
@@ -368,14 +381,16 @@ object Similarity {
     * top out around cosine 0.38 pairwise, so the threshold is 0.3 (with
     * real near-dup corpora this would be ~0.95). */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    // deliberately the HOF formulation end-to-end (hofDot): s3 is the
+    // independent reference the s4 native variant is hash-compared against
     val emb = Tables.embeddings(s, dir).filter(auditSample)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      l2norm(col("embedding")).as("a_norm"))
+      sqrt(hofDot(col("embedding"), col("embedding"))).as("a_norm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      l2norm(col("embedding")).as("b_norm"))
+      sqrt(hofDot(col("embedding"), col("embedding"))).as("b_norm"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6).as("sim"))
+        round(hofDot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6).as("sim"))
       .filter(col("sim") >= 0.3)
   }
 }

@@ -148,6 +148,45 @@ class OpsSpec extends SparkSpec {
     assert(got.count(_.isNullAt(1)) === 2)
   }
 
+  test("native graft_dot matches the HOF dot bit-for-bit (float×float and float×double)") {
+    val emb = Tables.embeddings(spark, sf001).limit(50)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // float × float, every pair
+    val ff = a.join(b, col("a_id") < col("b_id"))
+      .select(
+        Similarity.hofDot(col("a_emb"), col("b_emb")).as("hof"),
+        Similarity.dot(col("a_emb"), col("b_emb")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(ff === 0L)
+    // float × double literal (the srpBucket hyperplane shape)
+    val plane = array(Similarity.planes(0).toIndexedSeq.map(lit): _*)
+    val fd = emb
+      .select(
+        Similarity.hofDot(col("embedding"), plane).as("hof"),
+        Similarity.dot(col("embedding"), plane).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(fd === 0L)
+  }
+
+  test("native graft_dot null semantics match the HOF (null element, length mismatch)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+      .union(Seq((Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f)))
+        .toDF("a", "b"))
+    val got = df.select(
+      Similarity.hofDot(col("a"), col("b")).as("hof"),
+      Similarity.dot(col("a"), col("b")).as("native")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    assert(got.count(_.isNullAt(1)) === 2)
+  }
+
   test("peek observes side-channel metrics without altering the relation (O11)") {
     // identity relation, checked against the raw table
     val n = Tables.nation(spark, sf001).count()

@@ -14,6 +14,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the shared test session mirrors GraftSession's contract: graft's
+    // native functions (graft_cosine / graft_dot) are always registered
+    functions.GraftExtensions.register(s)
     s
   }
 }
