@@ -196,6 +196,11 @@ object OracleSql {
     "o18_avro_roundtrip" ->
       (s"SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, " +
         s"${dsum("value")} AS total FROM events GROUP BY event_type"),
+    // every event round-trips the registry wire format (split across two
+    // writer-schema versions), so the aggregate must equal the raw table's
+    "o20_wire_registry" ->
+      (s"SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, " +
+        s"${dsum("value")} AS total FROM events GROUP BY event_type"),
     "a1_sum_by_key" ->
       (s"SELECT user_id, ${dsum("value")} AS total, count(*) AS n " +
         s"FROM events GROUP BY user_id"),

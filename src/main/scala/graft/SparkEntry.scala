@@ -51,6 +51,7 @@ object SparkEntry {
     "o17_order_limit"   -> (Stateless.orderLimit _),
     "o18_avro_roundtrip" -> (Stateless.avroRoundtrip _),
     "o19_sum_odd"       -> (Stateless.sumOdd _),
+    "o20_wire_registry" -> (Stateless.wireRegistryRoundtrip _),
     "t9_distinct_users" -> (TextAnalysis.distinctUsers _),
     "t10_tfidf_top"     -> (TextAnalysis.tfidfTopTerm _),
     // §2.3 aggregations (A1–A12)

@@ -129,6 +129,108 @@ object AvroCodec {
     }(Encoders.row(outSchema))
   }
 
+  // ---- Confluent Schema-Registry wire format ------------------------
+
+  /** The registry wire format (public Confluent format, used by every
+    * registry-backed serde the reference configures —
+    * SessionWindowsExample.java:158-160, Schemas.java:77-83): one magic
+    * byte 0x00, the writer's schema id as a BIG-ENDIAN 4-byte int, then
+    * the Avro binary payload. The registry's HTTP client cannot exist in
+    * this offline environment (README "Kafka connectivity"); what CAN —
+    * and what correctness actually depends on — is this framing plus
+    * id-based writer-schema resolution, with the id→schema mapping
+    * supplied locally exactly as the registry's `/schemas/ids/{id}`
+    * endpoint would supply it. On a live cluster the same call sites
+    * swap the map for the client's fetch. */
+  val WireMagic: Byte = 0x00
+
+  /** [[encode]] with the registry framing: every payload is prefixed
+    * with magic + `schemaId`. */
+  def encodeWire(df: DataFrame, schemaId: Int, schemaJson: String,
+      keep: Seq[String] = Seq.empty, outCol: String = "avro_bytes"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(
+      keep.map(k => inSchema(k)) :+ StructField(outCol, BinaryType, nullable = false))
+    val keepIdx = keep.map(inSchema.fieldIndex)
+    df.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fieldIdx = schema.getFields.toArray.map { f =>
+        inSchema.fieldIndex(f.asInstanceOf[Schema.Field].name)
+      }
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val out = new ByteArrayOutputStream()
+      var enc = EncoderFactory.get().binaryEncoder(out, null)
+      it.map { row =>
+        out.reset()
+        // header first: the encoder buffers and only hits `out` at flush
+        out.write(WireMagic)
+        out.write((schemaId >>> 24) & 0xFF); out.write((schemaId >>> 16) & 0xFF)
+        out.write((schemaId >>> 8) & 0xFF); out.write(schemaId & 0xFF)
+        enc = EncoderFactory.get().binaryEncoder(out, enc)
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fieldIdx.length) {
+          rec.put(i, row.get(fieldIdx(i)))
+          i += 1
+        }
+        writer.write(rec, enc)
+        enc.flush()
+        Row.fromSeq(keepIdx.map(row.get) :+ out.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode registry-framed records, resolving each record's WRITER
+    * schema from its framed id via the local `registry` map and
+    * schema-resolving it against `readerSchemaJson` — so ONE byte column
+    * may carry records written under different schema versions (the
+    * actual point of the registry: producers upgrade independently and
+    * every consumer resolves per record). Per partition, one resolved
+    * DatumReader is cached per distinct writer id. Output columns follow
+    * the reader schema. `lenient=true` drops bad-magic / unknown-id /
+    * undecodable records (poison-pill handling); otherwise they fail. */
+  def decodeWire(df: DataFrame, registry: Map[Int, String],
+      readerSchemaJson: String, bytesCol: String = "avro_bytes",
+      keep: Seq[String] = Seq.empty, lenient: Boolean = false): DataFrame = {
+    val inSchema = df.schema
+    val reader0 = new Schema.Parser().parse(readerSchemaJson)
+    val decodedFields = reader0.getFields.toArray.map { f0 =>
+      val f = f0.asInstanceOf[Schema.Field]
+      StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
+    }
+    val outSchema = StructType(keep.map(k => inSchema(k)) ++ decodedFields)
+    val keepIdx = keep.map(inSchema.fieldIndex)
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      var dec = DecoderFactory.get().binaryDecoder(Array.empty[Byte], null)
+      val n = readerSchema.getFields.size()
+      it.flatMap { row =>
+        try {
+          val bytes = row.getAs[Array[Byte]](bytesIdx)
+          if (bytes.length < 5 || bytes(0) != WireMagic)
+            throw new IllegalArgumentException(
+              s"not registry-framed (len=${bytes.length})")
+          val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+            ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+          val reader = readers.getOrElseUpdate(id, {
+            val writerJson = registry.getOrElse(id,
+              throw new IllegalArgumentException(s"schema id $id not in registry"))
+            new GenericDatumReader[GenericRecord](
+              new Schema.Parser().parse(writerJson), readerSchema)
+          })
+          dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+          val rec: GenericRecord = reader.read(null, dec)
+          val vals = (0 until n).map(i => fromAvro(rec.get(i)))
+          Some(Row.fromSeq(keepIdx.map(row.get) ++ vals))
+        } catch {
+          case _: Exception if lenient => None
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def sparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.LONG    => LongType
     case Schema.Type.INT     => IntegerType

@@ -183,6 +183,40 @@ object Stateless {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
   }
 
+  /** O20 Schema-Registry wire-format round-trip over a MIXED-VERSION
+    * topic (the scenario registry-backed serdes exist for —
+    * SessionWindowsExample.java:158-160): odd events are written under
+    * schema v1 (id 7), even events under v2 (id 8 — v1 plus a `src`
+    * field), the two framed byte streams union into one "topic", and the
+    * consumer decodes EVERY record against the v1 reader schema by
+    * resolving each record's writer schema from its framed id (v2's
+    * extra field is skipped by Avro schema resolution). The oracle
+    * aggregates the raw table, so framing or resolution corruption on
+    * either version fails the hash compare. */
+  def wireRegistryRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AvroCodec
+    val v1 = AvroCodec.eventSchemaJson
+    val v2 =
+      """{"type":"record","name":"Event","namespace":"graft.avro","fields":[
+        |{"name":"event_id","type":"long"},
+        |{"name":"event_type","type":"string"},
+        |{"name":"value","type":"double"},
+        |{"name":"src","type":"string"}]}""".stripMargin
+    val registry = Map(7 -> v1, 8 -> v2)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val oldProducer = AvroCodec.encodeWire(
+      ev.filter(col("event_id") % 2 === 1), 7, v1)
+    val newProducer = AvroCodec.encodeWire(
+      ev.filter(col("event_id") % 2 === 0).withColumn("src", lit("v2")), 8, v2)
+    val decoded = AvroCodec.decodeWire(
+      oldProducer.unionByName(newProducer), registry, readerSchemaJson = v1)
+    decoded.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+  }
+
   /** O14 record validation: field-range predicate → PASS/FAIL counts. */
   def validation(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -98,6 +98,64 @@ class AvroSpec extends SparkSpec {
     assert(out === Set((1L, "click", 2.5), (3L, "buy", 9.9)))
   }
 
+  test("wire format: magic 0x00 + big-endian schema id precede the spec-exact payload") {
+    import spark.implicits._
+    val df = Seq((1L, "click", 2.5)).toDF("event_id", "event_type", "value")
+    val bytes = AvroCodec.encodeWire(df, 0x01020304, AvroCodec.eventSchemaJson)
+      .head().getAs[Array[Byte]]("avro_bytes")
+    assert(bytes(0) === AvroCodec.WireMagic)
+    assert(bytes.slice(1, 5).toSeq === Seq[Byte](0x01, 0x02, 0x03, 0x04))
+    // payload after the 5-byte header = the unframed spec-exact encoding
+    val expected = Array[Byte](0x02, 0x0A, 'c', 'l', 'i', 'c', 'k',
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x04, 0x40)
+    assert(bytes.drop(5).toSeq === expected.toSeq)
+  }
+
+  test("wire format: mixed writer versions in one column resolve per record") {
+    import spark.implicits._
+    val v1 = AvroCodec.eventSchemaJson
+    val v2 =
+      """{"type":"record","name":"Event","namespace":"graft.avro","fields":[
+        |{"name":"event_id","type":"long"},
+        |{"name":"event_type","type":"string"},
+        |{"name":"value","type":"double"},
+        |{"name":"src","type":"string"}]}""".stripMargin
+    val a = AvroCodec.encodeWire(
+      Seq((1L, "click", 2.5)).toDF("event_id", "event_type", "value"), 7, v1)
+    val b = AvroCodec.encodeWire(
+      Seq((2L, "view", 1.5, "mobile")).toDF("event_id", "event_type", "value", "src"), 8, v2)
+    // v1 reader: v2's extra field is skipped by Avro schema resolution
+    val got = AvroCodec.decodeWire(a.unionByName(b), Map(7 -> v1, 8 -> v2), v1)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "click", 2.5), (2L, "view", 1.5)))
+    // v2-with-default reader: v1-written records fill src from the default
+    val v2def = v2.replace("""{"name":"src","type":"string"}""",
+      """{"name":"src","type":"string","default":"unknown"}""")
+    val got2 = AvroCodec.decodeWire(a.unionByName(b), Map(7 -> v1, 8 -> v2), v2def)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got2 === Set((1L, "click", 2.5, "unknown"), (2L, "view", 1.5, "mobile")))
+  }
+
+  test("wire format: bad magic and unknown schema id fail strict, drop lenient") {
+    import spark.implicits._
+    val v1 = AvroCodec.eventSchemaJson
+    val good = AvroCodec.encodeWire(
+      Seq((1L, "click", 2.5)).toDF("event_id", "event_type", "value"), 7, v1)
+    val unknownId = AvroCodec.encodeWire(
+      Seq((2L, "view", 1.5)).toDF("event_id", "event_type", "value"), 99, v1)
+    val badMagic = good.select(
+      concat(lit(Array[Byte](1)), expr("substring(avro_bytes, 2)")).as("avro_bytes"))
+    val mixed = good.unionByName(unknownId).unionByName(badMagic)
+    // strict: any bad record fails the decode
+    intercept[org.apache.spark.SparkException] {
+      AvroCodec.decodeWire(mixed, Map(7 -> v1), v1).count()
+    }
+    // lenient: only the good record survives
+    val got = AvroCodec.decodeWire(mixed, Map(7 -> v1), v1, lenient = true)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "click", 2.5)))
+  }
+
   test("o18 aggregate over decoded columns matches the raw-column aggregate") {
     val raw = Tables.events(spark, sf001)
       .groupBy(col("event_type"))
