@@ -1,0 +1,117 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** HTTP interactive-query serving over a partitioned store — the endpoint
+  * layer the reference runs with Jersey
+  * (WordCountInteractiveQueriesRestService.java:59-205: `GET
+  * /state/keyvalue/{store}/{key}` routed via `metadataForStoreAndKey` with
+  * 404 on absent keys, `/state/keyvalues/{store}/all`, `/state/instances`;
+  * MusicPlaysRestService.java:77-115: the scatter-gather top-five chart).
+  * Zero new dependencies: the JDK's built-in `com.sun.net.httpserver`
+  * serves, Spark's `toJSON` renders rows.
+  *
+  * The routing/lookup math lives in [[Serving]] (partition pruning,
+  * key→host metadata, scatter-gather merge — ServingSpec proves those
+  * against Spark's physical placement); this class only binds it to HTTP.
+  * Single-process stand-in for the reference's per-instance servers: here
+  * one server can read every partition directory, so `/state/keyvalue`
+  * answers directly (still reading ONLY the hosting partition, via the
+  * same PartitionFilter), while `/state/instance/{key}` exposes the
+  * partition→host metadata a multi-instance deployment would redirect
+  * with — exactly the reference's `thisHost(...)` fork
+  * (WordCountInteractiveQueriesRestService.java:90-99).
+  *
+  * Endpoints (all GET, JSON):
+  *  - `/state/keyvalue/{key}` — the hosting partition's rows for the key;
+  *    404 when absent (reference `byKey`:86-99)
+  *  - `/state/keyvalues?keys=k1,k2,…` — batched lookup, one scan over the
+  *    union of hosting partitions ([[Serving.lookupAll]])
+  *  - `/state/instance/{key}` — `{"partition":p,"host":h}` metadata
+  *  - `/state/instances` — every host and the partitions it owns
+  *    (reference `streamsMetadata`:187-198)
+  *  - `/state/topk?value=<col>&k=<n>` — scatter-gather top-k merged
+  *    across hosts ([[Serving.scatterGatherTopK]])
+  */
+class RestServing(spark: SparkSession, storePath: String, keyCol: String,
+    numPartitions: Int, hosts: Seq[String]) {
+
+  private var server: HttpServer = _
+
+  /** Bound port after [[start]] (pass port 0 for an ephemeral one). */
+  def port: Int = server.getAddress.getPort
+
+  def start(bindPort: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/state/keyvalue/", handler { path =>
+      val key = path.stripPrefix("/state/keyvalue/")
+      val rows = Serving.lookup(spark, storePath, keyCol, key, numPartitions)
+        .drop("p").toJSON.collect()
+      if (rows.isEmpty) (404, """{"error":"key not found"}""")
+      else (200, rows.mkString("[", ",", "]"))
+    })
+    server.createContext("/state/keyvalues", handlerQ { (_, q) =>
+      val keys = q.getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq
+      val rows = Serving.lookupAll(spark, storePath, keyCol, keys, numPartitions)
+        .drop("p").toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
+    server.createContext("/state/instance/", handler { path =>
+      val key = path.stripPrefix("/state/instance/")
+      val (p, h) = Serving.metadataForKey(key, numPartitions, hosts)
+      (200, s"""{"partition":$p,"host":"$h"}""")
+    })
+    server.createContext("/state/instances", handlerQ { (path, _) =>
+      if (path != "/state/instances") (404, """{"error":"not found"}""")
+      else {
+        val byHost = hosts.map { h =>
+          val owned = (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == h)
+          s"""{"host":"$h","partitions":[${owned.mkString(",")}]}"""
+        }
+        (200, byHost.mkString("[", ",", "]"))
+      }
+    })
+    server.createContext("/state/topk", handlerQ { (_, q) =>
+      val valueCol = q.getOrElse("value", "value")
+      val k = q.getOrElse("k", "5").toInt
+      val rows = Serving.scatterGatherTopK(spark, storePath, hosts,
+        numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handler(f: String => (Int, String)): com.sun.net.httpserver.HttpHandler =
+    handlerQ { (path, _) => f(path) }
+
+  private def handlerQ(
+      f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =
+    (exchange: HttpExchange) => {
+      val (status, body) =
+        try {
+          val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+            .split("&").filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              k -> java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          f(exchange.getRequestURI.getPath, q)
+        } catch {
+          case e: Exception =>
+            (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
+              .replaceAll("[\"\\\\]", " ")}"}""")
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, bytes.length)
+      val os = exchange.getResponseBody
+      os.write(bytes); os.close()
+    }
+}

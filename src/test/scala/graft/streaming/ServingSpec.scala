@@ -103,6 +103,46 @@ class ServingSpec extends SparkSpec {
       assert(hosts.contains(Serving.hostFor(p, hosts))))
   }
 
+  test("REST endpoints serve key lookup, metadata, and scatter-gather top-k over HTTP") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val n = 8
+    val hosts = Seq("host-a:7070", "host-b:7070", "host-c:7070")
+    val path = Files.createTempDirectory("graft-store-rest").toString
+    val store = (1L to 300L).map(k => (k, k * 10)).toDF("k", "v")
+    Serving.writePartitionedStore(store, "k", n, path)
+    val rest = new RestServing(spark, path, "k", n, hosts)
+    val port = rest.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // byKey: 200 with the row; 404 on an absent key (reference byKey:86-99)
+      assert(get("/state/keyvalue/42") === (200, """[{"k":42,"v":420}]"""))
+      assert(get("/state/keyvalue/9999")._1 === 404)
+      // batched lookup over the union of hosting partitions
+      val (bc, bb) = get("/state/keyvalues?keys=1,2,3")
+      assert(bc === 200)
+      assert(Seq(1, 2, 3).forall(k => bb.contains(s""""k":$k,"v":${k * 10}""")))
+      // metadata: the served partition/host must equal the routing math
+      val (p42, h42) = Serving.metadataForKey("42", n, hosts)
+      assert(get("/state/instance/42") ===
+        (200, s"""{"partition":$p42,"host":"$h42"}"""))
+      // instances: every partition owned by exactly one host
+      val (ic, ib) = get("/state/instances")
+      assert(ic === 200)
+      assert((0 until n).forall(p => ib.contains(p.toString)))
+      // scatter-gather top-3 by value = global max keys 300, 299, 298
+      assert(get("/state/topk?value=v&k=3") ===
+        (200, """[{"k":300,"v":3000},{"k":299,"v":2990},{"k":298,"v":2980}]"""))
+    } finally rest.stop()
+  }
+
   test("scatter-gather top-k across hosts equals the global top-k (MusicPlaysRestService)") {
     import spark.implicits._
     val n = 8
