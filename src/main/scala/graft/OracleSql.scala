@@ -815,5 +815,26 @@ object OracleSql {
         |SELECT state, count(*) AS n_orders, sum(quantity) AS total_qty
         |FROM o JOIN st USING (order_id) GROUP BY state""".stripMargin
     },
+    // EmailService: orders ⋈ payments within ±1 min (inclusive), broadcast
+    // customers, level doubles as the routing topic
+    "c9_email_routed" ->
+      ("""WITH o AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
+        |    l_suppkey AS customer_id, CAST(l_quantity AS DOUBLE) AS quantity,
+        |    CAST(l_extendedprice AS DOUBLE) / 5000.0 AS price,
+        |    CAST(l_shipdate AS TIMESTAMP) AS ts FROM lineitem),
+        |p AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
+        |    round(CAST(l_quantity AS DOUBLE) *
+        |      (CAST(l_extendedprice AS DOUBLE) / 5000.0), 2) AS amount,
+        |    CAST(l_shipdate AS TIMESTAMP)
+        |      + to_seconds(CAST(l_partkey % 300 - 150 AS BIGINT)) AS ts
+        |  FROM lineitem WHERE l_orderkey % 3 = 0),
+        |c AS (SELECT c_custkey AS customer_id, lower(c_mktsegment) AS level
+        |  FROM customer)
+        |SELECT o.order_id, o.customer_id, o.quantity, o.price, p.amount,
+        |  c.level, c.level AS topic
+        |FROM o JOIN p ON o.order_id = p.order_id
+        |  AND p.ts >= o.ts - INTERVAL 1 MINUTE
+        |  AND p.ts <= o.ts + INTERVAL 1 MINUTE
+        |JOIN c USING (customer_id)""".stripMargin),
   )
 }

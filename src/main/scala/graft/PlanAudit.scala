@@ -65,6 +65,8 @@ object PlanAudit {
         Seq("ExistingRDD"), Seq("md5", "collect_list")),
       ("d7_ngram_jaccard", "the exact-Jaccard audit reads a FIXED-SIZE sample: the corpus-size-independent doc_id cap is pushed to the parquet scan, so the audit's pair output cannot grow with the corpus",
         Seq(s"LessThan(doc_id,${graft.ops.Dedup.JaccardAuditCap})"), Seq()),
+      ("c9_email_routed", "orders⋈payments is an equi-key join with a time-bound residual (hash/merge, never cartesian) and the customer level table broadcasts — the EmailService dataflow keeps the fact side un-replicated",
+        Seq("BroadcastHashJoin"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       // The a_id<b_id pair join is BNLJ (inequality-only), which never joins
       // whole-stage codegen; the native expression is in the join condition
       // (evaluated via its compiled eval), with no Python/UDF anywhere.

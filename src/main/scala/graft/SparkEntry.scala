@@ -124,6 +124,7 @@ object SparkEntry {
     "c6_prep_chunked"   -> (Composites.prepChunkedFunnel _),
     "c7_music_chart"    -> (Composites.musicChart _),
     "c8_microservices"  -> (Composites.microservicesValidation _),
+    "c9_email_routed"   -> (Composites.emailRouted _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

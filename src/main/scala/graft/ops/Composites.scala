@@ -223,6 +223,36 @@ object Composites {
         sum(col("quantity")).as("total_qty"))
   }
 
+  /** EmailService enrichment end-to-end (microservices/EmailService
+    * .java:100-116): orders ⋈ payments within ±1 minute (the KStream
+    * windowed join), then a broadcast GlobalKTable join to customers, and
+    * the customer level becomes the per-record routing `topic` (S6).
+    *
+    * Testdata mapping: orders synthesized from lineitem as in c8;
+    * payments exist for l_orderkey%3==0 rows with ts offset by
+    * (l_partkey%300 − 150) seconds from the order — ~40% of candidates
+    * land inside the inclusive ±60 s window, so the time bound genuinely
+    * filters; customers = c_custkey with lower(c_mktsegment) as level. */
+  def emailRouted(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.OrderPipeline
+    val li = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice").cast("double") / 5000.0
+    val orders = li.select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("order_id"),
+      col("l_suppkey").as("customer_id"),
+      col("l_quantity").cast("double").as("quantity"),
+      price.as("price"),
+      col("l_shipdate").cast("timestamp").as("ts"))
+    val payments = li.filter(col("l_orderkey") % 3 === 0).select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("order_id"),
+      round(col("l_quantity").cast("double") * price, 2).as("amount"),
+      expr("timestampadd(SECOND, l_partkey % 300 - 150, CAST(l_shipdate AS TIMESTAMP))")
+        .as("ts"))
+    val customers = Tables.customer(s, dir).select(
+      col("c_custkey").as("customer_id"), lower(col("c_mktsegment")).as("level"))
+    OrderPipeline.emailEnrichment(orders, payments, customers)
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the
