@@ -38,12 +38,7 @@ import java.nio.charset.StandardCharsets
   *    across hosts ([[Serving.scatterGatherTopK]])
   */
 class RestServing(spark: SparkSession, storePath: String, keyCol: String,
-    numPartitions: Int, hosts: Seq[String]) {
-
-  private var server: HttpServer = _
-
-  /** Bound port after [[start]] (pass port 0 for an ephemeral one). */
-  def port: Int = server.getAddress.getPort
+    numPartitions: Int, hosts: Seq[String]) extends HttpJsonServer {
 
   def start(bindPort: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -86,13 +81,58 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     server.start()
     port
   }
+}
+
+/** LIVE interactive queries over a RUNNING streaming query's state — the
+  * reference's actual IQ mode (the REST services read the topology's
+  * state stores while it runs). Spark mapping: the streaming aggregation
+  * writes a memory sink ([[Sources.serveAsTable]]) and this serves the
+  * named table, so an HTTP read between micro-batches sees the current
+  * state and re-reads after the next batch see updates — the
+  * WordCountInteractiveQueriesExample lifecycle end-to-end. The memory
+  * sink is instance-local exactly like a Kafka Streams state store; in a
+  * multi-instance deployment each instance serves its own and
+  * [[RestServing]]'s metadata endpoints do the routing. */
+class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
+    extends HttpJsonServer {
+
+  def start(bindPort: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/state/keyvalue/", handler { path =>
+      val key = path.stripPrefix("/state/keyvalue/")
+      val rows = spark.table(tableName)
+        .where(col(keyCol) === key).toJSON.collect()
+      if (rows.isEmpty) (404, """{"error":"key not found"}""")
+      else (200, rows.mkString("[", ",", "]"))
+    })
+    server.createContext("/state/topk", handlerQ { (_, q) =>
+      val valueCol = q.getOrElse("value", "value")
+      val k = q.getOrElse("k", "5").toInt
+      val rows = spark.table(tableName)
+        .orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
+        .toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+}
+
+/** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
+  * mapping. */
+private[streaming] trait HttpJsonServer {
+  protected var server: HttpServer = _
+
+  /** Bound port after `start` (pass port 0 for an ephemeral one). */
+  def port: Int = server.getAddress.getPort
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def handler(f: String => (Int, String)): com.sun.net.httpserver.HttpHandler =
+  protected def handler(f: String => (Int, String)): com.sun.net.httpserver.HttpHandler =
     handlerQ { (path, _) => f(path) }
 
-  private def handlerQ(
+  protected def handlerQ(
       f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =
     (exchange: HttpExchange) => {
       val (status, body) =

@@ -143,6 +143,41 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("LIVE interactive queries: HTTP reads a running stream's state between batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // WordCountInteractiveQueriesExample lifecycle: words stream in, the
+    // count table serves over HTTP WHILE the query runs, and a read after
+    // the next micro-batch sees the updated count.
+    val words = MemoryStream[String]
+    val counts = words.toDF().toDF("word")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val q = Sources.serveAsTable(counts, "live_counts").start()
+    val rest = new LiveRestServing(spark, "live_counts", "word")
+    val port = rest.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      words.addData("hello", "world", "hello")
+      q.processAllAvailable()
+      assert(get("/state/keyvalue/hello") === (200, """[{"word":"hello","cnt":2}]"""))
+      assert(get("/state/keyvalue/nope")._1 === 404)
+      // the state is LIVE: the next batch updates the served answer
+      words.addData("hello")
+      q.processAllAvailable()
+      assert(get("/state/keyvalue/hello") === (200, """[{"word":"hello","cnt":3}]"""))
+      assert(get("/state/topk?value=cnt&k=1") ===
+        (200, """[{"word":"hello","cnt":3}]"""))
+    } finally { rest.stop(); q.stop() }
+  }
+
   test("scatter-gather top-k across hosts equals the global top-k (MusicPlaysRestService)") {
     import spark.implicits._
     val n = 8
