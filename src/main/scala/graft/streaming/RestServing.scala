@@ -113,6 +113,25 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
         .toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     })
+    // windowedByKey (WordCountInteractiveQueriesRestService.java:156-176):
+    // the key's windowed aggregates whose window START falls in
+    // [from, to] epoch-millis — the reference's fetch(key, from, to)
+    // over a windowed store. Expects the served table to carry a
+    // `window` struct column (Spark's window() aggregation shape).
+    server.createContext("/state/windowed/", handlerQ { (path, q) =>
+      val key = path.stripPrefix("/state/windowed/")
+      val from = q.getOrElse("from", Long.MinValue.toString).toLong
+      val to = q.getOrElse("to", Long.MaxValue.toString).toLong
+      val rows = spark.table(tableName)
+        .where(col(keyCol) === key &&
+          unix_millis(col("window.start")) >= from &&
+          unix_millis(col("window.start")) <= to)
+        .orderBy(col("window.start"))
+        .withColumn("window_start", unix_millis(col("window.start")))
+        .drop("window")
+        .toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
     server.setExecutor(null)
     server.start()
     port

@@ -178,6 +178,39 @@ class ServingSpec extends SparkSpec {
     } finally { rest.stop(); q.stop() }
   }
 
+  test("LIVE windowed fetch over HTTP: key + window-start range (windowedByKey)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[(String, java.sql.Timestamp)]
+    val counts = events.toDF().toDF("word", "ts")
+      .groupBy(window(col("ts"), "1 minute"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = Sources.serveAsTable(counts, "live_windowed").start()
+    val rest = new LiveRestServing(spark, "live_windowed", "word")
+    val port = rest.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): String = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      events.addData(("hi", ts("2024-01-01 10:00:10")), ("hi", ts("2024-01-01 10:00:40")),
+        ("hi", ts("2024-01-01 10:02:30")), ("yo", ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      val w0 = ts("2024-01-01 10:00:00").getTime // epoch millis of window 1
+      val w2 = ts("2024-01-01 10:02:00").getTime
+      // range covering only the first window: one row, cnt 2, correct start
+      assert(get(s"/state/windowed/hi?from=$w0&to=$w0") ===
+        s"""[{"word":"hi","cnt":2,"window_start":$w0}]""")
+      // full range: both windows in start order
+      assert(get(s"/state/windowed/hi?from=$w0&to=$w2") ===
+        s"""[{"word":"hi","cnt":2,"window_start":$w0},""" +
+          s"""{"word":"hi","cnt":1,"window_start":$w2}]""")
+    } finally { rest.stop(); q.stop() }
+  }
+
   test("scatter-gather top-k across hosts equals the global top-k (MusicPlaysRestService)") {
     import spark.implicits._
     val n = 8
