@@ -73,11 +73,22 @@ object Bench {
     // the load-robust number BASELINE.md's round-7 re-baseline keys off
     // (this box's external load contaminates single-shot totals by up to
     // 2×; the per-query min of two back-to-back reps sheds most bursts).
+    // (Default stays 2 deliberately: BASELINE.md's round-7 comparison rule
+    // keys off the best-of-2 totals, and the driver capture must carry
+    // them. A driver with a hard runtime ceiling sets
+    // SPARK_GRAFT_BENCH_REPS=1 explicitly.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // SPARK_GRAFT_BENCH_QUERIES (optional, comma-separated names): measure
+    // only the named queries — the scale-proof runs (BASELINE.md scaling
+    // table) time the heavy family alone at each corpus size.
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A query that throws is recorded in `errors`, NOT timed — a regression
     // must surface as an error entry, never as a suspiciously fast number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         // d8 is the LABEL phase of the label/apply dedup pipeline and
         // memoizes its labels for d10's apply phase; re-measuring it must
@@ -115,9 +126,16 @@ object Bench {
       .mkString("{", ",", "}")
     // total + load lead the line (and a copy goes to stderr) so a truncated
     // capture of stdout can never lose the headline number again.
+    // Self-documenting contamination flag: external load on this box can
+    // inflate single-shot totals up to 2× (BASELINE.md). A capture that
+    // STARTED on a busy box (load1 > 4 of 32 cpus) carries the warning in
+    // the artifact itself instead of relying on the reader to check load
+    // fields.
+    val loadWarn = loadStart > 4.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_best":$totalBest,"reps":$reps,""" +
-      s""""load1_start":$loadStart,"load1_end":$load1,"n_queries":${results.size},""" +
+      s""""load1_start":$loadStart,"load1_end":$load1,""" +
+      s""""load_warning":$loadWarn,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,""" +
       s""""queries_best":$qsBest,"sf":"$sfDir"}"""
     println(json)
@@ -126,7 +144,7 @@ object Bench {
     // this one — either direction retains the headline.
     val headline = s"""{"total":$total,"total_best":$totalBest,""" +
       s""""n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"load1_end":$load1}"""
+      s""""n_errors":${errors.size},"load1_end":$load1,"load_warning":$loadWarn}"""
     println(headline)
     System.err.println(json)
     System.err.println(headline)

@@ -166,11 +166,15 @@ object Dedup {
     * the whole labeling pipeline. [[invalidateLabels]] drops the memo
     * (Bench uses it so repeated label-phase measurements stay honest). */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def clusterLabels(s: SparkSession, dir: String): DataFrame =
     labelCache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
+      // applicationId+startTime is unique per context lifetime — an
+      // identityHashCode can be reused by a NEW context after the old one
+      // is GC'd, which would serve a checkpointed frame bound to a dead
+      // session
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ => {
         val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
         connectedComponents(pairs, "doc_id", "cluster_id")
       })
@@ -349,6 +353,63 @@ object Dedup {
         .when(xor.bitwiseAND(0xFF00L) === 0, 1)
         .when(xor.bitwiseAND(0xFF0000L) === 0, 2)
         .otherwise(3)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val xorCol = col("l.simhash").bitwiseXOR(col("r.simhash"))
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+        && col("l.doc_id") < col("r.doc_id"))
+      .filter(bit_count(xorCol) <= 3 && firstBand(xorCol) === col("l.band"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(xorCol).as("hamming"))
+  }
+
+  /** [[simhash]] at an arbitrary fingerprint width — the SimHash scale
+    * knob. Word hashes draw 60 bits from md5 hex chars 1-15 and mask to
+    * `bits`, so this deliberately does NOT reproduce the 32-bit d5 form
+    * (which draws chars 1-8): d5/d6 stay bit-stable oracle queries while
+    * this variant widens with the corpus. */
+  def simhashScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits >= 8 && bits <= 60, s"bits=$bits")
+    val words = array_distinct(tokens)
+    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType)
+      .bitwiseAND((1L << bits) - 1)
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), wordHash.as("h"))
+    val bitVotes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val fp = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    exploded.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** [[simhashPairs]] generalized to `bits`-wide fingerprints in 4 bands
+    * of bits/4 — the occupancy knob of the SimHash banding path. Buckets
+    * per band = 2^(bits/4); holding bits fixed while the corpus grows g×
+    * multiplies expected bucket size by g and bucket-local pair work by
+    * g² — widening bits by 4·log2(g) restores linear total work (the
+    * same occupancy rule as [[graft.ops.Similarity.bucketedNearDupWith]]).
+    * Hamming ≤ 3 over 4 bands still pigeonholes into ≥ 1 exact band
+    * match, so candidate recall is preserved at any width. BASELINE.md's
+    * scaling table measures 32-bit vs widened at sf1-synth. */
+  def simhashPairsScaled(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val w = bits / 4
+    val bandMask = (1L << w) - 1
+    val fps = simhashScaled(s, dir, bits).localCheckpoint()
+    val banded = fps.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * w).bitwiseAND(bandMask).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    def firstBand(xor: Column): Column =
+      (0 until 3).foldRight(lit(3): Column) { (b, rest) =>
+        when(xor.bitwiseAND(lit(bandMask << (b * w))) === 0, b).otherwise(rest)
+      }
     val l = banded.as("l")
     val r = banded.as("r")
     val xorCol = col("l.simhash").bitwiseXOR(col("r.simhash"))

@@ -259,7 +259,12 @@ object Similarity {
       scored.groupBy(col("vec_id"))
         .agg(max_by(
           struct(col("embedding"), col("norm"), col("cent_id")),
-          struct(col("csim"), (-col("cent_id")).as("tb"))).as("m"))
+          // a zero-norm vector makes csim null; max_by would skip such rows
+          // entirely while the window form (desc = nulls last) still assigns
+          // the lowest cent_id — coalesce to -Inf so both forms agree on
+          // degenerate inputs (all-null group → tie broken by min cent_id)
+          struct(coalesce(col("csim"), lit(Double.NegativeInfinity)),
+            (-col("cent_id")).as("tb"))).as("m"))
         .select(col("vec_id"), col("m.embedding").as("embedding"),
           col("m.norm").as("norm"), col("m.cent_id").as("cell"))
     else {
@@ -273,10 +278,17 @@ object Similarity {
     }
   }
 
-  def ivfTopKWith(s: SparkSession, dir: String, lloydIters: Int): DataFrame = {
+  /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
+    * index build scores n×C pairs, so a FIXED stride makes the build
+    * quadratic in the corpus (C grows with n); production IVF sizes
+    * C ≈ √n (stride ≈ √n too), which keeps both the build (n·√n) and the
+    * per-query probe (NProbe·n/C = NProbe·√n) sub-quadratic — the
+    * BASELINE.md scaling table measures both settings at sf1-synth. */
+  def ivfTopKWith(s: SparkSession, dir: String, lloydIters: Int,
+      stride: Int = CentroidStride): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
-    val cents0 = emb.filter(col("vec_id") % CentroidStride === 0)
+    val cents0 = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     // Lloyd rounds: reassign, then recenter each cell at the vec_id-ordered
@@ -327,10 +339,20 @@ object Similarity {
     * form stays as the exact audit on a bounded sample; this is the one
     * you run on the full corpus. Recall is tunable via NumPlanes (fewer
     * planes → bigger buckets → higher recall, more candidates). */
-  def bucketedNearDup(s: SparkSession, dir: String): DataFrame = {
+  def bucketedNearDup(s: SparkSession, dir: String): DataFrame =
+    bucketedNearDupWith(s, dir, NumPlanes)
+
+  /** [[bucketedNearDup]] with an explicit plane count — THE scale knob.
+    * Expected bucket occupancy is corpus/2^planes, and the bucket-local
+    * pair work is quadratic IN THE BUCKET, so holding planes fixed while
+    * the corpus grows g× multiplies pair work by g² — restoring occupancy
+    * (planes += log2 g) restores linear total work. BASELINE.md's scaling
+    * table measures both settings at sf1-synth. */
+  def bucketedNearDupWith(s: SparkSession, dir: String,
+      numPlanes: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
-        srpBucket(col("embedding")).as("bucket"),
+        srpBucket(col("embedding"), numPlanes).as("bucket"),
         l2norm(col("embedding")).as("norm"))
       .localCheckpoint()
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),

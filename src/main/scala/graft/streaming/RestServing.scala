@@ -31,6 +31,11 @@ import java.nio.charset.StandardCharsets
   *    404 when absent (reference `byKey`:86-99)
   *  - `/state/keyvalues?keys=k1,k2,…` — batched lookup, one scan over the
   *    union of hosting partitions ([[Serving.lookupAll]])
+  *  - `/state/keyvalues/all` — every entry, key-ordered (reference
+  *    `allForStore`:125-133)
+  *  - `/state/keyvalues/range?from=..&to=..` — inclusive key range,
+  *    key-ordered; empty range → `[]` (reference
+  *    `rangeForKeyValueStore`:135-143)
   *  - `/state/instance/{key}` — `{"partition":p,"host":h}` metadata
   *  - `/state/instances` — every host and the partitions it owns
   *    (reference `streamsMetadata`:187-198)
@@ -53,6 +58,22 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
       val keys = q.getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq
       val rows = Serving.lookupAll(spark, storePath, keyCol, keys, numPartitions)
         .drop("p").toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
+    // all-entries scan (reference allForStore:125-133); longest-prefix
+    // context matching keeps this distinct from the batched ?keys= lookup
+    server.createContext("/state/keyvalues/all", handlerQ { (_, _) =>
+      val rows = Serving.all(spark, storePath, keyCol)
+        .drop("p").toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    })
+    // key-range scan (reference rangeForKeyValueStore:135-143) — inclusive
+    // bounds, empty result is 200 []; see Serving.range for why a range
+    // over a hash-partitioned store scans all partitions (data filters
+    // push, directory pruning cannot)
+    server.createContext("/state/keyvalues/range", handlerQ { (_, q) =>
+      val rows = Serving.range(spark, storePath, keyCol,
+        q.get("from"), q.get("to")).drop("p").toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     })
     server.createContext("/state/instance/", handler { path =>
@@ -92,7 +113,20 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   * WordCountInteractiveQueriesExample lifecycle end-to-end. The memory
   * sink is instance-local exactly like a Kafka Streams state store; in a
   * multi-instance deployment each instance serves its own and
-  * [[RestServing]]'s metadata endpoints do the routing. */
+  * [[RestServing]]'s metadata endpoints do the routing.
+  *
+  * Scan note (why these endpoints filter/sort the WHOLE served table per
+  * request, unlike [[RestServing]]'s partition-pruned store reads): the
+  * served table here is STATE, not corpus — a memory-sink or
+  * [[Sources.serveUpserted]] table holds the current aggregate rows
+  * (counts per key, top-k per group), bounded by key cardinality and
+  * independent of how much data streamed through. That is exactly what
+  * the reference's REST layer scans too (a local RocksDB store iterator).
+  * A filter over it cannot "push down" anywhere useful: the table is a
+  * materialized in-memory relation (LocalTableScan / ExistingRDD), so
+  * the `where` is already evaluated directly against state rows with no
+  * I/O to prune. If a served table ever grew corpus-sized, the fix is
+  * the partitioned-store [[RestServing]] path, not this one. */
 class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     extends HttpJsonServer {
 
@@ -112,6 +146,22 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
         .orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
         .toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
+    })
+    // chart fetch (MusicPlaysRestService.java:77-115 `genreCharts` /
+    // `topFiveSongs`): the group's CURRENT top-k in rank order, read live
+    // from a chart-shaped served table (StreamOps.ChartRow: group, pos,
+    // id, value — served via Sources.serveUpserted so each group's rows
+    // are the latest emission only). 404 on an uncharted group, like the
+    // reference's unknown-genre path.
+    server.createContext("/state/chart/", handlerQ { (path, q) =>
+      val group = path.stripPrefix("/state/chart/")
+      val k = q.getOrElse("k", "5").toInt
+      val rows = spark.table(tableName)
+        .where(col(keyCol) === group)
+        .orderBy(col("pos")).limit(k)
+        .toJSON.collect()
+      if (rows.isEmpty) (404, """{"error":"group not found"}""")
+      else (200, rows.mkString("[", ",", "]"))
     })
     // windowedByKey (WordCountInteractiveQueriesRestService.java:156-176):
     // the key's windowed aggregates whose window START falls in
@@ -164,8 +214,10 @@ private[streaming] trait HttpJsonServer {
           f(exchange.getRequestURI.getPath, q)
         } catch {
           case e: Exception =>
+            // quotes/backslashes AND control chars (<0x20: newlines, tabs in
+            // exception messages) would break the JSON body — blank them all
             (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
-              .replaceAll("[\"\\\\]", " ")}"}""")
+              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
         }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       exchange.getResponseHeaders.set("Content-Type", "application/json")

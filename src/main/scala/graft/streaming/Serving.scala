@@ -96,6 +96,36 @@ object Serving {
     df.where(col("p").isin(ps: _*) && col(keyCol).isin(keys: _*))
   }
 
+  /** All-entries scan (the reference's `allForStore`,
+    * WordCountInteractiveQueriesRestService.java:125-133): every partition
+    * directory is read — an all-entries read is by definition the full
+    * store. Key-ordered so iteration is deterministic like a RocksDB
+    * store's key-ordered cursor. */
+  def all(s: SparkSession, path: String, keyCol: String): DataFrame =
+    s.read.parquet(path).orderBy(col(keyCol))
+
+  /** Key-RANGE scan (the reference's `rangeForKeyValueStore`,
+    * WordCountInteractiveQueriesRestService.java:135-143). The store is
+    * HASH-partitioned — that is exactly what routes point lookups to one
+    * directory — so a contiguous key range hashes into EVERY partition:
+    * no directory pruning is possible and the read is a full-store scan
+    * with the range bounds as pushed data filters (parquet row-group
+    * min/max pruning still applies within each file). A range-partitioned
+    * store would prune directories here but lose O(1) point routing; the
+    * reference makes the same trade (RocksDB range iterates the whole
+    * local shard). Bounds are inclusive, hashed/cast as the stored column
+    * type; an absent bound means unbounded on that side. */
+  def range(s: SparkSession, path: String, keyCol: String,
+      from: Option[String], to: Option[String]): DataFrame = {
+    val df = s.read.parquet(path)
+    val kt = df.schema(keyCol).dataType
+    val lower = from.map(f => col(keyCol) >= lit(f).cast(kt))
+    val upper = to.map(t => col(keyCol) <= lit(t).cast(kt))
+    (lower ++ upper).reduceOption(_ && _)
+      .map(df.where).getOrElse(df)
+      .orderBy(col(keyCol))
+  }
+
   /** Scatter-gather read (MusicPlaysRestService top-five): each host
     * serves only its own partitions; the coordinator unions the per-host
     * partial top-k and re-ranks. `keyCol` breaks value ties so the

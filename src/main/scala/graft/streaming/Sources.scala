@@ -56,4 +56,34 @@ object Sources {
   def serveAsTable(df: DataFrame, name: String,
       mode: String = "complete"): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
+
+  /** §2.10 LIVE state-store materialization of an UPDATE-mode changelog:
+    * each micro-batch REPLACES the served rows of every key it touches
+    * (anti-join out the stale rows, union in the batch) and republishes
+    * the store as temp view `name` — the KTable/state-store upsert the
+    * memory sink cannot do (its update mode APPENDS, so stale chart rows
+    * would accumulate). This is how KafkaMusic's `MusicPlaysRestService`
+    * reads a LIVE chart: the store always holds exactly the latest rows
+    * per key, bounded by state size (top-k × groups), never by stream
+    * length. The new store is localCheckpointed each batch so lineage
+    * stays one batch deep and HTTP reads scan a materialized
+    * aggregate-sized table. Multi-row keys are the point: a key's rows
+    * (e.g. a group's whole chart) are swapped atomically as a unit. */
+  def serveUpserted(df: DataFrame, name: String,
+      keyCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch executes on the stream's CLONED session, whose temp
+        // views the serving session cannot see — a GLOBAL temp view is the
+        // cross-session handle (read it as `global_temp.<name>`)
+        val s = batch.sparkSession
+        val gname = "global_temp." + name
+        val b = batch.localCheckpoint()
+        val next =
+          if (!s.catalog.tableExists(gname)) b
+          else s.table(gname)
+            .join(b.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+            .unionByName(b)
+        next.localCheckpoint().createOrReplaceGlobalTempView(name)
+      }
 }

@@ -140,6 +140,21 @@ class ServingSpec extends SparkSpec {
       // scatter-gather top-3 by value = global max keys 300, 299, 298
       assert(get("/state/topk?value=v&k=3") ===
         (200, """[{"k":300,"v":3000},{"k":299,"v":2990},{"k":298,"v":2980}]"""))
+      // all-entries scan (reference allForStore): every key, key-ordered
+      val (ac, ab) = get("/state/keyvalues/all")
+      assert(ac === 200)
+      val allKeys = """"k":(\d+)""".r.findAllMatchIn(ab).map(_.group(1).toInt).toSeq
+      assert(allKeys === (1 to 300), "all-scan must return every key in key order")
+      // range scan (reference rangeForKeyValueStore): inclusive bounds,
+      // key-ordered
+      assert(get("/state/keyvalues/range?from=42&to=45") ===
+        (200, """[{"k":42,"v":420},{"k":43,"v":430},{"k":44,"v":440},{"k":45,"v":450}]"""))
+      // half-open: only one bound present
+      assert(get("/state/keyvalues/range?from=299") ===
+        (200, """[{"k":299,"v":2990},{"k":300,"v":3000}]"""))
+      // empty range is 200 with an empty array, not 404 (reference returns
+      // an empty List for an empty range)
+      assert(get("/state/keyvalues/range?from=900&to=950") === (200, "[]"))
     } finally rest.stop()
   }
 
@@ -208,6 +223,51 @@ class ServingSpec extends SparkSpec {
       assert(get(s"/state/windowed/hi?from=$w0&to=$w2") ===
         s"""[{"word":"hi","cnt":2,"window_start":$w0},""" +
           s"""{"word":"hi","cnt":1,"window_start":$w2}]""")
+    } finally { rest.stop(); q.stop() }
+  }
+
+  test("LIVE music chart over HTTP: a new batch of plays flips the served top-5 (MusicPlaysRestService)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamOps.ChangelogEntry
+    // KafkaMusicExample's actual serving mode (MusicPlaysRestService.java:
+    // 77-115 against KafkaMusicExampleTest.java:258-267): the RUNNING
+    // incremental top-N is the store; HTTP reads the current chart between
+    // micro-batches, and the chart CHANGES when new plays flip the order.
+    val plays = MemoryStream[ChangelogEntry]
+    val chart = StreamOps.incrementalTopN(plays.toDS(), 5).toDF()
+    val q = Sources.serveUpserted(chart, "live_chart", Seq("group")).start()
+    val rest = new LiveRestServing(spark, "global_temp.live_chart", "group")
+    val port = rest.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      plays.addData(ChangelogEntry("punk", 101L, Some(3.0)),
+        ChangelogEntry("punk", 102L, Some(2.0)),
+        ChangelogEntry("rock", 201L, Some(1.0)))
+      q.processAllAvailable()
+      assert(get("/state/chart/punk") === (200,
+        """[{"group":"punk","pos":1,"id":101,"value":3.0},""" +
+          """{"group":"punk","pos":2,"id":102,"value":2.0}]"""))
+      // a new batch of plays lifts song 102 past 101: the SERVED chart
+      // flips — and holds only the latest rows (no stale pos-1 duplicate)
+      plays.addData(ChangelogEntry("punk", 102L, Some(5.0)))
+      q.processAllAvailable()
+      assert(get("/state/chart/punk") === (200,
+        """[{"group":"punk","pos":1,"id":102,"value":5.0},""" +
+          """{"group":"punk","pos":2,"id":101,"value":3.0}]"""))
+      // an untouched group's chart survives the upsert of another group
+      assert(get("/state/chart/rock") === (200,
+        """[{"group":"rock","pos":1,"id":201,"value":1.0}]"""))
+      // unknown genre → 404 (reference's unknown-genre path)
+      assert(get("/state/chart/jazz")._1 === 404)
     } finally { rest.stop(); q.stop() }
   }
 
