@@ -263,6 +263,29 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("simhashPairsScaled emits exactly the brute-force hamming<=3 pairs of its fingerprints") {
+    // the banded candidate generation must be LOSSLESS (a pair within
+    // hamming 3 of a 4-band fingerprint shares >= 1 exact band by
+    // pigeonhole) and the first-matching-band rule must emit each pair
+    // exactly once — verified against a driver-side all-pairs scan of the
+    // same fingerprints at the widened 48-bit setting the BASELINE.md
+    // scale table measures.
+    val bits = 48
+    val fps = Dedup.simhashScaled(spark, sf001, bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, fa) <- fps.iterator
+      (idb, fb) <- fps.iterator
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairsScaled(spark, sf001, bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length,
+      "first-matching-band rule must emit each pair exactly once")
+    assert(got.toSet === expected,
+      s"banding lost or invented pairs: got ${got.length}, expected ${expected.size}")
+  }
+
   test("topNPerGroup returns at most 5 per brand with dense positions") {
     val rows = Aggregations.topNPerGroup(spark, sf001)
       .groupBy("p_brand").agg(count(lit(1)).as("n"), max("rank").as("mx"))

@@ -56,6 +56,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1) === truth.map(_._1), "every query must produce results")
   }
 
+  test("IVF at the scale configuration (stride ~ sqrt n) still beats the probed-fraction floor") {
+    // BASELINE.md's scaling table runs ivfTopKWith(stride ≈ √n) as the
+    // production configuration (C ≈ √n keeps the build n√n); the knob must
+    // trade TIME, not correctness-of-kind: recall still beats searching
+    // the same random fraction of the corpus.
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
+    val n = Tables.embeddings(spark, sf01).count()
+    val stride = math.round(math.sqrt(n.toDouble)).toInt
+    val scaled = pairs(Similarity.ivfTopKWith(spark, sf01, 1, stride))
+    val recall = (scaled & truth).size.toDouble / truth.size
+    val frac = Similarity.NProbe.toDouble * stride / n
+    info(f"IVF stride=$stride recall@5 vs exact: $recall%.3f (random-fraction floor $frac%.3f)")
+    assert(recall > frac, f"scaled-stride recall $recall%.3f no better than random $frac%.3f")
+    assert(scaled.map(_._1) === truth.map(_._1), "every query must produce results")
+  }
+
   test("plane-count sweep: candidates shrink and planted recall falls monotonically (8/12/16)") {
     import spark.implicits._
     // Candidate-count side, real corpus: each extra plane halves the
@@ -126,6 +142,40 @@ class SimilaritySpec extends SparkSpec {
     val plan = cells.queryExecution.executedPlan.toString
     assert(plan.contains("partial_max_by"), plan.take(600))
     assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("nearestCells degenerate vectors: max_by and window forms agree (null csim)") {
+    import spark.implicits._
+    // a null embedding nulls every csim — max_by alone would DROP the
+    // vector entirely while the window form still ranks it (the ADVICE r7
+    // finding); both forms must assign the lowest cent_id (tie at the
+    // coalesced -Inf). A zero-NORM vector is a different story: under
+    // ANSI mode (Spark 4 default) its 0/0 csim THROWS DIVIDE_BY_ZERO —
+    // loud, not silently wrong — so it needs no ordering guard.
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val v = Seq(
+      (7L, null.asInstanceOf[Array[Float]], 1.0), // null emb → csim null
+      (8L, mk(Seq(1.0, 0.0)), 1.0))               // healthy control row
+      .toDF("vec_id", "embedding", "norm")
+    val cents = Seq(
+      (5L, mk(Seq(2.0, 0.0)), 2.0),
+      (3L, mk(Seq(4.0, 0.0)), 4.0),
+      (9L, mk(Seq(0.0, 1.0)), 1.0))
+      .toDF("cent_id", "c_emb", "c_norm")
+    val viaMaxBy = Similarity.nearestCells(v, 1, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the window path (keep>1) must keep degenerate vectors too; its
+    // rank-1 cell (cent_id-asc tie-break on the all-null/all-NaN group)
+    // is 3 for both — the same answer the max_by form must produce
+    val viaWindow = Similarity.nearestCells(v, 2, cents)
+      .select("vec_id", "cell").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(viaMaxBy.keySet === Set(7L, 8L), s"degenerate vectors dropped: $viaMaxBy")
+    assert(viaMaxBy === Map(7L -> 3L, 8L -> 3L), s"got $viaMaxBy")
+    viaMaxBy.foreach { case (id, cell) =>
+      assert(viaWindow(id).contains(cell), s"window form lost vec $id's cell")
+    }
   }
 
   test("SRP bucket recall on planted near-duplicates (cos ~ 0.995) clears real floors") {
