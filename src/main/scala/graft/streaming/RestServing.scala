@@ -147,6 +147,16 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
         .toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     })
+    // all-entries scan of the LIVE store, key-ordered (the reference's
+    // allForStore runs against the running topology's store the same way;
+    // the served table is aggregate-sized state — see the class scan note)
+    server.createContext("/state/all", handlerQ { (path, _) =>
+      if (path != "/state/all") (404, """{"error":"not found"}""")
+      else {
+        val rows = spark.table(tableName).orderBy(col(keyCol)).toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      }
+    })
     // chart fetch (MusicPlaysRestService.java:77-115 `genreCharts` /
     // `topFiveSongs`): the group's CURRENT top-k in rank order, read live
     // from a chart-shaped served table (StreamOps.ChartRow: group, pos,

@@ -190,6 +190,10 @@ class ServingSpec extends SparkSpec {
       assert(get("/state/keyvalue/hello") === (200, """[{"word":"hello","cnt":3}]"""))
       assert(get("/state/topk?value=cnt&k=1") ===
         (200, """[{"word":"hello","cnt":3}]"""))
+      // live all-entries scan, key-ordered (reference allForStore against
+      // the running topology's store)
+      assert(get("/state/all") === (200,
+        """[{"word":"hello","cnt":3},{"word":"world","cnt":1}]"""))
     } finally { rest.stop(); q.stop() }
   }
 
