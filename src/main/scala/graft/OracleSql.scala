@@ -823,8 +823,9 @@ object OracleSql {
         |    CAST(l_extendedprice AS DOUBLE) / 5000.0 AS price,
         |    CAST(l_shipdate AS TIMESTAMP) AS ts FROM lineitem),
         |p AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
-        |    round(CAST(l_quantity AS DOUBLE) *
-        |      (CAST(l_extendedprice AS DOUBLE) / 5000.0), 2) AS amount,
+        |    floor(CAST(l_quantity AS DOUBLE) *
+        |      (CAST(l_extendedprice AS DOUBLE) / 5000.0) * 100.0 + 0.5) / 100.0
+        |      AS amount,
         |    CAST(l_shipdate AS TIMESTAMP)
         |      + to_seconds(CAST(l_partkey % 300 - 150 AS BIGINT)) AS ts
         |  FROM lineitem WHERE l_orderkey % 3 = 0),

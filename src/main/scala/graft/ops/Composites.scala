@@ -245,7 +245,14 @@ object Composites {
       col("l_shipdate").cast("timestamp").as("ts"))
     val payments = li.filter(col("l_orderkey") % 3 === 0).select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("order_id"),
-      round(col("l_quantity").cast("double") * price, 2).as("amount"),
+      // cents rounding as pure IEEE ops (floor(x·100 + 0.5)/100), NOT
+      // round(x, 2): decimal-string HALF_UP rounding of a double differs
+      // between engines exactly on .xx5 half-edges (Spark rounds the
+      // shortest decimal repr, DuckDB the binary value) — a latent
+      // mismatch the sf1-synth corpus actually hit (19.365 → 19.37 vs
+      // 19.36). The floor form is the same double arithmetic everywhere.
+      floor(col("l_quantity").cast("double") * price * 100.0 + 0.5)
+        .divide(100.0).as("amount"),
       expr("timestampadd(SECOND, l_partkey % 300 - 150, CAST(l_shipdate AS TIMESTAMP))")
         .as("ts"))
     val customers = Tables.customer(s, dir).select(

@@ -12,9 +12,15 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = sys.argv[3:] if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+import os
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # Spark-written tables (e.g. the sf1-synth corpus) are DIRECTORIES of
+    # part files; driver testdata is single files — glob the former
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        p += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
