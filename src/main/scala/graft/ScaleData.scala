@@ -43,6 +43,11 @@ object ScaleData {
     val outDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    // lineitem multiplier, separable from the doc/vec one: the second-
+    // decade corpus (sf10-synth, mult=100) scales only the document/
+    // embedding family — 100× lineitem would be 60M rows whose only
+    // consumer (c8) is already measured at its own 10× step.
+    val liMult = if (args.length > 3) args(3).toInt else mult
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
@@ -87,7 +92,7 @@ object ScaleData {
     // ---- lineitem: replicate with shifted order keys ---------------
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     val keyOffset = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
-    li.withColumn("r", explode(lit((0 until mult).toArray)))
+    li.withColumn("r", explode(lit((0 until liMult).toArray)))
       .withColumn("l_orderkey", col("l_orderkey") + col("r") * keyOffset)
       .drop("r")
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
@@ -101,7 +106,7 @@ object ScaleData {
         StandardCopyOption.REPLACE_EXISTING)
     }
     println(s"""{"out":"$outDir","docs":$nDocs,"vecs":$nVecs,""" +
-      s""""lineitem":${li.count() * mult},"mult":$mult}""")
+      s""""lineitem":${li.count() * liMult},"mult":$mult,"li_mult":$liMult}""")
     spark.stop()
   }
 }

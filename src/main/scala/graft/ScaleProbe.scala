@@ -30,6 +30,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional skip list (comma-separated of: d6_fixed, d6_scaled,
+    // s5_fixed, s8_fixed) — at the 100× corpus the KNOWN-quadratic
+    // fixed-knob configs would run for hours producing billions of pairs;
+    // the point there is the linear family + the scaled knobs.
+    val skip = args.lift(1).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty[String])
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
@@ -55,17 +61,24 @@ object ScaleProbe {
     val d8Clusters = labels.agg(countDistinct(col("cluster_id"))).head.getLong(0)
 
     val d4Pairs = Dedup.minhashLsh(spark, dir).count()
-    val d6Pairs = Dedup.simhashPairs(spark, dir).count()
-    val d6PairsScaled = Dedup.simhashPairsScaled(spark, dir, bitsScaled).count()
-    val s5Pairs = Similarity.bucketedNearDup(spark, dir).count()
+    val d6Pairs = if (skip("d6_fixed")) -1L
+      else Dedup.simhashPairs(spark, dir).count()
+    val d6PairsScaled = if (skip("d6_scaled")) -1L
+      else Dedup.simhashPairsScaled(spark, dir, bitsScaled).count()
+    val s5Pairs = if (skip("s5_fixed")) -1L
+      else Similarity.bucketedNearDup(spark, dir).count()
     val s5PairsScaled =
       Similarity.bucketedNearDupWith(spark, dir, planesScaled).count()
 
-    val s5Fixed = time2(Similarity.bucketedNearDup(spark, dir))
+    val s5Fixed = if (skip("s5_fixed")) -1.0
+      else time2(Similarity.bucketedNearDup(spark, dir))
     val s5Scaled = time2(Similarity.bucketedNearDupWith(spark, dir, planesScaled))
-    val d6Fixed = time2(Dedup.simhashPairs(spark, dir))
-    val d6Scaled = time2(Dedup.simhashPairsScaled(spark, dir, bitsScaled))
-    val s8Fixed = time2(Similarity.ivfTopKWith(spark, dir, 1))
+    val d6Fixed = if (skip("d6_fixed")) -1.0
+      else time2(Dedup.simhashPairs(spark, dir))
+    val d6Scaled = if (skip("d6_scaled")) -1.0
+      else time2(Dedup.simhashPairsScaled(spark, dir, bitsScaled))
+    val s8Fixed = if (skip("s8_fixed")) -1.0
+      else time2(Similarity.ivfTopKWith(spark, dir, 1))
     val s8Scaled = time2(Similarity.ivfTopKWith(spark, dir, 1, strideScaled))
 
     println(
