@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+/** Streaming-throughput benchmark: measures sustained rows/sec through the
+  * engine's Structured Streaming operators — the measured counterpart of the
+  * batch `Bench`, converting the streaming perf story from "goldens pass"
+  * to observed numbers.
+  *
+  * Method: each pipeline reads the deterministic `rate-micro-batch` source
+  * (exactly `rowsPerBatch` rows per micro-batch, event time advancing 1 s
+  * of per batch — so watermarks fire and state is bounded exactly as in
+  * production), runs the REAL `StreamOps` operator under test, and lands in
+  * the `noop` sink (full materialization, no I/O). Timing starts when batch
+  * 0 completes (query/state-store init and codegen are startup, not
+  * throughput) and stops after `batches` further batches; rows counted are
+  * the exact `numInputRows` sums from the query progress events in that
+  * span, so two-source pipelines (stream-stream join) count both sides.
+  *
+  * The reference publishes no throughput numbers (BASELINE.md); its demo
+  * drivers produce ~10 events/sec (KafkaMusicExampleDriver.java:117,
+  * `Thread.sleep(100L)` per event). These measurements are recorded in
+  * BASELINE.md's streaming section for cross-round comparison.
+  *
+  * Output: ONE JSON line —
+  * `{"metric":"stream_throughput","value":<total rows/sec>,"unit":
+  * "rows/sec","pipelines":{name:{"rows":..,"sec":..,"rps":..}},...}`.
+  * Knobs: SPARK_GRAFT_STREAM_ROWS (rows/batch, default 500000),
+  * SPARK_GRAFT_STREAM_BATCHES (measured batches, default 8),
+  * SPARK_GRAFT_STREAM_PIPELINES (comma-filter), SPARK_GRAFT_CPUS.
+  * A pipeline that errors is recorded in `errors`, never timed; like
+  * `Bench`, a nonempty `errors` exits nonzero.
+  */
+object StreamBench {
+
+  private def load1: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** One measured pipeline: stream DataFrame + the output mode it needs. */
+  private final case class Pipeline(df: DataFrame, mode: OutputMode)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "500000").toLong
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val maxSecPerPipeline =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_SEC", "180").toDouble
+    val only = sys.env.get("SPARK_GRAFT_STREAM_PIPELINES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+    val loadStart = load1
+
+    /** Deterministic unbounded source: `value` is a global row index
+      * (continues across batches), `timestamp` advances 1 s of event time
+      * per batch — watermark-driven state cleanup runs at its real cadence. */
+    def rate(): DataFrame = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", cpus)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", 1000L)
+      .load()
+
+    val v = col("value")
+    def events(): org.apache.spark.sql.Dataset[StreamOps.Event] = rate()
+      .select(v.as("event_id"), col("timestamp").as("ts"),
+        (v % 1000).as("user_id"), lit("page_view").as("event_type"),
+        (v % 97).cast("double").as("value"))
+      .as[StreamOps.Event]
+
+    // Each thunk builds its pipeline lazily so a construction-time error is
+    // caught per-pipeline. Key cardinalities: 1000 grouping keys (state
+    // updates dominate), 100k-row broadcast dim, 1:1 stream-stream matches
+    // (throughput of the join machinery, not an output explosion).
+    val pipelines: Seq[(String, () => Pipeline)] = Seq(
+      "passthrough" -> (() => Pipeline(
+        rate().select(v.as("event_id"), (v % 1000).as("user_id"),
+          col("timestamp")),
+        OutputMode.Append())),
+      "wordcount" -> (() => Pipeline(
+        StreamOps.wordCount(rate().select(concat_ws(" ",
+          concat(lit("w"), v % 97), concat(lit("w"), (v + 13) % 89),
+          concat(lit("w"), (v + 29) % 83)).as("value"))),
+        OutputMode.Update())),
+      "dedup_ttl" -> (() => Pipeline(
+        StreamOps.dedupWithTTL(
+          rate().select((v % (math.max(rowsPerBatch, 2L) / 2)).as("event_id"),
+            col("timestamp").as("ts"), v.as("payload")),
+          "event_id", "ts", "5 seconds"),
+        OutputMode.Append())),
+      "tumbling_counts" -> (() => Pipeline(
+        StreamOps.tumblingCounts(
+          rate().select(col("timestamp").as("ts"), (v % 1000).as("k")),
+          "ts", "k", "10 seconds", "5 seconds"),
+        OutputMode.Update())),
+      // Session windows stream only in append mode (emit on close), so the
+      // key space rotates every 3 event-time seconds: a generation's keys
+      // go silent, the 5 s gap elapses, and its sessions close and emit —
+      // the state-merge AND emission paths are both exercised.
+      "session_counts" -> (() => Pipeline(
+        StreamOps.sessionCounts(
+          rate().select(col("timestamp").as("ts"),
+            ((v % 1000) + lit(1000L) *
+              floor(unix_timestamp(col("timestamp")) / 3)).as("k")),
+          "ts", "k", "5 seconds", "5 seconds"),
+        OutputMode.Append())),
+      "stream_static_join" -> (() => Pipeline(
+        StreamOps.streamStaticJoin(
+          rate().select(v.as("event_id"), (v % 100000).as("k")),
+          spark.range(100000).select(col("id").as("d_k"),
+            (col("id") % 7).as("d_region")),
+          "k", "d_k"),
+        OutputMode.Append())),
+      "stream_stream_join" -> (() => Pipeline(
+        StreamOps.windowedJoin(
+          rate().select(v.as("k"), col("timestamp").as("ts"), v.as("value")),
+          rate().select(v.as("k"), col("timestamp").as("ts"), v.as("value")),
+          "k", "10 seconds"),
+        OutputMode.Append())),
+      "running_count_fmgws" -> (() => Pipeline(
+        StreamOps.runningCount(events()).toDF(),
+        OutputMode.Update())),
+      "running_count_tws" -> (() => Pipeline(
+        StreamOps.runningCountTws(events()).toDF(),
+        OutputMode.Update())),
+      "latest_per_key" -> (() => Pipeline(
+        StreamOps.latestPerKey(events()).toDF(),
+        OutputMode.Update())),
+      // the KafkaMusic chart path: changelog updates (with ~2% tombstones)
+      // into the capped per-group top-N state
+      "incremental_topn" -> (() => Pipeline(
+        StreamOps.incrementalTopN(
+          rate().select(concat(lit("g"), v % 20).as("group"),
+            (v % 500).as("id"),
+            when(v % 50 === 0, lit(null).cast("double"))
+              .otherwise((v % 997).cast("double")).as("value"))
+            .as[StreamOps.ChangelogEntry],
+          5).toDF(),
+        OutputMode.Update())))
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+
+    pipelines.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, build) =>
+        // transformWithState needs the RocksDB provider; scope it to that
+        // query so every other pipeline measures the default HDFS-backed
+        // store the rest of the suite uses.
+        val tws = name == "running_count_tws"
+        val prevProvider =
+          spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        if (tws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ckpt = Files.createTempDirectory(s"graft-sb-$name").toString
+        try {
+          val p = build()
+          val q = p.df.writeStream.format("noop").outputMode(p.mode)
+            .option("checkpointLocation", ckpt).start()
+          try {
+            val deadline = System.nanoTime() + (maxSecPerPipeline * 1e9).toLong
+            def lastBatch: Long =
+              Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+            while (lastBatch < 0 && System.nanoTime() < deadline) {
+              q.exception.foreach(throw _); Thread.sleep(20)
+            }
+            val b0 = lastBatch
+            val t0 = System.nanoTime()
+            while (lastBatch < b0 + batches && System.nanoTime() < deadline) {
+              q.exception.foreach(throw _); Thread.sleep(20)
+            }
+            val t1 = System.nanoTime()
+            val b1 = lastBatch
+            q.stop()
+            if (b0 < 0 || b1 <= b0)
+              errors(name) = s"no progress within ${maxSecPerPipeline}s"
+            else {
+              // exact input-row count over the measured span from the
+              // progress events (counts BOTH sides of a two-source join)
+              val rows = q.recentProgress
+                .filter(pr => pr.batchId > b0 && pr.batchId <= b1)
+                .map(_.numInputRows).sum
+              results(name) = (rows, (t1 - t0) / 1e9)
+            }
+          } finally { if (q.isActive) q.stop() }
+        } catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(160)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+        } finally {
+          if (tws) prevProvider match {
+            case Some(pv) => spark.conf
+              .set("spark.sql.streaming.stateStore.providerClass", pv)
+            case None => spark.conf
+              .unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      }
+
+    val totalRows = results.values.map(_._1).sum
+    val totalSec = results.values.map(_._2).sum
+    val loadEnd = load1
+    val pipeJson = results.map { case (n, (rows, sec)) =>
+      f""""$n":{"rows":$rows,"sec":$sec%.3f,"rps":${rows / math.max(sec, 1e-9)}%.0f}"""
+    }.mkString(",")
+    val errJson = errors.map { case (n, m) => s""""$n":"$m"""" }.mkString(",")
+    println(
+      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"pipelines":{$pipeJson},"errors":{$errJson},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}
