@@ -55,8 +55,19 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_SEC", "180").toDouble
     val only = sys.env.get("SPARK_GRAFT_STREAM_PIPELINES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = GraftSession.local(cpus)
-    import spark.implicits._
+    // The default HDFS-backed state store holds all state in executor
+    // heap: an interval join buffering millions of rows per side OOMs it
+    // (measured: 2M rows/batch/side × a 10 s watermark window exceeds 8 g).
+    // SPARK_GRAFT_STREAM_ROCKSDB=true runs every stateful pipeline on the
+    // RocksDB provider — the off-heap store a production deployment uses
+    // for state that outgrows memory.
+    val useRocksDb =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ROCKSDB", "false").toBoolean
+    // var, not val: a pipeline that OOMs the JVM-shared executor threads
+    // can take the whole SparkContext down with it — the harness detects
+    // the dead context and rebuilds the session so one pipeline's crash
+    // never voids the remaining measurements.
+    var spark = GraftSession.local(cpus)
     val loadStart = load1
 
     /** Deterministic unbounded source: `value` is a global row index
@@ -74,7 +85,7 @@ object StreamBench {
       .select(v.as("event_id"), col("timestamp").as("ts"),
         (v % 1000).as("user_id"), lit("page_view").as("event_type"),
         (v % 97).cast("double").as("value"))
-      .as[StreamOps.Event]
+      .as(org.apache.spark.sql.Encoders.product[StreamOps.Event])
 
     // Each thunk builds its pipeline lazily so a construction-time error is
     // caught per-pipeline. Key cardinalities: 1000 grouping keys (state
@@ -142,7 +153,7 @@ object StreamBench {
             (v % 500).as("id"),
             when(v % 50 === 0, lit(null).cast("double"))
               .otherwise((v % 997).cast("double")).as("value"))
-            .as[StreamOps.ChangelogEntry],
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.ChangelogEntry]),
           5).toDF(),
         OutputMode.Update())))
 
@@ -151,10 +162,18 @@ object StreamBench {
 
     pipelines.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, build) =>
-        // transformWithState needs the RocksDB provider; scope it to that
-        // query so every other pipeline measures the default HDFS-backed
-        // store the rest of the suite uses.
-        val tws = name == "running_count_tws"
+        // a pipeline crash (e.g. state-store OOM) can stop the shared
+        // local SparkContext — rebuild so the remaining pipelines still
+        // measure instead of cascading "no active session" errors
+        if (spark.sparkContext.isStopped) {
+          org.apache.spark.sql.SparkSession.clearActiveSession()
+          org.apache.spark.sql.SparkSession.clearDefaultSession()
+          spark = GraftSession.local(cpus)
+        }
+        // transformWithState requires the RocksDB provider; everything
+        // else defaults to the in-heap HDFS-backed store unless
+        // SPARK_GRAFT_STREAM_ROCKSDB asks for RocksDB suite-wide.
+        val tws = name == "running_count_tws" || useRocksDb
         val prevProvider =
           spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         if (tws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -212,7 +231,7 @@ object StreamBench {
     }.mkString(",")
     val errJson = errors.map { case (n, m) => s""""$n":"$m"""" }.mkString(",")
     println(
-      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"pipelines":{$pipeJson},"errors":{$errJson},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"rocksdb":$useRocksDb,"pipelines":{$pipeJson},"errors":{$errJson},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
