@@ -557,6 +557,21 @@ object OracleSql {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin),
+    // embedding-side label phase: s5's bucketed pair graph, then connected
+    // components via the same recursive-CTE shape as d8
+    "s10_semantic_dedup" ->
+      (s"""WITH RECURSIVE $srpBucketCtes,
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(id) AS max_member
+         |FROM lab GROUP BY cluster_id""".stripMargin),
     "s4_native_cosine" ->
       (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE vec_id % 10 = 0 AND vec_id < ${Similarity.AuditCap})

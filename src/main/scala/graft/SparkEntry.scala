@@ -100,6 +100,7 @@ object SparkEntry {
     "s7_multiprobe_topk" -> (Similarity.lshTopKMultiProbe _),
     "s8_ivf_topk"       -> (Similarity.ivfTopK _),
     "s9_quantize_stats" -> (Similarity.quantizeStats _),
+    "s10_semantic_dedup" -> (Similarity.semanticDedupClusters _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -366,6 +366,25 @@ object Similarity {
       .filter(col("sim") >= 0.2)
   }
 
+  /** SemDeDup-style semantic dedup: the embedding-side label phase of
+    * near-duplicate removal, composed from the two proven scale shapes.
+    * Candidate pairs come from the production SRP-bucketed join
+    * ([[bucketedNearDup]] — equality join on the sign-pattern bucket,
+    * never all-pairs), the pair graph is labeled by
+    * [[Dedup.connectedComponents]]'s pointer-jumping CC (O(log diameter)
+    * rounds), and each cluster reports its canonical representative
+    * (cluster_id IS the min member vec_id — the vector an apply stage
+    * keeps), member count, and max member. Beyond the reference: the
+    * embedding-side dedup a training-data pipeline runs next to the
+    * text-side d4→d8→d10; the apply step is the same broadcast anti-join
+    * as [[Dedup.dedupApplyFrom]], against these labels. */
+  def semanticDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
+        "vec_id", "cluster_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_member"))
+
   /** Symmetric int8 quantization stats per embedding — the compression
     * pass of an embedding pipeline (scale = max|x|/127, q = round(x/s),
     * error = reconstruction RMSE relative to the scale's range). Pure

@@ -206,4 +206,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti >= 0.8, f"multi-probe planted recall: $rMulti%.2f")
     assert(rMulti >= rSingle)
   }
+
+  test("semantic dedup clusters match a driver-side union-find over the s5 pair graph") {
+    // independent reference: collect the (small) s5 pair list and label it
+    // with a plain union-find, then compare the distributed CC + rollup
+    // exactly — cluster ids, member counts, and max members all agree
+    val pairList = Similarity.bucketedNearDup(spark, sf01)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty, "fixture must produce near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, ms) => (ms.min, ms.size.toLong, ms.max) }.toSet
+    val got = Similarity.semanticDedupClusters(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"cluster mismatch: extra=${got -- expected} missing=${expected -- got}")
+  }
 }
