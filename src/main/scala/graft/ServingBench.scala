@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{RestServing, Serving}
+
+/** Interactive-query serving latency benchmark — the measured counterpart
+  * of ServingSpec's correctness goldens, and the last subsystem whose
+  * claims ("a key lookup reads ONLY the hosting partition") were
+  * plan-proven but not timed.
+  *
+  * Store under test: the KTable shape — one row per key (events rolled up
+  * per user at SPARK_GRAFT_SF_DIR), written via
+  * [[Serving.writePartitionedStore]] (one directory per hosting
+  * partition). Measured, per mode, over N point keys:
+  *  - `routed`: [[Serving.lookup]] — the `p = partitionOf(key)`
+  *    PartitionFilter route (what `/state/keyvalue/{key}` serves)
+  *  - `unrouted`: the same key equality WITHOUT the partition route — the
+  *    full-store scan a layer without the routing math would pay; the
+  *    routed/unrouted ratio is the measured value of the routing layer
+  *  - `batched`: [[Serving.lookupAll]] — all N keys in ONE `p IN (…)`
+  *    scan, vs N routed round-trips
+  *  - `http`: GET `/state/keyvalue/{key}` against a live [[RestServing]]
+  *    on the JDK HTTP server — end-to-end including JSON + HTTP overhead
+  *  - `topk`: the scatter-gather `/state/topk` merge across 3 mock hosts
+  *
+  * Output: ONE JSON line with per-mode p50/p95/max/mean milliseconds.
+  * Knobs: SPARK_GRAFT_SERV_LOOKUPS (default 50), SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS. Like Bench: `load_warning` when load1_start > 4.
+  */
+object ServingBench {
+
+  private def load1: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def p50(ms: Seq[Double]): Double = {
+    val s = ms.sorted; s((0.5 * (s.size - 1)).round.toInt)
+  }
+
+  private def stats(ms: Seq[Double]): String = {
+    val s = ms.sorted
+    def pct(p: Double) = s((p * (s.size - 1)).round.toInt)
+    f"""{"n":${s.size},"p50_ms":${pct(0.5)}%.1f,"p95_ms":${pct(0.95)}%.1f,"max_ms":${s.last}%.1f,"mean_ms":${s.sum / s.size}%.1f}"""
+  }
+
+  private def timeMs[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SERV_LOOKUPS", "50").toInt
+    val parts = 32
+    val spark = GraftSession.local(cpus)
+    val loadStart = load1
+
+    // the stored KTable: per-order rollup of lineitem — 150k keys at
+    // sf0.1, 1.5M at sf1-synth, so the scan-cost difference between a
+    // routed (one directory) and unrouted (full store) read is visible
+    // over the fixed per-query planning cost
+    val keyCol = "l_orderkey"
+    val path = Files.createTempDirectory("graft-servbench").toString + "/store"
+    Serving.writePartitionedStore(
+      spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice")).as("total_value"),
+          // realistic store VALUE: the per-order line detail (state-store
+          // values are fat — this is what makes scan volume, and
+          // therefore the routing win, measurable)
+          sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"), col("l_returnflag"),
+            col("l_linestatus"), col("l_shipdate")))).as("lines")),
+      keyCol, parts, path)
+    val nRows = spark.read.parquet(path).count()
+    // deterministic existing keys, spread across the id space
+    val keys: Seq[Long] = spark.read.parquet(path)
+      .select(col(keyCol)).orderBy(col(keyCol)).collect()
+      .map(_.getLong(0)).grouped(math.max(1, (nRows / n).toInt))
+      .map(_.head).take(n).toSeq
+
+    // warm the codegen/scan paths once so measured lookups are steady-state
+    Serving.lookup(spark, path, keyCol, keys.head, parts).collect()
+    spark.read.parquet(path).where(col(keyCol) === keys.head).collect()
+
+    val routed = keys.map(k =>
+      timeMs(Serving.lookup(spark, path, keyCol, k, parts).collect()))
+    val unrouted = keys.map(k =>
+      timeMs(spark.read.parquet(path).where(col(keyCol) === k).collect()))
+    val batched = timeMs(
+      Serving.lookupAll(spark, path, keyCol, keys, parts).collect())
+
+    val hosts = Seq("h0:1", "h1:1", "h2:1")
+    val topk = timeMs(Serving.scatterGatherTopK(
+      spark, path, hosts, parts, "total_value", keyCol, 5).collect())
+
+    val rest = new RestServing(spark, path, keyCol, parts, hosts)
+    val port = rest.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def get(k: Long): Int = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/$k")).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    get(keys.head) // warm
+    val http = keys.map(k => timeMs(assert(get(k) == 200)))
+    rest.stop()
+
+    val loadEnd = load1
+    println(
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+    spark.stop()
+  }
+}
