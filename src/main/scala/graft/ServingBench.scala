@@ -102,17 +102,35 @@ object ServingBench {
     val rest = new RestServing(spark, path, keyCol, parts, hosts)
     val port = rest.start()
     val client = java.net.http.HttpClient.newHttpClient()
-    def get(k: Long): Int = client.send(
+    def get(p: Int, k: Long): Int = client.send(
       java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/$k")).build(),
+        java.net.URI.create(s"http://127.0.0.1:$p/state/keyvalue/$k")).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
-    get(keys.head) // warm
-    val http = keys.map(k => timeMs(assert(get(k) == 200)))
+    get(port, keys.head) // warm
+    val http = keys.map(k => timeMs(assert(get(port, k) == 200)))
     rest.stop()
+
+    // the LIVE tier: point reads over a RUNNING stream's memory-sink
+    // state (LiveRestServing) — aggregate-sized LocalTableScan, no file
+    // I/O; this is the low-latency serving mode the batch store is not
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val liveQ = graft.streaming.Sources.serveAsTable(
+      in.toDF().toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cnt")),
+      "servbench_live").start()
+    in.addData(0L until 1000L: _*)
+    liveQ.processAllAvailable()
+    val live = new graft.streaming.LiveRestServing(spark, "servbench_live", "k")
+    val lport = live.start()
+    get(lport, 0L) // warm
+    val liveHttp = (0 until keys.size).map(i => timeMs(assert(get(lport, i % 1000L) == 200)))
+    live.stop(); liveQ.stop()
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
   }
 }
