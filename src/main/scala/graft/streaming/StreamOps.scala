@@ -208,6 +208,59 @@ object StreamOps {
       }
   }
 
+  case class VecEvent(vec_id: Long, ts: Timestamp, embedding: Seq[Double])
+  case class VecBucketed(vec_id: Long, ts: Timestamp, embedding: Seq[Double],
+      bucket: Long)
+  case class VecKept(vec_id: Long, bucket: Long, n_checked: Int)
+
+  /** Streaming SEMANTIC near-duplicate dedup — W9's exact-id dedup
+    * generalized to the training-data case (the stream-side s5/s10): an
+    * incoming embedding is a duplicate if an EARLIER-KEPT vector in its
+    * SRP bucket is cosine-similar at ≥ `simThreshold`; first occurrence
+    * wins and is emitted (the survivor stream), later near-dups drop —
+    * including across micro-batches, which is the point of the keyed
+    * state. The bucket is computed column-side with the SAME seeded
+    * planes as the batch path ([[graft.ops.Similarity.srpBucket]]), so
+    * stream and batch agree on candidate generation, and the state key IS
+    * the bucket: a new vector compares only against its bucket's kept
+    * list, never the corpus — the same never-all-pairs scale shape as s5.
+    * Per-bucket state is capped at `maxPerBucket` kept vectors (oldest
+    * evicted — the size-bound analog of W9's watermark TTL; SRP buckets
+    * are occupancy-tuned small, see the BASELINE.md knob rules). Rows
+    * process in (ts, vec_id) order within a batch for determinism. */
+  def nearDupDropStream(vecs: Dataset[VecEvent], simThreshold: Double,
+      maxPerBucket: Int = 64, numPlanes: Int = graft.ops.Similarity.NumPlanes)
+      : Dataset[VecKept] = {
+    import vecs.sparkSession.implicits._
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    vecs.toDF()
+      .withColumn("bucket",
+        graft.ops.Similarity.srpBucket(col("embedding"), numPlanes))
+      .as[VecBucketed]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Seq[Double], Double)], VecKept](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, it: Iterator[VecBucketed],
+            state: GroupState[List[(Long, Seq[Double], Double)]]) =>
+          var kept = state.getOption.getOrElse(Nil) // newest first
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.vec_id)).flatMap { e =>
+            val norm = math.sqrt(dot(e.embedding, e.embedding))
+            val dup = norm > 0 && kept.exists { case (_, kEmb, kNorm) =>
+              kNorm > 0 && dot(e.embedding, kEmb) / (norm * kNorm) >= simThreshold
+            }
+            if (dup) None
+            else {
+              val checked = kept.size
+              kept = ((e.vec_id, e.embedding, norm) :: kept).take(maxPerBucket)
+              Some(VecKept(e.vec_id, bucket, checked))
+            }
+          }
+          state.update(kept)
+          out.iterator
+      }
+  }
+
   case class ChangelogEntry(group: String, id: Long, value: Option[Double])
   case class ChartRow(group: String, pos: Int, id: Long, value: Double)
 

@@ -610,4 +610,48 @@ class StreamOpsSpec extends SparkSpec {
       RegionCount("asia", Some(2), 6),      // fang re-fills asia
       RegionCount("europe", Some(3), 7)))   // gandalf
   }
+
+  test("nearDupDropStream: first wins, cross-batch drop, cap eviction forgets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = graft.ops.Similarity.Dim
+    // deterministic geometry against the REAL seeded plane 0 (the op runs
+    // with numPlanes=1): u = normalized plane, q ⊥ u. Then a = u + q and
+    // c = u − q share the bucket (both have positive u-component → same
+    // sign against the plane) while cos(a, c) = 0 — same-bucket NON-dups.
+    val p = graft.ops.Similarity.planes(0)
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    val u = p.map(_ / pn).toSeq
+    val e0 = 1.0 +: Seq.fill(dim - 1)(0.0)
+    val proj = e0.zip(u).map { case (x, y) => x * y }.sum
+    val q0 = e0.zip(u).map { case (x, y) => x - proj * y }
+    val qn = math.sqrt(q0.map(x => x * x).sum)
+    val q = q0.map(_ / qn)
+    val a = u.zip(q).map { case (x, y) => x + y }
+    val c = u.zip(q).map { case (x, y) => x - y }
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val in = MemoryStream[VecEvent]
+    runQuery(nearDupDropStream(in.toDS(), 0.95, maxPerBucket = 1,
+        numPlanes = 1).toDF(), "ndd", OutputMode.Update()) {
+      in.addData(VecEvent(1, ts(1), a)); qProcess("ndd")
+      // batch 2: exact copy of a (cos 1.0, same bucket) drops CROSS-batch;
+      // c (same bucket, cos 0) is kept and — cap 1 — EVICTS a
+      in.addData(VecEvent(2, ts(2), a), VecEvent(3, ts(3), c)); qProcess("ndd")
+      // batch 3: a again — the cap evicted it, so the stream forgets and
+      // keeps it anew (the documented size-bound trade); a second copy in
+      // the same batch drops against the row kept moments before
+      in.addData(VecEvent(4, ts(4), a), VecEvent(5, ts(5), a)); qProcess("ndd")
+    }
+    val got = spark.table("ndd").as[VecKept].collect()
+      .map(k => k.vec_id -> k.n_checked).toMap
+    assert(got.keySet === Set(1L, 3L, 4L),
+      s"survivors: expected 1,3,4 got ${got.keySet}")
+    assert(got(1L) === 0)  // empty bucket on arrival
+    assert(got(3L) === 1)  // compared against the kept a
+    assert(got(4L) === 1)  // compared against the kept c (a was evicted)
+  }
+
+  // processAllAvailable on the active query feeding the named sink
+  private def qProcess(name: String): Unit =
+    spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
 }
