@@ -145,6 +145,17 @@ object StreamBench {
       "latest_per_key" -> (() => Pipeline(
         StreamOps.latestPerKey(events()).toDF(),
         OutputMode.Update())),
+      // streaming semantic dedup: deterministic 64-dim embeddings derived
+      // from the row index (~0.4% exact duplicates via the id cycle), SRP
+      // bucketing + per-bucket kept-list state
+      "neardup_drop" -> (() => Pipeline(
+        StreamOps.nearDupDropStream(
+          rate().select((v % 250000).as("vec_id"), col("timestamp").as("ts"),
+            transform(sequence(lit(0), lit(63)),
+              i => sin((v % 250000) * 0.7 + i * 1.3)).as("embedding"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.VecEvent]),
+          0.95).toDF(),
+        OutputMode.Update())),
       // the KafkaMusic chart path: changelog updates (with ~2% tombstones)
       // into the capped per-group top-N state
       "incremental_topn" -> (() => Pipeline(
