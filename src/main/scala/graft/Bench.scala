@@ -95,6 +95,11 @@ object Bench {
         // recompute, not serve the memo. (d10 keeps the memo — measuring
         // the apply phase against prepared labels IS its contract.)
         if (name == "d8_dedup_clusters") graft.ops.Dedup.invalidateLabels()
+        // same label/apply coupling on the embedding side: s10 is the
+        // label phase (re-measures the CC honestly), s11 the apply phase
+        // (measures against prepared labels)
+        if (name == "s10_semantic_dedup")
+          graft.ops.Similarity.invalidateSemanticLabels()
         val t0 = System.nanoTime()
         // Full materialization: toRdd.count() produces every output row
         // through the complete codegen pipeline. A bare df.count() lets

@@ -572,6 +572,23 @@ object OracleSql {
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
          |  max(id) AS max_member
          |FROM lab GROUP BY cluster_id""".stripMargin),
+    // s10's labels applied: drop non-canonical members, exact-integer
+    // survivor invariants (the embedding-side d10)
+    "s11_semantic_apply" ->
+      (s"""WITH RECURSIVE $srpBucketCtes,
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         |losers AS (SELECT id AS vec_id FROM reach GROUP BY id
+         |  HAVING id <> min(r))
+         |SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+         |  CAST(sum(vec_id) AS BIGINT) AS survivor_id_sum,
+         |  min(vec_id) AS min_survivor, max(vec_id) AS max_survivor
+         |FROM embeddings ANTI JOIN losers USING (vec_id)""".stripMargin),
     "s4_native_cosine" ->
       (s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE vec_id % 10 = 0 AND vec_id < ${Similarity.AuditCap})

@@ -30,6 +30,9 @@ object PlanAudit {
       ("s10_semantic_dedup", "the cluster rollup reads the converged CC labels as a materialized RDD (the bucketed pair generation and the label loop ran inside the checkpoint) — the final plan is one partial/final aggregate over labels, no pair re-generation, no all-pairs anywhere",
         Seq("ExistingRDD", "partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "FileScan parquet")),
+      ("s11_semantic_apply", "the embedding-side APPLY reads the memoized semantic labels (ExistingRDD — the label phase ran once, in s10, not again here) and the non-canonical drop list broadcasts against the single embeddings scan as a LeftAnti BroadcastHashJoin — one corpus pass, exactly the d10 shape",
+        Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("s7_multiprobe_topk", "multi-probe fan-out stays on the broadcast query side; candidates via BroadcastHashJoin, never all-pairs; the per-query top-k plans WindowGroupLimit (partial top-k per partition before the q_id shuffle)",
         Seq("BroadcastHashJoin", "WindowGroupLimit"), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("s1_brute_topk", "the exact baseline scans the corpus once against broadcast queries and its per-query top-k plans WindowGroupLimit — even the brute-force path never shuffles all n×q scored rows to the rank step",

@@ -101,6 +101,7 @@ object SparkEntry {
     "s8_ivf_topk"       -> (Similarity.ivfTopK _),
     "s9_quantize_stats" -> (Similarity.quantizeStats _),
     "s10_semantic_dedup" -> (Similarity.semanticDedupClusters _),
+    "s11_semantic_apply" -> (Similarity.semanticDedupApply _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

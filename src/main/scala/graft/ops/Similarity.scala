@@ -379,11 +379,45 @@ object Similarity {
     * text-side d4→d8→d10; the apply step is the same broadcast anti-join
     * as [[Dedup.dedupApplyFrom]], against these labels. */
   def semanticDedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
-        "vec_id", "cluster_id")
+    semanticLabels(s, dir)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max(col("vec_id")).as("max_member"))
+
+  /** The embedding-side labels table (vec_id → cluster_id), memoized per
+    * (context, dir) exactly like the text side's [[Dedup.clusterLabels]]:
+    * the label phase runs once per session (s10 is its measurement) and
+    * every apply job reads the materialized result. Bench invalidates
+    * this memo before re-measuring s10 (mirroring the d8/d10 coupling). */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def semanticLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        Dedup.connectedComponents(
+          bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
+          "vec_id", "cluster_id"))
+
+  def invalidateSemanticLabels(): Unit = labelCache.clear()
+
+  /** The APPLY phase of embedding-side dedup — [[Dedup.dedupApplyFrom]]'s
+    * exact shape against the semantic labels: drop every cluster member
+    * except its canonical min-vec_id representative (a broadcast
+    * anti-join — the drop list is the near-dup fraction, small at any
+    * corpus size) and report the surviving corpus as exact-integer
+    * invariants (count, id-sum, id-range: hash-stable in any engine,
+    * unlike a float rollup). One pass over embeddings, no corpus shuffle. */
+  def semanticDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val losers = semanticLabels(s, dir)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id"))
+    Tables.embeddings(s, dir)
+      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("vec_id")).cast(LongType).as("survivor_id_sum"),
+        min(col("vec_id")).as("min_survivor"),
+        max(col("vec_id")).as("max_survivor"))
+  }
 
   /** Symmetric int8 quantization stats per embedding — the compression
     * pass of an embedding pipeline (scale = max|x|/127, q = round(x/s),

@@ -230,5 +230,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected,
       s"cluster mismatch: extra=${got -- expected} missing=${expected -- got}")
+
+    // apply phase: survivors = corpus minus non-canonical members, checked
+    // against the same union-find; and the labels memo means the apply
+    // runs against the already-materialized table (same DataFrame object)
+    val losers = parent.keys.toSeq.groupBy(find)
+      .values.flatMap(ms => ms.filterNot(_ == ms.min)).toSet
+    val all = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val survivors = all -- losers
+    val row = Similarity.semanticDedupApply(spark, sf01).collect().head
+    assert(row.getLong(0) == survivors.size.toLong)
+    assert(row.getLong(1) == survivors.sum)
+    assert(Similarity.semanticLabels(spark, sf01) eq
+      Similarity.semanticLabels(spark, sf01), "labels must be memoized")
   }
 }
