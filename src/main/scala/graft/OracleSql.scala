@@ -86,9 +86,10 @@ object OracleSql {
   }
 
   /** SRP-LSH bucket of an embedding, using the exact plane constants the
-    * Spark side uses (Similarity.planes, seeded). */
-  private val srpBucketCtes: String = {
-    val planeRows = Similarity.planes.zipWithIndex.map { case (row, p) =>
+    * Spark side uses (Similarity.planesFor(n), seeded — the first 8 rows
+    * of any wider family ARE Similarity.planes). */
+  private def srpBucketCtesFor(numPlanes: Int): String = {
+    val planeRows = Similarity.planesFor(numPlanes).zipWithIndex.map { case (row, p) =>
       s"($p, [${row.map(_.toString).mkString(",")}]::DOUBLE[])"
     }.mkString(", ")
     s"""planes(p, pw) AS (SELECT * FROM (VALUES $planeRows)),
@@ -97,6 +98,28 @@ object OracleSql {
        |    list_sum([CAST(embedding[i] AS DOUBLE) * pw[i] for i in range(1, len(embedding) + 1)]) >= 0
        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
        |  FROM emb CROSS JOIN planes GROUP BY vec_id, embedding)""".stripMargin
+  }
+
+  private val srpBucketCtes: String = srpBucketCtesFor(Similarity.NumPlanes)
+
+  /** Scaled simhash CTE chain (Dedup.simhashScaled): word hash = 60 bits
+    * from md5 hex chars 1-15 masked to `bits`, votes/fingerprint as the
+    * 32-bit form. Ends in sim(doc_id, simhash). */
+  private def simhashScaledCtes(bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val voteCols = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val fp = (0 until bits)
+      .map(j => s"CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |wrd AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM tok),
+       |hsh AS (SELECT doc_id, CAST(list_sum(
+       |  [(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT << ((15 - i) * 4)
+       |   for i in range(1, 16)]) AS BIGINT) & $mask AS h FROM wrd),
+       |votes AS (SELECT doc_id, $voteCols FROM hsh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
   // ---- the map -------------------------------------------------------
@@ -443,6 +466,22 @@ object OracleSql {
          |FROM buckets l JOIN buckets r
          |ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin),
+    // the production-knob SimHash form: Dedup.ScaledBits-wide fingerprints
+    // in 4 bands of bits/4 (occupancy restored for a 10× corpus)
+    "d11_simhash_scaled" -> {
+      val bits = Dedup.ScaledBits
+      val w = bits / 4
+      val bandMask = (1L << w) - 1
+      s"""WITH ${simhashScaledCtes(bits)},
+         |buckets AS (SELECT b AS band, (simhash >> (b * $w)) & $bandMask AS bucket,
+         |    doc_id, simhash
+         |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b))
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |FROM buckets l JOIN buckets r
+         |ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
+    },
     "d7_ngram_jaccard" ->
       (s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS w
          |  FROM documents WHERE doc_id % 20 = 0 AND doc_id < ${Dedup.JaccardAuditCap}),
@@ -557,6 +596,53 @@ object OracleSql {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin),
+    // the production-knob SRP form: Similarity.ScaledPlanes hyperplanes
+    // (occupancy restored for a 10×-sf0.1 corpus); same threshold as s5
+    "s12_neardup_scaled" ->
+      (s"""WITH ${srpBucketCtesFor(Similarity.ScaledPlanes)}
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.2""".stripMargin),
+    // the production IVF configuration: stride = floor(sqrt(corpus)) — the
+    // oracle derives the identical stride from the same count
+    "s13_ivf_scaled" -> {
+      val nprobe = Similarity.NProbe
+      val iters = Similarity.LloydIters
+      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, e.embedding, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell
+         |  FROM ranked WHERE vec_id < 10 AND rk <= $nprobe),
+         |s AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${cosSql("q_emb", "c.embedding")} AS sim
+         |  FROM cells c JOIN qc USING (cell) WHERE q_id <> c.vec_id),
+         |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
+    },
     // embedding-side label phase: s5's bucketed pair graph, then connected
     // components via the same recursive-CTE shape as d8
     "s10_semantic_dedup" ->

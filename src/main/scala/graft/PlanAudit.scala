@@ -33,6 +33,12 @@ object PlanAudit {
       ("s11_semantic_apply", "the embedding-side APPLY reads the memoized semantic labels (ExistingRDD — the label phase ran once, in s10, not again here) and the non-canonical drop list broadcasts against the single embeddings scan as a LeftAnti BroadcastHashJoin — one corpus pass, exactly the d10 shape",
         Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("d11_simhash_scaled", "the production-width SimHash form keeps d6's shape: fingerprints checkpointed once (ExistingRDD), the banded self-join reads the materialized RDD (zero parquet re-scans), first-matching-band emission needs no post-join distinct",
+        Seq("ExistingRDD"), Seq("FileScan parquet")),
+      ("s12_neardup_scaled", "the production-plane SRP form keeps s5's shape: bucket equality join over the checkpointed bucketed table — no all-pairs",
+        Seq("ExistingRDD"), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("s13_ivf_scaled", "the √n-stride production IVF keeps s8's shape: EQUALITY join on cell id over the checkpointed index (ExistingRDD), broadcast query side — the n×C build (now n√n) is confined inside the checkpoint",
+        Seq("ExistingRDD", "BroadcastHashJoin"), Seq("CartesianProduct")),
       ("s7_multiprobe_topk", "multi-probe fan-out stays on the broadcast query side; candidates via BroadcastHashJoin, never all-pairs; the per-query top-k plans WindowGroupLimit (partial top-k per partition before the q_id shuffle)",
         Seq("BroadcastHashJoin", "WindowGroupLimit"), Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("s1_brute_topk", "the exact baseline scans the corpus once against broadcast queries and its per-query top-k plans WindowGroupLimit — even the brute-force path never shuffles all n×q scored rows to the rank step",

@@ -91,6 +91,10 @@ object SparkEntry {
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "d9_contamination"  -> (Dedup.contamination _),
     "d10_dedup_apply"   -> (Dedup.dedupApply _),
+    // the production-knob forms, oracle-checked at their scaled constants
+    // (d6/s5/s8 stay the bit-stable small-scale enumeration/audit forms)
+    "d11_simhash_scaled" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashPairsScaled(s, dir, Dedup.ScaledBits)),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),
@@ -102,6 +106,9 @@ object SparkEntry {
     "s9_quantize_stats" -> (Similarity.quantizeStats _),
     "s10_semantic_dedup" -> (Similarity.semanticDedupClusters _),
     "s11_semantic_apply" -> (Similarity.semanticDedupApply _),
+    "s12_neardup_scaled" -> ((s: SparkSession, dir: String) =>
+      Similarity.bucketedNearDupWith(s, dir, Similarity.ScaledPlanes)),
+    "s13_ivf_scaled"    -> (Similarity.ivfTopKScaled _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

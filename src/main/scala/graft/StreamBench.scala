@@ -146,8 +146,11 @@ object StreamBench {
         StreamOps.latestPerKey(events()).toDF(),
         OutputMode.Update())),
       // streaming semantic dedup: deterministic 64-dim embeddings derived
-      // from the row index (~0.4% exact duplicates via the id cycle), SRP
-      // bucketing + per-bucket kept-list state
+      // from vec_id = value % 250000 — the default 500k-row batch covers
+      // the id space twice and later batches repeat it entirely, so the
+      // steady state is ~100% duplicates: this measures the DROP path
+      // (kept-list lookup + bucket-local cosine) at saturation, with the
+      // default 8-plane SRP bucketing
       "neardup_drop" -> (() => Pipeline(
         StreamOps.nearDupDropStream(
           rate().select((v % 250000).as("vec_id"), col("timestamp").as("ts"),

@@ -363,6 +363,13 @@ object Dedup {
         bit_count(xorCol).as("hamming"))
   }
 
+  /** Fingerprint width of the oracle-checked production form
+    * (`d11_simhash_scaled`): 4 bands of 12 bits → 4096 buckets per band,
+    * the occupancy restored for a ~10×-sf0.1 corpus per the knob rule in
+    * [[simhashPairsScaled]]. Interpolated into OracleSql so engine and
+    * oracle can never drift. */
+  val ScaledBits = 48
+
   /** [[simhash]] at an arbitrary fingerprint width — the SimHash scale
     * knob. Word hashes draw 60 bits from md5 hex chars 1-15 and mask to
     * `bits`, so this deliberately does NOT reproduce the 32-bit d5 form

@@ -327,6 +327,24 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Plane count of the oracle-checked production form
+    * (`s12_neardup_scaled`): NumPlanes + log2(~10×) ≈ 12, the occupancy
+    * restored for a corpus an order of magnitude past sf0.1 per the knob
+    * rule in [[bucketedNearDupWith]]. Interpolated into OracleSql (the
+    * plane constants are literal arrays there) so engine and oracle share
+    * one plane family by construction. */
+  val ScaledPlanes = 12
+
+  /** The production IVF configuration (`s13_ivf_scaled`): stride ≈ √n so
+    * C ≈ √n centroids — build n√n, probe NProbe·√n, both sub-quadratic at
+    * any corpus size (the [[ivfTopKWith]] scale rule). The corpus count is
+    * read once up front (the index build is a job anyway); the DuckDB
+    * oracle derives the identical stride as floor(sqrt(count(*))). */
+  def ivfTopKScaled(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    ivfTopKWith(s, dir, LloydIters, math.max(1, math.sqrt(n.toDouble).toInt))
+  }
+
   /** s5: scale-safe embedding near-dup — the production path. Candidates
     * are generated by an EQUALITY join on the SRP bucket (cosine-similar
     * vectors land in the same sign pattern with high probability), then

@@ -61,20 +61,33 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
       (200, rows.mkString("[", ",", "]"))
     })
     // all-entries scan (reference allForStore:125-133); longest-prefix
-    // context matching keeps this distinct from the batched ?keys= lookup
-    server.createContext("/state/keyvalues/all", handlerQ { (_, _) =>
-      val rows = Serving.all(spark, storePath, keyCol)
-        .drop("p").toJSON.collect()
-      (200, rows.mkString("[", ",", "]"))
+    // context matching keeps this distinct from the batched ?keys= lookup,
+    // and the exact-path guard keeps it from swallowing /allanything
+    // (JDK contexts are plain string prefixes)
+    server.createContext("/state/keyvalues/all", handlerQ { (path, _) =>
+      if (path != "/state/keyvalues/all") (404, """{"error":"not found"}""")
+      else {
+        val rows = Serving.all(spark, storePath, keyCol)
+          .drop("p").toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      }
     })
     // key-range scan (reference rangeForKeyValueStore:135-143) — inclusive
-    // bounds, empty result is 200 []; see Serving.range for why a range
-    // over a hash-partitioned store scans all partitions (data filters
-    // push, directory pruning cannot)
-    server.createContext("/state/keyvalues/range", handlerQ { (_, q) =>
-      val rows = Serving.range(spark, storePath, keyCol,
-        q.get("from"), q.get("to")).drop("p").toJSON.collect()
-      (200, rows.mkString("[", ",", "]"))
+    // bounds, empty result is 200 []; unparseable bounds for the key type
+    // are a client error (400), never a silent full/empty scan. See
+    // Serving.range for why a range over a hash-partitioned store scans
+    // all partitions (data filters push, directory pruning cannot).
+    server.createContext("/state/keyvalues/range", handlerQ { (path, q) =>
+      if (path != "/state/keyvalues/range") (404, """{"error":"not found"}""")
+      else try {
+        val rows = Serving.range(spark, storePath, keyCol,
+          q.get("from"), q.get("to")).drop("p").toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      } catch {
+        case e: IllegalArgumentException =>
+          (400, s"""{"error":"${String.valueOf(e.getMessage).take(100)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
+      }
     })
     server.createContext("/state/instance/", handler { path =>
       val key = path.stripPrefix("/state/instance/")

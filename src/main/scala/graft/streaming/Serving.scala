@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Partition-aware interactive-query routing — the Spark-native analog of
   * the reference's MetadataService + scatter-gather REST layer
@@ -119,11 +120,42 @@ object Serving {
       from: Option[String], to: Option[String]): DataFrame = {
     val df = s.read.parquet(path)
     val kt = df.schema(keyCol).dataType
-    val lower = from.map(f => col(keyCol) >= lit(f).cast(kt))
-    val upper = to.map(t => col(keyCol) <= lit(t).cast(kt))
+    val lower = from.map(f => col(keyCol) >= boundLit(f, kt))
+    val upper = to.map(t => col(keyCol) <= boundLit(t, kt))
     (lower ++ upper).reduceOption(_ && _)
       .map(df.where).getOrElse(df)
       .orderBy(col(keyCol))
+  }
+
+  /** A textual range bound parsed as the stored key type, DRIVER-side —
+    * an unparseable bound throws IllegalArgumentException immediately
+    * (the REST layer maps it to 400, matching the reference's
+    * client-error contract) instead of either throwing mid-query under
+    * ANSI cast semantics (a 500) or null-filtering everything to `[]`
+    * with ANSI off — both of which misreport a malformed REQUEST. */
+  private[streaming] def boundLit(v: String, kt: DataType): Column = {
+    def bad(cause: Throwable) = throw new IllegalArgumentException(
+      s"range bound '$v' is not a valid ${kt.simpleString}", cause)
+    kt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val p = try v.trim.toLong catch { case e: NumberFormatException => bad(e) }
+        kt match {
+          case ByteType if p.isValidByte   => lit(p.toByte)
+          case ShortType if p.isValidShort => lit(p.toShort)
+          case IntegerType if p.isValidInt => lit(p.toInt)
+          case LongType                    => lit(p)
+          case _ => bad(new ArithmeticException(s"$p out of ${kt.simpleString} range"))
+        }
+      case FloatType | DoubleType =>
+        val p = try v.trim.toDouble catch { case e: NumberFormatException => bad(e) }
+        if (kt == FloatType) lit(p.toFloat) else lit(p)
+      case _: DecimalType =>
+        val p = try new java.math.BigDecimal(v.trim) catch {
+          case e: NumberFormatException => bad(e) }
+        lit(p).cast(kt)
+      case StringType => lit(v) // any text is a valid string bound
+      case _ => lit(v).cast(kt) // exotic key types keep cast semantics
+    }
   }
 
   /** Scatter-gather read (MusicPlaysRestService top-five): each host
