@@ -168,7 +168,20 @@ object Dedup {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  /** Drop memo entries bound to STOPPED SparkContexts — a JVM that cycles
+    * sessions (test suites, StreamBench's crash-containment rebuild) must
+    * not accumulate checkpointed frames pinned to dead contexts. Called on
+    * every cache access; a DataFrame retains its owning session, so
+    * liveness is read directly off the entry. */
+  private[graft] def evictStopped(
+      cache: java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+  }
+
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    evictStopped(labelCache)
     labelCache.computeIfAbsent(
       // applicationId+startTime is unique per context lifetime — an
       // identityHashCode can be reused by a NEW context after the old one
@@ -178,6 +191,7 @@ object Dedup {
         val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
         connectedComponents(pairs, "doc_id", "cluster_id")
       })
+  }
 
   def invalidateLabels(): Unit = labelCache.clear()
 

@@ -409,12 +409,14 @@ object Similarity {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  def semanticLabels(s: SparkSession, dir: String): DataFrame =
+  def semanticLabels(s: SparkSession, dir: String): DataFrame = {
+    Dedup.evictStopped(labelCache) // dead-context entries, see Dedup
     labelCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         Dedup.connectedComponents(
           bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
           "vec_id", "cluster_id"))
+  }
 
   def invalidateSemanticLabels(): Unit = labelCache.clear()
 

@@ -68,9 +68,25 @@ object Sources {
     * length. The new store is localCheckpointed each batch so lineage
     * stays one batch deep and HTTP reads scan a materialized
     * aggregate-sized table. Multi-row keys are the point: a key's rows
-    * (e.g. a group's whole chart) are swapped atomically as a unit. */
-  def serveUpserted(df: DataFrame, name: String,
-      keyCols: Seq[String]): DataStreamWriter[Row] =
+    * (e.g. a group's whole chart) are swapped atomically as a unit.
+    *
+    * `isTombstone`: an operator whose key becomes EMPTY has nothing to
+    * emit, so its stale rows would be served forever — unless it emits an
+    * explicit per-key deletion marker (e.g. [[StreamOps.incrementalTopN]]
+    * with emitEmpty=true: pos=0). A marker row counts for the stale-row
+    * anti-join (the key WAS touched) but is filtered out of the store, so
+    * the key's serving presence ends with its state.
+    *
+    * Restart semantics (documented limitation): the store is an in-memory
+    * global temp view, so after a QUERY RESTART it starts empty and a
+    * recovered key reappears only when its next emission arrives —
+    * exactly a Kafka Streams app rebuilding its serving layer before
+    * restoration finishes. A production deployment would bootstrap the
+    * view from a persisted snapshot (writeStream to parquet + read back)
+    * or run the chart in complete mode; within one process lifetime the
+    * store is exact. */
+  def serveUpserted(df: DataFrame, name: String, keyCols: Seq[String],
+      isTombstone: Option[org.apache.spark.sql.Column] = None): DataStreamWriter[Row] =
     df.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // foreachBatch executes on the stream's CLONED session, whose temp
@@ -79,11 +95,12 @@ object Sources {
         val s = batch.sparkSession
         val gname = "global_temp." + name
         val b = batch.localCheckpoint()
+        val keep = isTombstone.map(t => b.filter(!t)).getOrElse(b)
         val next =
-          if (!s.catalog.tableExists(gname)) b
+          if (!s.catalog.tableExists(gname)) keep
           else s.table(gname)
             .join(b.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-            .unionByName(b)
+            .unionByName(keep)
         next.localCheckpoint().createOrReplaceGlobalTempView(name)
       }
 }

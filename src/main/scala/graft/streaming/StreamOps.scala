@@ -280,9 +280,17 @@ object StreamOps {
     * The one approximated case is passive re-entry: if a charted member is
     * tombstoned and an already-evicted member should fill the freed slot
     * WITHOUT receiving a new update, its value is gone — the cost of
-    * bounded state; widen `margin` to make it arbitrarily rare. */
+    * bounded state; widen `margin` to make it arbitrarily rare.
+    *
+    * `emitEmpty`: when a group's LAST member is tombstoned its chart has
+    * no rows to emit, so a downstream upsert store would keep serving the
+    * stale chart forever. With emitEmpty=true the group emits ONE
+    * deletion marker instead — `pos = 0` (real chart rows are 1-based),
+    * id = -1, value = 0 — the explicit per-key "empty chart" record
+    * [[Sources.serveUpserted]]'s `isTombstone` filter anti-joins on.
+    * The group's state entry is removed either way (no leak). */
   def incrementalTopN(updates: Dataset[ChangelogEntry], n: Int,
-      margin: Int = 8): Dataset[ChartRow] = {
+      margin: Int = 8, emitEmpty: Boolean = false): Dataset[ChartRow] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.group)
       .flatMapGroupsWithState[Map[Long, Double], ChartRow](
@@ -297,12 +305,18 @@ object StreamOps {
           val members = if (updated.size <= n + margin) updated
             else updated.toSeq.sortBy { case (id, v) => (-v, id) }
               .take(n + margin).toMap
-          state.update(members)
-          members.toSeq
-            .sortBy { case (id, v) => (-v, id) } // value desc, id asc
-            .take(n).zipWithIndex
-            .map { case ((id, v), i) => ChartRow(group, i + 1, id, v) }
-            .iterator
+          if (members.isEmpty) {
+            state.remove() // a member-less group holds no state
+            if (emitEmpty) Iterator.single(ChartRow(group, 0, -1L, 0.0))
+            else Iterator.empty
+          } else {
+            state.update(members)
+            members.toSeq
+              .sortBy { case (id, v) => (-v, id) } // value desc, id asc
+              .take(n).zipWithIndex
+              .map { case ((id, v), i) => ChartRow(group, i + 1, id, v) }
+              .iterator
+          }
       }
   }
 

@@ -155,6 +155,14 @@ class ServingSpec extends SparkSpec {
       // empty range is 200 with an empty array, not 404 (reference returns
       // an empty List for an empty range)
       assert(get("/state/keyvalues/range?from=900&to=950") === (200, "[]"))
+      // JDK contexts are string prefixes — a trailing-garbage path must
+      // 404, not silently full-scan (round-9 guard)
+      assert(get("/state/keyvalues/allxyz")._1 === 404)
+      assert(get("/state/keyvalues/range/extra")._1 === 404)
+      // an unparseable bound for the int key type is a client error (400),
+      // not an ANSI 500 or a silent empty scan
+      assert(get("/state/keyvalues/range?from=abc")._1 === 400)
+      assert(get("/state/keyvalues/range?from=42&to=xyz")._1 === 400)
     } finally rest.stop()
   }
 
@@ -240,8 +248,9 @@ class ServingSpec extends SparkSpec {
     // incremental top-N is the store; HTTP reads the current chart between
     // micro-batches, and the chart CHANGES when new plays flip the order.
     val plays = MemoryStream[ChangelogEntry]
-    val chart = StreamOps.incrementalTopN(plays.toDS(), 5).toDF()
-    val q = Sources.serveUpserted(chart, "live_chart", Seq("group")).start()
+    val chart = StreamOps.incrementalTopN(plays.toDS(), 5, emitEmpty = true).toDF()
+    val q = Sources.serveUpserted(chart, "live_chart", Seq("group"),
+      isTombstone = Some(col("pos") === 0)).start()
     val rest = new LiveRestServing(spark, "global_temp.live_chart", "group")
     val port = rest.start()
     try {
@@ -272,6 +281,15 @@ class ServingSpec extends SparkSpec {
         """[{"group":"rock","pos":1,"id":201,"value":1.0}]"""))
       // unknown genre → 404 (reference's unknown-genre path)
       assert(get("/state/chart/jazz")._1 === 404)
+      // tombstoning a group's LAST member emits the pos=0 deletion marker
+      // (incrementalTopN emitEmpty) which serveUpserted's isTombstone
+      // filter removes from the store: the group stops being served
+      // instead of its stale chart living forever (round-9 ADVICE fix)
+      plays.addData(ChangelogEntry("rock", 201L, None))
+      q.processAllAvailable()
+      assert(get("/state/chart/rock")._1 === 404)
+      // the other group's chart is untouched by rock's deletion
+      assert(get("/state/chart/punk")._1 === 200)
     } finally { rest.stop(); q.stop() }
   }
 
