@@ -117,6 +117,131 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   }
 }
 
+/** One INSTANCE of a MULTI-PROCESS interactive-query deployment — the
+  * reference's actual serving topology: every app instance hosts a
+  * DISJOINT subset of the store's partitions, `MetadataService`
+  * (MetadataService.java:1-93) maps a key to the instance hosting its
+  * partition, and a request landing on the wrong instance is routed to
+  * the right one (WordCountInteractiveQueriesRestService.java:90-99
+  * `thisHost(...)` fork; MusicPlaysRestService.java:77-115 fans a top-k
+  * read across ALL instances and merges).
+  *
+  * Spark mapping: each instance reads ONLY the partition directories
+  * `Serving.hostFor` assigns to `selfHost` — never the whole store — so
+  * N instances over one partitioned store behave exactly like N Kafka
+  * Streams instances over N local state-store shards:
+  *  - `/state/keyvalue/{key}`: answered from the owned shard when this
+  *    instance hosts the key's partition; otherwise **307 redirect** to
+  *    the owning instance (the explicit-routing flavor of the
+  *    reference's forward — the client follows one hop, and the hop
+  *    target is exactly what `/state/instance/{key}` advertises);
+  *  - `/state/topk/local`: this instance's partial top-k (its shard
+  *    only) — what a coordinating peer fetches;
+  *  - `/state/topk`: the scatter-gather — local partial + a real HTTP
+  *    fetch of every peer's `/state/topk/local`, merged and re-ranked
+  *    exactly like `Serving.scatterGatherTopK` does in-process (peer
+  *    rows are parsed with the STORE's schema, so merge types can't
+  *    drift from JSON inference).
+  *
+  * `peerUrls` (host → base URL) is set after every instance binds its
+  * ephemeral port — the analog of instances discovering each other
+  * through the streams metadata. */
+class FederatedRestServing(spark: SparkSession, storePath: String,
+    keyCol: String, numPartitions: Int, hosts: Seq[String], selfHost: String)
+    extends HttpJsonServer {
+
+  @volatile var peerUrls: Map[String, String] = Map.empty
+
+  private val keyType =
+    spark.read.parquet(storePath).schema(keyCol).dataType
+  private val owned: Seq[Int] =
+    (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
+
+  /** This instance's shard: the owned partition directories only. */
+  private def shard = spark.read.parquet(storePath)
+    .where(col("p").isin(owned: _*))
+
+  private def localTopK(valueCol: String, k: Int) =
+    shard.orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
+
+  def start(bindPort: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/state/keyvalue/", handler { path =>
+      val key = path.stripPrefix("/state/keyvalue/")
+      val p = Serving.partitionOf(key, numPartitions, keyType)
+      val host = Serving.hostFor(p, hosts)
+      if (host == selfHost) {
+        val rows = Serving.lookup(spark, storePath, keyCol, key, numPartitions)
+          .drop("p").toJSON.collect()
+        if (rows.isEmpty) (404, """{"error":"key not found"}""")
+        else (200, rows.mkString("[", ",", "]"))
+      } else peerUrls.get(host) match {
+        case Some(base) => // one-hop routing: Location = the owning instance
+          (307, s"$base/state/keyvalue/${java.net.URLEncoder.encode(key, "UTF-8")}")
+        case None => (502, s"""{"error":"no url for host $host"}""")
+      }
+    })
+    server.createContext("/state/instance/", handler { path =>
+      val key = path.stripPrefix("/state/instance/")
+      val p = Serving.partitionOf(key, numPartitions, keyType)
+      (200, s"""{"partition":$p,"host":"${Serving.hostFor(p, hosts)}"}""")
+    })
+    // this instance's partial top-k — the scatter-gather fan-out target
+    server.createContext("/state/topk/local", handlerQ { (path, q) =>
+      if (path != "/state/topk/local") (404, """{"error":"not found"}""")
+      else {
+        val rows = localTopK(q.getOrElse("value", "value"),
+          q.getOrElse("k", "5").toInt).drop("p").toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      }
+    })
+    // the coordinator role: ANY instance merges its own partial with every
+    // peer's partial fetched over real HTTP (MusicPlaysRestService.java:
+    // 77-115 — the instance that got the request does the gather)
+    server.createContext("/state/topk", handlerQ { (path, q) =>
+      if (path != "/state/topk") (404, """{"error":"not found"}""")
+      else {
+        val valueCol = q.getOrElse("value", "value")
+        val k = q.getOrElse("k", "5").toInt
+        val client = java.net.http.HttpClient.newHttpClient()
+        val peerRows = (peerUrls - selfHost).values.toSeq.flatMap { base =>
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"$base/state/topk/local?value=$valueCol&k=$k")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200, s"peer $base: ${resp.statusCode()}")
+          // one JSON object per row (strip the array frame)
+          resp.body().stripPrefix("[").stripSuffix("]")
+            .split("(?<=\\}),(?=\\{)").toSeq.filter(_.nonEmpty)
+        }
+        import spark.implicits._
+        val gathered =
+          if (peerRows.isEmpty) localTopK(valueCol, k).drop("p")
+          else localTopK(valueCol, k).drop("p").unionByName(
+            spark.read.schema(
+              org.apache.spark.sql.types.StructType(shard.drop("p").schema))
+              .json(peerRows.toDS()))
+        val rows = gathered.orderBy(col(valueCol).desc, col(keyCol).asc)
+          .limit(k).toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+
+  /** 307 responses carry the target in the body for the handler plumbing;
+    * translate them into a real Location header here. */
+  override protected def respond(exchange: HttpExchange, status: Int,
+      body: String): Unit =
+    if (status == 307) {
+      exchange.getResponseHeaders.set("Location", body)
+      exchange.sendResponseHeaders(307, -1)
+      exchange.close()
+    } else super.respond(exchange, status, body)
+}
+
 /** LIVE interactive queries over a RUNNING streaming query's state — the
   * reference's actual IQ mode (the REST services read the topology's
   * state stores while it runs). Spark mapping: the streaming aggregation
@@ -242,10 +367,16 @@ private[streaming] trait HttpJsonServer {
             (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
               .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
         }
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
-      exchange.sendResponseHeaders(status, bytes.length)
-      val os = exchange.getResponseBody
-      os.write(bytes); os.close()
+      respond(exchange, status, body)
     }
+
+  /** Write one JSON response. Overridable (FederatedRestServing turns 307
+    * statuses into Location-header redirects). */
+  protected def respond(exchange: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os = exchange.getResponseBody
+    os.write(bytes); os.close()
+  }
 }

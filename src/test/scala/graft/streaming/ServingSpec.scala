@@ -166,6 +166,65 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("federated serving: two instances over disjoint shards — cross-instance redirect + HTTP scatter-gather (MetadataService)") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val n = 8
+    val hosts = Seq("instance-a", "instance-b")
+    val path = Files.createTempDirectory("graft-fed").toString
+    Serving.writePartitionedStore(
+      (1L to 300L).map(k => (k, k * 10)).toDF("k", "v"), "k", n, path)
+    // two SparkSessions (the reference's two app processes), each instance
+    // reading ONLY its own partition subset
+    val sparkB = spark.newSession()
+    val a = new FederatedRestServing(spark, path, "k", n, hosts, "instance-a")
+    val b = new FederatedRestServing(sparkB, path, "k", n, hosts, "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls // metadata discovery
+    try {
+      val noFollow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NEVER).build()
+      val follow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL).build()
+      def get(c: HttpClient, url: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def hostOf(k: Long) = Serving.hostFor(Serving.partitionOf(k, n), hosts)
+      val keyOnA = (1L to 300L).find(hostOf(_) == "instance-a").get
+      val keyOnB = (1L to 300L).find(hostOf(_) == "instance-b").get
+      // self-hosted key: answered directly, no redirect hop
+      val direct = get(noFollow, s"${urls("instance-a")}/state/keyvalue/$keyOnA")
+      assert((direct.statusCode(), direct.body())
+        === (200, s"""[{"k":$keyOnA,"v":${keyOnA * 10}}]"""))
+      // a key hosted on B asked of A: 307 whose Location IS the exact
+      // target /state/instance/{key} advertises (the thisHost(...) fork)
+      val redirect = get(noFollow, s"${urls("instance-a")}/state/keyvalue/$keyOnB")
+      assert(redirect.statusCode() === 307)
+      assert(redirect.headers().firstValue("Location").get
+        === s"${urls("instance-b")}/state/keyvalue/$keyOnB")
+      assert(get(noFollow, s"${urls("instance-a")}/state/instance/$keyOnB").body()
+        .contains(""""host":"instance-b""""))
+      // the client follows A's redirect and fetches the row FROM B
+      val followed = get(follow, s"${urls("instance-a")}/state/keyvalue/$keyOnB")
+      assert((followed.statusCode(), followed.body())
+        === (200, s"""[{"k":$keyOnB,"v":${keyOnB * 10}}]"""))
+      // federated top-k: either coordinator merges local + peer partials
+      // over real HTTP and equals the single-store global answer
+      val expected = """[{"k":300,"v":3000},{"k":299,"v":2990},{"k":298,"v":2980}]"""
+      assert(get(follow, s"${urls("instance-a")}/state/topk?value=v&k=3").body()
+        === expected)
+      assert(get(follow, s"${urls("instance-b")}/state/topk?value=v&k=3").body()
+        === expected)
+      // the shards really are partial: neither instance's LOCAL top-3
+      // equals the global chart (keys 300/299/298 hash across both)
+      val locals = Seq("instance-a", "instance-b").map(h =>
+        get(noFollow, s"${urls(h)}/state/topk/local?value=v&k=3").body())
+      assert(locals.exists(_ !== expected),
+        s"test store degenerate: one shard holds the whole global top-3 ($locals)")
+    } finally { a.stop(); b.stop() }
+  }
+
   test("LIVE interactive queries: HTTP reads a running stream's state between batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
