@@ -33,7 +33,8 @@ import graft.streaming.StreamOps
   * "rows/sec","pipelines":{name:{"rows":..,"sec":..,"rps":..}},...}`.
   * Knobs: SPARK_GRAFT_STREAM_ROWS (rows/batch, default 500000),
   * SPARK_GRAFT_STREAM_BATCHES (measured batches, default 8),
-  * SPARK_GRAFT_STREAM_PIPELINES (comma-filter), SPARK_GRAFT_CPUS.
+  * SPARK_GRAFT_STREAM_PIPELINES (comma-filter), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STREAM_SHUFFLE (state-partition count at query start).
   * A pipeline that errors is recorded in `errors`, never timed; like
   * `Bench`, a nonempty `errors` exits nonzero.
   */
@@ -63,11 +64,22 @@ object StreamBench {
     // for state that outgrows memory.
     val useRocksDb =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_ROCKSDB", "false").toBoolean
+    // SPARK_GRAFT_STREAM_SHUFFLE: state-partition count for the stateful
+    // pipelines. A streaming query fixes its state partitioning at the
+    // FIRST checkpoint (spark.sql.shuffle.partitions at query start);
+    // every pipeline here starts from a fresh checkpoint, so setting the
+    // conf before start is exactly the production knob. Per-micro-batch
+    // commit overhead is linear in this count while per-row work is not —
+    // the round-9 sweep that pins the rule lives in BASELINE.md.
+    val shufflePartitions =
+      sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt)
     // var, not val: a pipeline that OOMs the JVM-shared executor threads
     // can take the whole SparkContext down with it — the harness detects
     // the dead context and rebuilds the session so one pipeline's crash
     // never voids the remaining measurements.
     var spark = GraftSession.local(cpus)
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
     val loadStart = load1
 
     /** Deterministic unbounded source: `value` is a global row index
@@ -106,6 +118,16 @@ object StreamBench {
           rate().select((v % (math.max(rowsPerBatch, 2L) / 2)).as("event_id"),
             col("timestamp").as("ts"), v.as("payload")),
           "event_id", "ts", "5 seconds"),
+        OutputMode.Append())),
+      // the same dedup workload on the TWS processor (per-id ValueState +
+      // native TTL, RocksDB) — measures the Processor-API port against the
+      // built-in dropDuplicatesWithinWatermark form above
+      "dedup_ttl_tws" -> (() => Pipeline(
+        StreamOps.dedupWithTTLTws(
+          rate().select((v % (math.max(rowsPerBatch, 2L) / 2)).as("event_id"),
+            col("timestamp").as("ts"), v.as("payload"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.IdEvent]),
+          java.time.Duration.ofSeconds(5)).toDF(),
         OutputMode.Append())),
       "tumbling_counts" -> (() => Pipeline(
         StreamOps.tumblingCounts(
@@ -183,11 +205,13 @@ object StreamBench {
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
           spark = GraftSession.local(cpus)
+          shufflePartitions.foreach(n =>
+            spark.conf.set("spark.sql.shuffle.partitions", n))
         }
         // transformWithState requires the RocksDB provider; everything
         // else defaults to the in-heap HDFS-backed store unless
         // SPARK_GRAFT_STREAM_ROCKSDB asks for RocksDB suite-wide.
-        val tws = name == "running_count_tws" || useRocksDb
+        val tws = name == "running_count_tws" || name == "dedup_ttl_tws" || useRocksDb
         val prevProvider =
           spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         if (tws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",

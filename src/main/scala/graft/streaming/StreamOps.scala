@@ -165,6 +165,63 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class IdEvent(event_id: Long, ts: Timestamp, payload: Long)
+
+  /** W9 event dedup on the transformWithState API — the TWS port of the
+    * reference's FLAGSHIP Processor example
+    * (EventDeduplicationLambdaIntegrationTest.java:84-158: an
+    * `eventIdStore` WindowStore remembers seen ids; first occurrence
+    * forwards, duplicates in the retention window drop). State here is a
+    * named ValueState PER EVENT ID with NATIVE state TTL — `TTLConfig` is
+    * the TWS analog of the reference's `maintainDurationPerEventInMs`
+    * retention: an id's "seen" marker expires after `ttl` and the next
+    * occurrence forwards again, with expiry owned by the store (RocksDB
+    * compaction-filter style), not by operator code. Semantic note vs
+    * [[dedupWithTTL]]: TTLConfig ages state by PROCESSING time while
+    * dropDuplicatesWithinWatermark bounds it by the EVENT-time watermark —
+    * the reference's WindowStore is event-time-stamped but its punctuator
+    * purges on stream time, so both mappings are faithful to half of that
+    * contract; pick by whether replays must re-dedup (watermark form) or
+    * wall-clock retention rules (TTL form). */
+  class DedupTtlProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, IdEvent, IdEvent] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, ValueState, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[IdEvent],
+        timers: TimerValues): Iterator[IdEvent] =
+      if (seen.exists()) Iterator.empty // a live marker: every row is a dup
+      else {
+        seen.update(true)
+        // first occurrence in this batch forwards; its in-batch duplicates
+        // drop with it (deterministic: earliest (ts, payload) wins)
+        Iterator.single(rows.minBy(e => (e.ts.getTime, e.payload)))
+      }
+  }
+
+  /** [[dedupWithTTL]] on transformWithState (requires the RocksDB state
+    * provider); `ttl = null` disables expiry.
+    *
+    * Operational note: TTLConfig forces TimeMode.ProcessingTime, under
+    * which TransformWithStateExec reports shouldRunAnotherBatch=true on
+    * EVERY batch (processing-time expiry can fire at any wall-clock
+    * instant), so an untriggered query busy-loops empty micro-batches —
+    * each a full state-store commit. Run it with a processing-time
+    * trigger sized to the acceptable expiry lag, and don't wait on
+    * `processAllAvailable()` (the no-new-data state is never reached —
+    * poll the sink instead, as the spec does). */
+  def dedupWithTTLTws(events: Dataset[IdEvent],
+      ttl: java.time.Duration): Dataset[IdEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.event_id)
+      .transformWithState(new DedupTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** S2 KTable: latest value per key as an update-mode changelog
     * (UserRegionLambdaExample.java:125). Emits the new latest row for a
     * key whenever it changes. */

@@ -54,6 +54,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.table("dd").count() === 3)
   }
 
+  test("transformWithState dedup matches the dropDuplicates golden incl. cross-batch (EventDeduplication on TWS)") {
+    // the TWS port of the reference's flagship Processor example: named
+    // per-id ValueState with native TTL on RocksDB
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[IdEvent]
+      // ids as in the dedupWithTTL golden: a b a a b c c a b → {a b c},
+      // keyed numerically (a=1 b=2 c=3); TTL far beyond the test
+      val ids = Seq(1L, 2L, 1L, 1L, 2L, 3L, 3L, 1L, 2L)
+      val q = dedupWithTTLTws(in.toDS(), java.time.Duration.ofMinutes(10)).toDF()
+        .writeStream.format("memory").queryName("ddtws")
+        .outputMode("append").start()
+      // CANNOT processAllAvailable() here: with ProcessingTime time mode
+      // (required by TTLConfig) TransformWithStateExec reports
+      // shouldRunAnotherBatch=true on every batch — the query legitimately
+      // never reaches the noNewData state, so processAllAvailable blocks
+      // forever. Poll the sink to the expected count instead.
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        while (spark.table("ddtws").count() < n) {
+          q.exception.foreach(throw _)
+          assert(System.nanoTime < deadline, s"timed out waiting for $n rows")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        in.addData(ids.zipWithIndex.map { case (id, i) => IdEvent(id, ts(1000L + i), i) })
+        awaitCount(3)
+        // cross-batch: every id re-sent in a later batch is still a dup
+        // (the seen marker lives in the store, not the batch); give the
+        // dup-only ids a full extra batch to leak before asserting
+        in.addData(Seq(IdEvent(1L, ts(5000), 100), IdEvent(3L, ts(5001), 101),
+          IdEvent(4L, ts(5002), 102)))
+        awaitCount(4)
+        Thread.sleep(500) // a leaked duplicate would land in this window
+      } finally q.stop()
+      val got = spark.table("ddtws").as[IdEvent].collect()
+      assert(got.map(_.event_id).toSet === Set(1L, 2L, 3L, 4L))
+      assert(got.length === 4, s"duplicates leaked: ${got.toSeq}")
+      // first occurrence won: payload is the earliest index per id
+      assert(got.map(e => e.event_id -> e.payload).toMap
+        === Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 102L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningCount emits per-record ever-incrementing counts (StateStoresInTheDSL golden)") {
     // reference: StateStoresInTheDSLIntegrationTest.java:110-125 — keys
     // foo=1, bar=2, quux=3 in arrival order.
