@@ -191,7 +191,38 @@ object AvroCodec {
     * undecodable records (poison-pill handling); otherwise they fail. */
   def decodeWire(df: DataFrame, registry: Map[Int, String],
       readerSchemaJson: String, bytesCol: String = "avro_bytes",
-      keep: Seq[String] = Seq.empty, lenient: Boolean = false): DataFrame = {
+      keep: Seq[String] = Seq.empty, lenient: Boolean = false): DataFrame =
+    decodeWireImpl(df,
+      id => registry.getOrElse(id,
+        throw new IllegalArgumentException(s"schema id $id not in registry")),
+      readerSchemaJson, bytesCol, keep, lenient)
+
+  /** [[decodeWire]] against a LIVE Schema Registry: each executor JVM
+    * resolves an unseen framed id with one `GET /schemas/ids/{id}` and
+    * caches it forever ([[SchemaRegistryClient.getById]]) — the
+    * consumer-side behavior of the reference's registry-backed serdes
+    * (SessionWindowsExample.java:158-160). Unknown ids and HTTP failures
+    * follow the same strict/lenient semantics as the map form. */
+  def decodeWireRegistry(df: DataFrame, registryUrl: String,
+      readerSchemaJson: String, bytesCol: String = "avro_bytes",
+      keep: Seq[String] = Seq.empty, lenient: Boolean = false): DataFrame =
+    decodeWireImpl(df, id => SchemaRegistryClient.getById(registryUrl, id),
+      readerSchemaJson, bytesCol, keep, lenient)
+
+  /** Producer-side registry flow: register `schemaJson` under `subject`
+    * (driver-side, once — identical content re-registers to the same id)
+    * and frame every payload with the returned id, exactly what the
+    * reference's registry-backed serializer does on first produce. */
+  def encodeWireRegistered(df: DataFrame, registryUrl: String,
+      subject: String, schemaJson: String, keep: Seq[String] = Seq.empty,
+      outCol: String = "avro_bytes"): DataFrame = {
+    val id = SchemaRegistryClient.register(registryUrl, subject, schemaJson)
+    encodeWire(df, id, schemaJson, keep, outCol)
+  }
+
+  private def decodeWireImpl(df: DataFrame, resolve: Int => String,
+      readerSchemaJson: String, bytesCol: String,
+      keep: Seq[String], lenient: Boolean): DataFrame = {
     val inSchema = df.schema
     val reader0 = new Schema.Parser().parse(readerSchemaJson)
     val decodedFields = reader0.getFields.toArray.map { f0 =>
@@ -214,12 +245,9 @@ object AvroCodec {
               s"not registry-framed (len=${bytes.length})")
           val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
             ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
-          val reader = readers.getOrElseUpdate(id, {
-            val writerJson = registry.getOrElse(id,
-              throw new IllegalArgumentException(s"schema id $id not in registry"))
+          val reader = readers.getOrElseUpdate(id,
             new GenericDatumReader[GenericRecord](
-              new Schema.Parser().parse(writerJson), readerSchema)
-          })
+              new Schema.Parser().parse(resolve(id)), readerSchema))
           dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
           val rec: GenericRecord = reader.read(null, dec)
           val vals = (0 until n).map(i => fromAvro(rec.get(i)))
