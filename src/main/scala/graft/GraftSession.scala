@@ -36,4 +36,20 @@ object GraftSession {
   /** The driver-contract local session: `local[cpus]`, shuffle
     * partitions = cpus (BASELINE.md's judged configuration). */
   def local(cpus: Int): SparkSession = create(s"local[$cpus]", cpus)
+
+  /** Session tuned for small-trigger STATEFUL STREAMING: state
+    * partitions default to 8, not core count. A streaming query fixes
+    * its state partitioning at the first checkpoint, and the
+    * per-micro-batch store commit is linear in that count while
+    * per-row operator work is nowhere near saturating the cores at
+    * typical trigger sizes — the round-9 sweep (BASELINE.md,
+    * `STREAMSWEEP_r09.json`) measured 1.6-2.6× at 500k rows/batch for
+    * 4-8 partitions vs the batch default of one-per-core. Size this to
+    * state volume + skew headroom; raise it only when triggers are
+    * large enough that per-row compute, not the commit, is the bound
+    * (at 2M rows/batch the knob is mostly flat). Batch jobs should
+    * keep [[local]]: partitions = cores is the right rule for
+    * shuffle-heavy batch plans. */
+  def localStreaming(cpus: Int, statePartitions: Int = 8): SparkSession =
+    create(s"local[$cpus]", statePartitions, appName = "graft-streaming")
 }
