@@ -18,16 +18,23 @@ object Tables {
     fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
   def lineitem(s: SparkSession, dir: String): DataFrame  =
     fanOut(s, s.read.parquet(s"$dir/lineitem.parquet"))
-  /** events.ts is INT64 TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long and truncate to micros (exactly what DuckDB
-    * does natively, so the oracle sees identical values). Integer `div`
-    * keeps full precision — a double division would corrupt 2024-epoch
-    * nanos (≈1.7e18 > 2^53). */
+  /** events.ts has shipped as either TIMESTAMP(MICROS) (readable directly)
+    * or INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects; in
+    * the nanos generation, read it as a long and truncate to micros (exactly
+    * what DuckDB does natively, so the oracle sees identical values).
+    * Integer `div` keeps full precision — a double division would corrupt
+    * 2024-epoch nanos (≈1.7e18 > 2^53). The branch is decided from the
+    * footer schema (metadata-only, no data read). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fanOut(s, s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val fixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw // already TIMESTAMP(MICROS)
+    }
+    fanOut(s, fixed)
   }
   /** The testdata parquet files are single-row-group, so Spark scans them
     * as ONE split — which would serialize every CPU-heavy per-row pipeline
