@@ -735,6 +735,33 @@ object OracleSql {
       ("""SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
         |  << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) % 10 = 0""".stripMargin),
+    "t13_collapse_repeats" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |k AS (SELECT doc_id, t, CASE WHEN len(t) <= 1 THEN t
+         |  ELSE t[1:1] || [t[i] for i in range(2, len(t) + 1) if t[i] != t[i-1]]
+         |  END AS kept FROM tok)
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(len(kept) AS INTEGER) AS n_kept,
+         |  md5(array_to_string(kept, ' ')) AS clean_hash FROM k""".stripMargin),
+    "t14_boilerplate_ngrams" -> {
+      val n = graft.ops.TextAnalysis.NgramN
+      val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
+      val gram = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest([$gram for i in range(1, len(t) - ${n - 2})]) AS ng
+         |  FROM tok),
+         |c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
+         |df AS (SELECT ng, count(*) AS df FROM c GROUP BY ng)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
+         |FROM c JOIN df USING (ng) GROUP BY doc_id""".stripMargin
+    },
+    "t15_scrub_numeric" ->
+      ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked
+        |FROM events""".stripMargin),
     "t8_repetition" ->
       (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents)
          |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,

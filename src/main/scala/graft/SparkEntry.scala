@@ -118,6 +118,9 @@ object SparkEntry {
     "t6_deterministic_sample" -> (TextAnalysis.deterministicSample _),
     "t11_chunking"      -> (TextAnalysis.chunkDocuments _),
     "t12_lang_balanced" -> (TextAnalysis.langBalancedSample _),
+    "t13_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
+    "t14_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _),
+    "t15_scrub_numeric" -> (TextAnalysis.scrubNumeric _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

@@ -266,6 +266,94 @@ object TextAnalysis {
             x => x.getField("tok")))).as("chunk_hash"))
   }
 
+  /** Consecutive-duplicate-token collapse — the classic text-normalization
+    * cleanup pass (stutter/echo removal: "the the table table" → "the
+    * table") applied before tokenizer-sensitive downstream stages. Pure
+    * per-row array math: the token array is built once and compared
+    * against its own 1-shifted slice (two staggered slices zipped — a
+    * CONSTANT number of expression evaluations per row, same pattern as
+    * [[ngramCounts]]), so the operator is embarrassingly parallel with no
+    * shuffle at all: at 100 TB it is bounded by scan + codegen'd array
+    * kernels only. Emits original/kept token counts plus an md5 of the
+    * cleaned text so the oracle hash pins the full output. */
+  def collapseRepeats(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val t = col("t")
+    // survivors after the first token: current != predecessor
+    val tail = filter(
+      zip_with(slice(t, lit(2), size(t) - 1), slice(t, lit(1), size(t) - 1),
+        (cur, prev) => when(cur === prev, lit(null)).otherwise(cur)),
+      x => x.isNotNull)
+    val kept = when(size(t) <= 1, t).otherwise(concat(slice(t, 1, 1), tail))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("k", kept)
+      .select(col("doc_id"), size(t).as("n_tokens"), size(col("k")).as("n_kept"),
+        md5(concat_ws(" ", col("k"))).as("clean_hash"))
+  }
+
+  /** Corpus-level boilerplate detection constants: a token `NgramN`-gram
+    * occurring in at least `BoilerMinDocs` distinct documents counts as
+    * boilerplate (the C4/RefinedWeb "common span" signal). */
+  val NgramN = 3
+  val BoilerMinDocs = 3
+
+  /** Corpus-level frequent-n-gram boilerplate ratio — for every document,
+    * the fraction of its token 3-gram occurrences that appear in ≥
+    * `BoilerMinDocs` distinct documents (the repeated-span/boilerplate
+    * signal used to drop templated content from training corpora).
+    *
+    * Scale shape mirrors [[tfidfFrame]]: ONE tokenize+explode into
+    * per-(doc, n-gram) occurrence counts — vocabulary×doc bounded, the
+    * natural table to materialize (`localCheckpoint`) — then the
+    * document-frequency table derives FROM that materialization (count of
+    * rows per n-gram, since the table is already one row per (doc,
+    * n-gram)) rather than from a second explode subtree Catalyst would
+    * recompute. Three keyed shuffles total ((doc,ngram) count, df, final
+    * per-doc rollup), all map-side combined; the join back to df keys on
+    * the n-gram. At 100 TB the join key would be `xxhash64(ngram)` (8-byte
+    * shuffle keys instead of strings); the oracle-checked form keeps the
+    * raw n-gram so the DuckDB comparison is collision-free by
+    * construction. */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val t = col("t")
+    val m = size(t) - (NgramN - 1)
+    val ngrams = when(size(t) >= NgramN,
+      zip_with(
+        zip_with(slice(t, lit(1), m), slice(t, lit(2), m), (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), m), (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(ngrams).as("ng"))
+      .groupBy(col("doc_id"), col("ng"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // one row per (doc, ngram) above, so df = row count per ngram
+    val df = occ.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_ngrams"),
+        sum(when(col("df") >= BoilerMinDocs, col("n")).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Structured-field scrubbing — the PII-masking shape over a
+    * semi-structured column: every digit run in `events.props` (a JSON
+    * payload) is masked to `#`, with the run count kept as an audit
+    * column. The same regexp_replace chain extends to emails, phone
+    * numbers and IPs (patterns spelled alternation-free so Java regex and
+    * RE2 agree); this corpus only carries numeric fields, so the
+    * oracle-checked form is the digit mask. Pure codegen'd column
+    * expressions, zero shuffle, linear at any scale. */
+  def scrubNumeric(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("n_masked"))
+
   /** Document fingerprinting: md5 of the whitespace-normalized text plus the
     * minimum 5-char-shingle POLYNOMIAL hash (a 1-permutation MinHash —
     * robust to small edits). The per-window hash is base-31 over char
