@@ -1,0 +1,433 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftlog` — a partitioned append-log DataSource V2 with Kafka's
+  * execution model (topic directory → numbered partitions → offset-ordered
+  * segments), implemented end-to-end on Spark's connector API:
+  * micro-batch streaming read with per-partition offsets, an
+  * epoch-idempotent (exactly-once) streaming sink, batch read/write, and
+  * per-row dynamic topic routing (the `TopicNameExtractor` analog,
+  * reference EmailService.java:114-116).
+  *
+  * Purpose: the environment has no Kafka broker or connector jar, so the
+  * reference's S1 (`builder.stream(topic)`) / S5 (`stream.to(topic)`) wire
+  * path (WordCountLambdaExample.java:189,207) is otherwise untestable. The
+  * log reproduces the MODEL the reference programs against — partitions as
+  * the unit of parallelism, monotonic per-partition offsets as the resume
+  * token, idempotent epoch commits as the EOS mechanism — so every
+  * source/sink behavior (resume after stop, replayed-epoch dedup, routed
+  * produce) is provable offline; swapping `format("graftlog")` for
+  * `format("kafka")` is a one-line change (Sources.readLog/readTopic).
+  *
+  * Layout (one directory per topic):
+  * {{{
+  *   <topic>/p<K>/seg-<start%020d>-<count>.bin   committed segments
+  *   <topic>/_staging/<uuid>                     task-staged, invisible to readers
+  *   <topic>/_epochs/<queryId>-<epochId>         commit markers (EOS replay guard)
+  * }}}
+  * Segment records are length-prefixed binary (tsMicros: i64, keyLen: i32,
+  * key, valLen: i32, val; len = -1 encodes NULL) — no parse ambiguity, no
+  * escaping. Commits `Files.move(ATOMIC_MOVE)` staged files into place, so
+  * a concurrent reader's directory listing only ever sees whole segments.
+  *
+  * Scale notes. The unit of read parallelism is the log partition, exactly
+  * Kafka's contract; a 1000-executor cluster reads a 1000-partition topic
+  * with zero coordination beyond the driver's O(#segments) listing, which
+  * is metadata-only (offset ranges live in segment FILE NAMES — planning
+  * never opens data files; a reader skip-scans at most one segment's
+  * prefix). Writes stage per (task × partition) and commit by rename: the
+  * driver-side commit is O(#staged files), no data movement. I/O goes
+  * through java.nio against a shared filesystem; a production deployment
+  * would swap the ~6 filesystem calls for the Hadoop FileSystem API (S3/
+  * HDFS) — the planning, offset, and commit logic is FS-agnostic.
+  */
+class GraftLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlog"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLog.ReadSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftLogTable(properties.asScala.toMap)
+}
+
+object GraftLog {
+  /** Read-side schema — the Kafka source's shape. */
+  val ReadSchema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType),
+    StructField("ts", TimestampType), StructField("partition", IntegerType),
+    StructField("offset", LongType)))
+
+  val DefaultPartitions = 4
+
+  // ---- topic-directory primitives (driver + executor) -----------------
+
+  def partDir(topic: Path, p: Int): Path = topic.resolve(s"p$p")
+
+  /** Committed segments of one partition: (startOffset, count, path),
+    * offset-sorted. Offsets live in the file name — listing is the only
+    * metadata read. */
+  def segments(topic: Path, p: Int): Seq[(Long, Long, Path)] = {
+    val dir = partDir(topic, p)
+    if (!Files.isDirectory(dir)) return Nil
+    val out = Files.list(dir).iterator().asScala.flatMap { f =>
+      f.getFileName.toString match {
+        case SegName(start, count) => Some((start.toLong, count.toLong, f))
+        case _ => None
+      }
+    }.toSeq
+    out.sortBy(_._1)
+  }
+  private val SegName = "seg-(\\d+)-(\\d+)\\.bin".r
+
+  /** Partition ids present on disk (created by writers on demand). */
+  def partitions(topic: Path): Seq[Int] =
+    if (!Files.isDirectory(topic)) Nil
+    else Files.list(topic).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("p") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+      .toSeq.sorted
+
+  /** End offset (= next offset to assign) per partition. */
+  def endOffsets(topic: Path): Map[Int, Long] =
+    partitions(topic).map { p =>
+      val segs = segments(topic, p)
+      p -> (if (segs.isEmpty) 0L else segs.map { case (s, c, _) => s + c }.max)
+    }.toMap
+
+  def writeRecord(out: DataOutputStream, ts: Long, key: Array[Byte], value: Array[Byte]): Unit = {
+    out.writeLong(ts)
+    if (key == null) out.writeInt(-1) else { out.writeInt(key.length); out.write(key) }
+    if (value == null) out.writeInt(-1) else { out.writeInt(value.length); out.write(value) }
+  }
+}
+
+/** One topic directory as a DSv2 table (read + write, batch + streaming). */
+class GraftLogTable(props: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
+  private val path = props.getOrElse("path",
+    throw new IllegalArgumentException("graftlog requires a path (the topic directory)"))
+  override def name(): String = s"graftlog:$path"
+  override def schema(): StructType = GraftLog.ReadSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new GraftLogScan(path) }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options.asScala.toMap
+    // SupportsStreamingUpdateAsAppend: update-mode changelogs append to the
+    // log (latest-per-key wins downstream) — the Kafka sink's own contract.
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+      override def build(): Write = new GraftLogWrite(path, info.schema(), opts,
+        info.queryId())
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// read side
+// ---------------------------------------------------------------------------
+
+/** Offset = per-partition end positions, serialized as sorted JSON. */
+case class GraftLogOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+}
+object GraftLogOffset {
+  def fromJson(s: String): GraftLogOffset = GraftLogOffset(
+    "\"(\\d+)\":(\\d+)".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+/** An offset range [start, end) of one log partition — the unit of read
+  * parallelism, exactly Kafka's model. Segment (start, count, path)
+  * triples ride along so executors never re-list the directory. */
+case class GraftLogInputPartition(p: Int, start: Long, end: Long,
+    segs: Seq[(Long, Long, String)]) extends InputPartition
+
+class GraftLogScan(path: String) extends Scan {
+  override def readSchema(): StructType = GraftLog.ReadSchema
+  override def description(): String = s"graftlog $path"
+
+  private def plan(from: Map[Int, Long], until: Map[Int, Long]): Array[InputPartition] =
+    until.keys.toSeq.sorted.flatMap { p =>
+      val s = from.getOrElse(p, 0L)
+      val e = until(p)
+      if (e <= s) None
+      else Some(GraftLogInputPartition(p, s, e,
+        GraftLog.segments(Paths.get(path), p)
+          .filter { case (st, c, _) => st < e && st + c > s }
+          .map { case (st, c, f) => (st, c, f.toString) }))
+    }.toArray
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      plan(Map.empty, GraftLog.endOffsets(Paths.get(path)))
+    override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): Offset = GraftLogOffset(
+        GraftLog.endOffsets(Paths.get(path)).map { case (p, _) => p -> 0L })
+      override def latestOffset(): Offset =
+        GraftLogOffset(GraftLog.endOffsets(Paths.get(path)))
+      override def deserializeOffset(json: String): Offset = GraftLogOffset.fromJson(json)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        plan(start.asInstanceOf[GraftLogOffset].offsets,
+          end.asInstanceOf[GraftLogOffset].offsets)
+      override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
+      override def commit(end: Offset): Unit = () // retention is administrative
+      override def stop(): Unit = ()
+    }
+}
+
+class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLogPartitionReader(partition.asInstanceOf[GraftLogInputPartition])
+}
+
+/** Streams one partition's segments, skipping the prefix of the first
+  * segment that falls before the range start (records are length-prefixed,
+  * so a skip is two reads and two `skipBytes` — no parsing). */
+class GraftLogPartitionReader(part: GraftLogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val segs = part.segs.sortBy(_._1).iterator
+  private var in: DataInputStream = _
+  private var nextOffset: Long = part.start
+  private var segEnd: Long = -1L
+  private var row: InternalRow = _
+
+  private def openNext(): Boolean = {
+    if (in != null) { in.close(); in = null }
+    if (!segs.hasNext) return false
+    val (segStart, count, f) = segs.next()
+    in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    segEnd = segStart + count
+    var skip = (nextOffset max segStart) - segStart
+    nextOffset = nextOffset max segStart
+    while (skip > 0) { // length-prefixed: skip without materializing
+      in.skipBytes(8)
+      val kl = in.readInt(); if (kl > 0) in.skipBytes(kl)
+      val vl = in.readInt(); if (vl > 0) in.skipBytes(vl)
+      skip -= 1
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    if (nextOffset >= part.end) return false
+    while (in == null || nextOffset >= segEnd) if (!openNext()) return false
+    val ts = in.readLong()
+    val kl = in.readInt()
+    val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
+    val vl = in.readInt()
+    val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
+    row = new GenericInternalRow(Array[Any](
+      if (key == null) null else UTF8String.fromBytes(key),
+      if (value == null) null else UTF8String.fromBytes(value),
+      ts, part.p, nextOffset))
+    nextOffset += 1
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = if (in != null) in.close()
+}
+
+// ---------------------------------------------------------------------------
+// write side
+// ---------------------------------------------------------------------------
+
+/** A task's staged output for one (topic, partition): file + record count. */
+case class GraftLogCommitMessage(entries: Seq[(String, Int, String, Long)])
+  extends WriterCommitMessage // (topicDir, partition, stagedPath, count)
+
+/** Write = routed or fixed-topic append. Input schema is resolved by NAME
+  * (ACCEPT_ANY_SCHEMA): `value` required; `key`, `ts`, `partition`,
+  * `topic` optional. With a `topic` column and `routed=true`, `path` is
+  * the broker root and each row lands in `<path>/<topic>` — the dynamic
+  * TopicNameExtractor. Partitioning: explicit `partition` column if
+  * present, else hash(key) % numPartitions, else round-robin batches to
+  * partition 0 (null keys). */
+class GraftLogWrite(path: String, schema: StructType, opts: Map[String, String],
+    queryId: String) extends Write {
+  private val numParts = opts.get("partitions").map(_.toInt)
+    .getOrElse(GraftLog.DefaultPartitions)
+  private val routed = opts.get("routed").exists(_.toBoolean)
+
+  private def idx(name: String): Int = schema.fieldNames.indexOf(name)
+
+  private def factoryCfg = GraftLogWriterConfig(path, routed, numParts,
+    idx("key"), idx("value"), idx("ts"), idx("partition"), idx("topic"),
+    schema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name == "ts" && f.dataType == TimestampType => i
+    }.getOrElse(-1))
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val cfg = factoryCfg
+      new DataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+          new GraftLogDataWriter(cfg)
+      }
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      GraftLogCommitter.commit(messages, None)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftLogCommitter.abort(messages)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      val cfg = factoryCfg
+      new StreamingDataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long,
+            epochId: Long): DataWriter[InternalRow] =
+          new GraftLogDataWriter(cfg)
+      }
+    }
+    /** EXACTLY-ONCE: the epoch marker makes a replayed commit (post-crash
+      * micro-batch re-execution) a no-op — the reference's EOS produce
+      * loop (S10) at the sink layer. */
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      GraftLogCommitter.commit(messages, Some((queryId, epochId)))
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      GraftLogCommitter.abort(messages)
+  }
+}
+
+case class GraftLogWriterConfig(path: String, routed: Boolean, numParts: Int,
+    keyIdx: Int, valueIdx: Int, tsIdx: Int, partIdx: Int, topicIdx: Int,
+    tsIsTimestamp: Int)
+
+/** Executor-side writer: stages one file per (topic, partition) touched by
+  * this task; the driver assigns offsets at commit (rename), so tasks
+  * never coordinate. */
+class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalRow] {
+  private val open = mutable.LinkedHashMap.empty[(String, Int), (Path, DataOutputStream, Array[Long])]
+
+  private def streamFor(topicDir: String, p: Int): (DataOutputStream, Array[Long]) = {
+    val (_, out, n) = open.getOrElseUpdate((topicDir, p), {
+      val staging = Paths.get(topicDir, "_staging")
+      Files.createDirectories(staging)
+      val f = staging.resolve(UUID.randomUUID().toString)
+      (f, new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f.toFile))),
+        Array(0L))
+    })
+    (out, n)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (cfg.keyIdx < 0 || row.isNullAt(cfg.keyIdx)) null
+      else row.getUTF8String(cfg.keyIdx).getBytes
+    val value = if (cfg.valueIdx < 0 || row.isNullAt(cfg.valueIdx)) null
+      else row.getUTF8String(cfg.valueIdx).getBytes
+    val ts = if (cfg.tsIdx < 0 || row.isNullAt(cfg.tsIdx)) 0L
+      else if (cfg.tsIsTimestamp >= 0) row.getLong(cfg.tsIdx)
+      else row.getLong(cfg.tsIdx)
+    val topicDir =
+      if (cfg.routed && cfg.topicIdx >= 0)
+        Paths.get(cfg.path, row.getUTF8String(cfg.topicIdx).toString).toString
+      else cfg.path
+    val p =
+      if (cfg.partIdx >= 0 && !row.isNullAt(cfg.partIdx)) row.getInt(cfg.partIdx)
+      else if (key != null)
+        Math.floorMod(UTF8String.fromBytes(key).toString.hashCode, cfg.numParts)
+      else 0
+    val (out, n) = streamFor(topicDir, p)
+    GraftLog.writeRecord(out, ts, key, value)
+    n(0) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach { case (_, out, _) => out.close() }
+    GraftLogCommitMessage(open.toSeq.map { case ((t, p), (f, _, n)) =>
+      (t, p, f.toString, n(0))
+    })
+  }
+  override def abort(): Unit = {
+    open.values.foreach { case (f, out, _) =>
+      out.close(); Files.deleteIfExists(f)
+    }
+  }
+  override def close(): Unit = ()
+}
+
+/** Driver-side commit: per (topic, partition), read the current end offset
+  * from the listing and rename staged files into offset-named segments —
+  * atomic per file, metadata-only, O(#staged). The epoch marker is
+  * written LAST; if a crash lands between renames and the marker, the
+  * replayed epoch re-appends (at-least-once boundary identical to
+  * Kafka's non-transactional producer); with the marker present the
+  * replay is a no-op (exactly-once for the replay path Spark actually
+  * takes — re-running a committed epoch after checkpoint recovery). */
+object GraftLogCommitter {
+  def commit(messages: Array[WriterCommitMessage], epoch: Option[(String, Long)]): Unit =
+    synchronized {
+      val entries = messages.collect { case m: GraftLogCommitMessage => m.entries }.flatten
+      if (entries.isEmpty) { epoch.foreach(markOnly(entries, _)); return }
+      // replay guard: one marker per topic dir touched by this epoch
+      val topics = entries.map(_._1).distinct
+      val replayed = epoch.exists { case (q, e) =>
+        topics.forall(t => Files.exists(Paths.get(t, "_epochs", s"$q-$e")))
+      }
+      if (replayed) {
+        entries.foreach { case (_, _, staged, _) => Files.deleteIfExists(Paths.get(staged)) }
+        return
+      }
+      entries.groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1).foreach {
+        case ((topicDir, p), staged) =>
+          val pd = GraftLog.partDir(Paths.get(topicDir), p)
+          Files.createDirectories(pd)
+          var off = GraftLog.endOffsets(Paths.get(topicDir)).getOrElse(p, 0L)
+          // deterministic order: by staged path
+          staged.sortBy(_._3).foreach { case (_, _, f, n) =>
+            if (n > 0) {
+              Files.move(Paths.get(f), pd.resolve(f"seg-$off%020d-$n.bin"),
+                StandardCopyOption.ATOMIC_MOVE)
+              off += n
+            } else Files.deleteIfExists(Paths.get(f))
+          }
+      }
+      epoch.foreach(markOnly(entries, _))
+    }
+
+  private def markOnly(entries: Seq[(String, Int, String, Long)],
+      epoch: (String, Long)): Unit = {
+    val (q, e) = epoch
+    entries.map(_._1).distinct.foreach { t =>
+      val d = Paths.get(t, "_epochs")
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"$q-$e"), Array.emptyByteArray)
+    }
+  }
+
+  def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftLogCommitMessage => m.entries }.flatten
+      .foreach { case (_, _, f, _) => Files.deleteIfExists(Paths.get(f)) }
+}

@@ -46,6 +46,33 @@ object Sources {
       .option("kafka.bootstrap.servers", brokers)
       .option("checkpointLocation", checkpoint)
 
+  /** S1 over the offline log: same shape as [[readTopic]] but against the
+    * `graftlog` DSv2 source (graft.sources.GraftLog) — partitioned,
+    * offset-resumable, provable without a broker. Swapping in
+    * `format("kafka")` is the only change on a real cluster. */
+  def readLog(spark: SparkSession, topicDir: String): DataFrame =
+    spark.readStream.format("graftlog").load(topicDir)
+      .select(col("key"), col("value"), col("ts"))
+
+  /** S5 over the offline log: exactly-once append via epoch-idempotent
+    * commits (see GraftLogWrite.toStreaming). */
+  def writeLog(df: DataFrame, topicDir: String, checkpoint: String,
+      partitions: Int = 4): DataStreamWriter[Row] =
+    df.writeStream.format("graftlog")
+      .option("path", topicDir)
+      .option("partitions", partitions.toString)
+      .option("checkpointLocation", checkpoint)
+
+  /** S6 over the offline log: per-row `topic` column routes each record to
+    * `<brokerDir>/<topic>` — the TopicNameExtractor analog, live. */
+  def writeLogRouted(df: DataFrame, brokerDir: String, topicCol: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.withColumn("topic", col(topicCol))
+      .writeStream.format("graftlog")
+      .option("path", brokerDir)
+      .option("routed", "true")
+      .option("checkpointLocation", checkpoint)
+
   /** S8 console sink (`stream.print()`). */
   def printStream(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").outputMode("append")
