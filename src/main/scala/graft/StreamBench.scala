@@ -191,6 +191,17 @@ object StreamBench {
               .otherwise((v % 997).cast("double")).as("value"))
             .as(org.apache.spark.sql.Encoders.product[StreamOps.ChangelogEntry]),
           5).toDF(),
+        OutputMode.Update())),
+      // same chart workload on the TWS MapState port: per-member point
+      // writes instead of whole-membership blob rewrites per batch
+      "incremental_topn_tws" -> (() => Pipeline(
+        StreamOps.incrementalTopNTws(
+          rate().select(concat(lit("g"), v % 20).as("group"),
+            (v % 500).as("id"),
+            when(v % 50 === 0, lit(null).cast("double"))
+              .otherwise((v % 997).cast("double")).as("value"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.ChangelogEntry]),
+          5).toDF(),
         OutputMode.Update())))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -211,7 +222,7 @@ object StreamBench {
         // transformWithState requires the RocksDB provider; everything
         // else defaults to the in-heap HDFS-backed store unless
         // SPARK_GRAFT_STREAM_ROCKSDB asks for RocksDB suite-wide.
-        val tws = name == "running_count_tws" || name == "dedup_ttl_tws" || useRocksDb
+        val tws = name.endsWith("_tws") || useRocksDb
         val prevProvider =
           spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         if (tws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -184,6 +184,44 @@ class RecoverySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalTopNTws matches the fMGWS golden (updates, tombstones) on MapState") {
+    // same KafkaMusic adder/subtractor golden as above, on the TWS port
+    // whose per-member MapState makes a 1-member update a point write
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ChangelogEntry]
+      @volatile var latest: Seq[(Int, Long, Double)] = Nil
+      val q = incrementalTopNTws(in.toDS(), 2).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.where("group = 'punk'").orderBy("pos").collect()
+            .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+          if (rows.nonEmpty) latest = rows
+        }.start()
+      try {
+        in.addData(ChangelogEntry("punk", 1L, Some(5.0)),
+          ChangelogEntry("punk", 2L, Some(3.0)),
+          ChangelogEntry("punk", 3L, Some(1.0)))
+        q.processAllAvailable()
+        assert(latest === Seq((1, 1L, 5.0), (2, 2L, 3.0)))
+        in.addData(ChangelogEntry("punk", 2L, Some(7.0))) // update displaces id1
+        q.processAllAvailable()
+        assert(latest === Seq((1, 2L, 7.0), (2, 1L, 5.0)))
+        in.addData(ChangelogEntry("punk", 2L, None)) // tombstone: id2 leaves
+        q.processAllAvailable()
+        assert(latest === Seq((1, 1L, 5.0), (2, 3L, 1.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("incrementalTopN cap: evicted member re-enters the chart on a new update") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
