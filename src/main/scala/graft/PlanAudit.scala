@@ -84,7 +84,15 @@ object PlanAudit {
       // (evaluated via its compiled eval), with no Python/UDF anywhere.
       ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
         Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
-        Seq("BatchEvalPython"))
+        Seq("BatchEvalPython")),
+      ("t13_collapse_repeats", "stutter collapse is one narrow projection pipeline — the token array zipped against its own shifted slice, no keyed shuffle, no window, no UDF",
+        Seq("zip_with"), Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+      ("t14_boilerplate_ngrams", "the df table derives FROM the checkpointed (doc,ngram) occurrence counts (ExistingRDD — the tokenize+explode ran once), so the boilerplate join re-reads the materialization, never the corpus; no all-pairs anywhere",
+        Seq("ExistingRDD"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t15_scrub_numeric", "field scrubbing is pure codegen'd column work — regexp_replace/extract projections with no shuffle beyond the single-split fan-out, no aggregation, no UDF",
+        Seq("regexp_replace"),
+        Seq("Exchange hashpartitioning", "HashAggregate", "BatchEvalPython"))
     )
 
   /** Materialize one checked query (so AQE's FINAL plan — including
