@@ -134,7 +134,11 @@ class GraftLogTable(props: Map[String, String]) extends Table
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new GraftLogScan(path) }
+    new ScanBuilder {
+      override def build(): Scan = new GraftLogScan(path,
+        Option(options.get("startingOffsets")).getOrElse(
+          props.getOrElse("startingoffsets", "earliest")))
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options.asScala.toMap
@@ -170,9 +174,15 @@ object GraftLogOffset {
 case class GraftLogInputPartition(p: Int, start: Long, end: Long,
     segs: Seq[(Long, Long, String)]) extends InputPartition
 
-class GraftLogScan(path: String) extends Scan {
+/** `startingOffsets` mirrors the Kafka source option: `earliest` (default —
+  * a batch pipeline over a log replays history) starts every partition at
+  * 0; `latest` snapshots the end offsets at FIRST query start, so only
+  * records appended after the stream comes up are processed (the Kafka
+  * streaming default). Only the initial offset differs — resume from a
+  * checkpoint ignores the option, exactly like Kafka. */
+class GraftLogScan(path: String, startingOffsets: String = "earliest") extends Scan {
   override def readSchema(): StructType = GraftLog.ReadSchema
-  override def description(): String = s"graftlog $path"
+  override def description(): String = s"graftlog $path ($startingOffsets)"
 
   private def plan(from: Map[Int, Long], until: Map[Int, Long]): Array[InputPartition] =
     until.keys.toSeq.sorted.flatMap { p =>
@@ -193,8 +203,11 @@ class GraftLogScan(path: String) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
-      override def initialOffset(): Offset = GraftLogOffset(
-        GraftLog.endOffsets(Paths.get(path)).map { case (p, _) => p -> 0L })
+      override def initialOffset(): Offset =
+        if (startingOffsets == "latest")
+          GraftLogOffset(GraftLog.endOffsets(Paths.get(path)))
+        else GraftLogOffset(
+          GraftLog.endOffsets(Paths.get(path)).map { case (p, _) => p -> 0L })
       override def latestOffset(): Offset =
         GraftLogOffset(GraftLog.endOffsets(Paths.get(path)))
       override def deserializeOffset(json: String): Offset = GraftLogOffset.fromJson(json)

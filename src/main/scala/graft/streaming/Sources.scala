@@ -50,8 +50,11 @@ object Sources {
     * `graftlog` DSv2 source (graft.sources.GraftLog) — partitioned,
     * offset-resumable, provable without a broker. Swapping in
     * `format("kafka")` is the only change on a real cluster. */
-  def readLog(spark: SparkSession, topicDir: String): DataFrame =
-    spark.readStream.format("graftlog").load(topicDir)
+  def readLog(spark: SparkSession, topicDir: String,
+      fromBeginning: Boolean = true): DataFrame =
+    spark.readStream.format("graftlog")
+      .option("startingOffsets", if (fromBeginning) "earliest" else "latest")
+      .load(topicDir)
       .select(col("key"), col("value"), col("ts"))
 
   /** S5 over the offline log: exactly-once append via epoch-idempotent

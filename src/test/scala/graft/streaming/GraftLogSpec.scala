@@ -110,6 +110,27 @@ class GraftLogSpec extends SparkSpec {
     assert(!Files.exists(staged2)) // staged file cleaned up, not leaked
   }
 
+  test("startingOffsets=latest skips history; checkpoint resume ignores the option") {
+    import spark.implicits._
+    val topic = tmp("latest")
+    val out = tmp("latest-out")
+    val ckpt = tmp("latest-ckpt")
+    Seq(("a", "old1"), ("b", "old2")).toDF("key", "value")
+      .write.format("graftlog").option("partitions", "2").mode("append").save(topic)
+
+    def drain(): Set[String] = {
+      val q = Sources.writeLog(
+        Sources.readLog(spark, topic, fromBeginning = false)
+          .select("key", "value"), out, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("graftlog").load(out).select("value").as[String].collect().toSet
+    }
+    assert(drain() === Set.empty) // history invisible at latest
+    Seq(("a", "new1")).toDF("key", "value")
+      .write.format("graftlog").option("partitions", "2").mode("append").save(topic)
+    assert(drain() === Set("new1")) // resume: only post-start appends
+  }
+
   test("dynamic topic routing: per-row topic column lands in per-topic logs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
