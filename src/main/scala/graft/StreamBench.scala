@@ -181,6 +181,16 @@ object StreamBench {
             .as(org.apache.spark.sql.Encoders.product[StreamOps.VecEvent]),
           0.95).toDF(),
         OutputMode.Update())),
+      // same saturation workload on the TWS ListState port: the drop path
+      // (≈100% of steady-state rows here) writes NO state at all
+      "neardup_drop_tws" -> (() => Pipeline(
+        StreamOps.nearDupDropStreamTws(
+          rate().select((v % 250000).as("vec_id"), col("timestamp").as("ts"),
+            transform(sequence(lit(0), lit(63)),
+              i => sin((v % 250000) * 0.7 + i * 1.3)).as("embedding"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.VecEvent]),
+          0.95).toDF(),
+        OutputMode.Update())),
       // the KafkaMusic chart path: changelog updates (with ~2% tombstones)
       // into the capped per-group top-N state
       "incremental_topn" -> (() => Pipeline(

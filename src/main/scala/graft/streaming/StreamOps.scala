@@ -318,6 +318,64 @@ object StreamOps {
       }
   }
 
+  case class KeptEntry(vec_id: Long, embedding: Seq[Double], norm: Double)
+
+  /** [[nearDupDropStream]] on the transformWithState API — TWS port #4,
+    * and the one where the DOMINANT PATH stops writing state entirely: the
+    * per-bucket kept-vector list is a `ListState`, stored oldest-first, so
+    * a survivor under the cap is ONE `appendValue` (point append, no blob
+    * rewrite) and a DROPPED duplicate writes NOTHING — at dedup saturation
+    * (the steady state of a crawl stream, and exactly the StreamBench
+    * workload) the fMGWS form still re-serializes every touched bucket's
+    * whole list every batch while this form is read-only. Only a
+    * cap-eviction (bounded, once per survivor beyond the cap) rewrites the
+    * list. Semantics identical to [[nearDupDropStream]], asserted by the
+    * same plane-orthogonal golden. */
+  class NearDupDropProcessor(simThreshold: Double, maxPerBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, VecBucketed, VecKept] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var kept: ListState[KeptEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getListState[KeptEntry]("kept",
+        Encoders.product[KeptEntry], TTLConfig.NONE)
+    private def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    override def handleInputRows(bucket: Long, rows: Iterator[VecBucketed],
+        timers: TimerValues): Iterator[VecKept] = {
+      var list = if (kept.exists()) kept.get().toList else Nil // oldest-first
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.vec_id)).flatMap { e =>
+        val norm = math.sqrt(dot(e.embedding, e.embedding))
+        val dup = norm > 0 && list.exists { k =>
+          k.norm > 0 && dot(e.embedding, k.embedding) / (norm * k.norm) >= simThreshold
+        }
+        if (dup) None // the saturation path: zero state writes
+        else {
+          val checked = list.size
+          val entry = KeptEntry(e.vec_id, e.embedding, norm)
+          if (list.size < maxPerBucket) { list = list :+ entry; kept.appendValue(entry) }
+          else { list = (list :+ entry).takeRight(maxPerBucket); kept.put(list.toArray) }
+          Some(VecKept(e.vec_id, bucket, checked))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def nearDupDropStreamTws(vecs: Dataset[VecEvent], simThreshold: Double,
+      maxPerBucket: Int = 64, numPlanes: Int = graft.ops.Similarity.NumPlanes)
+      : Dataset[VecKept] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    vecs.toDF()
+      .withColumn("bucket",
+        graft.ops.Similarity.srpBucket(col("embedding"), numPlanes))
+      .as[VecBucketed]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupDropProcessor(simThreshold, maxPerBucket),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class ChangelogEntry(group: String, id: Long, value: Option[Double])
   case class ChartRow(group: String, pos: Int, id: Long, value: Double)
 

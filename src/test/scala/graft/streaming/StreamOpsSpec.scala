@@ -704,6 +704,44 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   // processAllAvailable on the active query feeding the named sink
+  test("nearDupDropStreamTws matches the fMGWS golden on ListState (RocksDB)") {
+    // same plane-orthogonal geometry as the fMGWS golden above; the TWS
+    // form's drop path writes no state at all
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = graft.ops.Similarity.Dim
+      val p = graft.ops.Similarity.planes(0)
+      val pn = math.sqrt(p.map(x => x * x).sum)
+      val u = p.map(_ / pn).toSeq
+      val e0 = 1.0 +: Seq.fill(dim - 1)(0.0)
+      val proj = e0.zip(u).map { case (x, y) => x * y }.sum
+      val q0 = e0.zip(u).map { case (x, y) => x - proj * y }
+      val qn = math.sqrt(q0.map(x => x * x).sum)
+      val q = q0.map(_ / qn)
+      val a = u.zip(q).map { case (x, y) => x + y }
+      val c = u.zip(q).map { case (x, y) => x - y }
+      def ts(s: Int) = new Timestamp(s * 1000L)
+      val in = MemoryStream[VecEvent]
+      runQuery(nearDupDropStreamTws(in.toDS(), 0.95, maxPerBucket = 1,
+          numPlanes = 1).toDF(), "nddt", OutputMode.Update()) {
+        in.addData(VecEvent(1, ts(1), a)); qProcess("nddt")
+        in.addData(VecEvent(2, ts(2), a), VecEvent(3, ts(3), c)); qProcess("nddt")
+        in.addData(VecEvent(4, ts(4), a), VecEvent(5, ts(5), a)); qProcess("nddt")
+      }
+      val got = spark.table("nddt").as[VecKept].collect()
+        .map(k => k.vec_id -> k.n_checked).toMap
+      assert(got.keySet === Set(1L, 3L, 4L))
+      assert(got(1L) === 0 && got(3L) === 1 && got(4L) === 1)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   private def qProcess(name: String): Unit =
     spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
 }
