@@ -455,6 +455,23 @@ object OracleSql {
          |GROUP BY doc_id
          |HAVING round(CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |  / count(*), 6) >= 0.3""".stripMargin),
+    "d12_decontam_attrib" -> {
+      val minOv = Dedup.AttribMinOverlap
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+         |bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 10),
+         |bsize AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY bench_id),
+         |ov AS (SELECT e.doc_id, b.bench_id, count(*) AS overlap
+         |  FROM ex e JOIN bench b USING (sh) WHERE e.doc_id >= 10
+         |  GROUP BY e.doc_id, b.bench_id HAVING count(*) >= $minOv)
+         |SELECT doc_id, bench_id, CAST(overlap AS BIGINT) AS overlap,
+         |  round(CAST(overlap AS DOUBLE) / n_bench, 6) AS containment
+         |FROM ov JOIN bsize USING (bench_id)""".stripMargin
+    },
     "d5_simhash" ->
       (s"WITH $simhashCtes SELECT doc_id, simhash FROM sim"),
     "d6_simhash_pairs" ->

@@ -85,6 +85,9 @@ object PlanAudit {
       ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
         Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
         Seq("BatchEvalPython")),
+      ("d12_decontam_attrib", "both the bench-shingle join and the bench-size join BROADCAST (the bench side is fixed-size; the 100-TB corpus is never shuffled on shingles) and the bench subtree's doc_id cap pushes to its scan",
+        Seq("BroadcastHashJoin", "LessThan(doc_id,10)"),
+        Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t13_collapse_repeats", "stutter collapse is one narrow projection pipeline — the token array zipped against its own shifted slice, no keyed shuffle, no window, no UDF",
         Seq("zip_with"), Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
       ("t14_boilerplate_ngrams", "the df table derives FROM the checkpointed (doc,ngram) occurrence counts (ExistingRDD — the tokenize+explode ran once), so the boilerplate join re-reads the materialization, never the corpus; no all-pairs anywhere",

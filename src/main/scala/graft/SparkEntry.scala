@@ -95,6 +95,7 @@ object SparkEntry {
     // (d6/s5/s8 stay the bit-stable small-scale enumeration/audit forms)
     "d11_simhash_scaled" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashPairsScaled(s, dir, Dedup.ScaledBits)),
+    "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.lshTopK _),

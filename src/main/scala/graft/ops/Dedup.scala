@@ -285,6 +285,44 @@ object Dedup {
       .filter(col("overlap") >= 0.3)
   }
 
+  /** Pairs must share at least this many distinct shingles to be reported
+    * by [[decontamAttribution]] (absolute floor, not ratio — a short bench
+    * item leaking verbatim matters however small the ratio to a long
+    * training doc). */
+  val AttribMinOverlap = 2L
+
+  /** Benchmark-decontamination ATTRIBUTION — d9 answers "is this training
+    * doc contaminated?"; this answers "by WHICH benchmark item, and how
+    * completely is that item contained?" (the report a decontamination
+    * audit actually ships): for every (training doc, bench doc) pair
+    * sharing ≥ [[AttribMinOverlap]] distinct 3-shingles, emit the overlap
+    * count and the CONTAINMENT of the bench item (overlap / bench item's
+    * shingle count — the Broder containment direction, since the leak
+    * severity is how much of the benchmark is reproduced, not how much of
+    * the training doc it occupies).
+    *
+    * Scale shape: the bench side is tiny relative to the corpus
+    * (benchmarks are fixed; the corpus is 100 TB) so BOTH joins broadcast
+    * — the corpus is scanned once, shingled map-side, and the only
+    * shuffle keys on (train, bench) pairs, whose cardinality is bounded
+    * by real contamination, not corpus size. */
+  def decontamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleCol(3)).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10)
+      .withColumnRenamed("doc_id", "bench_id")
+    val bsize = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    shingled.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= AttribMinOverlap)
+      .join(broadcast(bsize), Seq("bench_id"))
+      .withColumn("containment",
+        round(col("overlap").cast(DoubleType) / col("n_bench"), 6))
+      .select(col("doc_id"), col("bench_id"), col("overlap"), col("containment"))
+  }
+
   /** §2.8 the APPLY stage of near-dup dedup — the step a training-data
     * pipeline ships AFTER d8's cluster labeling: drop every cluster
     * member except its canonical min-doc_id representative (cluster_id
