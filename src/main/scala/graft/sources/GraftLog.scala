@@ -71,9 +71,12 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftLog {
-  /** Read-side schema — the Kafka source's shape. */
+  /** Read-side schema — the Kafka source's shape: key/value are BINARY
+    * (a log carries bytes; typed serdes — Avro, JSON — layer on top) and
+    * readers cast to string exactly as with `format("kafka")`
+    * (Sources.readLog does the cast). */
   val ReadSchema: StructType = StructType(Seq(
-    StructField("key", StringType), StructField("value", StringType),
+    StructField("key", BinaryType), StructField("value", BinaryType),
     StructField("ts", TimestampType), StructField("partition", IntegerType),
     StructField("offset", LongType)))
 
@@ -261,10 +264,7 @@ class GraftLogPartitionReader(part: GraftLogInputPartition)
     val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
     val vl = in.readInt()
     val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
-    row = new GenericInternalRow(Array[Any](
-      if (key == null) null else UTF8String.fromBytes(key),
-      if (value == null) null else UTF8String.fromBytes(value),
-      ts, part.p, nextOffset))
+    row = new GenericInternalRow(Array[Any](key, value, ts, part.p, nextOffset))
     nextOffset += 1
     true
   }
@@ -295,11 +295,12 @@ class GraftLogWrite(path: String, schema: StructType, opts: Map[String, String],
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
 
+  private def isBinary(name: String): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType == BinaryType)
+
   private def factoryCfg = GraftLogWriterConfig(path, routed, numParts,
     idx("key"), idx("value"), idx("ts"), idx("partition"), idx("topic"),
-    schema.fields.zipWithIndex.collectFirst {
-      case (f, i) if f.name == "ts" && f.dataType == TimestampType => i
-    }.getOrElse(-1))
+    isBinary("key"), isBinary("value"))
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -336,7 +337,7 @@ class GraftLogWrite(path: String, schema: StructType, opts: Map[String, String],
 
 case class GraftLogWriterConfig(path: String, routed: Boolean, numParts: Int,
     keyIdx: Int, valueIdx: Int, tsIdx: Int, partIdx: Int, topicIdx: Int,
-    tsIsTimestamp: Int)
+    keyBinary: Boolean, valueBinary: Boolean)
 
 /** Executor-side writer: stages one file per (topic, partition) touched by
   * this task; the driver assigns offsets at commit (rename), so tasks
@@ -357,11 +358,12 @@ class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalR
 
   override def write(row: InternalRow): Unit = {
     val key = if (cfg.keyIdx < 0 || row.isNullAt(cfg.keyIdx)) null
+      else if (cfg.keyBinary) row.getBinary(cfg.keyIdx)
       else row.getUTF8String(cfg.keyIdx).getBytes
     val value = if (cfg.valueIdx < 0 || row.isNullAt(cfg.valueIdx)) null
+      else if (cfg.valueBinary) row.getBinary(cfg.valueIdx)
       else row.getUTF8String(cfg.valueIdx).getBytes
     val ts = if (cfg.tsIdx < 0 || row.isNullAt(cfg.tsIdx)) 0L
-      else if (cfg.tsIsTimestamp >= 0) row.getLong(cfg.tsIdx)
       else row.getLong(cfg.tsIdx)
     val topicDir =
       if (cfg.routed && cfg.topicIdx >= 0)

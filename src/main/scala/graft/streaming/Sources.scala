@@ -55,7 +55,10 @@ object Sources {
     spark.readStream.format("graftlog")
       .option("startingOffsets", if (fromBeginning) "earliest" else "latest")
       .load(topicDir)
-      .select(col("key"), col("value"), col("ts"))
+      // the log carries BYTES (Kafka parity); the string cast here is the
+      // exact readTopic/Kafka idiom — binary serdes read `value` raw
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"), col("ts"))
 
   /** S5 over the offline log: exactly-once append via epoch-idempotent
     * commits (see GraftLogWrite.toStreaming). */

@@ -83,6 +83,8 @@ class ChoreographySpec extends SparkSpec {
 
     def latestStates(): Map[String, String] =
       spark.read.format("graftlog").load(states)
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"), col("partition"), col("offset"))
         .groupBy("key")
         .agg(max_by(col("value"), struct(col("partition"), col("offset"))).as("state"))
         .as[(String, String)].collect().toMap
@@ -109,7 +111,8 @@ class ChoreographySpec extends SparkSpec {
 
     // exactly-once across the restart: one verdict per (order, service)
     val verdictCounts = spark.read.format("graftlog").load(validations)
-      .select(col("key"), get_json_object(col("value"), "$.check").as("check"))
+      .select(col("key").cast("string").as("key"),
+        get_json_object(col("value").cast("string"), "$.check").as("check"))
       .groupBy("key", "check").count().as[(String, String, Long)].collect()
     assert(verdictCounts.length === 6) // 3 orders x 2 services
     assert(verdictCounts.forall(_._3 === 1L),

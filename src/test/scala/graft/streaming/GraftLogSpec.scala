@@ -25,6 +25,8 @@ class GraftLogSpec extends SparkSpec {
     df.write.format("graftlog").option("partitions", "3").mode("append").save(topic)
 
     val back = spark.read.format("graftlog").load(topic)
+      .withColumn("key", col("key").cast("string"))
+      .withColumn("value", col("value").cast("string"))
     assert(back.count() === 100)
     // offsets are dense [0, n) within each partition
     val perPart = back.groupBy("partition")
@@ -69,7 +71,7 @@ class GraftLogSpec extends SparkSpec {
       .write.format("graftlog").option("partitions", "2").mode("append").save(topic)
     assert(drain() === 5)
     val vals = spark.read.format("graftlog").load(outTopic)
-      .select("value").as[String].collect().toSet
+      .select(col("value").cast("string")).as[String].collect().toSet
     assert(vals === Set("1", "2", "3", "4", "5"))
   }
 
@@ -87,7 +89,8 @@ class GraftLogSpec extends SparkSpec {
     run { in.addData(("k1", "a"), ("k2", "b")) }
     run { in.addData(("k1", "c")) } // restart on same checkpoint
     val back = spark.read.format("graftlog").load(topic)
-    assert(back.select("value").as[String].collect().sorted === Array("a", "b", "c"))
+    assert(back.select(col("value").cast("string")).as[String].collect().sorted
+      === Array("a", "b", "c"))
 
     // simulate Spark re-executing an already-committed epoch after crash
     // recovery: same (queryId, epochId) ⇒ the staged file must be
@@ -123,7 +126,8 @@ class GraftLogSpec extends SparkSpec {
         Sources.readLog(spark, topic, fromBeginning = false)
           .select("key", "value"), out, ckpt).start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.format("graftlog").load(out).select("value").as[String].collect().toSet
+      spark.read.format("graftlog").load(out)
+        .select(col("value").cast("string")).as[String].collect().toSet
     }
     assert(drain() === Set.empty) // history invisible at latest
     Seq(("a", "new1")).toDF("key", "value")
@@ -146,8 +150,29 @@ class GraftLogSpec extends SparkSpec {
     } finally q.stop()
     val alerts = spark.read.format("graftlog").load(s"$broker/alerts")
     val orders = spark.read.format("graftlog").load(s"$broker/orders")
-    assert(alerts.select("value").as[String].collect().toSeq === Seq("big-order"))
-    assert(orders.select("value").as[String].collect().toSet === Set("ok", "also-ok"))
+    assert(alerts.select(col("value").cast("string")).as[String].collect().toSeq
+      === Seq("big-order"))
+    assert(orders.select(col("value").cast("string")).as[String].collect().toSet
+      === Set("ok", "also-ok"))
+  }
+
+  test("typed topic: Avro-encoded values round-trip the log byte-exact (serde parity)") {
+    // the reference's SpecificAvroSerde wire shape: typed record → Avro
+    // binary → topic bytes → Avro binary → typed record, with the log as
+    // the byte transport (key/value are BinaryType, Kafka parity)
+    import spark.implicits._
+    import graft.functions.AvroCodec
+    val topic = tmp("avro")
+    val rows = Seq((1L, "play", 30.5), (2L, "pause", 0.0), (3L, "play", 7.25))
+    val typed = rows.toDF("event_id", "event_type", "value")
+    AvroCodec.encode(typed, AvroCodec.eventSchemaJson)
+      .select(col("avro_bytes").as("value"))
+      .write.format("graftlog").option("partitions", "2").mode("append").save(topic)
+
+    val back = AvroCodec.decode(
+      spark.read.format("graftlog").load(topic).select(col("value").as("avro_bytes")),
+      AvroCodec.eventSchemaJson)
+    assert(back.as[(Long, String, Double)].collect().toSet === rows.toSet)
   }
 
   test("full wire path: log → streaming wordcount → log (the WordCount lifecycle)") {
@@ -169,6 +194,8 @@ class GraftLogSpec extends SparkSpec {
 
     // latest record per key in the out log = final count (changelog semantics)
     val out = spark.read.format("graftlog").load(outTopic)
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"), col("partition"), col("offset"))
     val latest = out.groupBy("key")
       .agg(max_by(col("value"), struct(col("partition"), col("offset"))).as("value"))
       .as[(String, String)].collect().toMap
