@@ -117,6 +117,21 @@ object GraftLog {
       p -> (if (segs.isEmpty) 0L else segs.map { case (s, c, _) => s + c }.max)
     }.toMap
 
+  /** Log retention, Kafka-style: delete committed segments of partition
+    * `p` whose ENTIRE offset range lies below `minOffset` — whole segments
+    * only, exactly the broker's log cleaner (a segment straddling the
+    * cutoff survives intact). Surviving records keep their ORIGINAL
+    * offsets: the offset is the record's identity, retention only moves
+    * the log-start forward, and a consumer positioned below it simply
+    * finds nothing there (Kafka's out-of-range → earliest-available
+    * behavior falls out of the range-overlap planning). Returns the
+    * number of segments deleted. */
+  def truncateBefore(topic: Path, p: Int, minOffset: Long): Int = {
+    val victims = segments(topic, p).filter { case (s, c, _) => s + c <= minOffset }
+    victims.foreach { case (_, _, f) => Files.deleteIfExists(f) }
+    victims.size
+  }
+
   def writeRecord(out: DataOutputStream, ts: Long, key: Array[Byte], value: Array[Byte]): Unit = {
     out.writeLong(ts)
     if (key == null) out.writeInt(-1) else { out.writeInt(key.length); out.write(key) }

@@ -156,6 +156,38 @@ class GraftLogSpec extends SparkSpec {
       === Set("ok", "also-ok"))
   }
 
+  test("retention: truncateBefore deletes whole old segments; survivors keep original offsets") {
+    import spark.implicits._
+    val topic = tmp("retention")
+    // three appends to ONE partition = three segments of 2 records each
+    for (g <- 0 until 3)
+      Seq((s"g$g-a", g), (s"g$g-b", g)).toDF("value", "partition")
+        .selectExpr("value", "CAST(0 AS INT) AS partition")
+        .coalesce(1) // one task ⇒ one 2-record segment per append
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    val before = spark.read.format("graftlog").load(topic)
+    assert(before.count() === 6)
+
+    // cutoff at offset 3: segment [0,2) deleted, [2,4) straddles → kept
+    val deleted = GraftLog.truncateBefore(Paths.get(topic), 0, 3L)
+    assert(deleted === 1)
+    val after = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("value").cast("string").as("value"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // survivors keep their ORIGINAL offsets (2..5) — retention moves the
+    // log start, never renumbers
+    assert(after.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L))
+    assert(after.map(_._2).toSeq === Seq("g1-a", "g1-b", "g2-a", "g2-b"))
+
+    // a fresh earliest reader sees exactly the retained suffix
+    val outTopic = tmp("retention-out")
+    val q = Sources.writeLog(
+      Sources.readLog(spark, topic).select("key", "value"),
+      outTopic, tmp("retention-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("graftlog").load(outTopic).count() === 4)
+  }
+
   test("typed topic: Avro-encoded values round-trip the log byte-exact (serde parity)") {
     // the reference's SpecificAvroSerde wire shape: typed record → Avro
     // binary → topic bytes → Avro binary → typed record, with the log as
