@@ -979,6 +979,43 @@ object OracleSql {
     },
     // EmailService: orders ⋈ payments within ±1 min (inclusive), broadcast
     // customers, level doubles as the routing topic
+    "c10_prep_full" -> {
+      val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
+      val minOv = Dedup.AttribMinOverlap
+      val maxRatio = graft.ops.Composites.BoilerMaxRatio
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |  for i in range(1, len(t) - 1)]) AS ng FROM tok),
+         |c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
+         |dfq AS (SELECT ng, count(*) AS df FROM c GROUP BY ng),
+         |ratio AS (SELECT doc_id,
+         |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
+         |  FROM c JOIN dfq USING (ng) GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+         |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+         |bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 10),
+         |ov AS (SELECT e.doc_id, b.bench_id FROM ex e JOIN bench b USING (sh)
+         |  WHERE e.doc_id >= 10 GROUP BY e.doc_id, b.bench_id HAVING count(*) >= $minOv),
+         |contaminated AS (SELECT DISTINCT doc_id FROM ov),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  WHERE doc_id >= 10 GROUP BY text),
+         |kept AS (SELECT doc_id, CASE WHEN len(t) <= 1 THEN len(t)
+         |  ELSE len(t[1:1] || [t[i] for i in range(2, len(t) + 1) if t[i] != t[i-1]])
+         |  END AS n_kept FROM tok)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_kept) AS BIGINT) AS total_kept_tokens,
+         |  round(avg(boiler_ratio), 6) AS avg_boiler
+         |FROM documents d
+         |JOIN keepers USING (doc_id)
+         |ANTI JOIN contaminated USING (doc_id)
+         |JOIN ratio USING (doc_id)
+         |JOIN kept USING (doc_id)
+         |WHERE d.doc_id >= 10 AND boiler_ratio <= $maxRatio
+         |GROUP BY lang""".stripMargin
+    },
     "c9_email_routed" ->
       ("""WITH o AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
         |    l_suppkey AS customer_id, CAST(l_quantity AS DOUBLE) AS quantity,

@@ -85,6 +85,9 @@ object PlanAudit {
       ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
         Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
         Seq("BatchEvalPython")),
+      ("c10_prep_full", "the full prep funnel keeps its components' shapes: t14's stats subtree stays checkpointed (ExistingRDD), the exact-dup keepers and d12 drop list broadcast (the anti-join is a BroadcastHashJoin LeftAnti), and nothing goes all-pairs",
+        Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d12_decontam_attrib", "both the bench-shingle join and the bench-size join BROADCAST (the bench side is fixed-size; the 100-TB corpus is never shuffled on shingles) and the bench subtree's doc_id cap pushes to its scan",
         Seq("BroadcastHashJoin", "LessThan(doc_id,10)"),
         Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")),

@@ -138,6 +138,7 @@ object SparkEntry {
     "c7_music_chart"    -> (Composites.musicChart _),
     "c8_microservices"  -> (Composites.microservicesValidation _),
     "c9_email_routed"   -> (Composites.emailRouted _),
+    "c10_prep_full"     -> (Composites.prepFullFunnel _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Composite topologies — whole reference examples as single declarative
   * plans, built from the same pieces the operator inventory exercises.
@@ -258,6 +259,49 @@ object Composites {
     val customers = Tables.customer(s, dir).select(
       col("c_custkey").as("customer_id"), lower(col("c_mktsegment")).as("level"))
     OrderPipeline.emailEnrichment(orders, payments, customers)
+  }
+
+  /** Max tolerated corpus-level boilerplate ratio in [[prepFullFunnel]]
+    * (drops roughly the worst third of the sf0.01 corpus). */
+  val BoilerMaxRatio = 0.3
+
+  /** The round-10 FULL training-data prep funnel — the c4/c6 lineage
+    * extended with this round's operators, in the order a production
+    * pipeline runs them: corpus statistics first (t14's corpus-wide
+    * n-gram document frequencies — stats precede filtering), then per-doc
+    * gates: exact-text dedup (min-doc_id canonical), benchmark
+    * DECONTAMINATION via d12's attribution pairs (any flagged pair drops
+    * the training doc), boilerplate gate (t14 ratio ≤ [[BoilerMaxRatio]]),
+    * stutter cleanup (t13) on the survivors, and a per-language rollup of
+    * the surviving corpus.
+    *
+    * Scale shape: each stage is one of the already-audited shapes — the
+    * d12 drop list and exact-dup winners broadcast (both are tiny vs the
+    * corpus), t14's stats pipeline is its checkpointed form, and the
+    * final rollup is a map-side-combined aggregate. Nothing here shuffles
+    * the corpus more than the component queries already do. */
+  def prepFullFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") >= 10) // the training side; < 10 is the bench set
+      .select(col("doc_id"), col("text"), col("lang"))
+    val exactKeep = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val contaminated = Dedup.decontamAttribution(s, dir)
+      .select(col("doc_id")).distinct()
+    val ratios = TextAnalysis.boilerplateNgrams(s, dir)
+      .select(col("doc_id"), col("boiler_ratio"))
+    val cleaned = TextAnalysis.collapseRepeats(s, dir)
+      .select(col("doc_id"), col("n_kept"))
+    docs
+      .join(broadcast(exactKeep), Seq("doc_id"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(ratios, Seq("doc_id"))
+      .filter(col("boiler_ratio") <= BoilerMaxRatio)
+      .join(cleaned, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept")).cast(LongType).as("total_kept_tokens"),
+        round(avg(col("boiler_ratio")), 6).as("avg_boiler"))
   }
 
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
