@@ -30,8 +30,8 @@ object PlanAudit {
       ("s10_semantic_dedup", "the cluster rollup reads the converged CC labels as a materialized RDD (the bucketed pair generation and the label loop ran inside the checkpoint) — the final plan is one partial/final aggregate over labels, no pair re-generation, no all-pairs anywhere",
         Seq("ExistingRDD", "partial_count"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "FileScan parquet")),
-      ("s11_semantic_apply", "the embedding-side APPLY reads the memoized semantic labels (ExistingRDD — the label phase ran once, in s10, not again here) and the non-canonical drop list broadcasts against the single embeddings scan as a LeftAnti BroadcastHashJoin — one corpus pass, exactly the d10 shape",
-        Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
+      ("s11_semantic_apply", "the embedding-side APPLY reads the memoized semantic labels (ExistingRDD — the label phase ran once, in s10, not again here) and anti-joins the UN-hinted drop list against the single embeddings scan — AQE owns the strategy (broadcast at this scale, shuffled fallback at a high dup fraction), exactly the d10 shape",
+        Seq("ExistingRDD", "LeftAnti"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("d11_simhash_scaled", "the production-width SimHash form keeps d6's shape: fingerprints checkpointed once (ExistingRDD), the banded self-join reads the materialized RDD (zero parquet re-scans), first-matching-band emission needs no post-join distinct",
         Seq("ExistingRDD"), Seq("FileScan parquet")),
@@ -68,9 +68,9 @@ object PlanAudit {
       ("c8_microservices", "the synthesized orders topic is materialized ONCE (ExistingRDD) and consumed by all three validators plus the rejoin — no per-service re-scan of lineitem; the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
         Seq("ExistingRDD", "BroadcastHashJoin", "partial_sum"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "lineitem")),
-      ("d10_dedup_apply", "the APPLY phase reads the memoized label table (ExistingRDD — the LSH+CC labeling pipeline ran once, in d8's label phase, not again here) and the non-canonical drop list broadcasts against the single corpus scan as a LeftAnti BroadcastHashJoin — one documents pass, no corpus shuffle before the language rollup",
-        Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti, BuildRight"),
-        Seq("SortMergeJoin", "Generate explode")),
+      ("d10_dedup_apply", "the APPLY phase reads the memoized label table (ExistingRDD — the LSH+CC labeling pipeline ran once, in d8's label phase, not again here) and anti-joins the UN-hinted drop list against the single corpus scan — AQE picks broadcast LeftAnti at this scale (visible below) and is free to fall back to a shuffled LeftAnti when the dup fraction is corpus-proportional; either way one documents pass before the language rollup",
+        Seq("ExistingRDD", "LeftAnti"),
+        Seq("Generate explode")),
       ("s3_embedding_neardup", "the exact-cosine audit joins a FIXED-SIZE sample: the corpus-size-independent vec_id cap is pushed down to the parquet scan, so the quadratic pair count cannot grow with the corpus",
         Seq(s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"), Seq()),
       ("c6_prep_chunked", "the chunk rollup reads the checkpointed dedup table (ExistingRDD) and Catalyst column-prunes the per-chunk md5/collect_list (chunk_hash is t11's oracle cross-check, dead weight here) — c6 pays for the chunk expansion itself, never for hashing it",
@@ -85,7 +85,7 @@ object PlanAudit {
       ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
         Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
         Seq("BatchEvalPython")),
-      ("c10_prep_full", "the full prep funnel keeps its components' shapes: t14's stats subtree stays checkpointed (ExistingRDD), the exact-dup keepers and d12 drop list broadcast (the anti-join is a BroadcastHashJoin LeftAnti), and nothing goes all-pairs",
+      ("c10_prep_full", "the full prep funnel keeps its components' shapes: t14's stats subtree stays checkpointed (ExistingRDD), the bounded d12 drop list broadcasts (LeftAnti), the corpus-sized exact-dup keeper set joins UN-hinted (AQE strategy), and nothing goes all-pairs",
         Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d12_decontam_attrib", "both the bench-shingle join and the bench-size join BROADCAST (the bench side is fixed-size; the 100-TB corpus is never shuffled on shingles) and the bench subtree's doc_id cap pushes to its scan",
@@ -100,6 +100,42 @@ object PlanAudit {
         Seq("regexp_replace"),
         Seq("Exchange hashpartitioning", "HashAggregate", "BatchEvalPython"))
     )
+
+  /** Queries whose ANALYZED plans must not carry a forced broadcast hint
+    * on an unbounded id-list (VERDICT r10 task 1). A `ResolvedHint` node
+    * exists only when the CODE forced `broadcast(...)` — AQE's runtime
+    * broadcast decisions leave no hint in the logical plan — so the
+    * assertion is purely structural: every surviving hint subtree must be
+    * benchmark-bounded (carries the `doc_id < 10` bench filter, a
+    * fixed-size side at any corpus scale). Corpus-proportional keeper /
+    * loser lists must reach the optimizer un-hinted so AQE can fall back
+    * to a shuffled anti-join instead of OOMing the driver at a web-scale
+    * dup fraction. */
+  val hintChecks: Seq[(String, String)] = Seq(
+    ("d10_dedup_apply",
+      "zero forced broadcasts — the losers anti-join strategy belongs to AQE"),
+    ("s11_semantic_apply",
+      "zero forced broadcasts — the losers anti-join strategy belongs to AQE"),
+    ("c10_prep_full",
+      "only bench-bounded sides are hinted (d12's bench shingles/sizes, the contamination drop list); the corpus-sized exact-dup keeper set is un-hinted"))
+
+  private val BenchBound = "< (cast\\(10 as bigint\\)|10)".r
+
+  /** True iff a hinted subtree carries the fixed-size bench bound. */
+  def benchBounded(subtree: String): Boolean =
+    BenchBound.findFirstIn(subtree).isDefined
+
+  /** Forced broadcast hints in `name`'s analyzed plan whose subtree is
+    * NOT benchmark-bounded. Empty = the check holds. */
+  def unboundedHints(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }.filterNot(h => benchBounded(h.child.toString))
+      .map(_.child.toString.linesIterator.next().take(160))
+  }
 
   /** Materialize one checked query (so AQE's FINAL plan — including
     * codegen spans — is what gets read) and evaluate its fragments.
@@ -137,6 +173,12 @@ object PlanAudit {
         l.contains("HashAggregate") || l.contains("Window"))
         .map(_.trim.take(160)).take(12)
       sb.append("```\n").append(interesting.mkString("\n")).append("\n```\n")
+    }
+    sb.append("\n# Forced-broadcast hint audit (analyzed plans)\n")
+    hintChecks.foreach { case (name, claim) =>
+      val bad = unboundedHints(spark, sfDir, name)
+      val verdict = if (bad.isEmpty) "OK" else s"VIOLATION unbounded-hints=$bad"
+      sb.append(s"\n## $name — $verdict\n\nClaim: $claim.\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -276,10 +276,15 @@ object Composites {
     * the surviving corpus.
     *
     * Scale shape: each stage is one of the already-audited shapes — the
-    * d12 drop list and exact-dup winners broadcast (both are tiny vs the
-    * corpus), t14's stats pipeline is its checkpointed form, and the
-    * final rollup is a map-side-combined aggregate. Nothing here shuffles
-    * the corpus more than the component queries already do. */
+    * d12 drop list broadcasts (bounded by real contamination, not corpus
+    * size), t14's stats pipeline is its checkpointed form, and the final
+    * rollup is a map-side-combined aggregate. The exact-dup keeper set is
+    * one row per distinct text — corpus-sized, so it is deliberately
+    * UN-hinted: AQE broadcasts it when it fits and falls back to a
+    * shuffled join when it doesn't (a forced broadcast here is exactly
+    * the id-list OOM a 100 TB corpus with a high dup fraction hits).
+    * Nothing here shuffles the corpus more than the component queries
+    * already do. */
   def prepFullFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") >= 10) // the training side; < 10 is the bench set
@@ -293,7 +298,7 @@ object Composites {
     val cleaned = TextAnalysis.collapseRepeats(s, dir)
       .select(col("doc_id"), col("n_kept"))
     docs
-      .join(broadcast(exactKeep), Seq("doc_id"))
+      .join(exactKeep, Seq("doc_id"))
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .join(ratios, Seq("doc_id"))
       .filter(col("boiler_ratio") <= BoilerMaxRatio)

@@ -327,10 +327,13 @@ object Dedup {
     * pipeline ships AFTER d8's cluster labeling: drop every cluster
     * member except its canonical min-doc_id representative (cluster_id
     * IS the min label, so losers are members with doc_id ≠ cluster_id)
-    * and report the surviving corpus per language. At 100 TB the drop
-    * list is the small near-dup fraction of the corpus, so the anti-join
-    * broadcasts it against the full scan — one pass over documents, no
-    * corpus shuffle before the per-language rollup. */
+    * and report the surviving corpus per language. The drop list is the
+    * near-dup fraction of the corpus — often small, but web-scale LLM
+    * corpora routinely lose 30-80% of documents to near-dup removal, so
+    * the anti-join is deliberately UN-hinted: AQE broadcasts the losers
+    * when the runtime size fits and falls back to a shuffled LeftAnti
+    * when it doesn't. Forcing broadcast here would OOM the driver the
+    * first time the dup fraction is corpus-proportional. */
   def dedupApply(s: SparkSession, dir: String): DataFrame =
     dedupApplyFrom(clusterLabels(s, dir), Tables.documents(s, dir))
 
@@ -343,7 +346,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), TextAnalysis.Ws + "+")))

@@ -422,17 +422,20 @@ object Similarity {
 
   /** The APPLY phase of embedding-side dedup — [[Dedup.dedupApplyFrom]]'s
     * exact shape against the semantic labels: drop every cluster member
-    * except its canonical min-vec_id representative (a broadcast
-    * anti-join — the drop list is the near-dup fraction, small at any
-    * corpus size) and report the surviving corpus as exact-integer
-    * invariants (count, id-sum, id-range: hash-stable in any engine,
-    * unlike a float rollup). One pass over embeddings, no corpus shuffle. */
+    * except its canonical min-vec_id representative and report the
+    * surviving corpus as exact-integer invariants (count, id-sum,
+    * id-range: hash-stable in any engine, unlike a float rollup). The
+    * anti-join is UN-hinted for the same reason as the text side: the
+    * drop list is the near-dup fraction, which SemDeDup-style pipelines
+    * often measure at 30%+ of the corpus — AQE broadcasts when the
+    * runtime size fits, shuffled LeftAnti otherwise. One embeddings
+    * pass either way. */
   def semanticDedupApply(s: SparkSession, dir: String): DataFrame = {
     val losers = semanticLabels(s, dir)
       .filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id"))
     Tables.embeddings(s, dir)
-      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .join(losers, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("vec_id")).cast(LongType).as("survivor_id_sum"),
         min(col("vec_id")).as("min_survivor"),
