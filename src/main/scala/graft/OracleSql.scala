@@ -982,7 +982,7 @@ object OracleSql {
     "c10_prep_full" -> {
       val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
       val minOv = Dedup.AttribMinOverlap
-      val maxRatio = graft.ops.Composites.BoilerMaxRatio
+      val keepFrac = graft.ops.Composites.BoilerKeepFrac
       s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
          |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
          |  for i in range(1, len(t) - 1)]) AS ng FROM tok),
@@ -992,6 +992,12 @@ object OracleSql {
          |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
          |  FROM c JOIN dfq USING (ng) GROUP BY doc_id),
+         |hist AS (SELECT boiler_ratio, count(*) AS cnt FROM ratio
+         |  GROUP BY boiler_ratio),
+         |thr AS (SELECT min(boiler_ratio) AS boiler_thr FROM (
+         |  SELECT boiler_ratio, sum(cnt) OVER (ORDER BY boiler_ratio) AS cum,
+         |    sum(cnt) OVER () AS tot FROM hist)
+         |  WHERE cum >= ceil(tot * $keepFrac)),
          |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
          |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
          |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
@@ -1013,7 +1019,8 @@ object OracleSql {
          |ANTI JOIN contaminated USING (doc_id)
          |JOIN ratio USING (doc_id)
          |JOIN kept USING (doc_id)
-         |WHERE d.doc_id >= 10 AND boiler_ratio <= $maxRatio
+         |WHERE d.doc_id >= 10
+         |  AND boiler_ratio <= (SELECT boiler_thr FROM thr)
          |GROUP BY lang""".stripMargin
     },
     "c9_email_routed" ->

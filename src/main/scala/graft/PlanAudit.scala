@@ -117,7 +117,7 @@ object PlanAudit {
     ("s11_semantic_apply",
       "zero forced broadcasts — the losers anti-join strategy belongs to AQE"),
     ("c10_prep_full",
-      "only bench-bounded sides are hinted (d12's bench shingles/sizes, the contamination drop list); the corpus-sized exact-dup keeper set is un-hinted"))
+      "only bench-bounded sides (d12's bench shingles/sizes, the contamination drop list) and the one-row quantile threshold are hinted; the corpus-sized exact-dup keeper set is un-hinted"))
 
   private val BenchBound = "< (cast\\(10 as bigint\\)|10)".r
 
@@ -126,14 +126,24 @@ object PlanAudit {
     BenchBound.findFirstIn(subtree).isDefined
 
   /** Forced broadcast hints in `name`'s analyzed plan whose subtree is
-    * NOT benchmark-bounded. Empty = the check holds. */
+    * neither benchmark-bounded nor a one-row scalar (a global aggregate
+    * with no grouping — e.g. c10's quantile threshold — is one row by
+    * construction at any corpus size). Empty = the check holds. */
   def unboundedHints(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       name: String): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, BROADCAST, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
     val df = SparkEntry.queries(name)(spark, sfDir)
+    @annotation.tailrec
+    def oneRowScalar(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => oneRowScalar(c)
+      case SubqueryAlias(_, c) => oneRowScalar(c)
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _ => false
+    }
     df.queryExecution.analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
-    }.filterNot(h => benchBounded(h.child.toString))
+    }.filterNot(h => oneRowScalar(h.child) || benchBounded(h.child.toString))
       .map(_.child.toString.linesIterator.next().take(160))
   }
 

@@ -261,9 +261,16 @@ object Composites {
     OrderPipeline.emailEnrichment(orders, payments, customers)
   }
 
-  /** Max tolerated corpus-level boilerplate ratio in [[prepFullFunnel]]
-    * (drops roughly the worst third of the sf0.01 corpus). */
-  val BoilerMaxRatio = 0.3
+  /** Fraction of the corpus the [[prepFullFunnel]] boilerplate gate
+    * keeps: the cleanest `BoilerKeepFrac` of documents by t14 ratio.
+    * Corpus-RELATIVE on purpose (VERDICT r10 task 4): a fixed absolute
+    * cutoff saturates — the t14 ratio distribution shifts up as the
+    * n-gram document frequencies saturate with corpus growth, and the
+    * round-10 constant 0.3 left the funnel agreed-EMPTY at sf0.1 and
+    * sf1-synth, so the tail stages ran on nothing there. A quantile of
+    * the corpus's own distribution keeps the gate meaningful at every
+    * decade. */
+  val BoilerKeepFrac = 0.7
 
   /** The round-10 FULL training-data prep funnel — the c4/c6 lineage
     * extended with this round's operators, in the order a production
@@ -271,9 +278,11 @@ object Composites {
     * n-gram document frequencies — stats precede filtering), then per-doc
     * gates: exact-text dedup (min-doc_id canonical), benchmark
     * DECONTAMINATION via d12's attribution pairs (any flagged pair drops
-    * the training doc), boilerplate gate (t14 ratio ≤ [[BoilerMaxRatio]]),
-    * stutter cleanup (t13) on the survivors, and a per-language rollup of
-    * the surviving corpus.
+    * the training doc), boilerplate gate (keep the cleanest
+    * [[BoilerKeepFrac]] of the corpus by t14 ratio — the threshold is the
+    * exact quantile of the corpus's own ratio distribution), stutter
+    * cleanup (t13) on the survivors, and a per-language rollup of the
+    * surviving corpus.
     *
     * Scale shape: each stage is one of the already-audited shapes — the
     * d12 drop list broadcasts (bounded by real contamination, not corpus
@@ -295,13 +304,37 @@ object Composites {
       .select(col("doc_id")).distinct()
     val ratios = TextAnalysis.boilerplateNgrams(s, dir)
       .select(col("doc_id"), col("boiler_ratio"))
+    // Exact keep-fraction quantile of the ratio distribution, computed
+    // scale-safely: ratios are already rounded to 6 digits, so the
+    // histogram has ≤ 10^6+1 distinct values at ANY corpus size — the
+    // single-partition cumulative window below runs at histogram grain,
+    // never corpus grain. thr = smallest ratio whose cumulative doc
+    // count reaches ceil(keepFrac · total); `<= thr` keeps ≥ keepFrac
+    // of the corpus (ties keep slightly more, deterministically).
+    val histWin = Window.orderBy(col("boiler_ratio"))
+    // The zero join key (column·0, deliberately NON-foldable — a literal
+    // key would be constant-folded out of the equi-join and the plan
+    // would degrade to a nested-loop join) makes the one-row threshold
+    // fold in as a BroadcastHashJoin, keeping c10's "no
+    // BroadcastNestedLoopJoin anywhere" plan invariant machine-checkable.
+    val thr = ratios
+      .groupBy(col("boiler_ratio")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        histWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(
+        histWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") >= ceil(col("tot") * BoilerKeepFrac))
+      .agg(min(col("boiler_ratio")).as("boiler_thr"))
+      .withColumn("jk", (col("boiler_thr") * 0).cast(LongType))
     val cleaned = TextAnalysis.collapseRepeats(s, dir)
       .select(col("doc_id"), col("n_kept"))
     docs
       .join(exactKeep, Seq("doc_id"))
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .join(ratios, Seq("doc_id"))
-      .filter(col("boiler_ratio") <= BoilerMaxRatio)
+      .withColumn("jk", col("doc_id") * 0)
+      .join(broadcast(thr), Seq("jk"))
+      .filter(col("boiler_ratio") <= col("boiler_thr"))
       .join(cleaned, Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
