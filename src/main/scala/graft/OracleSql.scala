@@ -520,7 +520,7 @@ object OracleSql {
          |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (PARTITION BY q_id
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin),
-    "s2_lsh_topk" ->
+    "s14_lsh_topk" ->
       (s"""WITH $srpBucketCtes,
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM bk WHERE vec_id < 10),
          |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM bk),

@@ -98,7 +98,7 @@ object SparkEntry {
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
-    "s2_lsh_topk"       -> (Similarity.lshTopK _),
+    "s14_lsh_topk"       -> (Similarity.lshTopK _),
     "s3_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "s4_native_cosine"  -> (Similarity.embeddingNearDupNative _),
     "s5_bucketed_neardup" -> (Similarity.bucketedNearDup _),

@@ -56,4 +56,28 @@ object Tables {
     fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
   def embeddings(s: SparkSession, dir: String): DataFrame =
     fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** Exact table row count from parquet FOOTER metadata — no data scan,
+    * no Spark job: footers already store per-row-group counts, which is
+    * how a 100 TB index build should learn n (a `count()` action there
+    * is a full extra pass over the corpus). Handles both the driver's
+    * single-file tables and Spark-written part-file directories. */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  def embeddingsRowCount(s: SparkSession, dir: String): Long =
+    parquetRowCount(s, s"$dir/embeddings.parquet")
 }

@@ -337,11 +337,12 @@ object Similarity {
 
   /** The production IVF configuration (`s13_ivf_scaled`): stride ≈ √n so
     * C ≈ √n centroids — build n√n, probe NProbe·√n, both sub-quadratic at
-    * any corpus size (the [[ivfTopKWith]] scale rule). The corpus count is
-    * read once up front (the index build is a job anyway); the DuckDB
-    * oracle derives the identical stride as floor(sqrt(count(*))). */
+    * any corpus size (the [[ivfTopKWith]] scale rule). n comes from
+    * parquet FOOTER metadata ([[Tables.parquetRowCount]]) — no count()
+    * job, no data scan; the DuckDB oracle derives the identical stride
+    * as floor(sqrt(count(*))). */
   def ivfTopKScaled(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = Tables.embeddingsRowCount(s, dir)
     ivfTopKWith(s, dir, LloydIters, math.max(1, math.sqrt(n.toDouble).toInt))
   }
 
