@@ -40,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Layout (one directory per topic):
   * {{{
-  *   <topic>/p<K>/seg-<start%020d>-<count>.bin   committed segments
+  *   <topic>/p<K>/seg-<start%020d>-<count>.bin          committed segments
+  *   <topic>/p<K>/cseg-<start>-<end>-<count>.bin        key-compacted segments
   *   <topic>/_staging/<uuid>                     task-staged, invisible to readers
   *   <topic>/_epochs/<queryId>-<epochId>         commit markers (EOS replay guard)
   * }}}
@@ -86,21 +87,62 @@ object GraftLog {
 
   def partDir(topic: Path, p: Int): Path = topic.resolve(s"p$p")
 
-  /** Committed segments of one partition: (startOffset, count, path),
-    * offset-sorted. Offsets live in the file name — listing is the only
-    * metadata read. */
-  def segments(topic: Path, p: Int): Seq[(Long, Long, Path)] = {
+  /** One committed segment: offset range [start, end), record count,
+    * layout. `dense` segments (`seg-<start>-<count>.bin`, the append
+    * path) hold exactly end−start records whose offsets are positional.
+    * Compacted segments (`cseg-<start>-<end>-<count>.bin`, written by
+    * [[compactPartition]]) cover the same contiguous offset RANGE but
+    * store only the surviving records, each with an EXPLICIT offset
+    * prefix — compaction leaves offset gaps, Kafka's compacted-log
+    * shape. */
+  case class Seg(start: Long, end: Long, count: Long, path: Path, dense: Boolean)
+
+  /** Committed segments of one partition, offset-sorted. Offsets live in
+    * the file name — listing is the only metadata read.
+    *
+    * Two resolution rules (ADVICE r10): a segment fully CONTAINED in a
+    * compacted segment is superseded by it (the transient state while
+    * [[compactPartition]] moves the merged file in before deleting the
+    * originals — a concurrent lister sees both and deterministically
+    * reads the compacted one); any OTHER overlap means two committers
+    * raced the same offset range and reads would double-count, so it
+    * fails loudly — graftlog's hard assumption is a single committer
+    * per topic (see [[GraftLogCommitter]]). */
+  def segments(topic: Path, p: Int): Seq[Seg] = {
     val dir = partDir(topic, p)
     if (!Files.isDirectory(dir)) return Nil
-    val out = Files.list(dir).iterator().asScala.flatMap { f =>
+    val named = Files.list(dir).iterator().asScala.flatMap { f =>
       f.getFileName.toString match {
-        case SegName(start, count) => Some((start.toLong, count.toLong, f))
+        case SegName(start, count) =>
+          Some(Seg(start.toLong, start.toLong + count.toLong, count.toLong, f, dense = true))
+        case CSegName(start, end, count) =>
+          Some(Seg(start.toLong, end.toLong, count.toLong, f, dense = false))
         case _ => None
       }
     }.toSeq
-    out.sortBy(_._1)
+    // compacted-first on range ties so the sweep prefers the merged file
+    val sorted = named.sortBy(s => (s.start, -s.end, s.dense))
+    val kept = mutable.ArrayBuffer.empty[Seg]
+    var maxEnd = Long.MinValue
+    sorted.foreach { s =>
+      if (kept.nonEmpty && s.end <= maxEnd) {
+        if (kept.last.dense)
+          throw new IllegalStateException(
+            s"graftlog: overlapping segments in $dir: ${s.path.getFileName} inside " +
+              s"${kept.last.path.getFileName} — two committers wrote the same offset " +
+              "range (graftlog requires a single committer per topic)")
+        // else: superseded by the covering compacted segment — ignore
+      } else if (kept.nonEmpty && s.start < maxEnd) {
+        throw new IllegalStateException(
+          s"graftlog: overlapping segments in $dir: ${kept.last.path.getFileName} and " +
+            s"${s.path.getFileName} — two committers wrote the same offset range " +
+            "(graftlog requires a single committer per topic)")
+      } else { kept += s; maxEnd = s.end }
+    }
+    kept.toSeq
   }
   private val SegName = "seg-(\\d+)-(\\d+)\\.bin".r
+  private val CSegName = "cseg-(\\d+)-(\\d+)-(\\d+)\\.bin".r
 
   /** Partition ids present on disk (created by writers on demand). */
   def partitions(topic: Path): Seq[Int] =
@@ -114,7 +156,7 @@ object GraftLog {
   def endOffsets(topic: Path): Map[Int, Long] =
     partitions(topic).map { p =>
       val segs = segments(topic, p)
-      p -> (if (segs.isEmpty) 0L else segs.map { case (s, c, _) => s + c }.max)
+      p -> (if (segs.isEmpty) 0L else segs.map(_.end).max)
     }.toMap
 
   /** Log retention, Kafka-style: delete committed segments of partition
@@ -124,11 +166,18 @@ object GraftLog {
     * offsets: the offset is the record's identity, retention only moves
     * the log-start forward, and a consumer positioned below it simply
     * finds nothing there (Kafka's out-of-range → earliest-available
-    * behavior falls out of the range-overlap planning). Returns the
+    * behavior falls out of the range-overlap planning).
+    *
+    * The ACTIVE (highest) segment is never deleted — also Kafka's rule —
+    * because end offsets are derived from surviving segment names
+    * (ADVICE r10): deleting every segment would reset the partition to
+    * offset 0, re-issue already-used offsets to the next append, and
+    * silently skip consumers checkpointed at the old end. Keeping the
+    * last segment keeps offsets monotonic under any cutoff. Returns the
     * number of segments deleted. */
   def truncateBefore(topic: Path, p: Int, minOffset: Long): Int = {
-    val victims = segments(topic, p).filter { case (s, c, _) => s + c <= minOffset }
-    victims.foreach { case (_, _, f) => Files.deleteIfExists(f) }
+    val victims = segments(topic, p).dropRight(1).filter(_.end <= minOffset)
+    victims.foreach(s => Files.deleteIfExists(s.path))
     victims.size
   }
 
@@ -137,6 +186,77 @@ object GraftLog {
     if (key == null) out.writeInt(-1) else { out.writeInt(key.length); out.write(key) }
     if (value == null) out.writeInt(-1) else { out.writeInt(value.length); out.write(value) }
   }
+
+  /** All records of one segment as (offset, ts, key, value) — driver-side
+    * sequential access for [[compactPartition]] and tooling; executors
+    * stream ranges via GraftLogPartitionReader instead. */
+  def readSegment(seg: Seg): Iterator[(Long, Long, Array[Byte], Array[Byte])] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path.toFile)))
+    new Iterator[(Long, Long, Array[Byte], Array[Byte])] {
+      private var i = 0L
+      override def hasNext: Boolean = {
+        val more = i < seg.count
+        if (!more) in.close()
+        more
+      }
+      override def next(): (Long, Long, Array[Byte], Array[Byte]) = {
+        val off = if (seg.dense) seg.start + i else in.readLong()
+        val ts = in.readLong()
+        val kl = in.readInt()
+        val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
+        val vl = in.readInt()
+        val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
+        i += 1
+        (off, ts, key, value)
+      }
+    }
+  }
+
+  /** Kafka key compaction (`cleanup.policy=compact` — the storage model
+    * behind `builder.table(topic)` and changelog restore, reference
+    * UserRegionLambdaExample.java:125): merge partition `p`'s committed
+    * segments into ONE compacted segment keeping only the LAST record
+    * per key, with ORIGINAL offsets preserved; a tombstone (null value)
+    * removes its key — and itself, the post-delete-retention end state.
+    * Null-KEY records have no compaction identity and are dropped,
+    * matching the broker's rejection of unkeyed writes to compacted
+    * topics.
+    *
+    * Concurrent-reader safety: the merged file covers the EXACT offset
+    * range of the segments it replaces and is ATOMIC_MOVEd into place
+    * BEFORE the originals are deleted, so a lister that races the swap
+    * sees a containment overlap and deterministically resolves to the
+    * compacted file ([[segments]]). Like retention, run it from the
+    * single committer. Returns the number of records compacted away. */
+  def compactPartition(topic: Path, p: Int): Long = {
+    val segs = segments(topic, p)
+    if (segs.isEmpty) return 0L
+    val latest = mutable.LinkedHashMap.empty[java.nio.ByteBuffer, (Long, Long, Array[Byte])]
+    var total = 0L
+    segs.foreach(seg => readSegment(seg).foreach { case (off, ts, key, value) =>
+      total += 1
+      if (key != null) {
+        if (value == null) latest.remove(java.nio.ByteBuffer.wrap(key))
+        else latest.put(java.nio.ByteBuffer.wrap(key), (off, ts, value))
+      }
+    })
+    val survivors = latest.toSeq
+      .map { case (k, (off, ts, v)) => (off, ts, k.array(), v) }.sortBy(_._1)
+    val staging = topic.resolve("_staging")
+    Files.createDirectories(staging)
+    val tmpf = staging.resolve(UUID.randomUUID().toString)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmpf.toFile)))
+    survivors.foreach { case (off, ts, k, v) => out.writeLong(off); writeRecord(out, ts, k, v) }
+    out.close()
+    val name = f"cseg-${segs.head.start}%020d-${segs.last.end}%020d-${survivors.size}.bin"
+    Files.move(tmpf, partDir(topic, p).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    segs.foreach(s => if (s.path.getFileName.toString != name) Files.deleteIfExists(s.path))
+    total - survivors.size
+  }
+
+  /** [[compactPartition]] over every partition of the topic. */
+  def compactTopic(topic: Path): Long =
+    partitions(topic).map(p => compactPartition(topic, p)).sum
 }
 
 /** One topic directory as a DSv2 table (read + write, batch + streaming). */
@@ -187,10 +307,10 @@ object GraftLogOffset {
 }
 
 /** An offset range [start, end) of one log partition — the unit of read
-  * parallelism, exactly Kafka's model. Segment (start, count, path)
-  * triples ride along so executors never re-list the directory. */
+  * parallelism, exactly Kafka's model. Segment (start, end, count, path,
+  * dense) tuples ride along so executors never re-list the directory. */
 case class GraftLogInputPartition(p: Int, start: Long, end: Long,
-    segs: Seq[(Long, Long, String)]) extends InputPartition
+    segs: Seq[(Long, Long, Long, String, Boolean)]) extends InputPartition
 
 /** `startingOffsets` mirrors the Kafka source option: `earliest` (default —
   * a batch pipeline over a log replays history) starts every partition at
@@ -209,8 +329,8 @@ class GraftLogScan(path: String, startingOffsets: String = "earliest") extends S
       if (e <= s) None
       else Some(GraftLogInputPartition(p, s, e,
         GraftLog.segments(Paths.get(path), p)
-          .filter { case (st, c, _) => st < e && st + c > s }
-          .map { case (st, c, f) => (st, c, f.toString) }))
+          .filter(seg => seg.start < e && seg.end > s)
+          .map(seg => (seg.start, seg.end, seg.count, seg.path.toString, seg.dense))))
     }.toArray
 
   override def toBatch: Batch = new Batch {
@@ -243,45 +363,96 @@ class GraftLogReaderFactory extends PartitionReaderFactory {
     new GraftLogPartitionReader(partition.asInstanceOf[GraftLogInputPartition])
 }
 
-/** Streams one partition's segments, skipping the prefix of the first
-  * segment that falls before the range start (records are length-prefixed,
-  * so a skip is two reads and two `skipBytes` — no parsing). */
+/** Streams one partition's committed segments over [start, end). Dense
+  * segments admit positional skipping of the pre-range prefix (records
+  * are length-prefixed — a skip is two reads and two `skipBytes`, no
+  * parsing); compacted segments are scanned with their explicit
+  * per-record offsets.
+  *
+  * Offset gaps are tolerated only where legitimate (ADVICE r10): before
+  * the FIRST segment (a retention-trimmed prefix) and inside compacted
+  * segments (keys compacted away). A gap BETWEEN consecutive segments,
+  * or a range end past the last segment, means a segment file is missing
+  * — that fails loudly instead of silently reading "no data". */
 class GraftLogPartitionReader(part: GraftLogInputPartition)
     extends PartitionReader[InternalRow] {
   private val segs = part.segs.sortBy(_._1).iterator
   private var in: DataInputStream = _
-  private var nextOffset: Long = part.start
-  private var segEnd: Long = -1L
+  private var dense = true
+  private var recsLeft = 0L       // compacted path: records left in segment
+  private var segEnd = -1L        // end offset of the open segment
+  private var covered = -1L       // end of the last opened segment (-1: none)
+  private var nextOffset: Long = part.start // dense path: next offset to emit
   private var row: InternalRow = _
 
   private def openNext(): Boolean = {
     if (in != null) { in.close(); in = null }
-    if (!segs.hasNext) return false
-    val (segStart, count, f) = segs.next()
+    if (!segs.hasNext) {
+      if (covered < part.end)
+        throw new IllegalStateException(
+          s"graftlog: partition ${part.p} offset range [${part.start},${part.end}) not " +
+            s"covered — segments end at $covered; a segment file is missing")
+      return false
+    }
+    val (segStart, sEnd, count, f, isDense) = segs.next()
+    if (covered >= 0 && segStart != covered)
+      throw new IllegalStateException(
+        s"graftlog: offset gap in partition ${part.p} — segment starting at $segStart " +
+          s"follows segment ending at $covered; a segment file is missing")
+    covered = sEnd
     in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
-    segEnd = segStart + count
-    var skip = (nextOffset max segStart) - segStart
-    nextOffset = nextOffset max segStart
-    while (skip > 0) { // length-prefixed: skip without materializing
-      in.skipBytes(8)
-      val kl = in.readInt(); if (kl > 0) in.skipBytes(kl)
-      val vl = in.readInt(); if (vl > 0) in.skipBytes(vl)
-      skip -= 1
+    dense = isDense
+    segEnd = sEnd
+    recsLeft = count
+    if (dense) {
+      var skip = (nextOffset max segStart) - segStart
+      nextOffset = nextOffset max segStart
+      while (skip > 0) { // length-prefixed: skip without materializing
+        in.skipBytes(8)
+        val kl = in.readInt(); if (kl > 0) in.skipBytes(kl)
+        val vl = in.readInt(); if (vl > 0) in.skipBytes(vl)
+        skip -= 1
+      }
     }
     true
   }
 
   override def next(): Boolean = {
-    if (nextOffset >= part.end) return false
-    while (in == null || nextOffset >= segEnd) if (!openNext()) return false
-    val ts = in.readLong()
-    val kl = in.readInt()
-    val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
-    val vl = in.readInt()
-    val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
-    row = new GenericInternalRow(Array[Any](key, value, ts, part.p, nextOffset))
-    nextOffset += 1
-    true
+    while (true) {
+      if (in == null) {
+        if (!openNext()) return false
+      } else if (dense) {
+        if (nextOffset >= part.end) return false
+        if (nextOffset >= segEnd) { if (!openNext()) return false }
+        else {
+          val ts = in.readLong()
+          val kl = in.readInt()
+          val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
+          val vl = in.readInt()
+          val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
+          row = new GenericInternalRow(Array[Any](key, value, ts, part.p, nextOffset))
+          nextOffset += 1
+          return true
+        }
+      } else { // compacted: explicit offsets, possibly gapped
+        if (recsLeft <= 0) { if (!openNext()) return false }
+        else {
+          val off = in.readLong()
+          val ts = in.readLong()
+          val kl = in.readInt()
+          val key = if (kl < 0) null else { val b = new Array[Byte](kl); in.readFully(b); b }
+          val vl = in.readInt()
+          val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
+          recsLeft -= 1
+          if (off >= part.end) return false
+          if (off >= part.start) {
+            row = new GenericInternalRow(Array[Any](key, value, ts, part.p, off))
+            return true
+          } // else: below the range — skip (trimmed/filtered prefix)
+        }
+      }
+    }
+    false // unreachable: the loop always returns
   }
   override def get(): InternalRow = row
   override def close(): Unit = if (in != null) in.close()
@@ -309,6 +480,14 @@ class GraftLogWrite(path: String, schema: StructType, opts: Map[String, String],
   private val routed = opts.get("routed").exists(_.toBoolean)
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
+
+  // Fail at planning time, not per-task (ADVICE r10): a missing 'value'
+  // column would silently append all-null records; a routed write without
+  // a 'topic' column has nowhere to route.
+  require(idx("value") >= 0,
+    s"graftlog write requires a 'value' column; input schema has [${schema.fieldNames.mkString(", ")}]")
+  require(!routed || idx("topic") >= 0,
+    s"graftlog routed write requires a 'topic' column; input schema has [${schema.fieldNames.mkString(", ")}]")
 
   private def isBinary(name: String): Boolean =
     schema.fields.find(_.name == name).exists(_.dataType == BinaryType)
@@ -381,9 +560,12 @@ class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalR
     val ts = if (cfg.tsIdx < 0 || row.isNullAt(cfg.tsIdx)) 0L
       else row.getLong(cfg.tsIdx)
     val topicDir =
-      if (cfg.routed && cfg.topicIdx >= 0)
+      if (cfg.routed && cfg.topicIdx >= 0) {
+        if (row.isNullAt(cfg.topicIdx))
+          throw new IllegalArgumentException(
+            "graftlog: null 'topic' in routed write — every row must name its destination topic")
         Paths.get(cfg.path, row.getUTF8String(cfg.topicIdx).toString).toString
-      else cfg.path
+      } else cfg.path
     val p =
       if (cfg.partIdx >= 0 && !row.isNullAt(cfg.partIdx)) row.getInt(cfg.partIdx)
       else if (key != null)
@@ -415,7 +597,15 @@ class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalR
   * replayed epoch re-appends (at-least-once boundary identical to
   * Kafka's non-transactional producer); with the marker present the
   * replay is a no-op (exactly-once for the replay path Spark actually
-  * takes — re-running a committed epoch after checkpoint recovery). */
+  * takes — re-running a committed epoch after checkpoint recovery).
+  *
+  * HARD ASSUMPTION — single committer per topic: mutual exclusion here is
+  * a JVM-local `synchronized`, which serializes the one Spark driver's
+  * queries but not an out-of-process appender. Two drivers committing the
+  * same topic could read the same end offset and both rename overlapping
+  * segments; [[GraftLog.segments]] detects exactly that (non-containment
+  * overlap) and fails reads loudly rather than double-counting. Kafka's
+  * analog is the broker owning the partition leader epoch. */
 object GraftLogCommitter {
   def commit(messages: Array[WriterCommitMessage], epoch: Option[(String, Long)]): Unit =
     synchronized {

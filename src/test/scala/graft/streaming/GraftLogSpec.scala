@@ -188,6 +188,144 @@ class GraftLogSpec extends SparkSpec {
     assert(spark.read.format("graftlog").load(outTopic).count() === 4)
   }
 
+  test("compaction: latest-per-key kept with ORIGINAL offsets; tombstoned keys gone; " +
+      "a fresh earliest reader reconstructs the S2 latest-per-key view") {
+    import spark.implicits._
+    val topic = tmp("compact")
+    // three appends to one partition = three dense segments; k1 updated
+    // twice, k2 tombstoned after a value, k3 written once, k4 tombstone-only
+    def append(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").selectExpr("key", "value", "CAST(0 AS INT) AS partition")
+        .coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    append(Seq(("k1", "a"), ("k2", "b")))                  // offsets 0,1
+    append(Seq(("k1", "c"), ("k3", "d")))                  // offsets 2,3
+    append(Seq(("k2", null), ("k1", "e"), ("k4", null)))   // offsets 4,5,6
+    val endBefore = GraftLog.endOffsets(Paths.get(topic))
+
+    val removed = GraftLog.compactTopic(Paths.get(topic))
+    assert(removed === 5) // 7 records → survivors k1@5, k3@3
+
+    // offsets preserved, latest values only, tombstoned keys absent
+    val after = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(after.toSeq === Seq((3L, "k3", "d"), (5L, "k1", "e")))
+    // the log END offset is untouched: compaction removes records, never
+    // positions — the next append continues where it would have
+    assert(GraftLog.endOffsets(Paths.get(topic)) === endBefore)
+    append(Seq(("k5", "f")))
+    assert(spark.read.format("graftlog").load(topic)
+      .agg(max("offset")).head.getLong(0) === 7L)
+
+    // a fresh earliest STREAMING reader over the compacted topic yields
+    // exactly the latest-per-key table (builder.table semantics)
+    val outTopic = tmp("compact-out")
+    val q = Sources.writeLog(
+      Sources.readLog(spark, topic).select("key", "value"),
+      outTopic, tmp("compact-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val view = spark.read.format("graftlog").load(outTopic)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(view === Set(("k3", "d"), ("k1", "e"), ("k5", "f")))
+
+    // re-compaction (cseg + a dense tail) stays correct
+    GraftLog.compactTopic(Paths.get(topic))
+    val again = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("key").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq === Seq((3L, "k3"), (5L, "k1"), (7L, "k5")))
+  }
+
+  test("full truncation keeps the active segment: end offsets stay monotonic") {
+    import spark.implicits._
+    val topic = tmp("trunc-all")
+    for (g <- 0 until 2)
+      Seq((s"g$g-a", s"g$g-a"), (s"g$g-b", s"g$g-b")).toDF("key", "value")
+        .selectExpr("value", "CAST(0 AS INT) AS partition").coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    // cutoff PAST the end: the active segment survives (Kafka's rule), so
+    // the end offset cannot reset to 0 and re-issue used offsets
+    val deleted = GraftLog.truncateBefore(Paths.get(topic), 0, 99L)
+    assert(deleted === 1) // only the non-active old segment
+    assert(GraftLog.endOffsets(Paths.get(topic))(0) === 4L)
+    Seq(("x", "x")).toDF("key", "value")
+      .selectExpr("value", "CAST(0 AS INT) AS partition").coalesce(1)
+      .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    // the new record gets offset 4, after every offset ever issued
+    assert(spark.read.format("graftlog").load(topic)
+      .agg(max("offset")).head.getLong(0) === 4L)
+  }
+
+  test("a missing mid-range segment fails the read loudly (no silent data loss)") {
+    import spark.implicits._
+    val topic = tmp("gap")
+    for (g <- 0 until 3)
+      Seq((s"g$g-a", s"g$g-b")).toDF("key", "value")
+        .selectExpr("key", "value", "CAST(0 AS INT) AS partition").coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    // delete the MIDDLE segment: [0,1) [1,2) [2,3) → [0,1) _ [2,3)
+    val mid = GraftLog.segments(Paths.get(topic), 0)(1).path
+    Files.delete(mid)
+    val ex = intercept[Throwable] {
+      spark.read.format("graftlog").load(topic).count()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("offset gap")) || mentions(t.getCause))
+    assert(mentions(ex))
+  }
+
+  test("overlapping segments (two-committer corruption) fail the listing loudly") {
+    import spark.implicits._
+    val topic = tmp("overlap")
+    Seq(("a", "1"), ("b", "2")).toDF("key", "value")
+      .selectExpr("key", "value", "CAST(0 AS INT) AS partition").coalesce(1)
+      .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    // forge a second committer's segment overlapping [1,3) against [0,2)
+    val pd = GraftLog.partDir(Paths.get(topic), 0)
+    val forged = pd.resolve(f"seg-${1L}%020d-2.bin")
+    val out = new java.io.DataOutputStream(Files.newOutputStream(forged))
+    GraftLog.writeRecord(out, 0L, "x".getBytes, "y".getBytes)
+    GraftLog.writeRecord(out, 0L, "x2".getBytes, "y2".getBytes)
+    out.close()
+    val ex = intercept[IllegalStateException] {
+      GraftLog.segments(Paths.get(topic), 0)
+    }
+    assert(ex.getMessage.contains("single committer"))
+  }
+
+  test("write validation: 'value' column required; routed write rejects null topics") {
+    import spark.implicits._
+    // no value column → planning-time failure, not silent null records
+    val noValue = intercept[Throwable] {
+      Seq(("k1", "t")).toDF("key", "other")
+        .write.format("graftlog").option("partitions", "1").mode("append")
+        .save(tmp("noval"))
+    }
+    assert(noValue.getMessage.contains("'value' column") ||
+      Option(noValue.getCause).exists(_.getMessage.contains("'value' column")))
+    // routed without topic column → planning-time failure
+    val noTopic = intercept[Throwable] {
+      Seq(("k1", "v")).toDF("key", "value")
+        .write.format("graftlog").option("routed", "true").mode("append")
+        .save(tmp("notopic"))
+    }
+    assert(noTopic.getMessage.contains("'topic' column") ||
+      Option(noTopic.getCause).exists(_.getMessage.contains("'topic' column")))
+    // routed with a NULL topic value → per-row failure naming the problem
+    val nullTopic = intercept[org.apache.spark.SparkException] {
+      Seq(("k1", "v", "dest"), ("k2", "v2", null))
+        .toDF("key", "value", "topic")
+        .write.format("graftlog").option("routed", "true").mode("append")
+        .save(tmp("nulltopic"))
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("null 'topic'")) || mentions(t.getCause))
+    assert(mentions(nullTopic))
+  }
+
   test("typed topic: Avro-encoded values round-trip the log byte-exact (serde parity)") {
     // the reference's SpecificAvroSerde wire shape: typed record → Avro
     // binary → topic bytes → Avro binary → typed record, with the log as
