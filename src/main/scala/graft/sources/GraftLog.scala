@@ -229,6 +229,14 @@ object GraftLog {
     * compacted file ([[segments]]). Like retention, run it from the
     * single committer. Returns the number of records compacted away. */
   def compactPartition(topic: Path, p: Int): Long = {
+    // serialize against concurrent committers (cross-process file lock —
+    // see GraftLogCommitter): compaction must see a stable segment set
+    val lock = GraftLogCommitter.lockTopic(topic.toString)
+    try compactLocked(topic, p)
+    finally GraftLogCommitter.unlockTopic(lock)
+  }
+
+  private def compactLocked(topic: Path, p: Int): Long = {
     val segs = segments(topic, p)
     if (segs.isEmpty) return 0L
     val latest = mutable.LinkedHashMap.empty[java.nio.ByteBuffer, (Long, Long, Array[Byte])]
@@ -599,43 +607,66 @@ class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalR
   * replay is a no-op (exactly-once for the replay path Spark actually
   * takes — re-running a committed epoch after checkpoint recovery).
   *
-  * HARD ASSUMPTION — single committer per topic: mutual exclusion here is
-  * a JVM-local `synchronized`, which serializes the one Spark driver's
-  * queries but not an out-of-process appender. Two drivers committing the
-  * same topic could read the same end offset and both rename overlapping
-  * segments; [[GraftLog.segments]] detects exactly that (non-containment
-  * overlap) and fails reads loudly rather than double-counting. Kafka's
-  * analog is the broker owning the partition leader epoch. */
+  * CROSS-PROCESS mutual exclusion (ADVICE r10): offsets are assigned by
+  * reading the current end from the listing, so two committers racing one
+  * topic could both read the same end and rename overlapping segments.
+  * In-JVM the `synchronized` serializes the driver's queries; ACROSS
+  * processes (separate service JVMs sharing a topic, the reference's
+  * deployment model) each topic is guarded by an OS advisory lock on
+  * `<topic>/_lock` (java.nio FileLock — exclusive, blocking), held for
+  * the rename-and-mark critical section. Kafka's analog is the broker
+  * owning the partition leader epoch. [[GraftLog.segments]] keeps the
+  * non-containment-overlap detector as the loud corruption backstop for
+  * writers that bypass the lock. Multi-topic commits take locks in
+  * sorted topic order (no deadlock between routed writers). */
 object GraftLogCommitter {
   def commit(messages: Array[WriterCommitMessage], epoch: Option[(String, Long)]): Unit =
     synchronized {
       val entries = messages.collect { case m: GraftLogCommitMessage => m.entries }.flatten
       if (entries.isEmpty) { epoch.foreach(markOnly(entries, _)); return }
-      // replay guard: one marker per topic dir touched by this epoch
-      val topics = entries.map(_._1).distinct
-      val replayed = epoch.exists { case (q, e) =>
-        topics.forall(t => Files.exists(Paths.get(t, "_epochs", s"$q-$e")))
-      }
-      if (replayed) {
-        entries.foreach { case (_, _, staged, _) => Files.deleteIfExists(Paths.get(staged)) }
-        return
-      }
-      entries.groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1).foreach {
-        case ((topicDir, p), staged) =>
-          val pd = GraftLog.partDir(Paths.get(topicDir), p)
-          Files.createDirectories(pd)
-          var off = GraftLog.endOffsets(Paths.get(topicDir)).getOrElse(p, 0L)
-          // deterministic order: by staged path
-          staged.sortBy(_._3).foreach { case (_, _, f, n) =>
-            if (n > 0) {
-              Files.move(Paths.get(f), pd.resolve(f"seg-$off%020d-$n.bin"),
-                StandardCopyOption.ATOMIC_MOVE)
-              off += n
-            } else Files.deleteIfExists(Paths.get(f))
-          }
-      }
-      epoch.foreach(markOnly(entries, _))
+      val topics = entries.map(_._1).distinct.sorted
+      val locks = topics.map(lockTopic)
+      try {
+        // replay guard: one marker per topic dir touched by this epoch
+        val replayed = epoch.exists { case (q, e) =>
+          topics.forall(t => Files.exists(Paths.get(t, "_epochs", s"$q-$e")))
+        }
+        if (replayed) {
+          entries.foreach { case (_, _, staged, _) => Files.deleteIfExists(Paths.get(staged)) }
+          return
+        }
+        entries.groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1).foreach {
+          case ((topicDir, p), staged) =>
+            val pd = GraftLog.partDir(Paths.get(topicDir), p)
+            Files.createDirectories(pd)
+            var off = GraftLog.endOffsets(Paths.get(topicDir)).getOrElse(p, 0L)
+            // deterministic order: by staged path
+            staged.sortBy(_._3).foreach { case (_, _, f, n) =>
+              if (n > 0) {
+                Files.move(Paths.get(f), pd.resolve(f"seg-$off%020d-$n.bin"),
+                  StandardCopyOption.ATOMIC_MOVE)
+                off += n
+              } else Files.deleteIfExists(Paths.get(f))
+            }
+        }
+        epoch.foreach(markOnly(entries, _))
+      } finally locks.reverse.foreach(unlockTopic)
     }
+
+  /** Exclusive cross-process lock on one topic directory. Blocks until
+    * acquired; the JVM-level `synchronized` above prevents the same-JVM
+    * OverlappingFileLockException. */
+  def lockTopic(topicDir: String): (java.nio.channels.FileChannel, java.nio.channels.FileLock) = {
+    val lockPath = Paths.get(topicDir, "_lock")
+    Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    (ch, ch.lock())
+  }
+
+  def unlockTopic(l: (java.nio.channels.FileChannel, java.nio.channels.FileLock)): Unit = {
+    l._2.release(); l._1.close()
+  }
 
   private def markOnly(entries: Seq[(String, Int, String, Long)],
       epoch: (String, Long)): Unit = {

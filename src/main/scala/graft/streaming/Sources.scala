@@ -60,6 +60,16 @@ object Sources {
       .select(col("key").cast("string").as("key"),
         col("value").cast("string").as("value"), col("ts"))
 
+  /** S1 raw: the log's native (key, value, ts) with key/value as BYTES —
+    * for typed serdes (AvroCodec wire framing) that decode downstream;
+    * [[readLog]] is the string-cast convenience over the same scan. */
+  def readLogBytes(spark: SparkSession, topicDir: String,
+      fromBeginning: Boolean = true): DataFrame =
+    spark.readStream.format("graftlog")
+      .option("startingOffsets", if (fromBeginning) "earliest" else "latest")
+      .load(topicDir)
+      .select(col("key"), col("value"), col("ts"))
+
   /** S5 over the offline log: exactly-once append via epoch-idempotent
     * commits (see GraftLogWrite.toStreaming). */
   def writeLog(df: DataFrame, topicDir: String, checkpoint: String,

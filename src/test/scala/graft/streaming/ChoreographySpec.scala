@@ -43,43 +43,14 @@ class ChoreographySpec extends SparkSpec {
         .toDF("key", "value")
         .write.format("graftlog").option("partitions", "2").mode("append").save(orders)
 
-    val orderSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "product STRING, quantity INT, price DOUBLE")
-
-    // two independent validator services, one shared verdicts topic
-    def detailsService() = Sources.writeLog(
-      Sources.readLog(spark, orders)
-        .select(col("key"), from_json(col("value"), orderSchema).as("o"))
-        .select(col("key"), concat(lit("""{"check":"DETAILS","result":""""),
-          when(col("o.quantity") >= 0 && col("o.price") >= 0 && col("o.product").isNotNull,
-            "PASS").otherwise("FAIL"), lit("\"}")).as("value")),
-      validations, ck("details")).start()
-    def limitService() = Sources.writeLog(
-      Sources.readLog(spark, orders)
-        .select(col("key"), from_json(col("value"), orderSchema).as("o"))
-        .select(col("key"), concat(lit("""{"check":"LIMIT","result":""""),
-          when(col("o.quantity") * col("o.price") < 2000.0, "PASS").otherwise("FAIL"),
-          lit("\"}")).as("value")),
-      validations, ck("limit")).start()
-    // aggregator: FAILED on any FAIL, VALIDATED once both checks PASS,
-    // CREATED while pending — an update-mode changelog appended to states
-    def aggregatorService() = Sources.writeLog(
-      Sources.readLog(spark, validations)
-        .select(col("key"),
-          get_json_object(col("value"), "$.check").as("check"),
-          get_json_object(col("value"), "$.result").as("result"))
-        .groupBy(col("key"))
-        // each service emits exactly ONE verdict per (order, check) — the
-        // EOS sink guarantees it (asserted below) — so a plain count of
-        // PASSes equals the distinct-check count (streaming aggregates
-        // cannot plan countDistinct)
-        .agg(count(when(col("result") === "FAIL", 1)).as("n_fail"),
-          count(when(col("result") === "PASS", 1)).as("n_pass"))
-        .select(col("key"),
-          when(col("n_fail") > 0, "FAILED")
-            .when(col("n_pass") === 2, "VALIDATED")
-            .otherwise("CREATED").as("value")),
-      states, ck("agg")).outputMode("update").start()
+    // the shared topologies (Choreography) — also what ServiceRunner's
+    // separate-process coupling and the Avro wire variant run
+    def detailsService() =
+      Choreography.startService(spark, "details", orders, validations, states, ck("details"))
+    def limitService() =
+      Choreography.startService(spark, "limit", orders, validations, states, ck("limit"))
+    def aggregatorService() =
+      Choreography.startService(spark, "agg", orders, validations, states, ck("agg"))
 
     def latestStates(): Map[String, String] =
       spark.read.format("graftlog").load(states)
@@ -117,5 +88,79 @@ class ChoreographySpec extends SparkSpec {
     assert(verdictCounts.length === 6) // 3 orders x 2 services
     assert(verdictCounts.forall(_._3 === 1L),
       s"duplicate verdicts: ${verdictCounts.filter(_._3 > 1).mkString(",")}")
+  }
+
+  test("typed wire choreography: every topic carries registry-framed Avro; " +
+      "the states topic round-trips byte-exact") {
+    import spark.implicits._
+    import graft.functions.AvroCodec
+    val orders = tmp("avro-orders"); val validations = tmp("avro-validations")
+    val states = tmp("avro-states")
+    val ck = Map("details" -> tmp("avro-ck-d"), "limit" -> tmp("avro-ck-l"),
+      "agg" -> tmp("avro-ck-a"))
+
+    // producer side: typed orders → registry-framed Avro bytes on the log
+    // (the Schemas.java discipline — binary key, framed binary value)
+    def publishOrder(id: String, product: String, qty: Int, price: Double): Unit =
+      AvroCodec.encodeWire(
+        Seq((id, product, qty, price)).toDF("key", "product", "quantity", "price"),
+        Choreography.OrderSchemaId, Choreography.orderAvroJson, keep = Seq("key"))
+        .select(col("key").cast("binary").as("key"), col("avro_bytes").as("value"))
+        .write.format("graftlog").option("partitions", "2").mode("append").save(orders)
+
+    publishOrder("o1", "beer", 10, 5.0)    // both PASS
+    publishOrder("o2", "vodka", 20, 150.0) // LIMIT FAIL
+    publishOrder("o3", "", 2, 100.0)       // empty product: DETAILS FAIL
+
+    for (role <- Seq("details", "limit")) {
+      val q = Choreography.startServiceWire(spark, role, orders, validations,
+        states, ck(role))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val agg = Choreography.startServiceWire(spark, "agg", orders, validations,
+      states, ck("agg"))
+    try agg.processAllAvailable() finally agg.stop()
+
+    // every value on every topic is registry-framed: magic 0x00 + id
+    def frames(topic: String, id: Int): Unit = {
+      val vals = spark.read.format("graftlog").load(topic)
+        .select("value").as[Array[Byte]].collect()
+      assert(vals.nonEmpty)
+      vals.foreach { b =>
+        assert(b(0) === 0x00.toByte)
+        assert(((b(1) & 0xFF) << 24 | (b(2) & 0xFF) << 16 |
+          (b(3) & 0xFF) << 8 | (b(4) & 0xFF)) === id)
+      }
+    }
+    frames(orders, Choreography.OrderSchemaId)
+    frames(validations, Choreography.VerdictSchemaId)
+    frames(states, Choreography.StateSchemaId)
+
+    // final states decode to the JSON variant's exact state machine
+    val raw = spark.read.format("graftlog").load(states)
+      .select(col("key"), col("value"), col("partition"), col("offset"))
+    val latestRaw = raw
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), struct(col("partition"), col("offset"))).as("value"))
+    val decoded = AvroCodec.decodeWire(latestRaw, Choreography.wireRegistry,
+      Choreography.stateAvroJson, bytesCol = "value", keep = Seq("key"))
+    val got = decoded.select(col("key").cast("string"), col("state"))
+      .as[(String, String)].collect().toMap
+    assert(got === Map("o1" -> "VALIDATED", "o2" -> "FAILED", "o3" -> "FAILED"))
+
+    // byte-exact round trip: re-encoding the decoded states under the
+    // same schema id reproduces the on-log bytes bit-for-bit
+    val reenc = AvroCodec.encodeWire(decoded, Choreography.StateSchemaId,
+      Choreography.stateAvroJson, keep = Seq("key"))
+      .select(col("key").cast("string").as("key"), col("avro_bytes"))
+      .as[(String, Array[Byte])].collect().toMap
+    val original = latestRaw
+      .select(col("key").cast("string").as("key"), col("value"))
+      .as[(String, Array[Byte])].collect().toMap
+    assert(reenc.keySet === original.keySet)
+    reenc.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, original(k)),
+        s"state bytes for $k did not round-trip byte-exact")
+    }
   }
 }
