@@ -378,6 +378,46 @@ object OracleSql {
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
          |WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5""".stripMargin
     },
+    "d13_containment_pairs" -> {
+      // d4's banded-LSH pairs, refined by exact distinct-shingle
+      // containment in both directions (see Dedup.containmentPairs)
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p
+         |  JOIN shx xa ON xa.doc_id = p.doc_a
+         |  JOIN shx xb ON xb.doc_id = p.doc_b AND xb.s = xa.s
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+         |  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / za.n_sh, 6) AS cont_a,
+         |  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / zb.n_sh, 6) AS cont_b,
+         |  CASE WHEN za.n_sh < zb.n_sh THEN 'a'
+         |    WHEN zb.n_sh < za.n_sh THEN 'b' ELSE 'tie' END AS subset_side
+         |FROM pairs p
+         |LEFT JOIN inter i USING (doc_a, doc_b)
+         |JOIN sz za ON za.doc_id = p.doc_a
+         |JOIN sz zb ON zb.doc_id = p.doc_b""".stripMargin
+    },
     "d8_dedup_clusters" -> {
       // the same banded-LSH pair graph as d4, then connected components via
       // a recursive CTE (min reachable doc_id = cluster id)
@@ -774,6 +814,36 @@ object OracleSql {
          |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
          |FROM c JOIN df USING (ng) GROUP BY doc_id""".stripMargin
+    },
+    // integer-exact corpus-LM support (see TextAnalysis.lmSupport: the
+    // sums are BIGINT so no float-order drift; one final division)
+    "t16_lm_support" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |o AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [{'w1': t[i], 'bg': t[i] || ' ' || t[i+1]} for i in range(1, len(t))]
+         |    ELSE [] END) AS p FROM tok),
+         |c AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg, count(*) AS m
+         |  FROM o GROUP BY doc_id, p.w1, p.bg),
+         |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM c GROUP BY bg),
+         |cu AS (SELECT w1, CAST(sum(m) AS BIGINT) AS cu FROM c GROUP BY w1)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(min(cb) AS BIGINT) AS rarest_count,
+         |  round(CAST(sum(m * cb) AS DOUBLE) / CAST(sum(m * cu) AS DOUBLE), 6)
+         |    AS support
+         |FROM c JOIN cb USING (bg) JOIN cu USING (w1)
+         |GROUP BY doc_id""".stripMargin),
+    // contiguous first-fit sequence packing: bin = exclusive prefix of
+    // token counts (doc_id order) div capacity
+    "t17_sequence_pack" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      s"""WITH tok AS (SELECT doc_id, len($tokensSql) AS n FROM documents),
+         |p AS (SELECT doc_id, n, COALESCE(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM tok)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1""".stripMargin
     },
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,

@@ -98,7 +98,16 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t15_scrub_numeric", "field scrubbing is pure codegen'd column work — regexp_replace/extract projections with no shuffle beyond the single-split fan-out, no aggregation, no UDF",
         Seq("regexp_replace"),
-        Seq("Exchange hashpartitioning", "HashAggregate", "BatchEvalPython"))
+        Seq("Exchange hashpartitioning", "HashAggregate", "BatchEvalPython")),
+      ("t16_lm_support", "the corpus-LM support score keeps t14's stats shape: ONE tokenize+explode into the checkpointed occurrence table (ExistingRDD), both count tables derive FROM the materialization (zero parquet re-scans), joins stay keyed — no all-pairs",
+        Seq("ExistingRDD"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t17_sequence_pack", "sequence packing's global prefix sum is the w5 two-level scan: the row-grain running sum is a Window PARTITIONED by doc-id bucket, only the bucket summary (map-side partial_sum) crosses the single-partition window, and it broadcasts back — no corpus-grain global sort",
+        Seq("Window", "partial_sum", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
+        Seq("ExistingRDD"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

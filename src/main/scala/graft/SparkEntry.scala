@@ -96,6 +96,7 @@ object SparkEntry {
     "d11_simhash_scaled" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashPairsScaled(s, dir, Dedup.ScaledBits)),
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
+    "d13_containment_pairs" -> (Dedup.containmentPairs _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),
@@ -122,6 +123,8 @@ object SparkEntry {
     "t13_collapse_repeats" -> (TextAnalysis.collapseRepeats _),
     "t14_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _),
     "t15_scrub_numeric" -> (TextAnalysis.scrubNumeric _),
+    "t16_lm_support" -> (TextAnalysis.lmSupport _),
+    "t17_sequence_pack" -> (TextAnalysis.sequencePack _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

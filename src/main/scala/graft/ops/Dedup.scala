@@ -285,6 +285,46 @@ object Dedup {
       .filter(col("overlap") >= 0.3)
   }
 
+  /** Near-dup pair DIRECTIONALITY — the refinement a dedup pipeline runs
+    * between labeling and apply when it must decide WHICH member of a
+    * near-dup pair to keep: for every d4 LSH candidate pair, the EXACT
+    * distinct-shingle containment in both directions (Broder
+    * containment |A∩B|/|A| and |A∩B|/|B|), which distinguishes
+    * quote-INCLUSION (one side nearly contained — keep the superset
+    * document) from mutual-overlap edits (either survives). The
+    * subset_side column names the smaller-shingle-set member — the
+    * subset candidate — purely from integer counts (for equal
+    * intersections, the higher containment is exactly the smaller set,
+    * so no float comparison decides anything).
+    *
+    * Scale shape: candidates come from the banded LSH (bounded by
+    * design, never all-pairs); the (doc, distinct-shingle) table is
+    * materialized ONCE (`localCheckpoint`) and re-read for sizes and
+    * both intersection sides, so the tokenize→shingle pipeline runs
+    * once; the intersection join's work is linear in candidates ×
+    * shingles/doc — the d9/d12 containment shape applied pairwise. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleCol(3)).as("sh"))
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("n_inter").cast(DoubleType) / col("n_a"), 6).as("cont_a"),
+        round(col("n_inter").cast(DoubleType) / col("n_b"), 6).as("cont_b"),
+        when(col("n_a") < col("n_b"), "a").when(col("n_b") < col("n_a"), "b")
+          .otherwise("tie").as("subset_side"))
+  }
+
   /** Pairs must share at least this many distinct shingles to be reported
     * by [[decontamAttribution]] (absolute floor, not ratio — a short bench
     * item leaking verbatim matters however small the ratio to a long

@@ -340,6 +340,99 @@ object TextAnalysis {
         round(col("n_boiler").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** Corpus-LM quality scoring — the CCNet/Gopher "perplexity filter"
+    * shape: score every document by how well the CORPUS's OWN bigram
+    * statistics support it, so atypical/garbled text scores low without
+    * any external model. For each bigram occurrence b=(w1,w2), the
+    * corpus-LM support is c(b)/c1(w1) (the MLE P(w2|w1)); the document
+    * aggregates occurrence support as
+    *
+    *   support = Σᵢ c(bᵢ) / Σᵢ c1(w1ᵢ)
+    *
+    * Both sums are INTEGER — exact in any engine and immune to float
+    * summation order — with ONE final division, so the DuckDB oracle
+    * hash-matches by construction; a mean-log-probability would drift
+    * with shuffle-order float addition and libm ulps (why this proxy is
+    * stated in support form, not log form). Also emits the rarest-bigram
+    * corpus count (min c(b) — the "contains spans the corpus has never
+    * seen" novelty signal a contamination/outlier triage reads first)
+    * and the occurrence count.
+    *
+    * Scale shape = [[boilerplateNgrams]]'s: ONE tokenize+explode into
+    * the checkpointed (doc, w1, bigram, multiplicity) table; BOTH corpus
+    * count tables derive FROM that materialization (no re-explode); the
+    * two joins key on vocabulary-bounded tables that saturate as the
+    * corpus grows (t14's measured df-side shape). Un-hinted joins — AQE
+    * broadcasts the count tables while they fit. */
+  def lmSupport(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val t = col("t")
+    val m = size(t) - 1
+    val pairs = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
+      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val cb = occ.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+    val cu = occ.groupBy(col("w1")).agg(sum(col("m")).as("cu"))
+    occ.join(cb, Seq("bg")).join(cu, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        min(col("cb")).cast("long").as("rarest_count"),
+        sum(col("m") * col("cb")).cast("long").as("sup_bg"),
+        sum(col("m") * col("cu")).cast("long").as("sup_hist"))
+      .withColumn("support",
+        round(col("sup_bg").cast("double") / col("sup_hist"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("rarest_count"), col("support"))
+  }
+
+  /** Token capacity of one packed training sequence, and the doc-id
+    * bucket width of the pack's two-level prefix scan. */
+  val PackCapacity = 512L
+  val PackBucket = 4096L
+
+  /** SEQUENCE PACKING — the batch-construction pass after chunking in an
+    * LLM pretraining pipeline: documents are packed in deterministic
+    * doc_id order into fixed-capacity token bins (contiguous first-fit,
+    * the scalable approximation to bin packing used to build pretraining
+    * batches). A document's bin is floor(exclusive-prefix-token-sum /
+    * [[PackCapacity]]); the result reports each bin's document count,
+    * token total and doc-id range — what a loader needs to materialize
+    * the batch.
+    *
+    * The global prefix sum is the part that must survive 100 TB, and it
+    * reuses w5's proven two-level shape ([[Windows.lateDataFilter]]):
+    * the row-grain running sum is a Window PARTITIONED by a doc-id
+    * bucket (parallel), and only the bucket-grain summary (rows /
+    * [[PackBucket]], map-side combined) passes through the single
+    *-partition window before broadcasting back. No corpus-grain global
+    * sort anywhere. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n"))
+      .withColumn("b", expr(s"doc_id div $PackBucket"))
+    val prior = d.groupBy(col("b")).agg(sum(col("n")).as("bsum"))
+      .withColumn("prev_sum", coalesce(sum(col("bsum")).over(
+        W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("prev_sum"))
+    val inBucket = W.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    d.withColumn("local_prev", coalesce(sum(col("n")).over(inBucket), lit(0L)))
+      .join(broadcast(prior), Seq("b"))
+      .withColumn("bin", expr(s"(prev_sum + local_prev) div $PackCapacity"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** Structured-field scrubbing — the PII-masking shape over a
     * semi-structured column: every digit run in `events.props` (a JSON
     * payload) is masked to `#`, with the run count kept as an audit
