@@ -145,6 +145,18 @@ object StreamBench {
               floor(unix_timestamp(col("timestamp")) / 3)).as("k")),
           "ts", "k", "5 seconds", "5 seconds"),
         OutputMode.Append())),
+      // the same rotating-key session workload on the TWS timer port
+      // (port #5): explicit open-session ListState + one event-time close
+      // timer per session, vs the native session_window store above
+      "session_counts_tws" -> (() => Pipeline(
+        StreamOps.sessionCountsTws(
+          rate().select(v.as("event_id"), col("timestamp").as("ts"),
+            ((v % 1000) + lit(1000L) *
+              floor(unix_timestamp(col("timestamp")) / 3)).cast("long").as("user_id"),
+            lit("s").as("event_type"), lit(1.0).as("value"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.Event]),
+          5000L, "5 seconds").toDF(),
+        OutputMode.Append())),
       "stream_static_join" -> (() => Pipeline(
         StreamOps.streamStaticJoin(
           rate().select(v.as("event_id"), (v % 100000).as("k")),

@@ -222,6 +222,80 @@ object StreamOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class OpenSession(start: Long, end: Long, cnt: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, cnt: Long)
+
+  /** A9/W3 session windows on the transformWithState API — TWS port #5,
+    * and the first to exercise TIMERS: the reference's session MERGER
+    * (SessionWindowsExample.java:157-172,
+    * `SessionWindows.ofInactivityGapAndGrace`) implemented the way Kafka
+    * Streams' session store does it. Per-key state is the OPEN-session
+    * list; each arriving record merges every session within the
+    * inactivity gap (plus itself) into one; emission happens when the
+    * EVENT-TIME timer at the session's close (end + gap) fires — i.e.
+    * when the watermark passes the close. That is exactly the
+    * suppressed-until-close behavior (W6) the native
+    * `session_window`+watermark form gets for free; here it is explicit
+    * timer lifecycle: `registerTimer` on every (re)extension,
+    * `handleExpiredTimer` partitions closed-vs-open. A merge leaves the
+    * absorbed session's stale timer registered; it fires, finds nothing
+    * closable (the merged session ends later), and is a no-op — so no
+    * timer bookkeeping beyond registration is needed, the same
+    * tombstone-free trick the reference's merger uses with its window
+    * store retention. */
+  class SessionWindowProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var sessions: ListState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[OpenSession]("sessions",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      var ss = sessions.get().toList
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        val (overlap, rest) = ss.partition(s => t >= s.start - gapMs && t <= s.end + gapMs)
+        val merged = OpenSession(
+          (t +: overlap.map(_.start)).min,
+          (t +: overlap.map(_.end)).max,
+          overlap.map(_.cnt).sum + 1)
+        ss = merged :: rest
+      }
+      sessions.clear()
+      ss.foreach { s =>
+        sessions.appendValue(s)
+        getHandle.registerTimer(s.end + gapMs)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val fire = expired.getExpiryTimeInMs
+      val (closed, open) = sessions.get().toList.partition(s => s.end + gapMs <= fire)
+      sessions.clear()
+      open.foreach(sessions.appendValue)
+      closed.sortBy(_.start).map(s =>
+        SessionOut(key, new Timestamp(s.start), new Timestamp(s.end), s.cnt)).iterator
+    }
+  }
+
+  /** [[sessionCounts]] on transformWithState with event-time timers
+    * (RocksDB provider + a watermark on `ts` required). Append mode:
+    * each session emits exactly ONCE, at close — the merged final the
+    * reference's suppressed session windows ship. */
+  def sessionCountsTws(events: Dataset[Event], gapMs: Long,
+      grace: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", grace)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionWindowProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** S2 KTable: latest value per key as an update-mode changelog
     * (UserRegionLambdaExample.java:125). Emits the new latest row for a
     * key whenever it changes. */

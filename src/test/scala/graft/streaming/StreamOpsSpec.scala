@@ -145,6 +145,58 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionCountsTws (TWS port #5, event-time timers) merges sessions and emits at close") {
+    // the session MERGER on explicit timer lifecycle: registerTimer at
+    // every (re)extension, handleExpiredTimer closes sessions when the
+    // event-time watermark passes end+gap — SessionWindowsExampleTest
+    // semantics (incl. the bridging merge) with suppression-until-close
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = sessionCountsTws(in.toDS(), 10000L, "60 seconds").toDF()
+        .writeStream.format("memory").queryName("sesstws")
+        .outputMode("append").start()
+      try {
+        // base offset: rows at event time <= the INITIAL watermark (0)
+        // would be dropped as late — same rule as any event-time operator
+        val b = 100000L
+        // u1: a 3-event session + a separate singleton; u2: singleton;
+        // u3: two sessions a later bridge must collapse
+        in.addData(
+          Event(0, ts(b), 1, "c", 1.0), Event(1, ts(b + 4000), 1, "c", 1.0),
+          Event(2, ts(b + 8000), 1, "c", 1.0), Event(3, ts(b + 30000), 1, "c", 1.0),
+          Event(4, ts(b), 2, "c", 1.0),
+          Event(5, ts(b), 3, "c", 1.0), Event(6, ts(b + 20000), 3, "c", 1.0))
+        q.processAllAvailable()
+        // the LATE bridge (within grace): u3's two sessions become ONE
+        in.addData(Event(7, ts(b + 10000), 3, "c", 1.0))
+        q.processAllAvailable()
+        // advance the watermark past every close, then one more batch so
+        // the armed timers fire under the advanced watermark
+        in.addData(Event(8, ts(b + 600000), 99, "c", 1.0)); q.processAllAvailable()
+        in.addData(Event(9, ts(b + 610000), 99, "c", 1.0)); q.processAllAvailable()
+      } finally q.stop()
+      val b = 100000L
+      val got = spark.table("sesstws").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start.getTime - b,
+          s.session_end.getTime - b, s.cnt))
+        .toSet
+      assert(got === Set(
+        (1L, 0L, 8000L, 3L), (1L, 30000L, 30000L, 1L),
+        (2L, 0L, 0L, 1L),
+        (3L, 0L, 20000L, 3L))) // merged by the bridge — one session, count 3
+      // u99 (the watermark advancer) is still OPEN: suppression means no row
+      assert(!spark.table("sesstws").as[SessionOut].collect().exists(_.user_id == 99L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("runningCount state persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
