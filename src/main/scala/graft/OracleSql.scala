@@ -102,6 +102,53 @@ object OracleSql {
 
   private val srpBucketCtes: String = srpBucketCtesFor(Similarity.NumPlanes)
 
+  /** The c10 prep-funnel CTE chain ending in `surv` — the per-document
+    * survivor set after every gate (exact dedup, decontamination,
+    * quantile boilerplate gate, stutter cleanup). c10 rolls it up per
+    * language; c11 packs it into training bins. Mirrors
+    * Composites.prepSurvivors. */
+  private val prepFunnelCtes: String = {
+    val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
+    val minOv = Dedup.AttribMinOverlap
+    val keepFrac = graft.ops.Composites.BoilerKeepFrac
+    s"""tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
+       |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |  for i in range(1, len(t) - 1)]) AS ng FROM tok),
+       |c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
+       |dfq AS (SELECT ng, count(*) AS df FROM c GROUP BY ng),
+       |ratio AS (SELECT doc_id,
+       |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
+       |  FROM c JOIN dfq USING (ng) GROUP BY doc_id),
+       |hist AS (SELECT boiler_ratio, count(*) AS cnt FROM ratio
+       |  GROUP BY boiler_ratio),
+       |thr AS (SELECT min(boiler_ratio) AS boiler_thr FROM (
+       |  SELECT boiler_ratio, sum(cnt) OVER (ORDER BY boiler_ratio) AS cum,
+       |    sum(cnt) OVER () AS tot FROM hist)
+       |  WHERE cum >= ceil(tot * $keepFrac)),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+       |bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 10),
+       |ov AS (SELECT e.doc_id, b.bench_id FROM ex e JOIN bench b USING (sh)
+       |  WHERE e.doc_id >= 10 GROUP BY e.doc_id, b.bench_id HAVING count(*) >= $minOv),
+       |contaminated AS (SELECT DISTINCT doc_id FROM ov),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  WHERE doc_id >= 10 GROUP BY text),
+       |kept AS (SELECT doc_id, CASE WHEN len(t) <= 1 THEN len(t)
+       |  ELSE len(t[1:1] || [t[i] for i in range(2, len(t) + 1) if t[i] != t[i-1]])
+       |  END AS n_kept FROM tok),
+       |surv AS (SELECT d.doc_id, d.lang, boiler_ratio, n_kept
+       |  FROM documents d
+       |  JOIN keepers USING (doc_id)
+       |  ANTI JOIN contaminated USING (doc_id)
+       |  JOIN ratio USING (doc_id)
+       |  JOIN kept USING (doc_id)
+       |  WHERE d.doc_id >= 10
+       |    AND boiler_ratio <= (SELECT boiler_thr FROM thr))""".stripMargin
+  }
+
   /** Scaled simhash CTE chain (Dedup.simhashScaled): word hash = 60 bits
     * from md5 hex chars 1-15 masked to `bits`, votes/fingerprint as the
     * 32-bit form. Ends in sim(doc_id, simhash). */
@@ -1049,49 +1096,24 @@ object OracleSql {
     },
     // EmailService: orders ⋈ payments within ±1 min (inclusive), broadcast
     // customers, level doubles as the routing topic
-    "c10_prep_full" -> {
-      val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
-      val minOv = Dedup.AttribMinOverlap
-      val keepFrac = graft.ops.Composites.BoilerKeepFrac
-      s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
-         |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |  for i in range(1, len(t) - 1)]) AS ng FROM tok),
-         |c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
-         |dfq AS (SELECT ng, count(*) AS df FROM c GROUP BY ng),
-         |ratio AS (SELECT doc_id,
-         |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
-         |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
-         |  FROM c JOIN dfq USING (ng) GROUP BY doc_id),
-         |hist AS (SELECT boiler_ratio, count(*) AS cnt FROM ratio
-         |  GROUP BY boiler_ratio),
-         |thr AS (SELECT min(boiler_ratio) AS boiler_thr FROM (
-         |  SELECT boiler_ratio, sum(cnt) OVER (ORDER BY boiler_ratio) AS cum,
-         |    sum(cnt) OVER () AS tot FROM hist)
-         |  WHERE cum >= ceil(tot * $keepFrac)),
-         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-         |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
-         |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
-         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
-         |bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 10),
-         |ov AS (SELECT e.doc_id, b.bench_id FROM ex e JOIN bench b USING (sh)
-         |  WHERE e.doc_id >= 10 GROUP BY e.doc_id, b.bench_id HAVING count(*) >= $minOv),
-         |contaminated AS (SELECT DISTINCT doc_id FROM ov),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
-         |  WHERE doc_id >= 10 GROUP BY text),
-         |kept AS (SELECT doc_id, CASE WHEN len(t) <= 1 THEN len(t)
-         |  ELSE len(t[1:1] || [t[i] for i in range(2, len(t) + 1) if t[i] != t[i-1]])
-         |  END AS n_kept FROM tok)
+    "c10_prep_full" ->
+      (s"""WITH $prepFunnelCtes
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_kept) AS BIGINT) AS total_kept_tokens,
          |  round(avg(boiler_ratio), 6) AS avg_boiler
-         |FROM documents d
-         |JOIN keepers USING (doc_id)
-         |ANTI JOIN contaminated USING (doc_id)
-         |JOIN ratio USING (doc_id)
-         |JOIN kept USING (doc_id)
-         |WHERE d.doc_id >= 10
-         |  AND boiler_ratio <= (SELECT boiler_thr FROM thr)
-         |GROUP BY lang""".stripMargin
+         |FROM surv GROUP BY lang""".stripMargin),
+    // the funnel's survivors packed into training bins (c10 ∘ t17)
+    "c11_prep_packed" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      s"""WITH $prepFunnelCtes,
+         |p AS (SELECT doc_id, lang, n_kept, COALESCE(sum(n_kept) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM surv)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_kept) AS BIGINT) AS total_kept_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1""".stripMargin
     },
     "c9_email_routed" ->
       ("""WITH o AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,

@@ -107,6 +107,9 @@ object PlanAudit {
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c11_prep_packed", "the packed funnel composes c10's shapes (checkpointed t14 stats, broadcast LeftAnti drop list, un-hinted keeper join) with t17's two-level prefix scan (bucket-partitioned Window, map-side partial_sum, broadcast bucket offsets) — no all-pairs, no corpus-grain global sort",
+        Seq("ExistingRDD", "LeftAnti", "Window", "partial_sum"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
@@ -126,7 +129,9 @@ object PlanAudit {
     ("s11_semantic_apply",
       "zero forced broadcasts — the losers anti-join strategy belongs to AQE"),
     ("c10_prep_full",
-      "only bench-bounded sides (d12's bench shingles/sizes, the contamination drop list) and the one-row quantile threshold are hinted; the corpus-sized exact-dup keeper set is un-hinted"))
+      "only bench-bounded sides (d12's bench shingles/sizes, the contamination drop list) and the one-row quantile threshold are hinted; the corpus-sized exact-dup keeper set is un-hinted"),
+    ("c11_prep_packed",
+      "same funnel, same rule: bench-bounded and one-row-scalar hints only — the packing stage adds a broadcast of bucket offsets, which is a bucket-grain aggregate, not an id-list"))
 
   private val BenchBound = "< (cast\\(10 as bigint\\)|10)".r
 

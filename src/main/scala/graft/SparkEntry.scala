@@ -97,6 +97,7 @@ object SparkEntry {
       Dedup.simhashPairsScaled(s, dir, Dedup.ScaledBits)),
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     "d13_containment_pairs" -> (Dedup.containmentPairs _),
+    "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -294,7 +294,18 @@ object Composites {
     * the id-list OOM a 100 TB corpus with a high dup fraction hits).
     * Nothing here shuffles the corpus more than the component queries
     * already do. */
-  def prepFullFunnel(s: SparkSession, dir: String): DataFrame = {
+  def prepFullFunnel(s: SparkSession, dir: String): DataFrame =
+    prepSurvivors(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept")).cast(LongType).as("total_kept_tokens"),
+        round(avg(col("boiler_ratio")), 6).as("avg_boiler"))
+
+  /** The funnel's PER-DOCUMENT survivor set — every c10 gate applied
+    * (exact dedup, decontamination, quantile boilerplate gate, stutter
+    * cleanup) but before the language rollup, so downstream composites
+    * (c11's packing) consume the cleaned documents themselves. */
+  def prepSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") >= 10) // the training side; < 10 is the bench set
       .select(col("doc_id"), col("text"), col("lang"))
@@ -336,11 +347,26 @@ object Composites {
       .join(broadcast(thr), Seq("jk"))
       .filter(col("boiler_ratio") <= col("boiler_thr"))
       .join(cleaned, Seq("doc_id"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_kept")).cast(LongType).as("total_kept_tokens"),
-        round(avg(col("boiler_ratio")), 6).as("avg_boiler"))
+      .select(col("doc_id"), col("lang"), col("boiler_ratio"), col("n_kept"))
   }
+
+  /** c11: the funnel's END PRODUCT — the cleaned survivor corpus packed
+    * into [[TextAnalysis.PackCapacity]]-token training sequences (by the
+    * KEPT token counts, t13's post-cleanup measure), reported per bin.
+    * This is what actually ships to a trainer: gates (c10) then batches
+    * (t17), composed. The survivor doc_ids are sparse, which the packing
+    * core handles by construction (bucket windows just carry fewer
+    * rows); langs-per-bin is the mixing diagnostic a curriculum check
+    * reads. */
+  def prepPackedFunnel(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packedBins(
+      prepSurvivors(s, dir).select(col("doc_id"), col("lang"),
+        col("n_kept").cast(LongType).as("n")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast(LongType).as("total_kept_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
 
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the

@@ -413,11 +413,23 @@ object TextAnalysis {
     *-partition window before broadcasting back. No corpus-grain global
     * sort anywhere. */
   def sequencePack(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), size(toks).cast("long").as("n"))
-      .withColumn("b", expr(s"doc_id div $PackBucket"))
+    packedBins(Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** The packing core: assign every (doc_id, n) row its bin =
+    * floor(exclusive-prefix-sum(n) in doc_id order / [[PackCapacity]]),
+    * via the two-level prefix scan. Keeps all input columns and adds
+    * `bin` — composites (c11) pack FILTERED survivor sets with it, so
+    * doc_ids may be sparse (buckets just carry fewer rows). */
+  def packedBins(d0: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = d0.withColumn("b", expr(s"doc_id div $PackBucket"))
     val prior = d.groupBy(col("b")).agg(sum(col("n")).as("bsum"))
       .withColumn("prev_sum", coalesce(sum(col("bsum")).over(
         W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
@@ -427,10 +439,7 @@ object TextAnalysis {
     d.withColumn("local_prev", coalesce(sum(col("n")).over(inBucket), lit(0L)))
       .join(broadcast(prior), Seq("b"))
       .withColumn("bin", expr(s"(prev_sum + local_prev) div $PackCapacity"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n")).cast("long").as("total_tokens"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .drop("b", "prev_sum", "local_prev")
   }
 
   /** Structured-field scrubbing — the PII-masking shape over a
