@@ -892,6 +892,21 @@ object OracleSql {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM p GROUP BY 1""".stripMargin
     },
+    // domain reweighting with the integer-exact keep predicate
+    // (bucket*t_s < t_min*65536 — no float boundary drift)
+    "t18_domain_balance" ->
+      (s"""WITH d AS (SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n,
+         |  CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
+         |    << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) AS bucket
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t_s FROM d GROUP BY source),
+         |mn AS (SELECT min(t_s) AS t_min FROM tot)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n) AS BIGINT) AS kept_tokens,
+         |  round(CAST(max(t_min) AS DOUBLE) / max(t_s), 6) AS rate
+         |FROM d JOIN tot USING (source) CROSS JOIN mn
+         |WHERE bucket * t_s < t_min * 65536
+         |GROUP BY source""".stripMargin),
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked

@@ -108,6 +108,9 @@ object PlanAudit {
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t18_domain_balance", "domain reweighting is one aggregation for source totals (map-side partial_sum), a one-row broadcast minimum on the non-foldable zero key (BroadcastHashJoin, never a nested-loop), and one corpus pass for the integer keep predicate — no all-pairs",
+        Seq("partial_sum", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c11_prep_packed", "the packed funnel composes c10's shapes (checkpointed t14 stats, broadcast LeftAnti drop list, un-hinted keeper join) with t17's two-level prefix scan (bucket-partitioned Window, map-side partial_sum, broadcast bucket offsets) — no all-pairs, no corpus-grain global sort",
         Seq("ExistingRDD", "LeftAnti", "Window", "partial_sum"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin"))

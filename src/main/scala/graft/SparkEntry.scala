@@ -126,6 +126,7 @@ object SparkEntry {
     "t15_scrub_numeric" -> (TextAnalysis.scrubNumeric _),
     "t16_lm_support" -> (TextAnalysis.lmSupport _),
     "t17_sequence_pack" -> (TextAnalysis.sequencePack _),
+    "t18_domain_balance" -> (TextAnalysis.domainBalance _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

@@ -442,6 +442,39 @@ object TextAnalysis {
       .drop("b", "prev_sum", "local_prev")
   }
 
+  /** DOMAIN MIXTURE REWEIGHTING — the source-balancing pass (the
+    * DoReMi / Pile-mixing shape): compute each source's share of corpus
+    * tokens, derive the per-source sampling rate that equalizes the
+    * mixture to the SMALLEST source's token budget (rate_s =
+    * T_min/T_s), and apply it with the deterministic content-hash
+    * sampler (t6's md5-bucket idiom — stable across engines, runs and
+    * cluster sizes, unlike rand()). The keep predicate is INTEGER
+    * arithmetic by design: `bucket·T_s < T_min·65536` instead of
+    * `bucket/65536 < T_min/T_s`, so engine float behavior can never
+    * flip a boundary document (T_s ≤ ~10^10 tokens keeps the product in
+    * 63 bits at any realistic shard; shard the corpus before a single
+    * source exceeds that). One aggregation for totals (map-side
+    * combined), a one-row broadcast minimum on the non-foldable zero
+    * key (c10's plan idiom), one corpus pass for the gate. */
+  def domainBalance(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"),
+        bucket.as("bucket"))
+    val totals = d.groupBy(col("source")).agg(sum(col("n")).as("t_s"))
+    val tmin = totals.agg(min(col("t_s")).as("t_min"))
+      .withColumn("jk", (col("t_min") * 0).cast("long"))
+    d.join(totals, Seq("source"))
+      .withColumn("jk", col("doc_id") * 0)
+      .join(broadcast(tmin), Seq("jk"))
+      .filter(col("bucket") * col("t_s") < col("t_min") * 65536L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n")).cast("long").as("kept_tokens"),
+        round(max(col("t_min")).cast("double") / max(col("t_s")), 6).as("rate"))
+  }
+
   /** Structured-field scrubbing — the PII-masking shape over a
     * semi-structured column: every digit run in `events.props` (a JSON
     * payload) is masked to `#`, with the run count kept as an audit
