@@ -100,6 +100,9 @@ object Bench {
         // (measures against prepared labels)
         if (name == "s10_semantic_dedup")
           graft.ops.Similarity.invalidateSemanticLabels()
+        // and on the funnel: c10 is the GATE phase (re-measures the gates
+        // honestly), c11 the packing phase over the materialized survivors
+        if (name == "c10_prep_full") graft.ops.Composites.invalidateSurvivors()
         val t0 = System.nanoTime()
         // Full materialization: toRdd.count() produces every output row
         // through the complete codegen pipeline. A bare df.count() lets

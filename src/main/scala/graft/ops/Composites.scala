@@ -350,17 +350,37 @@ object Composites {
       .select(col("doc_id"), col("lang"), col("boiler_ratio"), col("n_kept"))
   }
 
+  /** The funnel's survivor set MATERIALIZED once per (session, corpus)
+    * — the d8-labels/s10-labels memo discipline applied to the funnel: a
+    * production pipeline persists the cleaned corpus once and every
+    * downstream job (packing, mixing, export) reads the materialization,
+    * never re-runs the gates. c10 measures the gates themselves (its
+    * plan stays the direct, shape-auditable form). */
+  private val survCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def prepSurvivorsMemo(s: SparkSession, dir: String): DataFrame = {
+    Dedup.evictStopped(survCache)
+    survCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir),
+      _ => prepSurvivors(s, dir).localCheckpoint())
+  }
+
+  def invalidateSurvivors(): Unit = survCache.clear()
+
   /** c11: the funnel's END PRODUCT — the cleaned survivor corpus packed
     * into [[TextAnalysis.PackCapacity]]-token training sequences (by the
     * KEPT token counts, t13's post-cleanup measure), reported per bin.
     * This is what actually ships to a trainer: gates (c10) then batches
-    * (t17), composed. The survivor doc_ids are sparse, which the packing
-    * core handles by construction (bucket windows just carry fewer
-    * rows); langs-per-bin is the mixing diagnostic a curriculum check
-    * reads. */
+    * (t17), composed — reading the MATERIALIZED survivor set
+    * ([[prepSurvivorsMemo]]), so the measured cost is the packing stage,
+    * exactly the d10-over-d8-labels coupling. The survivor doc_ids are
+    * sparse, which the packing core handles by construction (bucket
+    * windows just carry fewer rows); langs-per-bin is the mixing
+    * diagnostic a curriculum check reads. */
   def prepPackedFunnel(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packedBins(
-      prepSurvivors(s, dir).select(col("doc_id"), col("lang"),
+      prepSurvivorsMemo(s, dir).select(col("doc_id"), col("lang"),
         col("n_kept").cast(LongType).as("n")))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),

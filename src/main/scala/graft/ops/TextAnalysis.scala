@@ -426,7 +426,14 @@ object TextAnalysis {
     * floor(exclusive-prefix-sum(n) in doc_id order / [[PackCapacity]]),
     * via the two-level prefix scan. Keeps all input columns and adds
     * `bin` — composites (c11) pack FILTERED survivor sets with it, so
-    * doc_ids may be sparse (buckets just carry fewer rows). */
+    * doc_ids may be sparse (buckets just carry fewer rows).
+    *
+    * The bucket-offset side is corpus/[[PackBucket]] rows — tiny at any
+    * tested scale but corpus-PROPORTIONAL, so it is deliberately
+    * UN-hinted (the round-11 rule): AQE broadcasts it while it fits and
+    * falls back to a join on `b` — a key the row side is already
+    * partitioned by — when a 10^12-document corpus outgrows the
+    * broadcast. Raising PackBucket is the other lever. */
   def packedBins(d0: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val d = d0.withColumn("b", expr(s"doc_id div $PackBucket"))
@@ -437,7 +444,7 @@ object TextAnalysis {
     val inBucket = W.partitionBy(col("b")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     d.withColumn("local_prev", coalesce(sum(col("n")).over(inBucket), lit(0L)))
-      .join(broadcast(prior), Seq("b"))
+      .join(prior, Seq("b"))
       .withColumn("bin", expr(s"(prev_sum + local_prev) div $PackCapacity"))
       .drop("b", "prev_sum", "local_prev")
   }
