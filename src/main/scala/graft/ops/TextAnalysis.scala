@@ -186,10 +186,15 @@ object TextAnalysis {
     // DEFINED as the tokenized-document count (distinct doc_id over tf,
     // mirrored in the oracle), so zero-token documents affect neither side.
     val nd = tf.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    // the df table is term-vocabulary-grain — it SATURATES as the corpus
+    // grows but is not fixed-size (web vocabularies reach 10^8 terms), so
+    // per the round-11 rule it reaches the optimizer UN-hinted: AQE
+    // broadcasts while it fits, shuffles on the term key otherwise. The
+    // one-row N stays a forced broadcast (bounded by construction).
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(nd))
       .withColumn("tfidf", round(
         (col("n").cast("double") / col("doc_len")) *

@@ -81,8 +81,10 @@ object Windows {
       .withColumn("prev_max", max(col("bmax")).over(
         W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)))
       .select(col("b"), col("prev_max"))
+    // bucket-grain side (rows/4096): corpus-proportional, so un-hinted —
+    // AQE broadcasts while it fits (round-11 rule, same as packedBins)
     ev.withColumn("local_max", max(col("ts")).over(inBucket))
-      .join(broadcast(prior), Seq("b"))
+      .join(prior, Seq("b"))
       .withColumn("wm",
         greatest(col("local_max"), col("prev_max")) - expr("INTERVAL 10 MINUTES"))
       .filter(col("ts") >= col("wm"))
