@@ -342,4 +342,24 @@ class OpsSpec extends SparkSpec {
     assert(got((1L, 2)) === ((50L, h(words.slice(80, 130))))) // tail exactly covered
     assert(got((2L, 0)) === ((2L, h(Seq("one", "two")))))
   }
+
+  test("packedBins: exclusive-prefix bin assignment, sparse ids, zero-token docs, straddling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // capacity 512; doc_id order with GAPS (the c11 survivor shape).
+    // prefix:        0,   500,  520,  520, 1030
+    // bin = pre/512: 0,     0,    1,    1,    2
+    // doc 20 STARTS at 500 < 512 so it belongs to bin 0 even though it
+    // overflows the capacity (contiguous first-fit semantics); the
+    // zero-token doc 25 lands in whichever bin its prefix names.
+    val d = Seq((10L, 500L), (20L, 20L), (21L, 0L), (25L, 510L), (9000L, 40L))
+      .toDF("doc_id", "n")
+    val got = graft.ops.TextAnalysis.packedBins(d)
+      .select(col("doc_id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 0L, 20L -> 0L, 21L -> 1L, 25L -> 1L, 9000L -> 2L))
+    // token totals are preserved exactly through the scan
+    val tot = graft.ops.TextAnalysis.packedBins(d)
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).head.getLong(0)
+    assert(tot === 1070L)
+  }
 }
