@@ -21,13 +21,24 @@ import graft.GraftSession
   * verify it resumes from its own checkpoint with EOS intact.
   *
   * args: role ordersDir validationsDir statesDir checkpointDir readyFile
+  *       [variant: json (default) | wire]
+  *
+  * `wire` runs the registry-framed-Avro topology
+  * ([[Choreography.startServiceWire]]) — the full reference deployment
+  * model: separate JVMs, binary Avro on every topic, offsets owned by
+  * the locked committer.
   */
 object ServiceRunner {
   def main(args: Array[String]): Unit = {
-    val Array(role, orders, validations, states, ckpt, readyFile) = args
+    val (role, orders, validations, states, ckpt, readyFile, variant) =
+      (args(0), args(1), args(2), args(3), args(4), args(5),
+        if (args.length > 6) args(6) else "json")
     val spark = GraftSession.localStreaming(2, 2)
     spark.sparkContext.setLogLevel("ERROR")
-    val q = Choreography.startService(spark, role, orders, validations, states, ckpt)
+    val q =
+      if (variant == "wire")
+        Choreography.startServiceWire(spark, role, orders, validations, states, ckpt)
+      else Choreography.startService(spark, role, orders, validations, states, ckpt)
     // the parent orchestrator waits for this marker before publishing
     Files.writeString(Paths.get(readyFile), "ready")
     q.awaitTermination()

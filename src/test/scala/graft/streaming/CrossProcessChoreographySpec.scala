@@ -42,7 +42,7 @@ class CrossProcessChoreographySpec extends SparkSpec {
   }
 
   private def spawn(role: String, orders: String, validations: String,
-      states: String, ckpt: String): (Process, Path) = {
+      states: String, ckpt: String, variant: String = "json"): (Process, Path) = {
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
     val ready = Paths.get(tmp(s"ready-$role"), "ready")
     val logFile = Paths.get(tmp(s"log-$role"), "out.log")
@@ -50,7 +50,7 @@ class CrossProcessChoreographySpec extends SparkSpec {
       "-Xmx2g", "-cp", sys.props("java.class.path"),
       "-Dspark.ui.enabled=false",
       "graft.streaming.ServiceRunner",
-      role, orders, validations, states, ckpt, ready.toString)
+      role, orders, validations, states, ckpt, ready.toString, variant)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.directory(Files.createTempDirectory(s"xproc-cwd-$role").toFile)
     pb.redirectErrorStream(true)
@@ -141,5 +141,57 @@ class CrossProcessChoreographySpec extends SparkSpec {
     assert(verdicts.length === 6, s"expected 6 (order, service) verdicts: ${verdicts.toSeq}")
     assert(verdicts.forall(_._3 === 1L),
       s"duplicate verdicts: ${verdicts.filter(_._3 > 1).mkString(",")}")
+  }
+
+  test("typed wire across processes: registry-framed Avro end to end, two JVMs, " +
+      "shared locked log") {
+    // the reference's FULL deployment model composed: separate service
+    // JVMs (EndToEndTest), binary registry-framed Avro on every topic
+    // (Schemas.java), offsets owned by the cross-process locked committer
+    import spark.implicits._
+    import graft.functions.AvroCodec
+    import org.apache.spark.sql.functions._
+    val orders = tmp("w-orders"); val validations = tmp("w-validations")
+    val states = tmp("w-states")
+
+    def publishOrder(id: String, product: String, qty: Int, price: Double): Unit =
+      AvroCodec.encodeWire(
+        Seq((id, product, qty, price)).toDF("key", "product", "quantity", "price"),
+        Choreography.OrderSchemaId, Choreography.orderAvroJson, keep = Seq("key"))
+        .select(col("key").cast("binary").as("key"), col("avro_bytes").as("value"))
+        .write.format("graftlog").option("partitions", "2").mode("append").save(orders)
+
+    publishOrder("w1", "beer", 10, 5.0)    // both PASS
+    publishOrder("w2", "vodka", 20, 150.0) // LIMIT FAIL
+
+    val (d, _) = spawn("details", orders, validations, states, tmp("w-ck-d"), "wire")
+    val (l, _) = spawn("limit", orders, validations, states, tmp("w-ck-l"), "wire")
+    try awaitCount(validations, 4, "wire verdicts from both processes")
+    finally {
+      d.destroyForcibly(); l.destroyForcibly(); d.waitFor(); l.waitFor()
+    }
+
+    // aggregate in THIS session over the bytes the processes produced
+    val agg = Choreography.startServiceWire(spark, "agg", orders, validations,
+      states, tmp("w-ck-a"))
+    try agg.processAllAvailable() finally agg.stop()
+
+    val latestRaw = spark.read.format("graftlog").load(states)
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), struct(col("partition"), col("offset"))).as("value"))
+    val got = AvroCodec.decodeWire(latestRaw, Choreography.wireRegistry,
+      Choreography.stateAvroJson, bytesCol = "value", keep = Seq("key"))
+      .select(col("key").cast("string"), col("state"))
+      .as[(String, String)].collect().toMap
+    assert(got === Map("w1" -> "VALIDATED", "w2" -> "FAILED"))
+    // every verdict the two processes wrote is registry-framed Avro
+    val frames = spark.read.format("graftlog").load(validations)
+      .select("value").as[Array[Byte]].collect()
+    assert(frames.length === 4)
+    frames.foreach { b =>
+      assert(b(0) === 0x00.toByte)
+      assert(((b(1) & 0xFF) << 24 | (b(2) & 0xFF) << 16 |
+        (b(3) & 0xFF) << 8 | (b(4) & 0xFF)) === Choreography.VerdictSchemaId)
+    }
   }
 }
