@@ -281,7 +281,13 @@ object TextAnalysis {
     * shuffle at all: at 100 TB it is bounded by scan + codegen'd array
     * kernels only. Emits original/kept token counts plus an md5 of the
     * cleaned text so the oracle hash pins the full output. */
-  def collapseRepeats(s: SparkSession, dir: String): DataFrame = {
+  def collapseRepeats(s: SparkSession, dir: String): DataFrame =
+    collapseFrame(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("clean_hash"))
+
+  /** Frame-level form of [[collapseRepeats]] — any frame with
+    * (doc_id, text); specs drive it with constructed/generated corpora. */
+  def collapseFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     val t = col("t")
     // survivors after the first token: current != predecessor
@@ -290,11 +296,12 @@ object TextAnalysis {
         (cur, prev) => when(cur === prev, lit(null)).otherwise(cur)),
       x => x.isNotNull)
     val kept = when(size(t) <= 1, t).otherwise(concat(slice(t, 1, 1), tail))
-    Tables.documents(s, dir)
+    documents
       .select(col("doc_id"), toks.as("t"))
       .withColumn("k", kept)
       .select(col("doc_id"), size(t).as("n_tokens"), size(col("k")).as("n_kept"),
-        md5(concat_ws(" ", col("k"))).as("clean_hash"))
+        md5(concat_ws(" ", col("k"))).as("clean_hash"),
+        concat_ws(" ", col("k")).as("clean_text"))
   }
 
   /** Corpus-level boilerplate detection constants: a token `NgramN`-gram
@@ -369,7 +376,11 @@ object TextAnalysis {
     * two joins key on vocabulary-bounded tables that saturate as the
     * corpus grows (t14's measured df-side shape). Un-hinted joins — AQE
     * broadcasts the count tables while they fit. */
-  def lmSupport(s: SparkSession, dir: String): DataFrame = {
+  def lmSupport(s: SparkSession, dir: String): DataFrame =
+    lmSupportFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[lmSupport]]. */
+  def lmSupportFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     val t = col("t")
     val m = size(t) - 1
@@ -377,7 +388,7 @@ object TextAnalysis {
       zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
         (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
       .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
-    val occ = Tables.documents(s, dir)
+    val occ = documents
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(pairs).as("p"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
@@ -468,10 +479,14 @@ object TextAnalysis {
     * source exceeds that). One aggregation for totals (map-side
     * combined), a one-row broadcast minimum on the non-foldable zero
     * key (c10's plan idiom), one corpus pass for the gate. */
-  def domainBalance(s: SparkSession, dir: String): DataFrame = {
+  def domainBalance(s: SparkSession, dir: String): DataFrame =
+    domainBalanceFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[domainBalance]] — any (doc_id, source, text). */
+  def domainBalanceFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
-    val d = Tables.documents(s, dir)
+    val d = documents
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"),
         bucket.as("bucket"))
     val totals = d.groupBy(col("source")).agg(sum(col("n")).as("t_s"))

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.TextAnalysis
+
+/** ScalaCheck-GENERATED corpora driven through the frame-level text
+  * operators — algebraic properties the row-compare oracle cannot state:
+  * idempotence, bounds, order/invariance laws. Seeds are fixed, so every
+  * run sees the same corpora and a failure reproduces exactly (the
+  * rand()-free discipline the operators themselves follow). */
+class PropertySpec extends SparkSpec {
+
+  private val word: Gen[String] =
+    Gen.oneOf("a", "bb", "data", "spark", "join", "x1", "q", "scan")
+
+  /** Documents with deliberate stutter (even-length words double) so the
+    * collapse path always has work to do. */
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.flatMap(w => if (w.length % 2 == 0) Seq(w, w) else Seq(w))
+    .mkString(" ")
+
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] =
+    Gen.listOfN(nDocs, doc).pureApply(Gen.Parameters.default, Seed(seed))
+      .zipWithIndex.map { case (t, i) => (i.toLong * 13, t) } // sparse ids
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  test("property: collapseRepeats is idempotent on generated corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { k =>
+      val df = corpus(100 + k, 16).toDF("doc_id", "text")
+      val once = TextAnalysis.collapseFrame(df).localCheckpoint()
+      val again = TextAnalysis.collapseFrame(
+        once.select(col("doc_id"), col("clean_text").as("text")))
+      val a = once.select("doc_id", "n_kept", "clean_hash")
+        .as[(Long, Int, String)].collect().toSet
+      val b = again.select("doc_id", "n_kept", "clean_hash")
+        .as[(Long, Int, String)].collect().toSet
+      assert(a === b, s"seed ${100 + k}: collapse(collapse(x)) != collapse(x)")
+      // and the collapsed token count equals the re-tokenized length
+      val c = again.select("doc_id", "n_tokens", "n_kept")
+        .as[(Long, Int, Int)].collect()
+      assert(c.forall(r => r._2 === r._3))
+    }
+  }
+
+  test("property: lmSupport stays in (0, 1], counts match direct computation") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(200 + k, 16)
+      val got = TextAnalysis.lmSupportFrame(rows.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected = rows.map { case (id, t) =>
+        id -> math.max(0, tokens(t).size - 1)
+      }.filter(_._2 > 0).toMap
+      assert(got.keySet === expected.keySet, s"seed ${200 + k}")
+      got.foreach { case (id, (nBigrams, rarest, support)) =>
+        assert(nBigrams === expected(id).toLong)
+        assert(rarest >= 1L)
+        // c(bigram) <= c(history) pointwise, so the support ratio is
+        // bounded by 1; it is positive because every bigram supports itself
+        assert(support > 0.0 && support <= 1.0,
+          s"doc $id support $support out of (0,1]")
+      }
+    }
+  }
+
+  test("property: packedBins bins are non-decreasing, start at 0, and match the exact prefix") {
+    import spark.implicits._
+    (1 to 4).foreach { k =>
+      val ns = Gen.listOfN(30, Gen.choose(0L, 800L))
+        .pureApply(Gen.Parameters.default, Seed(300 + k))
+      val rows = ns.zipWithIndex.map { case (n, i) => (i.toLong * 991, n) }
+      val got = TextAnalysis.packedBins(rows.toDF("doc_id", "n"))
+        .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+      var prefix = 0L
+      var lastBin = 0L
+      rows.foreach { case (id, n) =>
+        val expected = prefix / TextAnalysis.PackCapacity
+        assert(got(id) === expected, s"seed ${300 + k} doc $id")
+        assert(expected >= lastBin) // monotone in doc order
+        lastBin = expected
+        prefix += n
+      }
+      assert(rows.isEmpty || got(rows.head._1) === 0L)
+    }
+  }
+
+  test("property: domainBalance keeps the smallest source whole; rates in (0, 1]") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(400 + k, 24)
+        .map { case (id, t) => (id, s"src${id % 3}", t) }
+      val df = rows.toDF("doc_id", "source", "text")
+      val totals = rows.groupBy(_._2).view
+        .mapValues(_.map(r => tokens(r._3).size.toLong).sum).toMap
+      val nonEmpty = totals.filter(_._2 > 0)
+      if (nonEmpty.nonEmpty) {
+        val tMin = nonEmpty.values.min
+        val got = TextAnalysis.domainBalanceFrame(df)
+          .as[(String, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        got.foreach { case (src, (nKept, keptTokens, rate)) =>
+          assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+          assert(keptTokens <= totals(src))
+        }
+        // a smallest source has rate exactly 1 and keeps EVERY document:
+        // the integer predicate bucket*t_s < t_min*65536 is bucket < 65536,
+        // true for any 4-hex-digit bucket
+        val smallest = nonEmpty.minBy(v => (v._2, v._1))._1
+        val docsInSmallest = rows.count(_._2 == smallest)
+        assert(got.contains(smallest), s"seed ${400 + k}")
+        assert(got(smallest)._1 === docsInSmallest.toLong)
+        assert(got(smallest)._3 === 1.0)
+      }
+    }
+  }
+}
