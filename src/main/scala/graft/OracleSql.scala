@@ -1130,6 +1130,58 @@ object OracleSql {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM p GROUP BY 1""".stripMargin
     },
+    // the drop-reason report: first failing gate in priority order,
+    // corpus-relative quantile thresholds (see Composites.qualityReport)
+    "c12_quality_report" -> {
+      val minDocs = graft.ops.TextAnalysis.BoilerMinDocs
+      val minTok = graft.ops.Composites.MinReportTokens
+      val maxRep = graft.ops.Composites.MaxRepRatio
+      val keepFrac = graft.ops.Composites.BoilerKeepFrac
+      val dropFrac = graft.ops.Composites.SupportDropFrac
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
+         |base AS (SELECT doc_id, lang, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+         |    / greatest(len(t), 1), 6) AS rep_ratio FROM tok),
+         |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |  for i in range(1, len(t) - 1)]) AS ng FROM tok),
+         |c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
+         |dfq AS (SELECT ng, count(*) AS df FROM c GROUP BY ng),
+         |ratio AS (SELECT doc_id,
+         |  round(CAST(sum(CASE WHEN df >= $minDocs THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS boiler_ratio
+         |  FROM c JOIN dfq USING (ng) GROUP BY doc_id),
+         |bthr AS (SELECT min(boiler_ratio) AS boiler_thr FROM (
+         |  SELECT boiler_ratio, sum(cnt) OVER (ORDER BY boiler_ratio) AS cum,
+         |    sum(cnt) OVER () AS tot FROM (
+         |    SELECT boiler_ratio, count(*) AS cnt FROM ratio GROUP BY 1))
+         |  WHERE cum >= ceil(tot * $keepFrac)),
+         |o AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [{'w1': t[i], 'bg': t[i] || ' ' || t[i+1]} for i in range(1, len(t))]
+         |    ELSE [] END) AS p FROM tok),
+         |bc AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg, count(*) AS m
+         |  FROM o GROUP BY doc_id, p.w1, p.bg),
+         |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM bc GROUP BY bg),
+         |cu AS (SELECT w1, CAST(sum(m) AS BIGINT) AS cu FROM bc GROUP BY w1),
+         |sup AS (SELECT doc_id,
+         |  round(CAST(sum(m * cb) AS DOUBLE) / CAST(sum(m * cu) AS DOUBLE), 6)
+         |    AS support
+         |  FROM bc JOIN cb USING (bg) JOIN cu USING (w1) GROUP BY doc_id),
+         |sthr AS (SELECT min(support) AS support_thr FROM (
+         |  SELECT support, sum(cnt) OVER (ORDER BY support) AS cum,
+         |    sum(cnt) OVER () AS tot FROM (
+         |    SELECT support, count(*) AS cnt FROM sup GROUP BY 1))
+         |  WHERE cum >= ceil(tot * $dropFrac)),
+         |v AS (SELECT lang, n_tokens,
+         |  CASE WHEN n_tokens < $minTok THEN 'short'
+         |    WHEN rep_ratio > $maxRep THEN 'repetitive'
+         |    WHEN boiler_ratio > (SELECT boiler_thr FROM bthr) THEN 'boilerplate'
+         |    WHEN support < (SELECT support_thr FROM sthr) THEN 'atypical'
+         |    ELSE 'kept' END AS verdict
+         |  FROM base LEFT JOIN ratio USING (doc_id) LEFT JOIN sup USING (doc_id))
+         |SELECT lang, verdict, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM v GROUP BY lang, verdict""".stripMargin
+    },
     "c9_email_routed" ->
       ("""WITH o AS (SELECT l_orderkey || '-' || l_linenumber AS order_id,
         |    l_suppkey AS customer_id, CAST(l_quantity AS DOUBLE) AS quantity,

@@ -108,6 +108,9 @@ object PlanAudit {
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c12_quality_report", "the drop-reason report joins three audited per-doc signal subtrees on doc_id (the t14/t16 stats stay checkpointed — ExistingRDD), folds both quantile thresholds in as one-row BroadcastHashJoins on the zero key, and rolls up map-side — no all-pairs, no corpus re-scan for the thresholds",
+        Seq("ExistingRDD", "BroadcastHashJoin", "partial_count"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t18_domain_balance", "domain reweighting is one aggregation for source totals (map-side partial_sum), a one-row broadcast minimum on the non-foldable zero key (BroadcastHashJoin, never a nested-loop), and one corpus pass for the integer keep predicate — no all-pairs",
         Seq("partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

@@ -98,6 +98,7 @@ object SparkEntry {
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     "d13_containment_pairs" -> (Dedup.containmentPairs _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
+    "c12_quality_report" -> (Composites.qualityReport _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

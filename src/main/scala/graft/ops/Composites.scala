@@ -315,28 +315,13 @@ object Composites {
       .select(col("doc_id")).distinct()
     val ratios = TextAnalysis.boilerplateNgrams(s, dir)
       .select(col("doc_id"), col("boiler_ratio"))
-    // Exact keep-fraction quantile of the ratio distribution, computed
-    // scale-safely: ratios are already rounded to 6 digits, so the
-    // histogram has ≤ 10^6+1 distinct values at ANY corpus size — the
-    // single-partition cumulative window below runs at histogram grain,
-    // never corpus grain. thr = smallest ratio whose cumulative doc
-    // count reaches ceil(keepFrac · total); `<= thr` keeps ≥ keepFrac
-    // of the corpus (ties keep slightly more, deterministically).
-    val histWin = Window.orderBy(col("boiler_ratio"))
-    // The zero join key (column·0, deliberately NON-foldable — a literal
-    // key would be constant-folded out of the equi-join and the plan
-    // would degrade to a nested-loop join) makes the one-row threshold
-    // fold in as a BroadcastHashJoin, keeping c10's "no
-    // BroadcastNestedLoopJoin anywhere" plan invariant machine-checkable.
-    val thr = ratios
-      .groupBy(col("boiler_ratio")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        histWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("cnt")).over(
-        histWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("cum") >= ceil(col("tot") * BoilerKeepFrac))
-      .agg(min(col("boiler_ratio")).as("boiler_thr"))
-      .withColumn("jk", (col("boiler_thr") * 0).cast(LongType))
+    // Exact keep-fraction quantile of the ratio distribution: thr =
+    // smallest ratio whose cumulative doc count reaches
+    // ceil(keepFrac · total); `<= thr` keeps ≥ keepFrac of the corpus
+    // (ties keep slightly more, deterministically). Histogram-grain and
+    // one-row by construction — see TextAnalysis.quantileThreshold.
+    val thr = TextAnalysis.quantileThreshold(
+      ratios, "boiler_ratio", BoilerKeepFrac, "boiler_thr")
     val cleaned = TextAnalysis.collapseRepeats(s, dir)
       .select(col("doc_id"), col("n_kept"))
     docs
@@ -387,6 +372,66 @@ object Composites {
         sum(col("n")).cast(LongType).as("total_kept_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  /** c12 gate constants: minimum token count, maximum within-doc
+    * repetition ratio, and the support quantile below which a document
+    * is "atypical" (the LM-filter tail drop). */
+  val MinReportTokens = 5
+  val MaxRepRatio = 0.2
+  val SupportDropFrac = 0.1
+
+  /** c12: the per-document DROP-REASON report — the filter cascade with
+    * ATTRIBUTION every production pipeline ships (knowing WHY each
+    * document was dropped, not just how many): each doc gets the FIRST
+    * failing gate in priority order
+    *
+    *   short (< [[MinReportTokens]] tokens) → repetitive (t8 ratio >
+    *   [[MaxRepRatio]]) → boilerplate (t14 ratio above the corpus
+    *   keep-quantile) → atypical (t16 LM support below the
+    *   [[SupportDropFrac]] quantile) → kept
+    *
+    * rolled up per (lang, verdict) with token mass, so the report reads
+    * as "what fraction of each language's tokens each gate costs". Both
+    * thresholds are corpus-relative quantiles (the c10 lesson: absolute
+    * cutoffs saturate across decades). The short gate also guarantees
+    * every surviving doc HAS t14/t16 rows (they need ≥3/≥2 tokens), so
+    * the left joins below never invent a verdict from a missing row.
+    *
+    * Scale shape: three already-audited per-doc signal subtrees joined
+    * on doc_id, two histogram-grain quantile scalars folded in as
+    * one-row broadcasts, one map-side-combined rollup. */
+  def qualityReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"), size(col("t")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          greatest(size(col("t")), lit(1)), 6).as("rep_ratio"))
+    val ratios = TextAnalysis.boilerplateNgrams(s, dir)
+      .select(col("doc_id"), col("boiler_ratio"))
+    val bthr = TextAnalysis.quantileThreshold(
+      ratios, "boiler_ratio", BoilerKeepFrac, "boiler_thr")
+    val support = TextAnalysis.lmSupport(s, dir)
+      .select(col("doc_id"), col("support"))
+    val sthr = TextAnalysis.quantileThreshold(
+      support, "support", SupportDropFrac, "support_thr")
+    base
+      .join(ratios, Seq("doc_id"), "left")
+      .join(support, Seq("doc_id"), "left")
+      .withColumn("jk", col("doc_id") * 0)
+      .join(broadcast(bthr), Seq("jk"))
+      .join(broadcast(sthr.withColumnRenamed("jk", "jk2")),
+        col("jk") === col("jk2"))
+      .withColumn("verdict",
+        when(col("n_tokens") < MinReportTokens, "short")
+          .when(col("rep_ratio") > MaxRepRatio, "repetitive")
+          .when(col("boiler_ratio") > col("boiler_thr"), "boilerplate")
+          .when(col("support") < col("support_thr"), "atypical")
+          .otherwise("kept"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"))
+  }
 
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the

@@ -407,6 +407,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("rarest_count"), col("support"))
   }
 
+  /** One-row exact-quantile threshold over a 6-digit-ROUNDED value
+    * column: the smallest value whose cumulative count reaches
+    * ceil(frac·total). Scale-safe because rounding bounds the histogram
+    * at ≤ 10^6+1 distinct values at ANY corpus size — the cumulative
+    * window runs at histogram grain, never corpus grain (c10's quantile
+    * gate, factored for reuse). Ships with the non-foldable zero join
+    * key so the one-row fold-in plans a BroadcastHashJoin. */
+  def quantileThreshold(values: DataFrame, valueCol: String, frac: Double,
+      outCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val histWin = W.orderBy(col(valueCol))
+    values.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        histWin.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(
+        histWin.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .filter(col("cum") >= ceil(col("tot") * frac))
+      .agg(min(col(valueCol)).as(outCol))
+      .withColumn("jk", (col(outCol) * 0).cast("long"))
+  }
+
   /** Token capacity of one packed training sequence, and the doc-id
     * bucket width of the pack's two-level prefix scan. */
   val PackCapacity = 512L
