@@ -239,6 +239,35 @@ class GraftLogSpec extends SparkSpec {
     assert(again.toSeq === Seq((3L, "k3"), (5L, "k1"), (7L, "k5")))
   }
 
+  test("compaction then retention: a compacted segment straddling the cutoff survives whole; " +
+      "appends after both continue at the preserved end offset") {
+    import spark.implicits._
+    val topic = tmp("compact-trunc")
+    def append(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").selectExpr("key", "value", "CAST(0 AS INT) AS partition")
+        .coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    append(Seq(("a", "1"), ("b", "2")))  // offsets 0,1
+    append(Seq(("a", "3"), ("c", "4")))  // offsets 2,3
+    GraftLog.compactTopic(Paths.get(topic)) // one cseg [0,4): a@2, b@1, c@3
+    append(Seq(("d", "5")))              // dense seg [4,5)
+    // cutoff INSIDE the compacted range: the cseg straddles → whole
+    // segment survives (Kafka's log cleaner never splits segments)
+    val deleted = GraftLog.truncateBefore(Paths.get(topic), 0, 2L)
+    assert(deleted === 0)
+    val all = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("key").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(all.toSeq === Seq((1L, "b"), (2L, "a"), (3L, "c"), (4L, "d")))
+    // cutoff past the cseg: it deletes whole; the dense tail (active) stays
+    val deleted2 = GraftLog.truncateBefore(Paths.get(topic), 0, 4L)
+    assert(deleted2 === 1)
+    assert(GraftLog.endOffsets(Paths.get(topic))(0) === 5L)
+    append(Seq(("e", "6")))
+    assert(spark.read.format("graftlog").load(topic)
+      .agg(max("offset")).head.getLong(0) === 5L)
+  }
+
   test("full truncation keeps the active segment: end offsets stay monotonic") {
     import spark.implicits._
     val topic = tmp("trunc-all")
