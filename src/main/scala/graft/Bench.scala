@@ -101,8 +101,15 @@ object Bench {
         if (name == "s10_semantic_dedup")
           graft.ops.Similarity.invalidateSemanticLabels()
         // and on the funnel: c10 is the GATE phase (re-measures the gates
-        // honestly), c11 the packing phase over the materialized survivors
-        if (name == "c10_prep_full") graft.ops.Composites.invalidateSurvivors()
+        // honestly — including the t14 stats it gates on, so the shared
+        // stats memos drop too), c11 the packing phase over the
+        // materialized survivors, c12 the report join over the shared
+        // stats (the apply-phase contract: production computes corpus
+        // stats once and every report reads the materialization)
+        if (name == "c10_prep_full") {
+          graft.ops.Composites.invalidateSurvivors()
+          graft.ops.TextAnalysis.invalidateStatsMemos()
+        }
         val t0 = System.nanoTime()
         // Full materialization: toRdd.count() produces every output row
         // through the complete codegen pipeline. A bare df.count() lets

@@ -108,7 +108,7 @@ object PlanAudit {
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("c12_quality_report", "the drop-reason report joins three audited per-doc signal subtrees on doc_id (the t14/t16 stats stay checkpointed — ExistingRDD), folds both quantile thresholds in as one-row BroadcastHashJoins on the zero key, and rolls up map-side — no all-pairs, no corpus re-scan for the thresholds",
+      ("c12_quality_report", "the drop-reason report joins the MEMOIZED t14/t16 stats tables on doc_id (ExistingRDD — one materialization shared with the funnel), folds both quantile thresholds in as one-row BroadcastHashJoins on the zero key (each threshold is the two-level grid scan — see the global-window audit), and rolls up map-side — no all-pairs, no corpus re-scan for the thresholds",
         Seq("ExistingRDD", "BroadcastHashJoin", "partial_count"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t18_domain_balance", "domain reweighting is one aggregation for source totals (map-side partial_sum), a one-row broadcast minimum on the non-foldable zero key (BroadcastHashJoin, never a nested-loop), and one corpus pass for the integer keep predicate — no all-pairs",
@@ -139,11 +139,64 @@ object PlanAudit {
     ("c11_prep_packed",
       "same funnel, same rule: bench-bounded and one-row-scalar hints only — the packing stage adds a broadcast of bucket offsets, which is a bucket-grain aggregate, not an id-list"))
 
-  private val BenchBound = "< (cast\\(10 as bigint\\)|10)".r
+  // trailing (?!\d) anchors the literal: without it the pattern would
+  // prefix-match any larger constant (`vec_id < 100`, `< 1000`) and a
+  // broadcast bounded only by a bigger filter would wrongly pass as
+  // bench-bounded (ADVICE r11)
+  private val BenchBound = "< (cast\\(10 as bigint\\)|10(?!\\d))".r
 
   /** True iff a hinted subtree carries the fixed-size bench bound. */
   def benchBounded(subtree: String): Boolean =
     BenchBound.findFirstIn(subtree).isDefined
+
+  /** Queries whose EXECUTED plans must keep every UN-partitioned Window
+    * at bucket/cell grain (the two-level-scan rule, VERDICT r11 task 1):
+    * a Window with an empty partition spec moves its whole input to ONE
+    * task, so the only columns allowed to order one are the bounded
+    * bucket summaries of the two-level scans — `b` (w5/t17's doc-id
+    * bucket, rows/4096) and `qcell` (the quantile grid, ≤ 4096 rows by
+    * construction). An un-partitioned Window over a corpus-proportional
+    * column (doc_id, a raw value histogram) is the single-partition sort
+    * this audit exists to prevent. */
+  val globalWindowChecks: Seq[String] = Seq(
+    "w5_late_data", "t17_sequence_pack", "c10_prep_full",
+    "c11_prep_packed", "c12_quality_report")
+
+  private val BucketGrainCols = Set("b", "qcell")
+
+  /** All WindowExec nodes reachable in a (possibly adaptive) physical
+    * plan — SparkPlan.collect stops at AdaptiveSparkPlanExec/QueryStage
+    * leaves, so the traversal descends into their materialized plans. */
+  def collectWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    here ++ kids.flatMap(collectWindows)
+  }
+
+  /** Un-partitioned WindowExec nodes in `name`'s post-execution plan
+    * whose ordering touches any non-bucket-grain column. Empty = the
+    * two-level-scan rule holds. */
+  def unboundedGlobalWindows(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    collectWindows(df.queryExecution.executedPlan)
+      .filter(_.partitionSpec.isEmpty)
+      .map(w => w.orderSpec.map(_.child).collect { case a: Attribute => a.name })
+      .filterNot(cols => cols.nonEmpty && cols.forall(BucketGrainCols))
+      .map(cols => s"un-partitioned Window ordered by ${cols.mkString(",")}")
+  }
 
   /** Forced broadcast hints in `name`'s analyzed plan whose subtree is
     * neither benchmark-bounded nor a one-row scalar (a global aggregate
@@ -209,6 +262,16 @@ object PlanAudit {
       val bad = unboundedHints(spark, sfDir, name)
       val verdict = if (bad.isEmpty) "OK" else s"VIOLATION unbounded-hints=$bad"
       sb.append(s"\n## $name — $verdict\n\nClaim: $claim.\n")
+    }
+    sb.append("\n# Global-window audit (executed plans)\n\n")
+    sb.append("Every UN-partitioned Window must run at bucket/cell grain ")
+    sb.append("(`b`, `qcell` — the bounded summaries of the two-level scans); ")
+    sb.append("an un-partitioned Window over a corpus-proportional column is ")
+    sb.append("a single-partition sort.\n")
+    globalWindowChecks.foreach { name =>
+      val bad = unboundedGlobalWindows(spark, sfDir, name)
+      val verdict = if (bad.isEmpty) "OK" else s"VIOLATION $bad"
+      sb.append(s"\n## $name — $verdict\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")

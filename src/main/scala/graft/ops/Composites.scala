@@ -313,7 +313,7 @@ object Composites {
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val contaminated = Dedup.decontamAttribution(s, dir)
       .select(col("doc_id")).distinct()
-    val ratios = TextAnalysis.boilerplateNgrams(s, dir)
+    val ratios = TextAnalysis.boilerStatsMemo(s, dir)
       .select(col("doc_id"), col("boiler_ratio"))
     // Exact keep-fraction quantile of the ratio distribution: thr =
     // smallest ratio whose cumulative doc count reaches
@@ -397,9 +397,13 @@ object Composites {
     * every surviving doc HAS t14/t16 rows (they need ≥3/≥2 tokens), so
     * the left joins below never invent a verdict from a missing row.
     *
-    * Scale shape: three already-audited per-doc signal subtrees joined
-    * on doc_id, two histogram-grain quantile scalars folded in as
-    * one-row broadcasts, one map-side-combined rollup. */
+    * Scale shape: the t14/t16 stats tables come from the per-session
+    * MEMOS ([[TextAnalysis.boilerStatsMemo]]/[[TextAnalysis.lmSupportMemo]]
+    * — production computes corpus stats once; the funnel and this report
+    * read one materialization), joined on doc_id; both quantile scalars
+    * run [[TextAnalysis.quantileThreshold]]'s two-level grid scan (no
+    * un-partitioned window ever sees an unbounded-cardinality histogram)
+    * and fold in as one-row broadcasts; one map-side-combined rollup. */
   def qualityReport(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     val base = Tables.documents(s, dir)
@@ -407,11 +411,11 @@ object Composites {
       .select(col("doc_id"), col("lang"), size(col("t")).as("n_tokens"),
         round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
           greatest(size(col("t")), lit(1)), 6).as("rep_ratio"))
-    val ratios = TextAnalysis.boilerplateNgrams(s, dir)
+    val ratios = TextAnalysis.boilerStatsMemo(s, dir)
       .select(col("doc_id"), col("boiler_ratio"))
     val bthr = TextAnalysis.quantileThreshold(
       ratios, "boiler_ratio", BoilerKeepFrac, "boiler_thr")
-    val support = TextAnalysis.lmSupport(s, dir)
+    val support = TextAnalysis.lmSupportMemo(s, dir)
       .select(col("doc_id"), col("support"))
     val sthr = TextAnalysis.quantileThreshold(
       support, "support", SupportDropFrac, "support_thr")

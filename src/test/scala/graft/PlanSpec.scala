@@ -30,6 +30,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  PlanAudit.globalWindowChecks.foreach { name =>
+    test(s"global-window audit: $name") {
+      val bad = PlanAudit.unboundedGlobalWindows(spark, sf001dir, name)
+      assert(bad.isEmpty,
+        s"$name has an un-partitioned Window outside bucket grain: $bad")
+    }
+  }
+
+  test("global-window audit negative control: a corpus-grain global window IS detected") {
+    // Guards the audit against vacuous green: a deliberately global
+    // running sum over doc_id must surface; the two-level packedBins
+    // form over the same input must not.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val d = Tables.documents(spark, sf001dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val global = d.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    global.queryExecution.toRdd.count()
+    val globalWins = PlanAudit.collectWindows(global.queryExecution.executedPlan)
+      .filter(_.partitionSpec.isEmpty)
+    assert(globalWins.nonEmpty, "WindowExec collection is broken")
+    assert(globalWins.exists(_.orderSpec.map(_.child).exists {
+      case a: Attribute => a.name == "doc_id"; case _ => false
+    }), "the corpus-grain ordering column was not surfaced")
+    // and the audited two-level form over the SAME input: every
+    // un-partitioned window runs at bucket grain
+    val twoLevel = graft.ops.TextAnalysis.packedBins(d)
+    twoLevel.queryExecution.toRdd.count()
+    val twoLevelGlobals = PlanAudit.collectWindows(twoLevel.queryExecution.executedPlan)
+      .filter(_.partitionSpec.isEmpty)
+      .map(_.orderSpec.map(_.child).collect { case a: Attribute => a.name })
+    assert(twoLevelGlobals.nonEmpty && twoLevelGlobals.forall(_.forall(_ == "b")),
+      s"packedBins global windows not at bucket grain: $twoLevelGlobals")
+  }
+
   test("hint audit negative control: a forced unbounded broadcast IS detected") {
     // Guards the audit itself against vacuous green: a deliberately
     // hinted corpus-sized side must surface as a violation, and the same
