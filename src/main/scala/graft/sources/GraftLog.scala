@@ -187,16 +187,26 @@ object GraftLog {
     if (value == null) out.writeInt(-1) else { out.writeInt(value.length); out.write(value) }
   }
 
+  /** A segment iterator whose file handle can be released on EVERY path:
+    * exhaustion closes it, and callers that may abandon mid-stream
+    * (exception during compaction, partial consumption) close() in a
+    * finally — idempotent, so the exhaustion close and the finally close
+    * compose (ADVICE r11: the handle leaked when consumption aborted). */
+  trait SegIterator extends Iterator[(Long, Long, Array[Byte], Array[Byte])]
+    with java.io.Closeable
+
   /** All records of one segment as (offset, ts, key, value) — driver-side
     * sequential access for [[compactPartition]] and tooling; executors
     * stream ranges via GraftLogPartitionReader instead. */
-  def readSegment(seg: Seg): Iterator[(Long, Long, Array[Byte], Array[Byte])] = {
+  def readSegment(seg: Seg): SegIterator = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path.toFile)))
-    new Iterator[(Long, Long, Array[Byte], Array[Byte])] {
+    new SegIterator {
       private var i = 0L
+      private var closed = false
+      override def close(): Unit = if (!closed) { closed = true; in.close() }
       override def hasNext: Boolean = {
         val more = i < seg.count
-        if (!more) in.close()
+        if (!more) close()
         more
       }
       override def next(): (Long, Long, Array[Byte], Array[Byte]) = {
@@ -228,36 +238,51 @@ object GraftLog {
     * sees a containment overlap and deterministically resolves to the
     * compacted file ([[segments]]). Like retention, run it from the
     * single committer. Returns the number of records compacted away. */
-  def compactPartition(topic: Path, p: Int): Long = {
-    // serialize against concurrent committers (cross-process file lock —
-    // see GraftLogCommitter): compaction must see a stable segment set
-    val lock = GraftLogCommitter.lockTopic(topic.toString)
-    try compactLocked(topic, p)
-    finally GraftLogCommitter.unlockTopic(lock)
-  }
+  def compactPartition(topic: Path, p: Int): Long =
+    // Same-JVM contention serializes on the committer MONITOR (a second
+    // thread of this JVM holding the file lock would otherwise surface as
+    // OverlappingFileLockException instead of blocking — ADVICE r11); the
+    // file lock then arbitrates strictly CROSS-process, mirroring
+    // GraftLogCommitter.commit's monitor-then-lock order (no deadlock).
+    GraftLogCommitter.synchronized {
+      val lock = GraftLogCommitter.lockTopic(topic.toString)
+      try compactLocked(topic, p)
+      finally GraftLogCommitter.unlockTopic(lock)
+    }
 
-  private def compactLocked(topic: Path, p: Int): Long = {
+  private[sources] def compactLocked(topic: Path, p: Int): Long = {
     val segs = segments(topic, p)
     if (segs.isEmpty) return 0L
     val latest = mutable.LinkedHashMap.empty[java.nio.ByteBuffer, (Long, Long, Array[Byte])]
     var total = 0L
-    segs.foreach(seg => readSegment(seg).foreach { case (off, ts, key, value) =>
-      total += 1
-      if (key != null) {
-        if (value == null) latest.remove(java.nio.ByteBuffer.wrap(key))
-        else latest.put(java.nio.ByteBuffer.wrap(key), (off, ts, value))
-      }
-    })
+    segs.foreach { seg =>
+      val it = readSegment(seg)
+      try it.foreach { case (off, ts, key, value) =>
+        total += 1
+        if (key != null) {
+          if (value == null) latest.remove(java.nio.ByteBuffer.wrap(key))
+          else latest.put(java.nio.ByteBuffer.wrap(key), (off, ts, value))
+        }
+      } finally it.close()
+    }
     val survivors = latest.toSeq
       .map { case (k, (off, ts, v)) => (off, ts, k.array(), v) }.sortBy(_._1)
     val staging = topic.resolve("_staging")
     Files.createDirectories(staging)
     val tmpf = staging.resolve(UUID.randomUUID().toString)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmpf.toFile)))
-    survivors.foreach { case (off, ts, k, v) => out.writeLong(off); writeRecord(out, ts, k, v) }
-    out.close()
+    try survivors.foreach { case (off, ts, k, v) =>
+      out.writeLong(off); writeRecord(out, ts, k, v)
+    } finally out.close()
     val name = f"cseg-${segs.head.start}%020d-${segs.last.end}%020d-${survivors.size}.bin"
     Files.move(tmpf, partDir(topic, p).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    // The replaced originals are deleted only AFTER the covering cseg is
+    // in place; a scan PLANNED before the swap holds the original paths,
+    // so its lazily-opening readers fall back to re-listing and resolving
+    // the covering cseg when a planned file has vanished
+    // (GraftLogPartitionReader — the analog of Kafka deferring deletion
+    // with file.delete.delay.ms; ADVICE r11). Readers already mid-stream
+    // keep their POSIX handle regardless of the unlink.
     segs.foreach(s => if (s.path.getFileName.toString != name) Files.deleteIfExists(s.path))
     total - survivors.size
   }
@@ -265,6 +290,53 @@ object GraftLog {
   /** [[compactPartition]] over every partition of the topic. */
   def compactTopic(topic: Path): Long =
     partitions(topic).map(p => compactPartition(topic, p)).sum
+
+  // ---- policy-driven compaction (cleanup.policy=compact) --------------
+
+  /** Dirty-ratio threshold above which a `compact`-policy topic partition
+    * self-compacts on commit — Kafka's `min.cleanable.dirty.ratio`
+    * default. */
+  val CompactDirtyRatio = 0.5
+
+  /** Set/clear the topic-level cleanup policy — the analog of Kafka's
+    * per-topic `cleanup.policy=compact` config (the broker owns the
+    * policy; producers don't — UserRegionLambdaExample.java:125 relies on
+    * the topic being created compacted). A `compact` topic is cleaned by
+    * a policy check on the COMMIT path (the stand-in for the broker's
+    * background log-cleaner thread, which this single-JVM model folds
+    * into the committer where the topic lock is already held). */
+  def setCleanupPolicy(topic: Path, policy: String): Unit = {
+    Files.createDirectories(topic)
+    Files.writeString(topic.resolve("_policy"), policy)
+  }
+
+  def cleanupPolicy(topic: Path): Option[String] = {
+    val f = topic.resolve("_policy")
+    if (Files.exists(f)) Some(Files.readString(f).trim) else None
+  }
+
+  /** Fraction of partition `p`'s records not yet covered by a compacted
+    * segment: dense records AFTER the last cseg are dirty; a partition
+    * with no cseg is entirely dirty. */
+  def dirtyRatio(topic: Path, p: Int): Double = {
+    val segs = segments(topic, p)
+    val total = segs.map(_.count).sum
+    if (total == 0) return 0.0
+    val lastClean = segs.filterNot(_.dense).map(_.end).maxOption.getOrElse(0L)
+    segs.filter(s => s.dense && s.end > lastClean).map(_.count).sum.toDouble / total
+  }
+
+  /** The commit-path policy check: compact partition `p` iff the topic's
+    * cleanup policy is `compact`, the dirty ratio exceeds
+    * [[CompactDirtyRatio]], and there is more than one segment (the
+    * active segment alone is never cleaned — Kafka's rule). Caller MUST
+    * hold the topic lock (the committer does). Returns records removed. */
+  private[sources] def maybeCompactLocked(topic: Path, p: Int): Long =
+    if (cleanupPolicy(topic).contains("compact") &&
+        dirtyRatio(topic, p) > CompactDirtyRatio &&
+        segments(topic, p).size > 1)
+      compactLocked(topic, p)
+    else 0L
 }
 
 /** One topic directory as a DSv2 table (read + write, batch + streaming). */
@@ -381,16 +453,21 @@ class GraftLogReaderFactory extends PartitionReaderFactory {
   * the FIRST segment (a retention-trimmed prefix) and inside compacted
   * segments (keys compacted away). A gap BETWEEN consecutive segments,
   * or a range end past the last segment, means a segment file is missing
-  * — that fails loudly instead of silently reading "no data". */
+  * — that fails loudly instead of silently reading "no data". A planned
+  * segment whose FILE has vanished (compaction swapped a covering cseg in
+  * after planning) is not a gap: the reader re-lists and resumes from the
+  * covering segments, fencing re-emission with floor/nextOffset. */
 class GraftLogPartitionReader(part: GraftLogInputPartition)
     extends PartitionReader[InternalRow] {
-  private val segs = part.segs.sortBy(_._1).iterator
+  private var segs = part.segs.sortBy(_._1).iterator
   private var in: DataInputStream = _
   private var dense = true
   private var recsLeft = 0L       // compacted path: records left in segment
   private var segEnd = -1L        // end offset of the open segment
   private var covered = -1L       // end of the last opened segment (-1: none)
   private var nextOffset: Long = part.start // dense path: next offset to emit
+  private var floor: Long = part.start // compacted path: lowest offset to emit
+  private var relistsLeft = 8     // bound repeated planned-segment losses
   private var row: InternalRow = _
 
   private def openNext(): Boolean = {
@@ -403,12 +480,39 @@ class GraftLogPartitionReader(part: GraftLogInputPartition)
       return false
     }
     val (segStart, sEnd, count, f, isDense) = segs.next()
-    if (covered >= 0 && segStart != covered)
+    // segStart < covered is legal after a re-list (a covering cseg starts
+    // below the consumed position; floor/nextOffset fence re-emission);
+    // a segment starting ABOVE the consumed position is a true gap.
+    if (covered >= 0 && segStart > covered)
       throw new IllegalStateException(
         s"graftlog: offset gap in partition ${part.p} — segment starting at $segStart " +
           s"follows segment ending at $covered; a segment file is missing")
-    covered = sEnd
-    in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    val stream = try new FileInputStream(f) catch {
+      case _: java.io.FileNotFoundException =>
+        // The planned segment was replaced under us: paths are captured at
+        // PLANNING time, and a compaction that ran since has ATOMIC_MOVEd
+        // a covering cseg in and deleted this original (readers already
+        // mid-stream keep their POSIX handle; only the lazy open can find
+        // the file gone — ADVICE r11). Re-list the partition and resolve
+        // the covering segments for the REMAINING range; task retries get
+        // the same fallback instead of re-failing on the stale path.
+        if (relistsLeft <= 0)
+          throw new IllegalStateException(
+            s"graftlog: segment $f vanished and re-listing did not converge " +
+              s"(partition ${part.p}, range [${part.start},${part.end}))")
+        relistsLeft -= 1
+        val topic = Paths.get(f).getParent.getParent
+        val resume = part.start max covered
+        floor = floor max resume
+        nextOffset = nextOffset max resume
+        segs = GraftLog.segments(topic, part.p)
+          .filter(s => s.end > resume && s.start < part.end)
+          .map(s => (s.start, s.end, s.count, s.path.toString, s.dense))
+          .sortBy(_._1).iterator
+        return openNext()
+    }
+    covered = covered max sEnd
+    in = new DataInputStream(new BufferedInputStream(stream))
     dense = isDense
     segEnd = sEnd
     recsLeft = count
@@ -453,10 +557,10 @@ class GraftLogPartitionReader(part: GraftLogInputPartition)
           val value = if (vl < 0) null else { val b = new Array[Byte](vl); in.readFully(b); b }
           recsLeft -= 1
           if (off >= part.end) return false
-          if (off >= part.start) {
+          if (off >= floor) {
             row = new GenericInternalRow(Array[Any](key, value, ts, part.p, off))
             return true
-          } // else: below the range — skip (trimmed/filtered prefix)
+          } // else: below the range / already emitted pre-re-list — skip
         }
       }
     }
@@ -648,6 +752,11 @@ object GraftLogCommitter {
                 off += n
               } else Files.deleteIfExists(Paths.get(f))
             }
+            // cleanup.policy=compact: the broker's background log cleaner,
+            // folded into the commit path where this topic's lock is
+            // already held — a long-running writer's topic self-compacts
+            // once the dirty ratio crosses the policy threshold
+            GraftLog.maybeCompactLocked(Paths.get(topicDir), p)
         }
         epoch.foreach(markOnly(entries, _))
       } finally locks.reverse.foreach(unlockTopic)

@@ -400,4 +400,120 @@ class GraftLogSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(latest === Map("hello" -> "2", "kafka" -> "1", "streams" -> "1", "graft" -> "1"))
   }
+
+  test("cleanup.policy=compact: a long-running writer's topic self-compacts on the " +
+      "commit path; earliest reader sees a consistent latest-per-key view") {
+    import spark.implicits._
+    val topic = tmp("policy")
+    GraftLog.setCleanupPolicy(Paths.get(topic), "compact")
+    def append(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").selectExpr("key", "value", "CAST(0 AS INT) AS partition")
+        .coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    // every append is one epoch commit; the SAME five keys are rewritten
+    // each round, so the dirty ratio crosses 0.5 as soon as a second
+    // segment lands — the policy check on the commit path must clean
+    // WITHOUT any manual compactTopic call
+    for (round <- 0 until 6)
+      append((0 until 5).map(k => (s"k$k", s"r$round-$k")))
+    val segs = GraftLog.segments(Paths.get(topic), 0)
+    assert(segs.exists(!_.dense),
+      s"no compacted segment after 6 commits under compact policy: " +
+        segs.map(_.path.getFileName).mkString(","))
+    // far fewer than 30 records survive on disk (the point of compaction)
+    assert(segs.map(_.count).sum < 30)
+    // the reader view is exactly latest-per-key with ORIGINAL offsets —
+    // every k got its last write in round 5 (offsets 25..29)
+    val view = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("key").cast("string"), col("value").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val latest = view.groupBy(_._2).map { case (k, rs) => k -> rs.maxBy(_._1)._3 }
+    assert(latest === (0 until 5).map(k => s"k$k" -> s"r5-$k").toMap)
+    assert(view.map(_._1).toSet.subsetOf((0L until 30L).toSet))
+    // offsets stay monotonic: the next append continues at 30
+    append(Seq(("k9", "tail")))
+    assert(spark.read.format("graftlog").load(topic)
+      .agg(max("offset")).head.getLong(0) === 30L)
+    // a topic WITHOUT the policy never self-compacts
+    val plain = tmp("policy-none")
+    for (round <- 0 until 6)
+      (0 until 5).map(k => (s"k$k", s"r$round-$k")).toDF("key", "value")
+        .selectExpr("key", "value", "CAST(0 AS INT) AS partition").coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(plain)
+    assert(GraftLog.segments(Paths.get(plain), 0).forall(_.dense))
+  }
+
+  test("a scan planned BEFORE compaction reads through the swap: the lazy reader " +
+      "falls back to the covering cseg instead of failing on the deleted path") {
+    import spark.implicits._
+    val topic = tmp("swap")
+    def append(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").selectExpr("key", "value", "CAST(0 AS INT) AS partition")
+        .coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    append(Seq(("k1", "a"), ("k2", "b")))                 // offsets 0,1
+    append(Seq(("k1", "c"), ("k3", "d")))                 // offsets 2,3
+    append(Seq(("k2", null), ("k1", "e")))                // offsets 4,5
+    // capture the PLANNED input partitions (the executor-side unit that
+    // holds segment paths), exactly what an in-flight task would carry
+    val scan = new graft.sources.GraftLogScan(topic).toBatch
+    val planned = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    // now the swap: compaction replaces all three dense segments and
+    // DELETES the originals — the planned paths are stale
+    GraftLog.compactTopic(Paths.get(topic))
+    assert(GraftLog.segments(Paths.get(topic), 0).forall(!_.dense))
+    // driving the planned readers must NOT throw FileNotFoundException:
+    // the open falls back to re-listing and resolving the covering cseg
+    val rows = planned.flatMap { ip =>
+      val r = factory.createReader(ip)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(4),
+          new String(row.getBinary(0)),
+          if (row.isNullAt(1)) null else new String(row.getBinary(1))))
+      } finally r.close()
+      buf
+    }.sortBy(_._1)
+    // the compacted view IS the correct content of the planned range:
+    // latest-per-key survivors with original offsets (k2 tombstoned)
+    assert(rows.toSeq === Seq((3L, "k3", "d"), (5L, "k1", "e")))
+  }
+
+  test("same-JVM compaction vs committer: concurrent threads serialize on the " +
+      "monitor, never OverlappingFileLockException") {
+    import spark.implicits._
+    val topic = tmp("monitor")
+    Seq(("k1", "a"), ("k1", "b"), ("k2", "c")).toDF("key", "value")
+      .selectExpr("key", "value", "CAST(0 AS INT) AS partition").coalesce(1)
+      .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try {
+          for (_ <- 0 until 8)
+            if (i % 2 == 0) GraftLog.compactPartition(Paths.get(topic), 0)
+            else {
+              // an epoch commit holding monitor+lock, racing the compactor
+              val staged = Paths.get(topic, "_staging",
+                java.util.UUID.randomUUID().toString)
+              Files.createDirectories(staged.getParent)
+              val out = new java.io.DataOutputStream(Files.newOutputStream(staged))
+              GraftLog.writeRecord(out, 0L, "k1".getBytes, s"t$i".getBytes)
+              out.close()
+              GraftLogCommitter.commit(
+                Array(GraftLogCommitMessage(Seq((topic, 0, staged.toString, 1L)))), None)
+            }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent compaction/commit failed: ${errs.peek()}")
+    // the log is still consistent: k1's latest is one of the committed
+    // values and offsets are dense-or-compacted with no overlap
+    val back = spark.read.format("graftlog").load(topic)
+      .select(col("offset"), col("key").cast("string")).as[(Long, String)].collect()
+    assert(back.map(_._1).distinct.length === back.length)
+  }
 }
