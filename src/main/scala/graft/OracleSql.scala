@@ -465,6 +465,35 @@ object OracleSql {
          |JOIN sz za ON za.doc_id = p.doc_a
          |JOIN sz zb ON zb.doc_id = p.doc_b""".stripMargin
     },
+    "d14_substring_dup" -> {
+      // exact substring duplication: positional N-gram anchors (df-capped),
+      // islands per (pair, diagonal), span = run + N - 1
+      // (see Dedup.substringDup; DuckDB positions are 1-based, Spark's
+      // 0-based — diagonals and runs are shift-invariant)
+      val n = graft.ops.Dedup.AnchorTokens
+      val cap = graft.ops.Dedup.MaxAnchorDocs
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |o AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+         |    THEN [{'pos': i, 'g': array_to_string(t[i:i+${n - 1}], ' ')}
+         |          for i in range(1, len(t) - ${n - 2})]
+         |    ELSE [] END) AS p FROM tok),
+         |occ AS (SELECT doc_id, p.pos AS pos, p.g AS g FROM o),
+         |el AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS dfd
+         |  FROM occ GROUP BY g) WHERE dfd BETWEEN 2 AND $cap),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, b.pos AS pb
+         |  FROM occ a JOIN el USING (g) JOIN occ b USING (g)
+         |  WHERE a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |      ORDER BY pa) AS island FROM m),
+         |sp AS (SELECT doc_a, doc_b, count(*) AS run FROM r
+         |  GROUP BY doc_a, doc_b, diag, island)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(max(run) + ${n - 1} AS BIGINT) AS max_span_tokens,
+         |  CAST(sum(run) + ${n - 1} * count(*) AS BIGINT) AS dup_tokens
+         |FROM sp GROUP BY doc_a, doc_b""".stripMargin
+    },
     "d8_dedup_clusters" -> {
       // the same banded-LSH pair graph as d4, then connected components via
       // a recursive CTE (min reachable doc_id = cluster id)

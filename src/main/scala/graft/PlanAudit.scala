@@ -108,6 +108,9 @@ object PlanAudit {
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d14_substring_dup", "exact-substring anchoring reads the positional gram table from ONE materialization (ExistingRDD — the anchor-df filter and both match-join sides re-read it, the tokenize+gram pipeline ran once); the df-capped anchor join is a keyed equality join and the islands Window is partitioned by (pair, diagonal) — candidates bound the work, never all-pairs",
+        Seq("ExistingRDD"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "FileScan parquet")),
       ("c12_quality_report", "the drop-reason report joins the MEMOIZED t14/t16 stats tables on doc_id (ExistingRDD — one materialization shared with the funnel), folds both quantile thresholds in as one-row BroadcastHashJoins on the zero key (each threshold is the two-level grid scan — see the global-window audit), and rolls up map-side — no all-pairs, no corpus re-scan for the thresholds",
         Seq("ExistingRDD", "BroadcastHashJoin", "partial_count"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

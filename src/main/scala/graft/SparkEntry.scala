@@ -97,6 +97,7 @@ object SparkEntry {
       Dedup.simhashPairsScaled(s, dir, Dedup.ScaledBits)),
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     "d13_containment_pairs" -> (Dedup.containmentPairs _),
+    "d14_substring_dup" -> (Dedup.substringDup _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
     // similarity search

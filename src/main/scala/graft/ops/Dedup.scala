@@ -552,4 +552,87 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.3)
   }
+
+  // ---- exact substring duplication (suffix-array family) -------------
+
+  /** Anchor length of the exact-substring dedup: a shared substring is
+    * reported iff it spans at least this many tokens (the
+    * deduplicate-text-datasets threshold, scaled to this corpus's short
+    * documents — web-scale pipelines use 50). */
+  val AnchorTokens = 8
+
+  /** Document-frequency cap on anchors: an [[AnchorTokens]]-gram present
+    * in more documents than this is SATURATED boilerplate (its pair
+    * fan-out is df², corpus-quadratic for stop-phrases) and is excluded
+    * from anchoring — the standard suffix-dedup guard; t14's boilerplate
+    * gate is the operator that handles such spans. The oracle applies
+    * the identical cap, so the gate compares the same definition. */
+  val MaxAnchorDocs = 50
+
+  /** d14: cross-document EXACT substring duplication at ≥
+    * [[AnchorTokens]] tokens — the deduplicate-text-datasets modality
+    * (verbatim spans copied between documents, a different grain from
+    * d1/d2's whole-document and d3-d6's near-dup shingle families). For
+    * every document pair sharing at least one maximal duplicated span,
+    * reports the span count, the longest span, and the total duplicated
+    * token mass.
+    *
+    * Method (the Spark-shaped equivalent of the suffix-array scan):
+    * every position's [[AnchorTokens]]-gram is an ANCHOR; a duplicated
+    * span of length L contains exactly L−N+1 consecutive anchor matches
+    * at one (doc_a, doc_b, pa−pb) DIAGONAL, so matches group into
+    * maximal spans by the islands idiom (pa − row_number per diagonal)
+    * and span length = run + N − 1. Never all-pairs: only grams shared
+    * by 2..[[MaxAnchorDocs]] documents anchor, so candidate generation
+    * is a keyed equality join bounded by real duplication (the LSH-
+    * candidates discipline applied to the exact-substring grain).
+    *
+    * Scale shape: ONE tokenize into the positional gram table,
+    * materialized once (`localCheckpoint`) and re-read by the anchor-df
+    * filter and both join sides (zero corpus re-scans — t14's shape);
+    * the islands Window is PARTITIONED by (pair, diagonal); rollups are
+    * map-side combined. At 100 TB the gram string becomes
+    * `xxhash64(gram)` (8-byte join keys); the oracle-checked form keeps
+    * raw grams so the DuckDB comparison is collision-free by
+    * construction. */
+  def substringDup(s: SparkSession, dir: String): DataFrame =
+    substringDupFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[substringDup]] — any (doc_id, text). */
+  def substringDupFrame(documents: DataFrame): DataFrame = {
+    val n = AnchorTokens
+    val t = col("t")
+    val m = size(t) - (n - 1)
+    // staggered-slice zip (shingleCol's idiom): the token pipeline is
+    // evaluated a constant number of times per row, positions fall out
+    // of posexplode — no per-index slice re-evaluation
+    val grams = (1 to n).map(k => slice(t, lit(k), m))
+      .reduce((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
+    val gcol = when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
+    val occ = documents
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), posexplode(gcol))
+      .withColumnRenamed("col", "g")
+      .localCheckpoint()
+    val anchors = occ.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd").between(2, MaxAnchorDocs))
+      .select(col("g"))
+    val hit = occ.join(anchors, Seq("g"))
+    val matches = hit.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(hit.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val diagWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val spans = matches.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(diagWin))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("run")) + (n - 1)).cast(LongType).as("max_span_tokens"),
+        (sum(col("run")) + lit(n - 1) * count(lit(1))).cast(LongType).as("dup_tokens"))
+  }
 }

@@ -362,4 +362,33 @@ class OpsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum(col("n"))).head.getLong(0)
     assert(tot === 1070L)
   }
+
+  test("substringDup: anchor runs merge into maximal spans; span = run + N - 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // N = 8. A and B share ONE 12-token span (w5..w16) => 5 consecutive
+    // anchors on one diagonal => 1 span of 12. C is an exact copy of A
+    // (20 tokens => 13 anchors, 1 span of 20). D shares TWO disjoint
+    // 8-token spans with A (one anchor each) => 2 spans, 16 dup tokens.
+    val w = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      1L -> w.mkString(" "),
+      2L -> (Seq("x1", "x2") ++ w.slice(4, 16) ++ Seq("y1", "y2")).mkString(" "),
+      3L -> w.mkString(" "),
+      4L -> (Seq("p1", "p2") ++ w.slice(0, 8) ++ Seq("q1", "q2", "q3") ++
+        w.slice(12, 20) ++ Seq("r1")).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.substringDupFrame(docs)
+      .select(col("doc_a"), col("doc_b"), col("n_spans"),
+        col("max_span_tokens"), col("dup_tokens"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 2L)) === ((1L, 12L, 12L)))
+    assert(got((1L, 3L)) === ((1L, 20L, 20L)))
+    assert(got((2L, 3L)) === ((1L, 12L, 12L)))
+    assert(got((1L, 4L)) === ((2L, 8L, 16L)))
+    assert(got((3L, 4L)) === ((2L, 8L, 16L)))
+    // B and D overlap only at w5..w8 / w13..w16 (4 < N) => no pair row
+    assert(!got.contains((2L, 4L)))
+  }
 }
