@@ -1060,6 +1060,51 @@ object OracleSql {
         |SELECT doc_id, media_type, thumb_w, thumb_h,
         |  CAST(54 + (thumb_w * 3 + 3) // 4 * 4 * CAST(thumb_h AS BIGINT) AS BIGINT)
         |    AS thumb_bytes FROM g""".stripMargin),
+    // m4: integer-DCT pHash + banded Hamming pairs (see Multimodal.
+    // phashPairs — the coefficient matrix is interpolated from the SAME
+    // Scala constants, so every sum is exact integer arithmetic; the
+    // oracle computes pixels directly, proving the engine's BMP
+    // encode→decode round-trip is the identity)
+    "m4_phash_pairs" -> {
+      val g = graft.ops.Multimodal.PhashGrid
+      val hmax = graft.ops.Multimodal.PhashHammingMax
+      val bandCols = (0 until 4).map(b =>
+        s"CAST(sum(CASE WHEN k // 16 = $b THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b$b")
+        .mkString(", ")
+      val ham = (0 until 4).map(b => s"bit_count(xor(l.b$b, r.b$b))").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |px AS (SELECT doc_id, unnest([{'p': p,
+         |    'v': CASE WHEN len(t) = 0 THEN 0 ELSE
+         |      (strpos('0123456789abcdef', substr(md5(t[(p % len(t)) + 1]), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(t[(p % len(t)) + 1]), 2, 1)) - 1)
+         |    END} for p in range(0, ${g * g})]) AS q FROM tok),
+         |pt AS (SELECT doc_id, q.p % $g AS x, q.p // $g AS y, q.v AS v FROM px),
+         |cu0 AS (SELECT unnest(${graft.ops.Multimodal.dctCoefSql}) AS s),
+         |cu AS (SELECT s.u AS u, s.x AS x, s.c AS c FROM cu0),
+         |s1 AS (SELECT doc_id, cu.u AS u, pt.y AS y,
+         |    CAST(sum(pt.v * cu.c) AS BIGINT) AS r
+         |  FROM pt JOIN cu ON cu.x = pt.x GROUP BY doc_id, cu.u, pt.y),
+         |s2 AS (SELECT doc_id, s1.u AS u, cv.u AS v2,
+         |    CAST(sum(s1.r * cv.c) AS BIGINT) AS h
+         |  FROM s1 JOIN cu cv ON cv.x = s1.y GROUP BY doc_id, s1.u, cv.u),
+         |hk AS (SELECT doc_id, u * 8 + v2 AS k, h FROM s2),
+         |med AS (SELECT doc_id, h AS med FROM (SELECT doc_id, h,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h, k) AS rn
+         |  FROM hk WHERE k >= 1) WHERE rn = 32),
+         |bits AS (SELECT hk.doc_id, k,
+         |    CASE WHEN h > med THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM hk JOIN med USING (doc_id)),
+         |sig AS (SELECT doc_id, $bandCols FROM bits GROUP BY doc_id),
+         |buckets AS (SELECT doc_id, b AS band,
+         |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bucket,
+         |    b0, b1, b2, b3
+         |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b))
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM buckets l JOIN buckets r
+         |ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE $ham <= $hmax""".stripMargin
+    },
     // multimodal
     "m1_decode_features" ->
       ("""WITH f AS (SELECT 'image/' || source AS media_type, strlen(text)::BIGINT AS n

@@ -133,6 +133,7 @@ object SparkEntry {
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),
     "m3_thumbnail_plan" -> (Multimodal.thumbnailPlan _),
+    "m4_phash_pairs"    -> (Multimodal.phashPairs _),
     "t7_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "t8_repetition"     -> (TextAnalysis.repetitionScore _),
     // composite reference topologies

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -196,6 +196,197 @@ object Multimodal {
         (r.doc_id, r.media_type, tw, th, 54L + stride.toLong * th)
       }
     }.toDF("doc_id", "media_type", "thumb_w", "thumb_h", "thumb_bytes")
+  }
+
+  // ---- m4: perceptual image near-dup (pHash) -------------------------
+
+  /** Raster side of the pHash grid (16×16 grayscale). */
+  val PhashGrid = 16
+
+  /** Fixed-point scale of the integer DCT coefficient matrix: both the
+    * engine and the DuckDB oracle use the SAME integer literals (the
+    * matrix is interpolated into the oracle SQL), so every DCT sum is
+    * exact integer arithmetic — no engine libm/rounding drift. */
+  val DctScale = 1024L
+
+  /** Max Hamming distance reported by the banded pair join. */
+  val PhashHammingMax = 6
+
+  /** Integer DCT-II row matrix: C(u)(x) = round(cos(π(2x+1)u / 2N) · S)
+    * for u < 8, x < [[PhashGrid]] — the top 8 frequencies of the 16-point
+    * transform; the 2-D DCT is two applications (separable). */
+  lazy val DctCoef: Array[Array[Long]] =
+    Array.tabulate(8, PhashGrid)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PhashGrid)) * DctScale))
+
+  /** The coefficient matrix as DuckDB struct-list literals — the oracle
+    * reproduces the integer DCT from the identical constants. */
+  def dctCoefSql: String =
+    (for (u <- 0 until 8; x <- 0 until PhashGrid)
+      yield s"{'u': $u, 'x': $x, 'c': ${DctCoef(u)(x)}}").mkString("[", ", ", "]")
+
+  /** Deterministic 24-bit BMP raster of a document: pixel p (row-major,
+    * top-down) is the gray level given by the first md5 byte of the token
+    * at position p mod n — near-identical documents raster to
+    * near-identical images, so the pHash stage has real structure to
+    * find. Written BOTTOM-UP (positive height) like a stock BMP encoder;
+    * [[grayPixels]] reads it back through the real header path, so the
+    * BMP round-trip is covered by the oracle equality (the oracle
+    * computes pixels directly — encode∘decode must be the identity for
+    * the hashes to match). */
+  def synthBmp(text: String): Array[Byte] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = PhashGrid
+    val stride = (n * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * n)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    def w16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def w32(off: Int, v: Int): Unit = { w16(off, v & 0xFFFF); w16(off + 2, v >>> 16) }
+    w32(2, out.length); w32(10, 54); w32(14, 40)
+    w32(18, n); w32(22, n)           // positive height: bottom-up rows
+    w16(26, 1); w16(28, 24); w32(30, 0); w32(34, stride * n)
+    var p = 0
+    while (p < n * n) {
+      val gray = if (toks.isEmpty) 0 else {
+        md.reset()
+        md.digest(toks(p % toks.length).getBytes("UTF-8"))(0) & 0xFF
+      }
+      val row = n - 1 - p / n // bottom-up storage of the top-down raster
+      val base = 54 + row * stride + (p % n) * 3
+      out(base) = gray.toByte; out(base + 1) = gray.toByte; out(base + 2) = gray.toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Gray levels (blue channel) of a 24-bit BMP as a row-major TOP-DOWN
+    * array, honoring the height sign — the real pixel-access path the
+    * pHash stage reads through. None for non-BMP payloads. */
+  def grayPixels(payload: Array[Byte]): Option[Array[Int]] = {
+    def le16(off: Int): Int = (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    if (payload.length < 54 || payload(0) != 'B'.toByte || payload(1) != 'M'.toByte)
+      return None
+    if (le16(28) != 24 || le32(30) != 0) return None
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || off < 54 || off > payload.length) return None
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (off.toLong + strideL * h > payload.length) return None
+    val stride = strideL.toInt
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = payload(off + srcRow * stride + x * 3) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** m4: perceptual IMAGE near-dup — the retrieval stage the multimodal
+    * family was missing (m1-m3 decode/sample/resize; this finds
+    * near-duplicate images): 64-bit DCT perceptual hash (pHash) per
+    * image, then banded Hamming candidate pairs exactly like d6/d11's
+    * SimHash shape (4×16-bit bands; two fingerprints within
+    * [[PhashHammingMax]] bits share a band with high probability —
+    * never all-pairs).
+    *
+    * Hash construction (integer end-to-end, oracle-reproduced from the
+    * same literals): 16×16 gray raster → separable integer DCT (two
+    * broadcast joins against the 128-row coefficient matrix, map-side
+    * combined sums) → 64 low-frequency coefficients; bit k = coefficient
+    * above the MEDIAN of the 63 AC coefficients (row_number 32 per doc —
+    * deterministic under ties); fingerprint = Σ bit<<k. The pixel path
+    * runs through a REAL BMP encode (synthBmp, bottom-up rows) and the
+    * REAL header/pixel reader (grayPixels) in one mapPartitions; the
+    * oracle computes pixels directly, so hash equality also proves the
+    * BMP round-trip is the identity. At 100 TB the per-image raster is
+    * the decode output already on hand; everything downstream is
+    * fingerprint-grain (8 bytes/image). */
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id, grayPixels(synthBmp(text)).getOrElse(
+            throw new IllegalStateException(s"synthBmp produced an unreadable BMP for doc $id")))
+        }
+      }.toDF("doc_id", "px")
+    phashPairsFromPixels(px)
+  }
+
+  /** Frame-level pHash pipeline over (doc_id, px: array&lt;int&gt; of
+    * [[PhashGrid]]² row-major grays) — specs drive it with hand-built
+    * rasters. */
+  def phashPairsFromPixels(pixels: DataFrame): DataFrame = {
+    val s = pixels.sparkSession
+    import s.implicits._
+    val coef = DctCoef.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, x) => (u, x, c) }
+    }.toSeq.toDF("u", "x", "c")
+    val g = PhashGrid
+    val pts = pixels
+      .select(col("doc_id"), posexplode(col("px")))
+      .select(col("doc_id"), expr(s"pos % $g").as("x"),
+        expr(s"pos div $g").as("y"), col("col").cast("long").as("v"))
+    val rows = pts.join(broadcast(coef), Seq("x"))
+      .groupBy(col("doc_id"), col("u"), col("y"))
+      .agg(sum(col("v") * col("c")).as("r"))
+    val hk = rows
+      .join(broadcast(coef.toDF("v2", "y", "c2")), Seq("y"))
+      .groupBy(col("doc_id"), col("u"), col("v2"))
+      .agg(sum(col("r") * col("c2")).as("h"))
+      .select(col("doc_id"), (col("u") * 8 + col("v2")).as("k"), col("h"))
+    val medWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("h"), col("k"))
+    val med = hk.filter(col("k") >= 1)
+      .withColumn("rn", row_number().over(medWin))
+      .filter(col("rn") === 32)
+      .select(col("doc_id"), col("h").as("med"))
+    // fingerprint as FOUR 16-bit band integers (not one 64-bit word):
+    // every shift stays below bit 16, so the oracle's integer arithmetic
+    // is range-safe, and the bands are exactly the LSH buckets anyway
+    val bandAggs = (0 until 4).map { b =>
+      sum(when(expr(s"k div 16 = $b"), expr("shiftleft(bit, k % 16)"))
+        .otherwise(0L)).as(s"b$b")
+    }
+    val sig = hk.join(med, Seq("doc_id"))
+      .withColumn("bit", when(col("h") > col("med"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(bandAggs.head, bandAggs.tail: _*)
+      .localCheckpoint()
+    // d6/d11's banded shape: first-matching-band emission, no post-join
+    // distinct
+    val banded = sig.select((col("doc_id") +: (0 until 4).map(b => col(s"b$b"))) :+
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))
+        }: _*)).as("bb"): _*)
+      .select((col("doc_id") +: (0 until 4).map(b => col(s"b$b"))) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    def firstBand: Column =
+      (0 until 3).foldRight(lit(3): Column) { (b, rest) =>
+        when(col(s"l.b$b") === col(s"r.b$b"), b).otherwise(rest)
+      }
+    val hamming = (0 until 4).map(b =>
+      bit_count(col(s"l.b$b").bitwiseXOR(col(s"r.b$b")))).reduce(_ + _)
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+        && col("l.doc_id") < col("r.doc_id"))
+      .filter(hamming <= PhashHammingMax && firstBand === col("l.band"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        hamming.cast("long").as("hamming"))
   }
 
   /** Build a binary media table from documents (payload = UTF-8 bytes of

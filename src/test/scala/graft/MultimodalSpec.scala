@@ -122,4 +122,43 @@ class MultimodalSpec extends SparkSpec {
     val viaStub = Multimodal.DecodeStub.decode(MediaRecord(4L, "image/unknown", payload))
     assert(viaDispatch === viaStub)
   }
+
+  test("synthBmp/grayPixels round-trip is the identity (the property the m4 oracle leans on)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val bmp = Multimodal.synthBmp(text)
+    val px = Multimodal.grayPixels(bmp).get
+    assert(px.length === Multimodal.PhashGrid * Multimodal.PhashGrid)
+    // reproduce the raster definition directly: gray(p) = first md5 byte
+    // of token (p mod n), row-major top-down
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = Array.tabulate(Multimodal.PhashGrid * Multimodal.PhashGrid) { p =>
+      md.reset(); md.digest(toks(p % toks.length).getBytes("UTF-8"))(0) & 0xFF
+    }
+    assert(px.toSeq === expected.toSeq)
+    // tokenless text rasters to all-zero, still readable
+    assert(Multimodal.grayPixels(Multimodal.synthBmp("!!!")).get.forall(_ === 0))
+  }
+
+  test("phash pairs: identical rasters at hamming 0; noise raster pairs with nothing") {
+    import spark.implicits._
+    val g = Multimodal.PhashGrid
+    // a structured raster (gradient + block), an identical copy, and a
+    // decorrelated noise raster (LCG) whose DCT signs differ everywhere
+    val base = Array.tabulate(g * g)(p => (p % g) * 8 + (p / g) / 2)
+    val noise = {
+      var s = 12345L
+      Array.tabulate(g * g) { _ =>
+        s = (s * 6364136223846793005L + 1442695040888963407L)
+        ((s >>> 33) % 256).toInt
+      }
+    }
+    val px = Seq(1L -> base, 2L -> base.clone(), 3L -> noise).toDF("doc_id", "px")
+    val got = Multimodal.phashPairsFromPixels(px)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 0L)), s"identical rasters must pair at hamming 0: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the noise raster must not pair within hamming ${Multimodal.PhashHammingMax}: $got")
+  }
 }
