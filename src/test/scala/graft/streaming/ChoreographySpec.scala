@@ -63,9 +63,9 @@ class ChoreographySpec extends SparkSpec {
     def runRound(): Unit = {
       val d = detailsService(); val l = limitService()
       try { d.processAllAvailable(); l.processAllAvailable() }
-      finally { d.stop(); l.stop() }
+      finally { quiesceAndStop(d); quiesceAndStop(l) }
       val a = aggregatorService()
-      try a.processAllAvailable() finally a.stop()
+      try a.processAllAvailable() finally quiesceAndStop(a)
     }
 
     publishOrder("o1", "beer", 10, 5.0)     // clean: both PASS
@@ -115,11 +115,11 @@ class ChoreographySpec extends SparkSpec {
     for (role <- Seq("details", "limit")) {
       val q = Choreography.startServiceWire(spark, role, orders, validations,
         states, ck(role))
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally quiesceAndStop(q)
     }
     val agg = Choreography.startServiceWire(spark, "agg", orders, validations,
       states, ck("agg"))
-    try agg.processAllAvailable() finally agg.stop()
+    try agg.processAllAvailable() finally quiesceAndStop(agg)
 
     // every value on every topic is registry-framed: magic 0x00 + id
     def frames(topic: String, id: Int): Unit = {

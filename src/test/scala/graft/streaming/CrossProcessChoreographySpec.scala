@@ -120,7 +120,7 @@ class CrossProcessChoreographySpec extends SparkSpec {
     // aggregate IN THIS SESSION over the shared topic the processes wrote
     val agg = Choreography.startService(spark, "agg", orders, validations,
       states, ckAgg)
-    try agg.processAllAvailable() finally agg.stop()
+    try agg.processAllAvailable() finally quiesceAndStop(agg)
 
     val latest = spark.read.format("graftlog").load(states)
       .select(col("key").cast("string").as("key"),
@@ -174,7 +174,7 @@ class CrossProcessChoreographySpec extends SparkSpec {
     // aggregate in THIS session over the bytes the processes produced
     val agg = Choreography.startServiceWire(spark, "agg", orders, validations,
       states, tmp("w-ck-a"))
-    try agg.processAllAvailable() finally agg.stop()
+    try agg.processAllAvailable() finally quiesceAndStop(agg)
 
     val latestRaw = spark.read.format("graftlog").load(states)
       .groupBy(col("key"))

@@ -59,7 +59,7 @@ class GraftLogSpec extends SparkSpec {
     def drain(): Long = {
       val q = Sources.writeLog(
         Sources.readLog(spark, topic).select("key", "value"), outTopic, ckpt).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally quiesceAndStop(q)
       spark.read.format("graftlog").load(outTopic).count()
     }
     assert(drain() === 2)
@@ -84,7 +84,7 @@ class GraftLogSpec extends SparkSpec {
 
     def run(feed: => Unit): Unit = {
       val q = Sources.writeLog(in.toDF().toDF("key", "value"), topic, ckpt).start()
-      try { feed; q.processAllAvailable() } finally q.stop()
+      try { feed; q.processAllAvailable() } finally quiesceAndStop(q)
     }
     run { in.addData(("k1", "a"), ("k2", "b")) }
     run { in.addData(("k1", "c")) } // restart on same checkpoint
@@ -125,7 +125,7 @@ class GraftLogSpec extends SparkSpec {
       val q = Sources.writeLog(
         Sources.readLog(spark, topic, fromBeginning = false)
           .select("key", "value"), out, ckpt).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally quiesceAndStop(q)
       spark.read.format("graftlog").load(out)
         .select(col("value").cast("string")).as[String].collect().toSet
     }
@@ -147,7 +147,7 @@ class GraftLogSpec extends SparkSpec {
       in.addData(("k1", "big-order", "alerts"), ("k2", "ok", "orders"),
         ("k3", "also-ok", "orders"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val alerts = spark.read.format("graftlog").load(s"$broker/alerts")
     val orders = spark.read.format("graftlog").load(s"$broker/orders")
     assert(alerts.select(col("value").cast("string")).as[String].collect().toSeq
@@ -184,7 +184,7 @@ class GraftLogSpec extends SparkSpec {
     val q = Sources.writeLog(
       Sources.readLog(spark, topic).select("key", "value"),
       outTopic, tmp("retention-ckpt")).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally quiesceAndStop(q)
     assert(spark.read.format("graftlog").load(outTopic).count() === 4)
   }
 
@@ -225,7 +225,7 @@ class GraftLogSpec extends SparkSpec {
     val q = Sources.writeLog(
       Sources.readLog(spark, topic).select("key", "value"),
       outTopic, tmp("compact-ckpt")).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally quiesceAndStop(q)
     val view = spark.read.format("graftlog").load(outTopic)
       .select(col("key").cast("string"), col("value").cast("string"))
       .as[(String, String)].collect().toSet
@@ -389,7 +389,7 @@ class GraftLogSpec extends SparkSpec {
       .outputMode("update")
       .option("path", outTopic)
       .option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally quiesceAndStop(q)
 
     // latest record per key in the out log = final count (changelog semantics)
     val out = spark.read.format("graftlog").load(outTopic)

@@ -52,7 +52,7 @@ class MicroservicesStreamSpec extends SparkSpec {
         // o6 FAILed so it reserved NOTHING: 5 <= 5 passes (cross-batch memory)
         ("o7", 4L, "whisky", 5, 100.0, ts("2024-01-01 11:00:00")))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     assert(snapshots.head === Map(
       "o1" -> "VALIDATED", "o3" -> "VALIDATED", "o6" -> "FAILED"))
     assert(snapshots.last === Map(
@@ -92,7 +92,7 @@ class MicroservicesStreamSpec extends SparkSpec {
       q.processAllAvailable()
       vin.addData(("oA", "INVENTORY_CHECK", "PASS")) // the straggler verdict
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     // batch 1: oA pending (2/3 verdicts), oB failed fast on one FAIL
     assert(states.head === Map("oA" -> "CREATED", "oB" -> "FAILED"))
     // batch 2: the late PASS completes oA -> VALIDATED

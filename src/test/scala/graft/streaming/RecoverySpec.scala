@@ -32,14 +32,14 @@ class RecoverySpec extends SparkSpec {
     val q1 = start()
     in.addData(Event(0, ts(1000), 1, "w", 1.0), Event(1, ts(2000), 1, "w", 1.0))
     q1.processAllAvailable()
-    q1.stop()
+    quiesceAndStop(q1)
 
     // new query instance, same checkpoint: the per-key counter must resume
     // from 2, not restart at 0.
     val q2 = start()
     in.addData(Event(2, ts(3000), 1, "w", 1.0))
     q2.processAllAvailable()
-    q2.stop()
+    quiesceAndStop(q2)
 
     assert(seen.get(2L) === Some(3L), s"got $seen")
   }
@@ -65,13 +65,13 @@ class RecoverySpec extends SparkSpec {
     val q1 = start()
     in.addData(TableUpdate("alice", "L", Some("europe"), 0L))
     q1.processAllAvailable()
-    q1.stop()
+    quiesceAndStop(q1)
     assert(seen.isEmpty, "left-only must not emit")
 
     val q2 = start()
     in.addData(TableUpdate("alice", "R", Some("1485500000"), 0L))
     q2.processAllAvailable()
-    q2.stop()
+    quiesceAndStop(q2)
     assert(seen.values.toSeq === Seq(Some("europe/1485500000")),
       s"right update must join the recovered left state, got $seen")
   }
@@ -91,7 +91,7 @@ class RecoverySpec extends SparkSpec {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           batch.collect().foreach(r => seen.put(r.getLong(0), r.getLong(2)))
         }.start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); quiesceAndStop(q)
       seen.toMap
     }
     in.addData(Event(10, ts(1000), 5, "w", 1.0), Event(11, ts(2000), 5, "w", 1.0))
@@ -136,13 +136,13 @@ class RecoverySpec extends SparkSpec {
     q1.processAllAvailable()
     in.addData(Event(2, ts(2000), 1, "order", 2.0))
     intercept[Exception] { q1.processAllAvailable() }
-    q1.stop()
+    quiesceAndStop(q1)
 
     val q2 = start() // restart from the checkpoint: batch with event 2 replays
     q2.processAllAvailable()
     in.addData(Event(3, ts(3000), 1, "order", 3.0))
     q2.processAllAvailable()
-    q2.stop()
+    quiesceAndStop(q2)
 
     assert(sink.keySet.map(_._2) === Set(1L, 2L, 3L))
     assert(sink.size === 3, s"duplicate sink effects: ${sink.keySet}")
@@ -181,7 +181,7 @@ class RecoverySpec extends SparkSpec {
       in.addData(ChangelogEntry("punk", 2L, None)) // tombstone: id2 leaves
       q.processAllAvailable()
       assert(chart() === Seq((1, 1L, 5.0), (2, 3L, 1.0)))
-    } finally q.stop()
+    } finally quiesceAndStop(q)
   }
 
   test("incrementalTopNTws matches the fMGWS golden (updates, tombstones) on MapState") {
@@ -215,7 +215,7 @@ class RecoverySpec extends SparkSpec {
         in.addData(ChangelogEntry("punk", 2L, None)) // tombstone: id2 leaves
         q.processAllAvailable()
         assert(latest === Seq((1, 1L, 5.0), (2, 3L, 1.0)))
-      } finally q.stop()
+      } finally quiesceAndStop(q)
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -252,7 +252,7 @@ class RecoverySpec extends SparkSpec {
       in.addData(ChangelogEntry("g", 5L, Some(20.0)))
       q.processAllAvailable()
       assert(latest === Seq((1, 5L, 20.0), (2, 2L, 9.0)))
-    } finally q.stop()
+    } finally quiesceAndStop(q)
   }
 
   test("music chart pipeline: filter -> broadcast join -> count -> topN (KafkaMusicExample)") {
@@ -280,7 +280,7 @@ class RecoverySpec extends SparkSpec {
       plays.addData((1L, 40000L), (1L, 35000L), (2L, 31000L), (2L, 10000L),
         (3L, 60000L))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     // song 1: 2 qualifying plays beats song 2 (1 play; its 10s play filtered)
     assert(chart === Map(("punk", 1) -> 1L, ("rock", 1) -> 3L))
   }

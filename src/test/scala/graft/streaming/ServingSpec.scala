@@ -261,7 +261,7 @@ class ServingSpec extends SparkSpec {
       // the running topology's store)
       assert(get("/state/all") === (200,
         """[{"word":"hello","cnt":3},{"word":"world","cnt":1}]"""))
-    } finally { rest.stop(); q.stop() }
+    } finally { rest.stop(); quiesceAndStop(q) }
   }
 
   test("LIVE windowed fetch over HTTP: key + window-start range (windowedByKey)") {
@@ -294,7 +294,7 @@ class ServingSpec extends SparkSpec {
       assert(get(s"/state/windowed/hi?from=$w0&to=$w2") ===
         s"""[{"word":"hi","cnt":2,"window_start":$w0},""" +
           s"""{"word":"hi","cnt":1,"window_start":$w2}]""")
-    } finally { rest.stop(); q.stop() }
+    } finally { rest.stop(); quiesceAndStop(q) }
   }
 
   test("LIVE music chart over HTTP: a new batch of plays flips the served top-5 (MusicPlaysRestService)") {
@@ -349,7 +349,7 @@ class ServingSpec extends SparkSpec {
       assert(get("/state/chart/rock")._1 === 404)
       // the other group's chart is untouched by rock's deletion
       assert(get("/state/chart/punk")._1 === 200)
-    } finally { rest.stop(); q.stop() }
+    } finally { rest.stop(); quiesceAndStop(q) }
   }
 
   test("scatter-gather top-k across hosts equals the global top-k (MusicPlaysRestService)") {

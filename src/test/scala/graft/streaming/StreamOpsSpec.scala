@@ -18,7 +18,7 @@ class StreamOpsSpec extends SparkSpec {
       mode: OutputMode)(feed: => Unit): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try { feed; q.processAllAvailable() } finally q.stop()
+    try { feed; q.processAllAvailable() } finally quiesceAndStop(q)
   }
 
   test("wordCount matches WordCountLambdaExampleTest golden counts") {
@@ -67,8 +67,14 @@ class StreamOpsSpec extends SparkSpec {
       // ids as in the dedupWithTTL golden: a b a a b c c a b → {a b c},
       // keyed numerically (a=1 b=2 c=3); TTL far beyond the test
       val ids = Seq(1L, 2L, 1L, 1L, 2L, 3L, 3L, 1L, 2L)
+      // explicit trigger interval: with TimeMode.ProcessingTime the query
+      // re-triggers forever (shouldRunAnotherBatch) — under the default
+      // 0 ms trigger it is ALWAYS mid-batch, so quiesceAndStop could
+      // never find an idle window and stop() interrupted a RocksDB
+      // commit mid-upload (the CANNOT_COMMIT noise this suite pins down)
       val q = dedupWithTTLTws(in.toDS(), java.time.Duration.ofMinutes(10)).toDF()
         .writeStream.format("memory").queryName("ddtws")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
         .outputMode("append").start()
       // CANNOT processAllAvailable() here: with ProcessingTime time mode
       // (required by TTLConfig) TransformWithStateExec reports
@@ -93,7 +99,7 @@ class StreamOpsSpec extends SparkSpec {
           IdEvent(4L, ts(5002), 102)))
         awaitCount(4)
         Thread.sleep(500) // a leaked duplicate would land in this window
-      } finally q.stop()
+      } finally quiesceAndStop(q)
       val got = spark.table("ddtws").as[IdEvent].collect()
       assert(got.map(_.event_id).toSet === Set(1L, 2L, 3L, 4L))
       assert(got.length === 4, s"duplicates leaked: ${got.toSeq}")
@@ -179,7 +185,7 @@ class StreamOpsSpec extends SparkSpec {
         // the armed timers fire under the advanced watermark
         in.addData(Event(8, ts(b + 600000), 99, "c", 1.0)); q.processAllAvailable()
         in.addData(Event(9, ts(b + 610000), 99, "c", 1.0)); q.processAllAvailable()
-      } finally q.stop()
+      } finally quiesceAndStop(q)
       val b = 100000L
       val got = spark.table("sesstws").as[SessionOut].collect()
         .map(s => (s.user_id, s.session_start.getTime - b,
@@ -208,7 +214,7 @@ class StreamOpsSpec extends SparkSpec {
       in.addData(Event(0, ts(1000), 1, "w", 1.0)); q.processAllAvailable()
       in.addData(Event(1, ts(2000), 1, "w", 1.0)); q.processAllAvailable()
       in.addData(Event(2, ts(3000), 1, "w", 1.0)); q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("rc2").as[Counted].collect().sortBy(_.event_id).map(_.seq)
     assert(got.toSeq === Seq(1L, 2L, 3L))
   }
@@ -237,7 +243,7 @@ class StreamOpsSpec extends SparkSpec {
       clicks.addData(("late-click", ts(100000), "clicked"))
       q.processAllAvailable()
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val rows = spark.table("ssj")
       .selectExpr("l_key", "l_value", "r_value").collect()
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
@@ -265,7 +271,7 @@ class StreamOpsSpec extends SparkSpec {
       in.addData((99L, ts(500000)))
       q.processAllAvailable()
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("sess").where("user_id = 1")
       .selectExpr("cnt").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === Seq(1L, 3L))
@@ -286,7 +292,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((99L, ts(100000000))) // close all windows
       q.processAllAvailable(); q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val rows = spark.table("hop").where("key = 1").collect()
     assert(rows.length === 5, s"event must appear in 5 hopping windows, got ${rows.length}")
     assert(rows.forall(_.getLong(2) === 1L))
@@ -312,7 +318,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(("zz", ts(10000000))) // advance watermark to close windows
       q.processAllAvailable(); q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val rows = spark.table("merge").where("user_id = 'erica'")
       .selectExpr("cnt", "session_start").collect()
     assert(rows.length === 1, "partials must merge into one session")
@@ -342,7 +348,7 @@ class StreamOpsSpec extends SparkSpec {
         in.addData(SessionEvent("erica", ts(t)))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("schg")
       .as[SessionChange].collect().sortBy(_.seq)
       .map(c => (c.start, c.end, c.cnt)).toSeq
@@ -369,7 +375,7 @@ class StreamOpsSpec extends SparkSpec {
         in.addData(SessionEvent("bob", ts(t)))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("sext").as[SessionChange].collect().sortBy(_.seq)
       .map(c => (c.start, c.end, c.cnt)).toSeq
     assert(got === Seq(
@@ -392,7 +398,7 @@ class StreamOpsSpec extends SparkSpec {
         in.addData(SessionEvent("kai", ts(t)))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("sret").as[SessionChange].collect().sortBy(_.seq)
       .map(c => (c.start, c.end, c.cnt)).toSeq
     assert(got === Seq(
@@ -435,7 +441,7 @@ class StreamOpsSpec extends SparkSpec {
       // tombstone on the right retracts the join result exactly once
       feed(("bob", "R", None))
       feed(("bob", "L", Some("oceania"))) // right still absent: no emission
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("ttj").as[TableJoined].collect()
       .groupBy(_.key).view.mapValues(_.sortBy(_.seq).map(_.value).toSeq).toMap
     assert(got("alice") === Seq(Some("europe/1485500000"),
@@ -464,7 +470,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((1L, ts(120000)))
       q.processAllAvailable(); q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val w0 = spark.table("late")
       .where("window_start = timestamp'1970-01-01 00:00:00'")
       .selectExpr("cnt").collect()
@@ -499,7 +505,7 @@ class StreamOpsSpec extends SparkSpec {
       in.addData((1L, ts(30000))); q.processAllAvailable() // late (wm 85s): dropped, no re-emission
       in.addData((1L, ts(210000)))
       q.processAllAvailable(); q.processAllAvailable()     // wm=200s: [60,120) finalizes
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val all = perBatch.flatten
     assert(all.count(_._1 == ts(0)) === 1, s"exactly one final for [0,60): $all")
     assert(all.find(_._1 == ts(0)).get._2 === 3L, "late event must not re-open or re-count")
@@ -535,7 +541,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       assert(topFive("punk") === Seq((1L, 3L), (2L, 2L)))
       assert(topFive("rock") === Seq((3L, 1L)))
-    } finally q.stop()
+    } finally quiesceAndStop(q)
   }
 
   test("interactive queries: a second session reads the served chart (MetadataService remote lookup)") {
@@ -562,7 +568,7 @@ class StreamOpsSpec extends SparkSpec {
           "WHERE genre = 'punk' ORDER BY count DESC, song_id LIMIT 5")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got === Seq((1L, 2L)))
-    } finally q.stop()
+    } finally quiesceAndStop(q)
   }
 
   test("CQRS long-poll: a reader blocks until the write materializes (OrdersService)") {
@@ -593,7 +599,7 @@ class StreamOpsSpec extends SparkSpec {
       in.addData((42L, "VALIDATED")); q.processAllAvailable()
       val got = Await.result(reader, scala.concurrent.duration.Duration(15, "s"))
       assert(got.nonEmpty && got.head.getString(1) === "VALIDATED")
-    } finally q.stop()
+    } finally quiesceAndStop(q)
   }
 
   test("latestPerKey keeps the newest value per key across batches (KTable semantics)") {
@@ -610,7 +616,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Event(3, ts(3000), 1, "purchase", 5.0))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     // last update for key 1 must be the ts=3000 purchase; the stale
     // ts=1500 record must never displace the ts=2000 click.
     val updates = spark.table("lpk").as[Latest].collect()
@@ -630,7 +636,7 @@ class StreamOpsSpec extends SparkSpec {
       in.addData(OrderLine(1, 7, 6.0, ts(1000)), OrderLine(2, 7, 5.0, ts(2000)),
         OrderLine(3, 7, 4.0, ts(3000)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("resv").as[Reservation].collect()
       .sortBy(_.order_id).map(_.result).toSeq
     // 6 fits (6<=10), 5 would exceed (11>10) -> FAIL, 4 fits (10<=10)
@@ -649,7 +655,7 @@ class StreamOpsSpec extends SparkSpec {
     try {
       in.addData((100L, 1L), (101L, 2L), (102L, 3L)) // 3L: no such customer
       q.processAllAvailable()
-    } finally q.stop()
+    } finally quiesceAndStop(q)
     val got = spark.table("ssjoin").selectExpr("order_id", "level").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(100L -> "gold", 101L -> "silver"))
@@ -687,7 +693,7 @@ class StreamOpsSpec extends SparkSpec {
       .queryName("deltas").outputMode("update").start()
     try {
       updates.foreach { u => in.addData(u); q1.processAllAvailable() }
-    } finally q1.stop()
+    } finally quiesceAndStop(q1)
     val deltas = spark.table("deltas").as[RegionDelta].collect().sortBy(_.ord)
     // alice's move is the subtractor/adder pair at ord 4
     assert(deltas.filter(_.ord == 4).toList ===
@@ -703,7 +709,7 @@ class StreamOpsSpec extends SparkSpec {
       deltas.groupBy(_.ord).toSeq.sortBy(_._1).foreach { case (_, ds) =>
         in2.addData(ds.toSeq); q2.processAllAvailable()
       }
-    } finally q2.stop()
+    } finally quiesceAndStop(q2)
     val got = spark.table("counts").as[RegionCount].collect()
       .sortBy(r => (r.ord, r.region)).toList
     assert(got === List(
