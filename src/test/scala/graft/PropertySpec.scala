@@ -122,4 +122,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: two-level quantileThreshold equals the direct cumulative definition " +
+      "on bounded ratios, unbounded integers, negatives and heavy ties") {
+    import spark.implicits._
+    // the round-12 rebuild must be BIT-IDENTICAL to the definition:
+    // threshold = smallest v with cumulative count >= ceil(frac * total).
+    // Exercise exactly the shapes the grid map could get wrong: heavy
+    // ties (few distinct values), wide unbounded integer ranges (the
+    // c12 support shape the weak mark was about), negatives straddling
+    // zero, a single distinct value, and frac edges.
+    val gens: Seq[(String, Gen[Double])] = Seq(
+      "rounded ratio [0,1]" -> Gen.choose(0, 1000000).map(_ / 1000000.0),
+      "unbounded int" -> Gen.choose(-5000000L, 5000000000L).map(_.toDouble),
+      "heavy ties" -> Gen.oneOf(1.0, 2.0, 2.0, 3.0, 100.0),
+      "constant" -> Gen.const(42.0))
+    for (((label, g), gi) <- gens.zipWithIndex; k <- 1 to 2;
+         frac <- Seq(0.1, 0.5, 0.7, 1.0)) {
+      val seed = 500 + gi * 10 + k
+      val vals = Gen.listOfN(200, g)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("doc_id", "v")
+      val got = TextAnalysis.quantileThreshold(df, "v", frac, "thr")
+        .select("thr").as[Double].head()
+      // direct reference: sort distinct values, walk the cumulative count
+      val total = vals.size
+      val hist = vals.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      val need = math.ceil(total * frac).toLong
+      var cum = 0L
+      val expected = hist.collectFirst {
+        case (v, c) if { cum += c; cum >= need } => v
+      }.get
+      assert(got === expected,
+        s"$label seed $seed frac $frac: got $got expected $expected")
+    }
+  }
 }
