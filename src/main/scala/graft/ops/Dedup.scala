@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Tokenize to lowercase words. */
-  private val tokens: Column =
+  private[graft] val tokens: Column =
     filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
 
   /** §2.8 event-id dedup, batch form: first occurrence per id wins. */
@@ -598,20 +598,25 @@ object Dedup {
   def substringDup(s: SparkSession, dir: String): DataFrame =
     substringDupFrame(Tables.documents(s, dir))
 
+  /** Positional [[AnchorTokens]]-gram array of a token-array column —
+    * staggered-slice zip (shingleCol's idiom): the token pipeline is
+    * evaluated a constant number of times per row, positions fall out of
+    * posexplode — no per-index slice re-evaluation. Shared by the batch
+    * d14 and the streaming attribution port. */
+  private[graft] def anchorGramsOf(t: Column): Column = {
+    val n = AnchorTokens
+    val m = size(t) - (n - 1)
+    val grams = (1 to n).map(k => slice(t, lit(k), m))
+      .reduce((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
+    when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
   /** Frame-level form of [[substringDup]] — any (doc_id, text). */
   def substringDupFrame(documents: DataFrame): DataFrame = {
     val n = AnchorTokens
-    val t = col("t")
-    val m = size(t) - (n - 1)
-    // staggered-slice zip (shingleCol's idiom): the token pipeline is
-    // evaluated a constant number of times per row, positions fall out
-    // of posexplode — no per-index slice re-evaluation
-    val grams = (1 to n).map(k => slice(t, lit(k), m))
-      .reduce((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
-    val gcol = when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
     val occ = documents
       .select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"), posexplode(gcol))
+      .select(col("doc_id"), posexplode(anchorGramsOf(col("t"))))
       .withColumnRenamed("col", "g")
       .localCheckpoint()
     val anchors = occ.groupBy(col("g"))

@@ -450,6 +450,67 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class DocStreamEvent(doc_id: Long, ts: Timestamp, text: String)
+  case class AnchorHit(g: String, doc_id: Long, pos: Int, ts: Timestamp)
+  case class AnchorMatch(doc_id: Long, pos: Int, owner_doc: Long, owner_pos: Int)
+  case class AnchorOwnerState(owner: Long, ownerPos: Int, hits: Int)
+
+  /** TWS port #6 — the STREAMING form of d14's anchor phase
+    * (`Dedup.substringDup`): per-anchor-gram ownership in keyed
+    * ValueState, FIRST writer wins (the crawl-stream rule: the earliest
+    * document owns the span; later documents carrying the same verbatim
+    * ≥[[graft.ops.Dedup.AnchorTokens]]-token span attribute to it). Each
+    * later occurrence emits one (doc, pos, owner, owner_pos) match — the
+    * downstream diagonal/island grouping is d14's batch rollup, applied
+    * to the match stream at any cadence. A per-gram emission cap is the
+    * streaming analog of d14's df cap: once a gram has attributed
+    * `maxHits` times it is a saturated stop-phrase and goes silent
+    * (state stops being written too — the read-only-at-saturation
+    * discipline of [[NearDupDropProcessor]]). State per gram is O(1)
+    * (owner + counter), not a member list. */
+  class AnchorOwnerProcessor(maxHits: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, AnchorHit, AnchorMatch] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[AnchorOwnerState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AnchorOwnerState]("owner",
+        Encoders.product[AnchorOwnerState], TTLConfig.NONE)
+    override def handleInputRows(g: String, rows: Iterator[AnchorHit],
+        timers: TimerValues): Iterator[AnchorMatch] = {
+      var s = if (st.exists()) st.get() else null
+      val out = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id, h.pos)).flatMap { h =>
+        if (s == null) {
+          s = AnchorOwnerState(h.doc_id, h.pos, 0); st.update(s); None
+        } else if (h.doc_id == s.owner) None // self-repetition is t8's business
+        else if (s.hits < maxHits) {
+          s = s.copy(hits = s.hits + 1); st.update(s)
+          Some(AnchorMatch(h.doc_id, h.pos, s.owner, s.ownerPos))
+        } else None // saturated stop-phrase: silent, zero state writes
+      }
+      out.iterator
+    }
+  }
+
+  /** Document stream → anchor-match stream (see [[AnchorOwnerProcessor]]).
+    * The anchor expansion is the SAME column pipeline as batch d14
+    * ([[graft.ops.Dedup.anchorGramsOf]]), so stream and batch agree on
+    * what an anchor is by construction. */
+  def substringAttribStream(docs: Dataset[DocStreamEvent], maxHits: Int = 50)
+      : Dataset[AnchorMatch] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.ops.Dedup.anchorGramsOf(graft.ops.Dedup.tokens)))
+      .select(col("col").as("g"), col("doc_id"), col("pos").cast("int").as("pos"),
+        col("ts"))
+      .as[AnchorHit]
+      .groupByKey(_.g)
+      .transformWithState(new AnchorOwnerProcessor(maxHits),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class ChangelogEntry(group: String, id: Long, value: Option[Double])
   case class ChartRow(group: String, pos: Int, id: Long, value: Double)
 

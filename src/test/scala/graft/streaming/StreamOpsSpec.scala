@@ -802,4 +802,80 @@ class StreamOpsSpec extends SparkSpec {
 
   private def qProcess(name: String): Unit =
     spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("substringAttribStream (TWS port #6): first writer owns the span; later docs " +
+      "attribute cross-batch; within-batch ts order decides ownership") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i")
+    val in = MemoryStream[DocStreamEvent]
+    runQuery(substringAttribStream(in.toDS()).toDF(), "ssa", OutputMode.Update()) {
+      // batch 1: A (the future owner) + an unrelated doc — no emissions
+      in.addData(DocStreamEvent(1L, ts(1000), w.mkString(" ")),
+        DocStreamEvent(5L, ts(1001), (1 to 12).map(i => s"z$i").mkString(" ")))
+      qProcess("ssa")
+      // batch 2: B shares w5..w16 (12 tokens => 5 anchors), C copies A
+      // outright (20 tokens => 13 anchors) — both attribute to A
+      in.addData(
+        DocStreamEvent(2L, ts(2000),
+          (Seq("x1", "x2") ++ w.slice(4, 16) ++ Seq("y1", "y2")).mkString(" ")),
+        DocStreamEvent(3L, ts(2001), w.mkString(" ")))
+      qProcess("ssa")
+      // batch 3: two NEW docs sharing a fresh span arrive together — the
+      // earlier ts becomes owner, the later attributes within the batch
+      val fresh = (1 to 10).map(i => s"f$i")
+      in.addData(DocStreamEvent(6L, ts(3000), fresh.mkString(" ")),
+        DocStreamEvent(7L, ts(3001), ("pre" +: fresh).mkString(" ")))
+      qProcess("ssa")
+    }
+    val got = spark.table("ssa").as[AnchorMatch].collect()
+    val byDoc = got.groupBy(_.doc_id)
+    // B: 5 anchor matches, all owned by A, diagonal constant (pa-pb = 2)
+    val b = byDoc(2L).sortBy(_.pos)
+    assert(b.length === 5 && b.forall(_.owner_doc === 1L))
+    assert(b.map(m => m.owner_pos - m.pos).toSet === Set(2))
+    assert(b.map(_.pos).toSeq === (2 to 6))
+    // C: full copy => 13 matches on the zero diagonal
+    val c = byDoc(3L)
+    assert(c.length === 13 && c.forall(m => m.owner_doc === 1L && m.owner_pos === m.pos))
+    // same-batch: 7 attributes to 6 (3 anchors of the 10-token span)
+    val g7 = byDoc(7L)
+    assert(g7.length === 3 && g7.forall(_.owner_doc === 6L))
+    assert(g7.map(m => m.pos - m.owner_pos).toSet === Set(1)) // "pre" shift
+    // owners and the unrelated doc never attribute
+    assert(!byDoc.contains(1L) && !byDoc.contains(5L) && !byDoc.contains(6L))
+  }}
+
+  test("substringAttribStream saturation cap: a stop-phrase gram goes silent after maxHits") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // exactly one anchor
+    val in = MemoryStream[DocStreamEvent]
+    runQuery(substringAttribStream(in.toDS(), maxHits = 2).toDF(), "ssacap",
+        OutputMode.Update()) {
+      in.addData(DocStreamEvent(1L, ts(1000), span)) // owner
+      qProcess("ssacap")
+      (2 to 5).foreach { d =>
+        in.addData(DocStreamEvent(d.toLong, ts(1000L + d), span))
+        qProcess("ssacap")
+      }
+    }
+    val got = spark.table("ssacap").as[AnchorMatch].collect().sortBy(_.doc_id)
+    // only the first maxHits non-owner docs attribute; 4 and 5 are silent
+    assert(got.map(_.doc_id).toSeq === Seq(2L, 3L))
+    assert(got.forall(_.owner_doc === 1L))
+    }
+  }
 }
