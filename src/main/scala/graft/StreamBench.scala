@@ -224,6 +224,19 @@ object StreamBench {
               .otherwise((v % 997).cast("double")).as("value"))
             .as(org.apache.spark.sql.Encoders.product[StreamOps.ChangelogEntry]),
           5).toDF(),
+        OutputMode.Update())),
+      // streaming exact-substring attribution (TWS port #6): 12-token docs
+      // drawn from 10k span templates → 5 anchors/doc over 50k gram keys;
+      // every template repeats ~50× per batch, so after the first batch
+      // nearly every gram is owner-known and hit-capped — the steady state
+      // measures the saturated read-only path (state get, no write, no
+      // emission), the crawl-stream regime the operator is built for
+      "substring_attrib_tws" -> (() => Pipeline(
+        StreamOps.substringAttribStream(
+          rate().select(v.as("doc_id"), col("timestamp").as("ts"),
+            concat_ws(" ", (0 until 12).map(i =>
+              concat(lit(('a' + i).toChar.toString), v % 10000)): _*).as("text"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.DocStreamEvent])).toDF(),
         OutputMode.Update())))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
