@@ -555,6 +555,49 @@ object OracleSql {
          |FROM documents ANTI JOIN losers USING (doc_id)
          |GROUP BY lang""".stripMargin
     },
+    // leakage-safe split: the split unit is the d8 dedup CLUSTER (group
+    // id = cluster label, own id when unclustered); the group's md5
+    // bucket picks train/val/test with integer cuts
+    "c13_leakage_split" -> {
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val trainCut = graft.ops.Composites.SplitTrainCut
+      val valCut = graft.ops.Composites.SplitValCut
+      s"""WITH RECURSIVE $minhashCtes,
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, len($tokensSql) AS n_tokens,
+         |    COALESCE(l.cluster_id, d.doc_id) AS gid
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |bk AS (SELECT doc_id, n_tokens, gid, CAST(list_sum(
+         |    [(strpos('0123456789abcdef', substr(md5(CAST(gid AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |     << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) AS bucket FROM g)
+         |SELECT CASE WHEN bucket < $trainCut THEN 'train'
+         |    WHEN bucket < $valCut THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM bk GROUP BY 1""".stripMargin
+    },
     "d9_contamination" ->
       (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |sh AS (SELECT doc_id,

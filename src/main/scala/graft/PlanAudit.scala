@@ -108,6 +108,9 @@ object PlanAudit {
       ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c13_leakage_split", "the split reads the MEMOIZED d8 cluster labels (ExistingRDD — the labeling pipeline ran once, in d8's label phase, not here), LEFT-joins them to ONE corpus scan, and rolls up map-side (partial_count) — no pair generation, no all-pairs",
+        Seq("ExistingRDD", "partial_count"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("m4_phash_pairs", "perceptual-hash pairing keeps d6/d11's banded shape: the 4×16-bit fingerprint table is checkpointed once (ExistingRDD — the raster/DCT pipeline ran inside it) and the candidate join is a (band,bucket) EQUALITY join with first-matching-band emission — never all-pairs over images",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "FileScan parquet")),

@@ -100,6 +100,7 @@ object SparkEntry {
     "d14_substring_dup" -> (Dedup.substringDup _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
+    "c13_leakage_split" -> (Composites.leakageSplit _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

