@@ -481,6 +481,36 @@ class GraftLogSpec extends SparkSpec {
     assert(rows.toSeq === Seq((3L, "k3", "d"), (5L, "k1", "e")))
   }
 
+  test("interleaved appends + policy compactions: every intermediate read is a " +
+      "consistent latest-per-key view; offsets stay monotonic through repeated cleaning") {
+    import spark.implicits._
+    val topic = tmp("interleave")
+    GraftLog.setCleanupPolicy(Paths.get(topic), "compact")
+    def append(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").selectExpr("key", "value", "CAST(0 AS INT) AS partition")
+        .coalesce(1)
+        .write.format("graftlog").option("partitions", "1").mode("append").save(topic)
+    var csegsSeen = 0
+    for (round <- 0 until 10) {
+      append((0 until 5).map(k => (s"k$k", s"r$round-$k")))
+      // the read RIGHT AFTER each commit (which may have just compacted):
+      // latest-per-key must be exactly this round's writes, offsets must
+      // be original (within [0, 5*(round+1))) and strictly increasing
+      val view = spark.read.format("graftlog").load(topic)
+        .select(col("offset"), col("key").cast("string"), col("value").cast("string"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val latest = view.groupBy(_._2).map { case (k, rs) => k -> rs.maxBy(_._1)._3 }
+      assert(latest === (0 until 5).map(k => s"k$k" -> s"r$round-$k").toMap,
+        s"round $round: $latest")
+      assert(view.map(_._1).distinct.length === view.length)
+      assert(view.forall(_._1 < 5L * (round + 1)), s"round $round offsets: ${view.map(_._1).toSeq}")
+      if (GraftLog.segments(Paths.get(topic), 0).exists(!_.dense)) csegsSeen += 1
+    }
+    // the policy actually cleaned, repeatedly — this wasn't a no-op walk
+    assert(csegsSeen >= 3, s"policy compaction fired too rarely: $csegsSeen/10 rounds")
+    assert(GraftLog.endOffsets(Paths.get(topic))(0) === 50L)
+  }
+
   test("same-JVM compaction vs committer: concurrent threads serialize on the " +
       "monitor, never OverlappingFileLockException") {
     import spark.implicits._
