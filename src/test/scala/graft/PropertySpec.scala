@@ -123,6 +123,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: substringDup equals an in-memory anchor/diagonal/island reference " +
+      "on template-built corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val n = Dedup.AnchorTokens
+    // span templates long enough to anchor; docs concatenate 1-3 of them
+    // plus unique filler, so real shared spans (and ties/overlaps) arise
+    // tokens must survive the [^a-z0-9]+ tokenizer unsplit (no underscores)
+    def template(t: Int): Seq[String] = (0 until 6 + t % 7).map(i => s"t${t}x$i")
+    val docGen: Gen[Seq[String]] = for {
+      k <- Gen.choose(1, 3)
+      ts <- Gen.listOfN(k, Gen.choose(0, 5))
+      fill <- Gen.choose(0, 3)
+    } yield ts.flatMap(template) ++ (0 until fill).map(i => s"u$i")
+    (1 to 3).foreach { k =>
+      val docs = Gen.listOfN(12, docGen)
+        .pureApply(Gen.Parameters.default, Seed(600 + k))
+        .zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.substringDupFrame(df)
+        .select("doc_a", "doc_b", "n_spans", "max_span_tokens", "dup_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      // in-memory reference: gram table -> df cap -> pair matches ->
+      // diagonal islands -> span rollup
+      val occ = docs.flatMap { case (id, ws) =>
+        ws.sliding(n).zipWithIndex.filter(_._1.size == n)
+          .map { case (g, p) => (g.mkString(" "), id, p) }
+      }
+      val eligible = occ.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.size)
+        .filter { case (_, d) => d >= 2 && d <= Dedup.MaxAnchorDocs }
+        .keySet.toSet
+      val matches = for {
+        (g, a, pa) <- occ if eligible(g)
+        (g2, b, pb) <- occ if g2 == g && a < b
+      } yield (a, b, pa, pb)
+      val expected = matches.groupBy { case (a, b, pa, pb) => (a, b, pa - pb) }
+        .toSeq.flatMap { case (_, ms) =>
+          // island split: consecutive pa runs within the diagonal
+          val ps = ms.map(_._3).distinct.sorted
+          ps.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (run :: rest), p) if run.head == p - 1 => (p :: run) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(r => (ms.head._1, ms.head._2, r.size.toLong + n - 1))
+        }
+        .groupBy { case (a, b, _) => (a, b) }
+        .view.mapValues { spans =>
+          (spans.size.toLong, spans.map(_._3).max,
+            spans.map(s => s._3).sum)
+        }.toMap
+      assert(got === expected, s"seed ${600 + k}")
+      assert(got.nonEmpty, s"seed ${600 + k}: degenerate corpus (no shared spans)")
+    }
+  }
+
   test("property: two-level quantileThreshold equals the direct cumulative definition " +
       "on bounded ratios, unbounded integers, negatives and heavy ties") {
     import spark.implicits._
