@@ -979,6 +979,43 @@ object OracleSql {
          |FROM d JOIN tot USING (source) CROSS JOIN mn
          |WHERE bucket * t_s < t_min * 65536
          |GROUP BY source""".stripMargin),
+    "t19_inverted_index" -> {
+      val top = graft.ops.TextAnalysis.IndexTopDocs
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |pe AS (SELECT doc_id, unnest(t) AS term,
+         |    unnest(range(1, len(t) + 1)) AS pos FROM tok),
+         |postings AS (SELECT term, doc_id, count(*) AS tf,
+         |    CAST(min(pos) AS BIGINT) AS first_pos FROM pe GROUP BY 1, 2),
+         |stats AS (SELECT term, count(*) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS corpus_tf FROM postings GROUP BY 1),
+         |rnk AS (SELECT term, doc_id, tf, first_pos,
+         |    CAST(row_number() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id ASC) AS INTEGER) AS rk FROM postings)
+         |SELECT term, df, corpus_tf, rk, doc_id, tf, first_pos
+         |FROM rnk JOIN stats USING (term) WHERE rk <= $top""".stripMargin
+    },
+    "t20_pmi_pairs" -> {
+      val minC = graft.ops.TextAnalysis.PmiMinCount
+      val topK = graft.ops.TextAnalysis.PmiTopK
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |uc AS (SELECT term, count(*) AS c
+         |  FROM (SELECT unnest(t) AS term FROM tok) GROUP BY 1),
+         |bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE [] END) AS bigram FROM tok),
+         |bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_uni,
+         |    (SELECT CAST(sum(c_xy) AS BIGINT) FROM bc) AS n_big),
+         |f AS (SELECT bigram, c_xy, string_split(bigram, ' ')[1] AS x,
+         |    string_split(bigram, ' ')[2] AS y FROM bc WHERE c_xy >= $minC),
+         |j AS (SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y
+         |  FROM f JOIN uc ux ON f.x = ux.term JOIN uc uy ON f.y = uy.term)
+         |SELECT bigram, c_xy, c_x, c_y,
+         |  round(ln(CAST(c_xy AS DOUBLE) * n_uni * n_uni
+         |    / (CAST(n_big AS DOUBLE) * c_x * c_y)), 6) AS pmi
+         |FROM j CROSS JOIN tot
+         |ORDER BY pmi DESC, bigram ASC LIMIT $topK""".stripMargin
+    },
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked

@@ -125,7 +125,13 @@ object PlanAudit {
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c11_prep_packed", "the packing phase reads the MATERIALIZED survivor set (ExistingRDD — the funnel's gates ran once, in c10/the memo, not again here; production persists the cleaned corpus) and applies t17's two-level prefix scan: bucket-partitioned Window, map-side partial_sum, UN-hinted bucket-offset join keyed on the bucket the rows are already partitioned by (AQE owns broadcast-vs-shuffle) — no gate re-execution, no corpus-grain global sort",
         Seq("ExistingRDD", "Window", "partial_sum"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "LeftAnti"))
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "LeftAnti")),
+      ("t19_inverted_index", "the index build keeps t10's discipline: ONE tokenize+posexplode into the checkpointed (term,doc) postings table (ExistingRDD), term-grain stats derive FROM the materialization (zero parquet re-scans), and the posting-list head plans WindowGroupLimit — partial top-3 per partition before the term shuffle, never a full postings sort",
+        Seq("ExistingRDD", "WindowGroupLimit"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t20_pmi_pairs", "unigram AND bigram counts come from ONE tagged explode into the checkpointed count table (ExistingRDD, zero parquet re-scans); corpus totals fold in as a one-row broadcast, the vocabulary-side joins stay keyed and UN-hinted, and the collocation head plans TakeOrderedAndProject — per-partition top-50, never a global sort",
+        Seq("ExistingRDD", "TakeOrderedAndProject"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -130,6 +130,8 @@ object SparkEntry {
     "t16_lm_support" -> (TextAnalysis.lmSupport _),
     "t17_sequence_pack" -> (TextAnalysis.sequencePack _),
     "t18_domain_balance" -> (TextAnalysis.domainBalance _),
+    "t19_inverted_index" -> (TextAnalysis.invertedIndex _),
+    "t20_pmi_pairs"     -> (TextAnalysis.pmiPairs _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

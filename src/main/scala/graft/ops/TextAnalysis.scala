@@ -643,4 +643,110 @@ object TextAnalysis {
         when(size(c) >= 5, array_min(windowHashes)).otherwise(shortHash))
       .select(col("doc_id"), col("fp"), col("min_shingle_hash"))
   }
+
+  /** Per-term postings kept for the inverted-index head (top docs by tf). */
+  val IndexTopDocs = 3
+
+  /** INVERTED INDEX BUILD — term → posting list, the retrieval-side dual
+    * of t10's document → top-term direction and the core of corpus
+    * search / retrieval-augmented pipelines. One tokenize + posexplode
+    * (positions ride along, 1-based), one shuffle to (term, doc) grain,
+    * then everything else derives from the MATERIALIZED postings table
+    * (t10's checkpoint discipline — Catalyst would otherwise re-run the
+    * explode subtree for the term-grain stats): document frequency and
+    * corpus tf by a map-side-combined rollup, the posting-list head by a
+    * term-partitioned top-k window (WindowGroupLimit pushes the rank
+    * filter). Output is the flattened head — term-vocabulary × 3 rows —
+    * so the result stays vocabulary-bounded no matter the corpus size;
+    * the full postings table is the thing a real deployment would write
+    * out partitioned by term. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[invertedIndex]] — any (doc_id, text). */
+  def invertedIndexFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val postings = documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1L).as("first_pos"))
+      .localCheckpoint()
+    val stats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("corpus_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
+    postings
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= IndexTopDocs)
+      .join(stats, Seq("term"))
+      .select(col("term"), col("df"), col("corpus_tf"), col("rk"),
+        col("doc_id"), col("tf"), col("first_pos"))
+  }
+
+  /** Bigrams with fewer occurrences than this don't get a PMI score. */
+  val PmiMinCount = 5
+  /** Result head size — collocations ranked by association strength. */
+  val PmiTopK = 50
+
+  /** PMI COLLOCATION MINING — pointwise mutual information of adjacent
+    * token pairs, the classic collocation / multi-word-expression signal
+    * (and the association measure behind phrase-merge steps in tokenizer
+    * pipelines). pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from
+    * the bigram distribution and p(x) from the unigram one.
+    *
+    * Unigram AND bigram occurrences are counted in ONE tokenize + ONE
+    * explode + ONE shuffle: each document emits a tagged stream
+    * (('u', token)… ('b', bigram)…) built by zipping two staggered
+    * slices (t5's constant-evaluation idiom), so Catalyst never re-runs
+    * the tokenizer for a second subtree. The tagged count table is
+    * checkpointed and split; corpus totals fold in as a one-row
+    * broadcast (non-foldable zero key, c10's idiom), and the two
+    * unigram-side joins reach AQE UN-hinted — vocabulary-sized sides
+    * broadcast while they fit, shuffle on the term key when a web-scale
+    * vocabulary outgrows that (round-11 rule). The ln is computed on
+    * doubles and rounded to 6 decimals, the t10 cross-engine-stable
+    * shape. */
+  def pmiPairs(s: SparkSession, dir: String): DataFrame =
+    pmiPairsFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[pmiPairs]] — any (doc_id, text). */
+  def pmiPairsFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val tagged = concat(
+      transform(toks, t => struct(lit("u").as("tag"), t.as("gram"))),
+      transform(bigrams, b => struct(lit("b").as("tag"), b.as("gram"))))
+    val counts = documents
+      .select(explode(tagged).as("x"))
+      .select(col("x.tag").as("tag"), col("x.gram").as("gram"))
+      .groupBy(col("tag"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val uni = counts.filter(col("tag") === "u")
+      .select(col("gram").as("term"), col("n").as("c"))
+    val big = counts.filter(col("tag") === "b" && col("n") >= PmiMinCount)
+      .select(col("gram").as("bigram"), col("n").as("c_xy"))
+    // Corpus totals over the UNFILTERED tagged counts — one row, bounded
+    // by construction, folded in on a non-foldable zero key.
+    val totals = counts.agg(
+        sum(when(col("tag") === "u", col("n"))).cast("long").as("n_uni"),
+        sum(when(col("tag") === "b", col("n"))).cast("long").as("n_big"))
+      .withColumn("jk", pmod(col("n_uni"), lit(1L)))
+    big
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("term").as("y"), col("c").as("c_y")), Seq("y"))
+      .withColumn("jk", pmod(col("c_xy"), lit(1L)))
+      .join(broadcast(totals), Seq("jk"))
+      .withColumn("pmi", round(log(
+        col("c_xy").cast("double") * col("n_uni") * col("n_uni")
+          / (col("n_big").cast("double") * col("c_x") * col("c_y"))), 6))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(PmiTopK)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("pmi"))
+  }
 }

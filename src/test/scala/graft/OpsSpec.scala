@@ -425,4 +425,61 @@ class OpsSpec extends SparkSpec {
     // B and D overlap only at w5..w8 / w13..w16 (4 < N) => no pair row
     assert(!got.contains((2L, 4L)))
   }
+
+  test("invertedIndex: postings head, 1-based first positions, tf-desc/doc-asc tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "cat dog cat"),        // cat tf=2 first=1; dog tf=1 first=2
+      (2L, "dog cat"),            // ties with doc 3 on cat tf=1 -> doc_id asc
+      (3L, "cat fish fish fish"),
+      (4L, "")                    // zero tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.invertedIndexFrame(docs)
+      .select(col("term"), col("df"), col("corpus_tf"), col("rk"),
+        col("doc_id"), col("tf"), col("first_pos"))
+      .as[(String, Long, Long, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3, r._5, r._6, r._7))).toMap
+    // cat: df=3, corpus_tf=4; head ordered tf desc then doc_id asc
+    assert(got(("cat", 1)) === ((3L, 4L, 1L, 2L, 1L)))
+    assert(got(("cat", 2)) === ((3L, 4L, 2L, 1L, 2L)))
+    assert(got(("cat", 3)) === ((3L, 4L, 3L, 1L, 1L)))
+    // fish: single doc, tf=3, first occurrence at position 2 (1-based)
+    assert(got(("fish", 1)) === ((1L, 3L, 3L, 3L, 2L)))
+    // dog: two docs with tf=1 each -> doc_id asc
+    assert(got(("dog", 1)) === ((2L, 2L, 1L, 1L, 2L)))
+    assert(got(("dog", 2)) === ((2L, 2L, 2L, 1L, 1L)))
+    // head cap: no term emits more than IndexTopDocs rows
+    assert(!got.keySet.exists(_._2 > graft.ops.TextAnalysis.IndexTopDocs))
+  }
+
+  test("pmiPairs: perfect collocation outranks independent pair; ln value exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "aa bb" always adjacent (perfect collocation); "cc dd" adjacent in
+    // only 5 of cc's 10 / dd's 10 occurrences. Both pairs clear the
+    // min-count 5; the filler unigrams keep totals easy to hand-compute.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "aa bb cc dd")) ++
+      (6 to 10).map(i => (i.toLong, "cc xx dd yy"))
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.pmiPairsFrame(docs)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("pmi"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // totals: 40 unigrams, 30 bigram occurrences
+    val nUni = 40.0; val nBig = 30.0
+    def pmi(cxy: Long, cx: Long, cy: Long): Double =
+      BigDecimal(math.log(cxy * nUni * nUni / (nBig * cx * cy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("aa bb") === ((5L, 5L, 5L, pmi(5, 5, 5))))
+    assert(got("cc dd") === ((5L, 10L, 10L, pmi(5, 10, 10))))
+    // the perfect collocation scores strictly higher
+    assert(got("aa bb")._4 > got("cc dd")._4)
+    // sub-threshold bigrams ("bb cc", seen 5x? no — 5x) are included only
+    // if they clear PmiMinCount; "xx dd" (5x) must be present too
+    assert(got.contains("xx dd"))
+    // nothing below the min count leaks in
+    assert(got.values.forall(_._1 >= graft.ops.TextAnalysis.PmiMinCount))
+  }
 }
