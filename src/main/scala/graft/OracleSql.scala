@@ -1016,6 +1016,41 @@ object OracleSql {
          |FROM j CROSS JOIN tot
          |ORDER BY pmi DESC, bigram ASC LIMIT $topK""".stripMargin
     },
+    "t21_bpe_merges" -> {
+      // One CTE block per merge round, GENERATED from MergeRounds so the
+      // Spark constant can never silently desynchronize engine and
+      // oracle. Each round: adjacent-pair counts over the current token
+      // rendering, deterministic top-1 (count desc, pair asc), literal
+      // |x||y| -> |x_y| replace (left-to-right non-overlapping in both
+      // engines), post-merge vocab/token stats.
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT $r AS round, pair, count(*) AS cnt
+           |  FROM pr$r GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),
+           |st$r AS (SELECT count(DISTINCT tok) AS vocab_size, count(*) AS corpus_tokens
+           |  FROM (SELECT unnest(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS tok
+           |        FROM t$r)),
+           |m$r AS (SELECT round, pair, replace(pair, ' ', '_') AS merged,
+           |    CAST(cnt AS BIGINT) AS cnt, CAST(vocab_size AS BIGINT) AS vocab_size,
+           |    CAST(corpus_tokens AS BIGINT) AS corpus_tokens
+           |  FROM top$r CROSS JOIN st$r),""".stripMargin
+      }.mkString("\n")
+      val union = (1 to k).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+      s"""WITH t0 AS (SELECT '||' || array_to_string(t, '||') || '||' AS s
+         |  FROM (SELECT $tokensSql AS t FROM documents) WHERE len(t) > 0),
+         |$rounds
+         |fin AS ($union)
+         |SELECT round, pair, merged, cnt, vocab_size, corpus_tokens FROM fin""".stripMargin
+    },
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked

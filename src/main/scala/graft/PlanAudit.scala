@@ -131,6 +131,9 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t20_pmi_pairs", "unigram AND bigram counts come from ONE tagged explode into the checkpointed count table (ExistingRDD, zero parquet re-scans); corpus totals fold in as a one-row broadcast, the vocabulary-side joins stay keyed and UN-hinted, and the collocation head plans TakeOrderedAndProject — per-partition top-50, never a global sort",
         Seq("ExistingRDD", "TakeOrderedAndProject"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t21_bpe_merges", "nothing round-trips through the driver: every merge round's winning pair is a checkpointed one-row DataFrame (ExistingRDD) folded back on a non-foldable zero key (BroadcastHashJoin, never a nested loop), each round's corpus is checkpointed so round k never re-executes rounds 1..k-1, and the result union reads ONLY materializations — zero parquet re-scans in the final plan",
+        Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 

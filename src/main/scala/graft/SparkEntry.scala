@@ -132,6 +132,7 @@ object SparkEntry {
     "t18_domain_balance" -> (TextAnalysis.domainBalance _),
     "t19_inverted_index" -> (TextAnalysis.invertedIndex _),
     "t20_pmi_pairs"     -> (TextAnalysis.pmiPairs _),
+    "t21_bpe_merges"    -> (TextAnalysis.bpeMerges _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

@@ -749,4 +749,78 @@ object TextAnalysis {
       .limit(PmiTopK)
       .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("pmi"))
   }
+
+  /** BPE merge rounds — enough to show the vocab/token curve bending. */
+  val MergeRounds = 6
+
+  /** BPE TOKENIZER INDUCTION — the first `MergeRounds` byte-pair-encoding
+    * merges learned from the corpus, with the post-merge vocabulary size
+    * and corpus token count per round (the curve a tokenizer-training run
+    * watches). Each round: count adjacent token pairs (distributed,
+    * map-side combined), pick the most frequent (count desc, pair asc —
+    * the deterministic tie-break), merge every non-overlapping occurrence
+    * LEFT-TO-RIGHT (real greedy BPE semantics), recount.
+    *
+    * The merge is applied by LITERAL string replace over a
+    * pipe-delimited rendering of the token sequence: tokens joined with
+    * `||`, the pattern `|x||y|` consuming ONE pipe on each side — so
+    * consecutive occurrences (`…x y x y…`) each keep a boundary pipe and
+    * ALL merge in one pass, while overlapping ones (`x x x`) merge
+    * greedily left-to-right, exactly replace()'s scan order in both
+    * engines. `|` can't appear in a token ([a-z0-9] source alphabet,
+    * `_` as the merge glue), so cross-token false matches are impossible.
+    *
+    * NOTHING round-trips through the driver: each round's winning pair is
+    * a one-row limit(1) DataFrame, checkpointed and folded back into the
+    * corpus on a non-foldable zero key (one-row broadcast by
+    * construction — the c10 threshold idiom); the result is the UNION of
+    * the k checkpointed merge rows joined to their post-merge corpus
+    * aggregates. The per-round corpus is localCheckpointed so round k
+    * never re-executes rounds 1..k-1 (the d8/Lloyd iteration
+    * discipline). k is a fixed constant: 2k bounded jobs total, each a
+    * full corpus pass — linear at any scale, like every real distributed
+    * BPE trainer. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[bpeMerges]] — any frame with a text column. */
+  def bpeMergesFrame(documents: DataFrame): DataFrame = {
+    val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    var corpus = documents
+      .select(toks0.as("t")).filter(size(col("t")) > 0)
+      .select(concat(lit("||"), array_join(col("t"), "||"), lit("||")).as("s"))
+      .localCheckpoint()
+    val tArr = filter(split(col("s"), "\\|\\|"), x => length(x) > 0)
+    val rounds = (1 to MergeRounds).map { r =>
+      val pairs = corpus.select(explode(when(size(tArr) >= 2,
+          zip_with(slice(tArr, lit(1), size(tArr) - 1),
+            slice(tArr, lit(2), size(tArr) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      val top1 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .withColumn("round", lit(r))
+        .withColumn("x", split(col("pair"), " ").getItem(0))
+        .withColumn("y", split(col("pair"), " ").getItem(1))
+        .localCheckpoint()
+      corpus = corpus
+        .withColumn("jk", pmod(length(col("s")), lit(1)))
+        .join(broadcast(top1.select(col("x"), col("y"),
+          pmod(col("cnt"), lit(1L)).cast("int").as("jk"))), Seq("jk"))
+        .select(replace(col("s"),
+          concat(lit("|"), col("x"), lit("||"), col("y"), lit("|")),
+          concat(lit("|"), col("x"), lit("_"), col("y"), lit("|"))).as("s"))
+        .localCheckpoint()
+      val stats = corpus.select(explode(tArr).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab_size"),
+          count(lit(1)).as("corpus_tokens"))
+        .withColumn("jk", pmod(col("corpus_tokens"), lit(1L)).cast("int"))
+      top1.withColumn("jk", pmod(col("cnt"), lit(1L)).cast("int"))
+        .join(broadcast(stats), Seq("jk"))
+        .select(col("round"), col("pair"),
+          regexp_replace(col("pair"), " ", "_").as("merged"),
+          col("cnt"), col("vocab_size"), col("corpus_tokens"))
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
 }

@@ -482,4 +482,38 @@ class OpsSpec extends SparkSpec {
     // nothing below the min count leaks in
     assert(got.values.forall(_._1 >= graft.ops.TextAnalysis.PmiMinCount))
   }
+
+  test("bpeMerges: greedy left-to-right, consecutive occurrences, ties, merged-token reuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Corpus tuned so the merge sequence is hand-checkable:
+    //  doc 1: "a b a b a b"   -> pair "a b" x3 (consecutive occurrences)
+    //  doc 2: "c c c"         -> pair "c c" x2 OVERLAPPING (greedy -> 1 merge)
+    //  doc 3: "a b c c"       -> "a b" x1, "c c" x1
+    // Round 1 counts: "a b"=4, "b a"=2, "c c"=3, "b c"=1 -> merge "a b".
+    // Round 2 corpus: [a_b a_b a_b], [c c c], [a_b c c]:
+    //   "a_b a_b"=2, "c c"=3 (2 overlapping + 1) -> merge "c c" (greedy:
+    //   doc 2 [c,c,c] -> [c_c, c]).
+    // Round 3 corpus: [a_b a_b a_b], [c_c c], [a_b c_c]:
+    //   "a_b a_b"=2 (greedy: doc 1 -> [a_b_a_b, a_b]), others 1 -> merge it.
+    val docs = Seq((1L, "a b a b a b"), (2L, "c c c"), (3L, "a b c c"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeMergesFrame(docs)
+      .select(col("round"), col("pair"), col("merged"), col("cnt"),
+        col("vocab_size"), col("corpus_tokens"))
+      .as[(Int, String, String, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // after r1: [a_b,a_b,a_b],[c,c,c],[a_b,c,c] = 9 tokens, vocab {a_b,c}
+    assert(got(0) === ((1, "a b", "a_b", 4L, 2L, 9L)))
+    assert(got(1)._1 === 2 && got(1)._2 === "c c" && got(1)._3 === "c_c")
+    // cnt counts PAIR OCCURRENCES: [c,c,c] contributes 2, doc 3 adds 1
+    assert(got(1)._4 === 3L)
+    assert(got(1)._5 === 3L) // vocab after r2: {a_b, c_c, c}
+    assert(got(2)._1 === 3 && got(2)._2 === "a_b a_b" && got(2)._4 === 2L)
+    // greedy application: after r2, doc 2 is [c_c, c] (NOT [c_c, c_c]);
+    // corpus tokens after r2 = 3 (doc1) + 2 (doc2) + 2 (doc3) = 7
+    assert(got(1)._6 === 7L)
+    // after r3, doc 1 is [a_b_a_b, a_b] -> corpus = 2 + 2 + 2 = 6
+    assert(got(2)._6 === 6L)
+  }
 }
