@@ -237,6 +237,18 @@ object StreamBench {
             concat_ws(" ", (0 until 12).map(i =>
               concat(lit(('a' + i).toChar.toString), v % 10000)): _*).as("text"))
             .as(org.apache.spark.sql.Encoders.product[StreamOps.DocStreamEvent])).toDF(),
+        OutputMode.Update())),
+      // streaming inverted-index maintenance (TWS port #7): 12-token docs
+      // over a ~60k-term vocabulary (12 tokens/doc → ~12 term-state
+      // touches per doc: a ValueState counter bump + a MapState point put
+      // each, plus the bounded head re-rank) — the live-index crawl
+      // regime t19 serves in batch
+      "inverted_index_tws" -> (() => Pipeline(
+        StreamOps.invertedIndexStream(
+          rate().select(v.as("doc_id"), col("timestamp").as("ts"),
+            concat_ws(" ", (0 until 12).map(i =>
+              concat(lit(('a' + i).toChar.toString), (v + i * 37) % 5000)): _*).as("text"))
+            .as(org.apache.spark.sql.Encoders.product[StreamOps.DocStreamEvent])).toDF(),
         OutputMode.Update())))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

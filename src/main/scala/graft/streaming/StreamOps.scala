@@ -511,6 +511,79 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class TermPosting(term: String, doc_id: Long, tf: Long)
+  case class IndexHead(term: String, df: Long, corpus_tf: Long, rk: Int,
+      doc_id: Long, tf: Long)
+
+  /** STREAMING INVERTED-INDEX MAINTENANCE — TWS port #7, the live
+    * counterpart of the batch t19 build: a crawl stream of documents
+    * continuously maintains, per term, the document frequency, corpus
+    * term frequency, and the top-`topDocs` posting head — the index a
+    * retrieval tier reads while ingest never stops.
+    *
+    * Input semantics are each-doc-once (a crawl ingest: every doc_id
+    * arrives exactly once — recrawls are new doc_ids), so df increments
+    * UNCONDITIONALLY per posting and needs no seen-docs set; the only
+    * state per term is two O(1) counters (ValueState) plus the head map
+    * capped at topDocs + margin (MapState — each posting is an individual
+    * store key, so a one-doc update is a RocksDB point put, the
+    * incremental-top-N discipline, not a blob rewrite). Eviction keeps
+    * (tf desc, doc_id asc): a capped head can momentarily under-rank a
+    * future heavy doc that was never evicted — the same bounded-state
+    * approximation incrementalTopN documents; widen `margin` to make it
+    * arbitrarily rare. The per-doc (term, tf) pairs are built INSIDE the
+    * row (array_distinct × in-doc count — O(distinct·len) per doc,
+    * bounded by upstream chunking), so the only shuffle is the term
+    * grouping itself. */
+  def invertedIndexStream(docs: Dataset[DocStreamEvent], topDocs: Int = 3,
+      margin: Int = 8): Dataset[IndexHead] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    docs.toDF()
+      .select(col("doc_id"), explode(transform(array_distinct(toks),
+        t => struct(t.as("term"),
+          size(filter(toks, x => x === t)).cast("long").as("tf")))).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("p.tf").as("tf"))
+      .as[TermPosting]
+      .groupByKey(_.term)
+      .transformWithState(new InvertedIndexProcessor(topDocs, margin),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TermCounters(df: Long, tf: Long)
+
+  /** See [[invertedIndexStream]]. Emits the refreshed head for every
+    * term touched in the batch. */
+  class InvertedIndexProcessor(n: Int, margin: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TermPosting, IndexHead] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var counters: ValueState[TermCounters] = _
+    @transient private var head: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getValueState[TermCounters]("counters",
+        Encoders.product[TermCounters], TTLConfig.NONE)
+      head = getHandle.getMapState[Long, Long]("head",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(term: String, rows: Iterator[TermPosting],
+        timers: TimerValues): Iterator[IndexHead] = {
+      var c = if (counters.exists()) counters.get() else TermCounters(0L, 0L)
+      rows.foreach { p =>
+        c = TermCounters(c.df + 1, c.tf + p.tf)
+        head.updateValue(p.doc_id, p.tf)
+      }
+      counters.update(c)
+      val ranked = head.iterator().map { case (d, t) => (d, t) }.toSeq
+        .sortBy { case (d, t) => (-t, d) }
+      ranked.drop(n + margin).foreach { case (d, _) => head.removeKey(d) }
+      ranked.take(n).zipWithIndex.map { case ((d, t), i) =>
+        IndexHead(term, c.df, c.tf, i + 1, d, t)
+      }.iterator
+    }
+  }
+
   case class ChangelogEntry(group: String, id: Long, value: Option[Double])
   case class ChartRow(group: String, pos: Int, id: Long, value: Double)
 

@@ -878,4 +878,60 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.forall(_.owner_doc === 1L))
     }
   }
+
+  test("invertedIndexStream (TWS port #7): df/tf accumulate cross-batch; head ranks " +
+      "tf desc / doc asc; emissions match the batch t19 semantics") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[DocStreamEvent]
+    runQuery(invertedIndexStream(in.toDS()).toDF(), "iis", OutputMode.Update()) {
+      in.addData(DocStreamEvent(1L, ts(1000), "cat dog cat"),
+        DocStreamEvent(2L, ts(1001), "dog cat"))
+      qProcess("iis")
+      in.addData(DocStreamEvent(3L, ts(2000), "cat fish fish fish"))
+      qProcess("iis")
+    }
+    val rows = spark.table("iis").as[IndexHead].collect()
+    // latest emission per term = the rows with that term's max df
+    val latest = rows.groupBy(_.term).map { case (t, rs) =>
+      t -> rs.filter(_.df == rs.map(_.df).max).sortBy(_.rk)
+    }
+    // cat after batch 2: df=3, corpus_tf=4, head (1,tf2),(3,tf1),(2,tf1)
+    val cat = latest("cat")
+    assert(cat.map(h => (h.df, h.corpus_tf)).distinct === List((3L, 4L)))
+    assert(cat.map(h => (h.rk, h.doc_id, h.tf)) ===
+      List((1, 1L, 2L), (2, 2L, 1L), (3, 3L, 1L)))
+    // fish: single doc, tf 3
+    assert(latest("fish").map(h => (h.df, h.corpus_tf, h.rk, h.doc_id, h.tf)) ===
+      List((1L, 3L, 1, 3L, 3L)))
+    // dog saw no batch-2 update: its batch-1 emission is the latest
+    assert(latest("dog").map(h => (h.rk, h.doc_id, h.tf)) ===
+      List((1, 1L, 1L), (2, 2L, 1L)))
+    // batch-1 cat emission had df=2/tf=3 (cross-batch accumulation is real)
+    assert(rows.filter(r => r.term == "cat" && r.df == 2L)
+      .map(r => r.corpus_tf).distinct.toList === List(3L))
+  }}
+
+  test("invertedIndexStream eviction: the capped head keeps the heavy docs, counters stay exact") {
+    withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[DocStreamEvent]
+    runQuery(invertedIndexStream(in.toDS(), topDocs = 1, margin = 1).toDF(),
+        "iiscap", OutputMode.Update()) {
+      // doc 1: z x3; doc 2: z x2; doc 3: z x1 -> head cap 2 evicts doc 3
+      in.addData(DocStreamEvent(1L, ts(1000), "z z z"))
+      qProcess("iiscap")
+      in.addData(DocStreamEvent(2L, ts(2000), "z z"))
+      qProcess("iiscap")
+      in.addData(DocStreamEvent(3L, ts(3000), "z"))
+      qProcess("iiscap")
+    }
+    val rows = spark.table("iiscap").as[IndexHead].collect()
+    val last = rows.filter(_.df == 3L)
+    // counters exact over ALL postings (6 = 3+2+1) even with eviction
+    assert(last.map(h => (h.df, h.corpus_tf)).distinct.toList === List((3L, 6L)))
+    // the emitted head (topDocs=1) is the heaviest doc
+    assert(last.map(h => (h.rk, h.doc_id, h.tf)).toList === List((1, 1L, 3L)))
+  }}
 }
