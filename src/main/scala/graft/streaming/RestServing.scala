@@ -420,6 +420,93 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   }
 }
 
+/** TEXT SEARCH SERVING TIER — term-lookup and multi-term tf-idf search
+  * over the t19 inverted index (the retrieval analog of
+  * [[VectorRestServing]]: batch builds the index, the serving tier
+  * answers point queries without re-scanning the corpus). The postings
+  * table — (term, doc_id, tf, first_pos), the t19 materialization — and
+  * the vocabulary-grain stats table are built ONCE at `start()` and stay
+  * checkpointed executor-side; nothing corpus-sized ever reaches the
+  * serving process (responses are top-k, term stats are one row).
+  *
+  * Endpoints (GET, JSON):
+  *  - `/search/term?t={term}&k=10` — the term's posting head (tf desc,
+  *    doc_id asc) plus its df/corpus_tf stats; 404 for an absent term
+  *    (the reference's byKey 404 discipline)
+  *  - `/search?q=t1+t2+…&k=10` — multi-term tf-idf search: docs
+  *    matching ANY query term, scored Σ tf·idf with t10's smoothed idf
+  *    (ln((N+1)/(df+1))+1); per-term idfs come from the stats rows for
+  *    the query terms only (bounded by query length), candidates from
+  *    the postings rows for those terms — never a corpus scan. */
+class SearchRestServing(spark: SparkSession, documentsPath: String)
+    extends HttpJsonServer {
+  import org.apache.spark.sql.DataFrame
+
+  private var postings: DataFrame = _
+  private var stats: DataFrame = _
+  private var nDocs: Long = _
+
+  def start(bindPort: Int = 0): Int = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    postings = spark.read.parquet(documentsPath)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1L).as("first_pos"))
+      .localCheckpoint()
+    stats = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).cast("long").as("corpus_tf"))
+      .localCheckpoint()
+    nDocs = postings.select(col("doc_id")).distinct().count()
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/search/term", handlerQ { (path, q) =>
+      if (path != "/search/term") (404, """{"error":"not found"}""")
+      else {
+        val t = q.getOrElse("t",
+          throw new IllegalArgumentException("t=<term> is required"))
+        val k = q.getOrElse("k", "10").toInt
+        val st = stats.filter(col("term") === t).toJSON.collect()
+        if (st.isEmpty) (404, s"""{"error":"term not found"}""")
+        else {
+          val head = postings.filter(col("term") === t)
+            .orderBy(col("tf").desc, col("doc_id").asc).limit(k)
+            .select(col("doc_id"), col("tf"), col("first_pos"))
+            .toJSON.collect()
+          (200, s"""{"stats":${st.head},"postings":${head.mkString("[", ",", "]")}}""")
+        }
+      }
+    })
+    server.createContext("/search", handlerQ { (path, q) =>
+      if (path != "/search") (404, """{"error":"not found"}""")
+      else {
+        val terms = q.getOrElse("q",
+          throw new IllegalArgumentException("q=t1+t2+... is required"))
+          .split("[ +]+").filter(_.nonEmpty).distinct.toSeq
+        val k = q.getOrElse("k", "10").toInt
+        if (terms.isEmpty) (400, """{"error":"empty query"}""")
+        else {
+          // idfs for the query terms only — bounded by query length
+          val idf = stats.filter(col("term").isin(terms: _*))
+            .select(col("term"),
+              (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+          val rows = postings.filter(col("term").isin(terms: _*))
+            .join(broadcast(idf), Seq("term"))
+            .groupBy(col("doc_id"))
+            .agg(round(sum(col("tf") * col("idf")), 6).as("score"),
+              count(lit(1)).as("n_terms"))
+            .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+            .toJSON.collect()
+          (200, rows.mkString("[", ",", "]"))
+        }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+}
+
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
 private[streaming] trait HttpJsonServer {

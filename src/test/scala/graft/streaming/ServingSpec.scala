@@ -420,4 +420,54 @@ class ServingSpec extends SparkSpec {
       assert(get("/ann/topk?vec=0,0,0,0,0,0,0,0")._1 === 400)
     } finally rest.stop()
   }
+
+  test("search serving: term lookup returns stats + posting head, 404 on absent terms; " +
+      "multi-term tf-idf ranking matches the hand-computed scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog cat"),
+      (3L, "cat fish fish fish"),
+      (4L, "dog dog dog dog"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-search").toString + "/docs.parquet"
+    docs.write.parquet(path)
+    val rest = new SearchRestServing(spark, path)
+    val port = rest.start(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // term lookup: cat df=3 corpus_tf=4; head (1,tf2),(2,tf1),(3,tf1)
+      val (sc, body) = get("/search/term?t=cat&k=2")
+      assert(sc === 200, body)
+      assert(body.contains("\"df\":3") && body.contains("\"corpus_tf\":4"))
+      val headIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+      assert(headIds === Seq(1, 2)) // k=2 caps the head; tf desc, doc asc
+      assert(get("/search/term?t=zebra")._1 === 404)
+      // multi-term search "cat fish": N=4 docs;
+      //   idf(cat) = ln(5/4)+1, idf(fish) = ln(5/2)+1
+      //   doc1: 2*idf_cat; doc2: 1*idf_cat; doc3: 1*idf_cat + 3*idf_fish
+      // -> ranking doc3, doc1, doc2
+      val (s2, b2) = get("/search?q=cat+fish&k=3")
+      assert(s2 === 200, b2)
+      val ranked = "\"doc_id\":(\\d+)".r.findAllMatchIn(b2).map(_.group(1).toInt).toSeq
+      assert(ranked === Seq(3, 1, 2), b2)
+      val idfCat = math.log(5.0 / 4.0) + 1.0
+      val idfFish = math.log(5.0 / 2.0) + 1.0
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(b2.contains(s""""score":${r6(1 * idfCat + 3 * idfFish)}"""), b2)
+      assert(b2.contains(s""""score":${r6(2 * idfCat)}"""), b2)
+      // doc3 matched both query terms
+      assert(b2.contains("\"n_terms\":2"), b2)
+      // client errors: missing q
+      assert(Set(400, 500).contains(get("/search?k=3")._1))
+    } finally rest.stop()
+  }
 }
