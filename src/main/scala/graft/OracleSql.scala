@@ -757,6 +757,38 @@ object OracleSql {
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
     },
+    "s15_kmeans_cells" -> {
+      val stride = Similarity.CentroidStride
+      // same generated Lloyd chain as s8 (one assign→recenter block per
+      // round, sequential-double recenter), rolled up to cluster grain
+      val iters = Similarity.LloydIters
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $stride = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |asn AS (SELECT vec_id, cent_id AS cell, csim
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored) WHERE rk = 1)
+         |SELECT cell, count(*) AS n_members, round(min(csim), 6) AS min_sim,
+         |  round(max(csim), 6) AS max_sim FROM asn GROUP BY cell""".stripMargin
+    },
     "s9_quantize_stats" ->
       ("""WITH q AS (SELECT vec_id, embedding,
         |    list_max([abs(CAST(embedding[i] AS DOUBLE))

@@ -134,6 +134,9 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t21_bpe_merges", "nothing round-trips through the driver: every merge round's winning pair is a checkpointed one-row DataFrame (ExistingRDD) folded back on a non-foldable zero key (BroadcastHashJoin, never a nested loop), each round's corpus is checkpointed so round k never re-executes rounds 1..k-1, and the result union reads ONLY materializations — zero parquet re-scans in the final plan",
         Seq("ExistingRDD", "BroadcastHashJoin"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("s15_kmeans_cells", "the cluster summary reads the CHECKPOINTED ivfIndex assignment and centroid tables (ExistingRDD — the n×C Lloyd build ran inside the checkpoints, exactly s8's shape), joins them KEYED on cell id (un-hinted — AQE owns broadcast-vs-shuffle as C grows), and rolls up map-side — no all-pairs, no corpus re-scan",
+        Seq("ExistingRDD", "partial_count"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 

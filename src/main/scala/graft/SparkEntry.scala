@@ -115,6 +115,7 @@ object SparkEntry {
     "s12_neardup_scaled" -> ((s: SparkSession, dir: String) =>
       Similarity.bucketedNearDupWith(s, dir, Similarity.ScaledPlanes)),
     "s13_ivf_scaled"    -> (Similarity.ivfTopKScaled _),
+    "s15_kmeans_cells"  -> (Similarity.kmeansCells _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -311,6 +311,33 @@ object Similarity {
     (nearestCells(emb, 1, cents).localCheckpoint(), cents)
   }
 
+  /** CORPUS CLUSTERING SUMMARY — k-means over the embedding corpus
+    * exposed as a first-class operator (the SemDeDup/DSIR-style
+    * cluster-then-sample step: diversity sampling, per-cluster budgets,
+    * outlier triage all read this table). Reuses [[ivfIndex]] wholesale —
+    * deterministic stride seeding + Lloyd refinement with the
+    * vec_id-ordered sequential-double recenter the DuckDB oracle
+    * reproduces bit-exactly — and rolls the ASSIGNMENT up to cluster
+    * grain: member count plus the min/max member→centroid cosine
+    * (cluster tightness and worst member). min/max are ORDER-FREE — no
+    * float summation-order hazard — so the summary is cross-engine
+    * exact without the sequential-fold machinery a mean would need. The
+    * cells⋈centroids join is keyed on cell id and reaches AQE UN-hinted
+    * (centroid count is corpus/stride here; the production √n-stride
+    * rule is s13's). */
+  def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    val (cells, cents) = ivfIndex(emb, CentroidStride, LloydIters)
+    cells.join(cents, col("cell") === col("cent_id"))
+      .select(col("cell"),
+        (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(min(col("csim")), 6).as("min_sim"),
+        round(max(col("csim")), 6).as("max_sim"))
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes

@@ -245,4 +245,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticLabels(spark, sf01) eq
       Similarity.semanticLabels(spark, sf01), "labels must be memoized")
   }
+
+  test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
+    import org.apache.spark.sql.functions.col
+    // Independent reference: run the same seeded Lloyd (stride seeding,
+    // csim-desc/cent-asc assignment, vec_id-ordered sequential-double
+    // recenter) in plain Scala and compare the full cluster summary.
+    val emb = graft.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents: Seq[(Long, Array[Double])] =
+      emb.filter(_._1 % Similarity.CentroidStride == 0).map { case (id, v) => (id, v) }.toSeq
+    def assign(): Map[Long, Seq[(Long, Array[Double], Double)]] =
+      emb.map { case (id, v) =>
+        val best = cents.map { case (cid, c) => (cos(v, c), cid) }
+          .minBy { case (s, cid) => (-s, cid) }
+        (best._2, id, v, best._1)
+      }.groupBy(_._1).map { case (c, ms) =>
+        c -> ms.sortBy(_._2).map(m => (m._2, m._3, m._4)).toSeq
+      }
+    (1 to Similarity.LloydIters).foreach { _ =>
+      cents = assign().toSeq.map { case (c, ms) =>
+        val acc = new Array[Double](ms.head._2.length)
+        ms.foreach { case (_, v, _) => for (i <- acc.indices) acc(i) += v(i) }
+        (c, acc.map(_ / ms.length))
+      }
+    }
+    val expected = assign().map { case (c, ms) =>
+      val sims = ms.map { case (id, v, _) =>
+        cos(v, cents.find(_._1 == c).get._2) }
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c -> ((ms.size.toLong, r6(sims.min), r6(sims.max)))
+    }
+    val got = Similarity.kmeansCells(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    // counts exact; min/max sims equal to 1e-9 (the reference sums in the
+    // same vec_id order, so only rounding-boundary noise remains)
+    expected.foreach { case (c, (n, mn, mx)) =>
+      assert(got(c)._1 === n, s"cell $c size")
+      assert(math.abs(got(c)._2 - mn) < 1e-9, s"cell $c min_sim")
+      assert(math.abs(got(c)._3 - mx) < 1e-9, s"cell $c max_sim")
+    }
+  }
 }
