@@ -215,4 +215,83 @@ class PropertySpec extends SparkSpec {
         s"$label seed $seed frac $frac: got $got expected $expected")
     }
   }
+
+  test("property: invertedIndex equals an in-memory postings reference on generated corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(700 + k, 20)
+      val got = TextAnalysis.invertedIndexFrame(rows.toDF("doc_id", "text"))
+        .as[(String, Long, Long, Int, Long, Long, Long)].collect()
+        .map(r => (r._1, r._4) -> ((r._2, r._3, r._5, r._6, r._7))).toMap
+      // reference: full postings, then stats + head per term
+      val postings = rows.flatMap { case (id, t) =>
+        tokens(t).zipWithIndex.groupBy(_._1).map { case (term, occ) =>
+          (term, id, occ.size.toLong, occ.map(_._2).min.toLong + 1)
+        }
+      }
+      val expected = postings.groupBy(_._1).flatMap { case (term, ps) =>
+        val df = ps.size.toLong
+        val ctf = ps.map(_._3).sum
+        ps.sortBy(p => (-p._3, p._2)).take(TextAnalysis.IndexTopDocs)
+          .zipWithIndex.map { case ((_, doc, tf, fp), i) =>
+            (term, i + 1) -> ((df, ctf, doc, tf, fp)) }
+      }
+      assert(got === expected, s"seed ${700 + k}")
+    }
+  }
+
+  test("property: pmiPairs equals an in-memory reference (counts exact, pmi to 1e-9)") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(800 + k, 24)
+      val got = TextAnalysis.pmiPairsFrame(rows.toDF("doc_id", "text"))
+        .as[(String, Long, Long, Long, Double)].collect()
+      val toks = rows.map { case (_, t) => tokens(t) }
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val big = toks.flatMap(t => t.zip(t.drop(1)).map { case (a, b) => s"$a $b" })
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nUni = uni.values.sum.toDouble
+      val nBig = big.values.sum.toDouble
+      val expected = big.filter(_._2 >= TextAnalysis.PmiMinCount).toSeq.map {
+        case (bg, cxy) =>
+          val Array(x, y) = bg.split(" ")
+          val pmi = math.log(cxy * nUni * nUni / (nBig * uni(x) * uni(y)))
+          (bg, cxy, uni(x), uni(y), pmi)
+      }.sortBy { case (bg, _, _, _, p) => (-p, bg) }.take(TextAnalysis.PmiTopK)
+      assert(got.length === expected.length, s"seed ${800 + k}")
+      got.sortBy(r => (-r._5, r._1)).zip(expected).foreach { case (g, e) =>
+        assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3 && g._4 === e._4,
+          s"seed ${800 + k}: $g vs $e")
+        assert(math.abs(g._5 - BigDecimal(e._5)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"seed ${800 + k}: pmi $g vs $e")
+      }
+    }
+  }
+
+  test("property: bpeMerges equals an in-memory greedy BPE reference on generated corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(900 + k, 16)
+      val got = TextAnalysis.bpeMergesFrame(rows.toDF("doc_id", "text"))
+        .as[(Int, String, String, Long, Long, Long)].collect().sortBy(_._1)
+      // reference: greedy left-to-right merge on token lists
+      def mergeDoc(t: List[String], x: String, y: String): List[String] = t match {
+        case a :: b :: rest if a == x && b == y => s"${x}_$y" :: mergeDoc(rest, x, y)
+        case a :: rest => a :: mergeDoc(rest, x, y)
+        case Nil => Nil
+      }
+      var docs = rows.map { case (_, t) => tokens(t).toList }.filter(_.nonEmpty)
+      val expected = (1 to TextAnalysis.MergeRounds).map { r =>
+        val pairs = docs.flatMap(t => t.zip(t.drop(1)).map { case (a, b) => s"$a $b" })
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        val (pair, cnt) = pairs.minBy { case (p, c) => (-c, p) }
+        val Array(x, y) = pair.split(" ")
+        docs = docs.map(d => mergeDoc(d, x, y))
+        (r, pair, s"${x}_$y", cnt, docs.flatten.distinct.size.toLong,
+          docs.map(_.size.toLong).sum)
+      }
+      assert(got.toSeq === expected, s"seed ${900 + k}")
+    }
+  }
 }
