@@ -43,22 +43,24 @@ object OracleSql {
     * Same affine family as Dedup.minhashSignatures: one md5 per shingle
     * (first 15 hex chars → 60-bit int mod 2^31−1), then (a·h + b) mod p
     * with the (a, b) constants shared via Dedup.minhashPerms. */
-  private val minhashCtes: String = {
+  private def minhashCtesWith(pre: String): String = {
     val p = Dedup.MinhashPrime
     val mhCols = Dedup.minhashPerms.zipWithIndex
       .map { case ((a, b), i) => s"min((h * $a + $b) % $p) AS mh$i" }
       .mkString(", ")
-    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
-       |sh AS (SELECT doc_id,
+    s"""${pre}tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |${pre}sh AS (SELECT doc_id,
        |  CASE WHEN len(t) >= 3
        |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
-       |    ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
-       |ex AS (SELECT doc_id, CAST(list_sum(
+       |    ELSE [array_to_string(t, ' ')] END AS shingles FROM ${pre}tok),
+       |${pre}ex AS (SELECT doc_id, CAST(list_sum(
        |  [(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)::BIGINT << ((15 - i) * 4)
        |   for i in range(1, 16)]) AS BIGINT) % $p AS h
-       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
-       |sig AS (SELECT doc_id, $mhCols FROM ex GROUP BY doc_id)""".stripMargin
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM ${pre}sh)),
+       |${pre}sig AS (SELECT doc_id, $mhCols FROM ${pre}ex GROUP BY doc_id)""".stripMargin
   }
+
+  private val minhashCtes: String = minhashCtesWith("")
 
   /** simhash CTE chain ending in sim(doc_id, simhash). */
   private val simhashCtes: String = {
@@ -597,6 +599,50 @@ object OracleSql {
          |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM bk GROUP BY 1""".stripMargin
+    },
+    "c14_release_manifest" -> {
+      // surv (the c10/c11 funnel chain) composed with the c13 label
+      // chain; the minhash CTEs take the m_ prefix because the funnel
+      // fragment already owns tok/sh/ex
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val trainCut = graft.ops.Composites.SplitTrainCut
+      val valCut = graft.ops.Composites.SplitValCut
+      s"""WITH RECURSIVE $prepFunnelCtes,
+         |${minhashCtesWith("m_")},
+         |banded AS (SELECT doc_id, $bucketCols FROM m_sig),
+         |buckets AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN m_sig sa ON doc_a = sa.doc_id JOIN m_sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |j AS (SELECT s.doc_id, s.lang, s.n_kept,
+         |    COALESCE(l.cluster_id, s.doc_id) AS gid
+         |  FROM surv s LEFT JOIN labels l USING (doc_id)),
+         |bk AS (SELECT lang, n_kept, gid, CAST(list_sum(
+         |    [(strpos('0123456789abcdef', substr(md5(CAST(gid AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |     << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) AS bucket FROM j)
+         |SELECT CASE WHEN bucket < $trainCut THEN 'train'
+         |    WHEN bucket < $valCut THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_kept) AS BIGINT) AS kept_tokens
+         |FROM bk GROUP BY 1, 2""".stripMargin
     },
     "d9_contamination" ->
       (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),

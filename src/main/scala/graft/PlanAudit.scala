@@ -137,7 +137,10 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s15_kmeans_cells", "the cluster summary reads the CHECKPOINTED ivfIndex assignment and centroid tables (ExistingRDD — the n×C Lloyd build ran inside the checkpoints, exactly s8's shape), joins them KEYED on cell id (un-hinted — AQE owns broadcast-vs-shuffle as C grows), and rolls up map-side — no all-pairs, no corpus re-scan",
         Seq("ExistingRDD", "partial_count"),
-        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c14_release_manifest", "the manifest is PURE COMPOSITION over memoized materializations: the survivor set and the d8 cluster labels are both ExistingRDD (the funnel gates and the LSH+CC labeling each ran once, in their own phases), one LEFT join on doc_id, integer split cuts, map-side rollup — zero parquet scans, zero gate or label re-execution",
+        Seq("ExistingRDD", "partial_count"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin", "Generate explode"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

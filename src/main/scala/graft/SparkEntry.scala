@@ -101,6 +101,7 @@ object SparkEntry {
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
     "c13_leakage_split" -> (Composites.leakageSplit _),
+    "c14_release_manifest" -> (Composites.releaseManifest _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -484,6 +484,42 @@ object Composites {
         sum(col("n_tokens")).cast(LongType).as("total_tokens"))
   }
 
+  /** c14: the RELEASE MANIFEST — the summary table every training-data
+    * release ships: the funnel's cleaned survivor corpus (c10's gates,
+    * read from the MATERIALIZED survivor set) assigned to leakage-safe
+    * train/val/test splits at DEDUP-CLUSTER grain (c13's rule: a group's
+    * md5 bucket — not the doc's — picks the split, so near-duplicates
+    * never straddle eval boundaries), rolled up per (split, lang) with
+    * document counts, distinct group counts and the KEPT token budget
+    * (t13's post-cleanup measure — what the trainer actually sees).
+    *
+    * Pure composition, zero recomputation: reads [[prepSurvivorsMemo]]
+    * and [[graft.ops.Dedup.clusterLabels]] (both memoized
+    * materializations — production persists them once), one LEFT join,
+    * integer split cuts (no float boundary drift), map-side rollup. The
+    * exact per-cell distinct-group count is the oracle-checkable form;
+    * at 100 TB it becomes approx_count_distinct (t9's HLL++ path). */
+  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val surv = prepSurvivorsMemo(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_kept"))
+    val labels = Dedup.clusterLabels(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = conv(substring(md5(col("gid").cast("string")), 1, 4), 16, 10)
+      .cast(LongType)
+    surv
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < SplitTrainCut, "train")
+          .when(col("bucket") < SplitValCut, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gid")).as("n_groups"),
+        sum(col("n_kept")).cast(LongType).as("kept_tokens"))
+  }
+
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window
     * (the reference's KTable filter on windowed counts, O7 over W1; the
     * reference flags ≥3/min — the testdata's event rate is lower, so the

@@ -483,6 +483,24 @@ class OpsSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= graft.ops.TextAnalysis.PmiMinCount))
   }
 
+  test("releaseManifest: per-lang totals equal the survivor set; every cell lands in a real split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val man = Composites.releaseManifest(spark, sf001).collect()
+    assert(man.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // summing the manifest over splits recovers the survivor corpus
+    // exactly (docs and kept-token budget per language)
+    val got = man.groupBy(_.getString(1)).view.mapValues(rs =>
+      (rs.map(_.getLong(2)).sum, rs.map(_.getLong(4)).sum)).toMap
+    val surv = Composites.prepSurvivorsMemo(spark, sf001)
+      .groupBy(col("lang"))
+      .agg(fsum(org.apache.spark.sql.functions.lit(1L)).as("n"),
+        fsum(col("n_kept")).as("k"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === surv)
+  }
+
   test("bpeMerges: greedy left-to-right, consecutive occurrences, ties, merged-token reuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
