@@ -1173,6 +1173,28 @@ object OracleSql {
         |      for i in range(1, length(norm) + 1)], (acc, x) -> acc * 31 + x)
         |  END AS BIGINT) AS min_shingle_hash
         |FROM n""".stripMargin),
+    "t22_winnowing" -> {
+      val w = graft.ops.TextAnalysis.WinnowW
+      val poly = """unicode(substr(norm, i, 1))::BIGINT * 923521
+        |      + unicode(substr(norm, i + 1, 1))::BIGINT * 29791
+        |      + unicode(substr(norm, i + 2, 1))::BIGINT * 961
+        |      + unicode(substr(norm, i + 3, 1))::BIGINT * 31
+        |      + unicode(substr(norm, i + 4, 1))::BIGINT""".stripMargin
+      s"""WITH n AS (SELECT doc_id,
+         |  regexp_replace(trim(lower(text)), '$ws+', ' ', 'g') AS norm FROM documents),
+         |h AS (SELECT doc_id, [$poly
+         |    for i in range(1, length(norm) - 3)] AS hs
+         |  FROM n WHERE length(norm) >= ${4 + w}),
+         |sel AS (SELECT doc_id, hs, list_distinct([
+         |    list_reduce([hs[j] * 1048576 + j for j in range(i, i + $w)],
+         |      (a, b) -> CASE WHEN (b >> 20) <= (a >> 20) THEN b ELSE a END)
+         |    for i in range(1, len(hs) - ${w - 2})]) AS fps FROM h)
+         |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_grams,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(list_sum([f >> 20 for f in fps]) AS BIGINT) AS fp_sum,
+         |  CAST(list_min(fps) >> 20 AS BIGINT) AS min_fp
+         |FROM sel""".stripMargin
+    },
     // composite topologies
     "c1_pageview_region" ->
       ("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS window_start,

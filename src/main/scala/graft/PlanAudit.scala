@@ -140,7 +140,10 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c14_release_manifest", "the manifest is PURE COMPOSITION over memoized materializations: the survivor set and the d8 cluster labels are both ExistingRDD (the funnel gates and the LSH+CC labeling each ran once, in their own phases), one LEFT join on doc_id, integer split cuts, map-side rollup — zero parquet scans, zero gate or label re-execution",
         Seq("ExistingRDD", "partial_count"),
-        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin", "Generate explode"))
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin", "Generate explode")),
+      ("t22_winnowing", "winnowing is ONE narrow projection pipeline like t4: the gram-hash array built once (staggered-slice zip), the w windows four more zipped slices with a rightmost-min fold, packed-integer distinct — per-row array math, no shuffle, no window, no UDF",
+        Seq("zip_with"),
+        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -135,6 +135,7 @@ object SparkEntry {
     "t19_inverted_index" -> (TextAnalysis.invertedIndex _),
     "t20_pmi_pairs"     -> (TextAnalysis.pmiPairs _),
     "t21_bpe_merges"    -> (TextAnalysis.bpeMerges _),
+    "t22_winnowing"     -> (TextAnalysis.winnowing _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

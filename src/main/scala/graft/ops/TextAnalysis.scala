@@ -750,6 +750,73 @@ object TextAnalysis {
       .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("pmi"))
   }
 
+  /** Winnowing window: fingerprints = rightmost minimum of every
+    * `WinnowW` consecutive 5-gram hashes. */
+  val WinnowW = 4
+
+  /** WINNOWING FINGERPRINTS — the Schleimer/Winnowing (MOSS) local
+    * fingerprint selection over t4's rolling 5-gram hashes: slide a
+    * window of [[WinnowW]] consecutive hashes and select the RIGHTMOST
+    * minimum in each (the paper's tie rule), de-duplicated — the
+    * guarantee is one fingerprint per window, so any shared substring of
+    * ≥ w+k−1 chars between two documents shares at least one
+    * fingerprint, with ~2/(w+1) density instead of t4's single global
+    * minimum. Emitted per doc: gram count, fingerprint count, and the
+    * ORDER-FREE set aggregates (sum and min of the selected hashes —
+    * commutative 64-bit adds, no float or ordering hazard), which is
+    * what a cross-doc plagiarism join keys on at scale.
+    *
+    * Pure per-row array math — the hash array is built once (t4's
+    * staggered-slice zip), the w windows are four more staggered slices
+    * zipped with a rightmost-min fold, and nothing shuffles at all:
+    * linear in corpus bytes at any scale. Docs shorter than w+k−1 chars
+    * have no full window and fall back to t4's global-min form (they
+    * emit no row here; both engines filter identically). */
+  def winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[winnowing]] — any (doc_id, text). */
+  def winnowingFrame(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), Ws + "+", " ")
+    val codes = transform(filter(split(col("norm"), ""), ch => length(ch) === 1),
+      ch => ascii(ch))
+    val c = col("codes")
+    val m = size(c) - 4
+    def sl(k: Int) = slice(c, lit(k), m)
+    val hs = zip_with(zip_with(zip_with(zip_with(
+        sl(1), sl(2), (a, b) => a.cast("long") * 31L + b),
+        sl(3), (a, b) => a * 31L + b),
+        sl(4), (a, b) => a * 31L + b),
+        sl(5), (a, b) => a * 31L + b)
+    // (hash, position) packed into ONE BIGINT — h·2²⁰ + p — because the
+    // distinct step must run on a primitive list in both engines
+    // (DuckDB's list_distinct has no struct support). h < 2³⁶ (base-31
+    // over 5 chars), so the pack fits with room for p < 2²⁰ positions
+    // (docs to ~1M grams; chunk longer inputs upstream). The fold
+    // compares h alone (integer div), so equal hashes keep the LATER
+    // element — the paper's rightmost tie rule.
+    val st = zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
+      (h, p) => h * 1048576L + p)
+    val mw = size(col("st")) - (WinnowW - 1)
+    def sw(k: Int) = slice(col("st"), lit(k), mw)
+    def pick(a: Column, b: Column) =
+      when(shiftright(b, 20) <= shiftright(a, 20), b).otherwise(a)
+    val sel = zip_with(zip_with(zip_with(sw(1), sw(2), pick _), sw(3), pick _),
+      sw(4), pick _)
+    documents
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 4 + WinnowW) // k + w - 1 = 8 chars
+      .withColumn("codes", codes)
+      .withColumn("hs", hs)
+      .withColumn("st", st)
+      .withColumn("fps", array_distinct(sel))
+      .select(col("doc_id"), size(col("hs")).as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L),
+          (acc, f) => acc + shiftright(f, 20)).as("fp_sum"),
+        shiftright(array_min(col("fps")), 20).as("min_fp"))
+  }
+
   /** BPE merge rounds — enough to show the vocab/token curve bending. */
   val MergeRounds = 6
 

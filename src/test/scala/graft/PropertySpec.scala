@@ -269,6 +269,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnowing equals an in-memory reference; density and guarantee hold") {
+    import spark.implicits._
+    val w = TextAnalysis.WinnowW
+    // reference winnowing over the same base-31 5-gram hashes
+    def fingerprints(text: String): Option[(Int, Set[(Long, Int)])] = {
+      val norm = text.trim.toLowerCase.replaceAll("[ \t\n\f\r]+", " ")
+      if (norm.length < 4 + w) return None
+      val hs = (0 to norm.length - 5).map { i =>
+        norm.substring(i, i + 5).foldLeft(0L)((acc, ch) => acc * 31 + ch.toLong)
+      }
+      val sel = (0 to hs.length - w).map { i =>
+        // rightmost minimum of hs[i..i+w-1], 1-based positions
+        (i until i + w).map(j => (hs(j), j + 1))
+          .reduceLeft((a, b) => if (b._1 <= a._1) b else a)
+      }
+      Some((hs.length, sel.toSet))
+    }
+    (1 to 3).foreach { k =>
+      val rows = corpus(950 + k, 20)
+      val got = TextAnalysis.winnowingFrame(rows.toDF("doc_id", "text"))
+        .as[(Long, Int, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val expected = rows.flatMap { case (id, t) =>
+        fingerprints(t).map { case (n, fps) =>
+          id -> ((n, fps.size.toLong, fps.toSeq.map(_._1).sum, fps.map(_._1).min))
+        }
+      }.toMap
+      assert(got === expected, s"seed ${950 + k}")
+      // density sanity: fingerprints per gram ≈ 2/(w+1), never > 1
+      got.values.foreach { case (n, nfp, _, _) =>
+        assert(nfp <= n && nfp >= (n - (w - 1) + w - 1) / w)
+      }
+    }
+    // the winnowing GUARANTEE: two docs sharing a substring of
+    // ≥ w+k−1 = 8 chars share at least one fingerprint VALUE
+    val shared = "qqqwwweeerrr"
+    val a = s"aaa111 $shared 222bbb"
+    val b = s"zzz999 $shared 888yyy"
+    val fa = fingerprints(a).get._2
+    val fb = fingerprints(b).get._2
+    assert(fa.map(_._1).intersect(fb.map(_._1)).nonEmpty)
+  }
+
   test("property: bpeMerges equals an in-memory greedy BPE reference on generated corpora") {
     import spark.implicits._
     (1 to 3).foreach { k =>
