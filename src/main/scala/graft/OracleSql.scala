@@ -1329,6 +1329,20 @@ object OracleSql {
         |  CAST(max(n % 480 + 16) AS INTEGER) AS max_height,
         |  CAST(sum(n % 30 + 1) AS BIGINT) AS total_frames
         |FROM f GROUP BY media_type""".stripMargin),
+    // the audio o18: the oracle recomputes the sample statistics straight
+    // from the text the PCM payload was synthesized from, so equality
+    // proves the WAV encode->parse round-trip lossless
+    "m5_audio_stats" ->
+      ("""WITH s AS (SELECT doc_id,
+        |  [(unicode(substr(text, i, 1)) - 96) * 256
+        |    for i in range(1, length(text) + 1)] AS v FROM documents)
+        |SELECT doc_id, CAST(len(v) AS INTEGER) AS n_samples,
+        |  CAST(CASE WHEN len(v) = 0 THEN 0
+        |    ELSE list_max([abs(x) for x in v]) END AS INTEGER) AS peak,
+        |  CAST(coalesce(list_sum([abs(x) for x in v]), 0) AS BIGINT) AS sum_abs,
+        |  CAST(len([i for i in range(1, len(v)) if v[i] * v[i+1] < 0]) AS BIGINT)
+        |    AS n_zero_cross
+        |FROM s""".stripMargin),
     // KafkaMusic chart: plays>=30s -> song join -> count -> top-5 per
     // genre + top-5 overall ('all'), ties plays-desc/song_id-asc
     "c7_music_chart" ->

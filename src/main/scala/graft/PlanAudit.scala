@@ -143,6 +143,9 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin", "Generate explode")),
       ("t22_winnowing", "winnowing is ONE narrow projection pipeline like t4: the gram-hash array built once (staggered-slice zip), the w windows four more zipped slices with a rightmost-min fold, packed-integer distinct — per-row array math, no shuffle, no window, no UDF",
         Seq("zip_with"),
+        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+      ("m5_audio_stats", "the sample-grain WAV walk is a NARROW batched mapPartitions (one iterator per partition, the mapInPandas shape) with no exchange anywhere — per-doc rows in, per-doc stats out, linear in corpus bytes",
+        Seq("MapPartitions"),
         Seq("Exchange hashpartitioning", "Window", "BatchEvalPython"))
     )
 

@@ -141,6 +141,7 @@ object SparkEntry {
     "m2_frame_sample"   -> (Multimodal.frameSample _),
     "m3_thumbnail_plan" -> (Multimodal.thumbnailPlan _),
     "m4_phash_pairs"    -> (Multimodal.phashPairs _),
+    "m5_audio_stats"    -> (Multimodal.audioStats _),
     "t7_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "t8_repetition"     -> (TextAnalysis.repetitionScore _),
     // composite reference topologies

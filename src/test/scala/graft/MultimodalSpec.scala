@@ -161,4 +161,29 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
       s"the noise raster must not pair within hamming ${Multimodal.PhashHammingMax}: $got")
   }
+
+  test("synthWav emits a well-formed PCM container; audio stats hand-check") {
+    // "ab z": samples (97-96, 98-96, 32-96, 122-96)·256 = 256, 512, -16384, 6656
+    val p = Multimodal.synthWav("ab z")
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    assert(new String(p, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(p, 8, 4, "US-ASCII") === "WAVE")
+    assert(le16(20) === 1 && le16(22) === 1) // PCM, mono
+    assert(le16(34) === 16 && le32(40) === 8) // 16-bit, 4 samples
+    assert(le32(4) === 36 + 8 && p.length === 44 + 8)
+    // the REAL header decoder agrees on the frame count
+    val feats = Multimodal.Decode.decodeWav(
+      Multimodal.MediaRecord(1L, "audio/wav", p))
+    assert(feats.exists(_.n_frames === 4))
+    // sample stats through the REAL distributed op (frame-level form):
+    // peak = |−64·256| = 16384, sum_abs = 256+512+16384+6656 = 23808,
+    // zero crossings at 512→−16384 and −16384→6656
+    import spark.implicits._
+    val got = Multimodal.audioStatsFrame(
+        Seq((7L, "ab z"), (8L, "")).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((7L, 4, 16384, 23808L, 2L)))
+    assert(got(1) === ((8L, 0, 0, 0L, 0L))) // empty payload: clean zeros
+  }
 }
