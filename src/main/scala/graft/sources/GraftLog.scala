@@ -43,7 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   <topic>/p<K>/seg-<start%020d>-<count>.bin          committed segments
   *   <topic>/p<K>/cseg-<start>-<end>-<count>.bin        key-compacted segments
   *   <topic>/_staging/<uuid>                     task-staged, invisible to readers
-  *   <topic>/_epochs/<queryId>-<epochId>         commit markers (EOS replay guard)
+  *   <topic>/_epochs/<queryId>-<epochId>         commit markers (EOS replay guard;
+  *                                               a multi-topic epoch writes ONE marker,
+  *                                               in its sorted-first topic — the atomic
+  *                                               commit point)
   * }}}
   * Segment records are length-prefixed binary (tsMicros: i64, keyLen: i32,
   * key, valLen: i32, val; len = -1 encodes NULL) — no parse ambiguity, no
@@ -731,9 +734,20 @@ object GraftLogCommitter {
       val topics = entries.map(_._1).distinct.sorted
       val locks = topics.map(lockTopic)
       try {
-        // replay guard: one marker per topic dir touched by this epoch
+        // replay guard: ONE marker, in the SORTED-FIRST topic the epoch
+        // touched — a single filesystem create is the atomic commit
+        // point, so a multi-topic epoch can never land in a
+        // partial-marker state (the pre-r12 per-topic markers could:
+        // a crash mid-marking left topic A marked and B not, and the
+        // all-markers replay test then re-appended BOTH — duplicating A
+        // despite its marker). With one marker the window is identical
+        // to the single-topic case: crash before the marker → the whole
+        // epoch replays (at-least-once, Kafka's non-transactional
+        // boundary); marker present → the whole epoch is a no-op.
+        // Replays locate the marker because routed replay is
+        // deterministic (same rows → same topic set → same sorted head).
         val replayed = epoch.exists { case (q, e) =>
-          topics.forall(t => Files.exists(Paths.get(t, "_epochs", s"$q-$e")))
+          Files.exists(Paths.get(topics.head, "_epochs", s"$q-$e"))
         }
         if (replayed) {
           entries.foreach { case (_, _, staged, _) => Files.deleteIfExists(Paths.get(staged)) }
@@ -780,7 +794,8 @@ object GraftLogCommitter {
   private def markOnly(entries: Seq[(String, Int, String, Long)],
       epoch: (String, Long)): Unit = {
     val (q, e) = epoch
-    entries.map(_._1).distinct.foreach { t =>
+    // single atomic commit point: the sorted-first topic owns the marker
+    entries.map(_._1).distinct.sorted.headOption.foreach { t =>
       val d = Paths.get(t, "_epochs")
       Files.createDirectories(d)
       Files.write(d.resolve(s"$q-$e"), Array.emptyByteArray)

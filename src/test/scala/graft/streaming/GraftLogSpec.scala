@@ -546,4 +546,49 @@ class GraftLogSpec extends SparkSpec {
       .select(col("offset"), col("key").cast("string")).as[(Long, String)].collect()
     assert(back.map(_._1).distinct.length === back.length)
   }
+
+  test("multi-topic epoch commit is all-or-nothing on replay: ONE marker in the " +
+      "sorted-first topic; replay of a marked epoch no-ops in EVERY topic") {
+    import spark.implicits._
+    val tA = tmp("txn-a")
+    val tB = tmp("txn-b")
+    def stage(topic: String, name: String, v: String): (String, Int, String, Long) = {
+      val p = Paths.get(topic, "_staging", name)
+      Files.createDirectories(p.getParent)
+      val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(p))
+      GraftLog.writeRecord(out, 0L, "k".getBytes, v.getBytes)
+      out.close()
+      (topic, 0, p.toString, 1L)
+    }
+    def counts() = (
+      spark.read.format("graftlog").load(tA).count(),
+      spark.read.format("graftlog").load(tB).count())
+    // epoch 9 touches BOTH topics in one commit
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(
+      Seq(stage(tA, "e9-a", "va"), stage(tB, "e9-b", "vb")))), Some(("q-txn", 9L)))
+    assert(counts() === ((1L, 1L)))
+    // the atomic commit point: exactly ONE marker, in the sorted-first topic
+    val head = Seq(tA, tB).sorted.head
+    val other = Seq(tA, tB).sorted.last
+    assert(Files.exists(Paths.get(head, "_epochs", "q-txn-9")))
+    assert(!Files.exists(Paths.get(other, "_epochs", "q-txn-9")))
+    // full replay of the marked epoch: BOTH topics no-op, staging cleaned
+    val r1 = stage(tA, "e9-a-replay", "va"); val r2 = stage(tB, "e9-b-replay", "vb")
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(Seq(r1, r2))), Some(("q-txn", 9L)))
+    assert(counts() === ((1L, 1L)))
+    assert(!Files.exists(Paths.get(r1._3)) && !Files.exists(Paths.get(r2._3)))
+    // the crash-BEFORE-marker window stays at-least-once (Kafka's
+    // non-transactional boundary): delete the marker and replay — the
+    // WHOLE epoch re-appends, in both topics, never a partial mix
+    Files.delete(Paths.get(head, "_epochs", "q-txn-9"))
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(
+      Seq(stage(tA, "e9-a-crash", "va"), stage(tB, "e9-b-crash", "vb")))),
+      Some(("q-txn", 9L)))
+    assert(counts() === ((2L, 2L)))
+    // and the epoch is marked again: a THIRD replay no-ops everywhere
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(
+      Seq(stage(tA, "e9-a-3", "va"), stage(tB, "e9-b-3", "vb")))),
+      Some(("q-txn", 9L)))
+    assert(counts() === ((2L, 2L)))
+  }
 }
