@@ -14,14 +14,41 @@ import org.apache.spark.sql.Row
   */
 object Sources {
 
+  /** Security config pass-through (SecureKafkaStreamsExample.java:166-171
+    * parity): the reference sets SSL/SASL client properties on its
+    * StreamsConfig; Spark's Kafka connector takes the SAME client
+    * property names prefixed with `kafka.`. This helper builds that
+    * option map; thread it through `extraOptions` on any reader/writer
+    * below. Untestable without a broker (the connector jar and a secured
+    * listener are absent here); the spec pins the exact key names so the
+    * mapping can't drift. */
+  def secureOptions(protocol: String = "SSL",
+      truststoreLocation: String = "", truststorePassword: String = "",
+      keystoreLocation: String = "", keystorePassword: String = "",
+      keyPassword: String = "", saslJaasConfig: String = "",
+      saslMechanism: String = ""): Map[String, String] =
+    (Map("kafka.security.protocol" -> protocol,
+      "kafka.ssl.truststore.location" -> truststoreLocation,
+      "kafka.ssl.truststore.password" -> truststorePassword,
+      "kafka.ssl.keystore.location" -> keystoreLocation,
+      "kafka.ssl.keystore.password" -> keystorePassword,
+      "kafka.ssl.key.password" -> keyPassword,
+      "kafka.sasl.jaas.config" -> saslJaasConfig,
+      "kafka.sasl.mechanism" -> saslMechanism)
+      .filter { case (_, v) => v.nonEmpty })
+
   /** S1 `builder.stream(topic)`: topic → streaming DataFrame with string
-    * key/value columns (the shape every reference topology starts from). */
+    * key/value columns (the shape every reference topology starts from).
+    * `extraOptions`: additional `kafka.`-prefixed client properties —
+    * [[secureOptions]] for SSL/SASL, or any other consumer override. */
   def readTopic(spark: SparkSession, brokers: String, topic: String,
-      fromBeginning: Boolean = false): DataFrame =
+      fromBeginning: Boolean = false,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", if (fromBeginning) "earliest" else "latest")
+      .options(extraOptions)
       .load()
       .select(col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
@@ -29,22 +56,26 @@ object Sources {
 
   /** S5 `stream.to(topic)`: fixed-topic sink. */
   def writeTopic(df: DataFrame, brokers: String, topic: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String,
+      extraOptions: Map[String, String] = Map.empty): DataStreamWriter[Row] =
     df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+      .options(extraOptions)
 
   /** S6 dynamic routing (`TopicNameExtractor`, EmailService.java:114-116):
     * the Kafka sink honors a per-row `topic` column — no fixed topic
     * option. Batch analog: `df.write.partitionBy(topicCol)`. */
   def writeRouted(df: DataFrame, brokers: String, topicCol: String,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String,
+      extraOptions: Map[String, String] = Map.empty): DataStreamWriter[Row] =
     df.withColumn("topic", col(topicCol))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("checkpointLocation", checkpoint)
+      .options(extraOptions)
 
   /** S1 over the offline log: same shape as [[readTopic]] but against the
     * `graftlog` DSv2 source (graft.sources.GraftLog) — partitioned,

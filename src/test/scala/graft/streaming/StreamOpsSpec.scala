@@ -934,4 +934,27 @@ class StreamOpsSpec extends SparkSpec {
     // the emitted head (topDocs=1) is the heaviest doc
     assert(last.map(h => (h.rk, h.doc_id, h.tf)).toList === List((1, 1L, 3L)))
   }}
+
+  test("secureOptions maps the SecureKafkaStreamsExample client properties to kafka.-prefixed keys") {
+    // SecureKafkaStreamsExample.java:166-171 sets security.protocol +
+    // the four SSL store/key properties; Spark's connector takes the
+    // same names under the kafka. prefix. Pin the mapping and the
+    // empty-value filtering (unset properties must not reach the client).
+    val opts = Sources.secureOptions(protocol = "SSL",
+      truststoreLocation = "/ts.jks", truststorePassword = "tsp",
+      keystoreLocation = "/ks.jks", keystorePassword = "ksp",
+      keyPassword = "kp")
+    assert(opts === Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.truststore.location" -> "/ts.jks",
+      "kafka.ssl.truststore.password" -> "tsp",
+      "kafka.ssl.keystore.location" -> "/ks.jks",
+      "kafka.ssl.keystore.password" -> "ksp",
+      "kafka.ssl.key.password" -> "kp"))
+    val sasl = Sources.secureOptions(protocol = "SASL_SSL",
+      saslJaasConfig = "org.apache.kafka.common.security.plain.PlainLoginModule required;",
+      saslMechanism = "PLAIN")
+    assert(sasl.keySet === Set("kafka.security.protocol",
+      "kafka.sasl.jaas.config", "kafka.sasl.mechanism"))
+  }
 }
