@@ -128,9 +128,37 @@ object ServingBench {
     val liveHttp = (0 until keys.size).map(i => timeMs(assert(get(lport, i % 1000L) == 200)))
     live.stop(); liveQ.stop()
 
+    // the VECTOR tier: IVF-probed ANN top-k over HTTP (round-12
+    // addition) — per-request in-process centroid probe + pruned
+    // candidate scan; and the exact brute tier as its audit ceiling
+    val vrest = new graft.streaming.VectorRestServing(spark, s"$sfDir/embeddings.parquet")
+    val vport = vrest.start()
+    def getPath(p: Int, path: String): Int = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$p$path")).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    val qvec = (0 until 64).map(i => math.sin(i * 0.7)).mkString(",")
+    getPath(vport, s"/ann/topk?vec=$qvec&k=5") // warm
+    val annHttp = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(vport, s"/ann/topk?vec=$qvec&k=5&nprobe=4") == 200)))
+    val annExact = (0 until math.max(5, keys.size / 10)).map(_ =>
+      timeMs(assert(getPath(vport, s"/ann/topk/exact?vec=$qvec&k=5") == 200)))
+    vrest.stop()
+
+    // the SEARCH tier: term lookup + multi-term tf-idf over the t19
+    // postings (round-12 addition)
+    val srest = new graft.streaming.SearchRestServing(spark, s"$sfDir/documents.parquet")
+    val sport = srest.start()
+    getPath(sport, "/search/term?t=table&k=10") // warm
+    val termHttp = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(sport, "/search/term?t=table&k=10") == 200)))
+    val searchHttp = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(sport, "/search?q=table+hash+scan&k=10") == 200)))
+    srest.stop()
+
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
   }
 }
