@@ -1173,6 +1173,25 @@ object OracleSql {
         |      for i in range(1, length(norm) + 1)], (acc, x) -> acc * 31 + x)
         |  END AS BIGINT) AS min_shingle_hash
         |FROM n""".stripMargin),
+    "t23_vocab_growth" -> {
+      val s = graft.ops.TextAnalysis.VocabSlices
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM tok),
+         |sl AS (SELECT doc_id, t, least(${s - 1},
+         |    CAST(floor((doc_id - lo) * $s / (hi - lo + 1)) AS INTEGER)) AS slice
+         |  FROM tok CROSS JOIN b),
+         |tp AS (SELECT slice, CAST(sum(len(t)) AS BIGINT) AS slice_tokens
+         |  FROM sl GROUP BY slice),
+         |fs AS (SELECT slice, count(*) AS new_terms FROM (
+         |    SELECT term, min(slice) AS slice FROM (
+         |      SELECT slice, unnest(t) AS term FROM sl) GROUP BY term)
+         |  GROUP BY slice)
+         |SELECT slice, slice_tokens,
+         |  CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+         |  CAST(sum(slice_tokens) OVER (ORDER BY slice) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY slice) AS BIGINT) AS cum_vocab
+         |FROM tp LEFT JOIN fs USING (slice)""".stripMargin
+    },
     "t22_winnowing" -> {
       val w = graft.ops.TextAnalysis.WinnowW
       val poly = """unicode(substr(norm, i, 1))::BIGINT * 923521

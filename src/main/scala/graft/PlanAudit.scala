@@ -146,7 +146,10 @@ object PlanAudit {
         Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
       ("m5_audio_stats", "the sample-grain WAV walk is a NARROW batched mapPartitions (one iterator per partition, the mapInPandas shape) with no exchange anywhere — per-doc rows in, per-doc stats out, linear in corpus bytes",
         Seq("MapPartitions"),
-        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython"))
+        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+      ("t23_vocab_growth", "cumulative distinct without re-scanning: each term contributes its FIRST slice (map-side-combined min at vocabulary grain), slice bounds fold in as a one-row broadcast on the zero key, and the only un-partitioned Window runs over the TEN slice rows — no rank, no corpus-grain global sort, no all-pairs",
+        Seq("partial_min", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -136,6 +136,7 @@ object SparkEntry {
     "t20_pmi_pairs"     -> (TextAnalysis.pmiPairs _),
     "t21_bpe_merges"    -> (TextAnalysis.bpeMerges _),
     "t22_winnowing"     -> (TextAnalysis.winnowing _),
+    "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
     "m2_frame_sample"   -> (Multimodal.frameSample _),

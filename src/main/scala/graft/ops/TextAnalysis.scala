@@ -750,6 +750,64 @@ object TextAnalysis {
       .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), col("pmi"))
   }
 
+  /** Corpus slices for the vocabulary-growth curve. */
+  val VocabSlices = 10
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law) — the corpus diagnostic that
+    * says how fast the vocabulary saturates as the corpus grows: split
+    * the corpus into [[VocabSlices]] doc_id-ordered slices and report,
+    * per slice, the tokens added and the NEW terms first seen there,
+    * plus both running totals. The scale trick: cumulative distinct
+    * needs no re-scanning — each term contributes exactly its FIRST
+    * slice (a min aggregate at term grain, map-side combined), so the
+    * whole curve is one explode + one vocabulary-grain rollup + a
+    * 10-row running sum. Slice boundaries come from doc_id rank (ntile
+    * over the doc-id sequence would single-partition; instead the
+    * boundary is rank·slices/total on the doc_id ORDER — computed as a
+    * bucket expression from a one-row doc-count broadcast, the c10
+    * fold-in idiom). */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    vocabGrowthFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[vocabGrowth]] — any (doc_id, text). */
+  def vocabGrowthFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val d = documents.select(col("doc_id"), toks.as("t"))
+    // slices partition the doc_id VALUE range (ingest order — the
+    // Heaps-law x-axis a pipeline actually has): min/max fold in as a
+    // one-row broadcast and the slice is an interpolation — no rank, no
+    // global sort. floor() is EXPLICIT on both sides: Spark's
+    // double→int cast truncates but DuckDB's CAST rounds half-even, so
+    // a bare cast would drift on the .5 boundaries.
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .withColumn("jk", pmod(col("lo"), lit(1L)))
+    val sliced = d
+      .withColumn("jk", pmod(col("doc_id"), lit(1L)))
+      .join(broadcast(bounds), Seq("jk"))
+      .withColumn("slice", least(lit(VocabSlices - 1),
+        floor((col("doc_id") - col("lo")) * VocabSlices
+          / (col("hi") - col("lo") + 1)).cast("int")))
+    val tokensPerSlice = sliced.groupBy(col("slice"))
+      .agg(sum(size(col("t"))).cast("long").as("slice_tokens"))
+    val firstSeen = sliced
+      .select(col("slice"), explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(min(col("slice")).as("slice"))
+      .groupBy(col("slice")).agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("slice")).rowsBetween(Window.unboundedPreceding, 0)
+    tokensPerSlice
+      .join(firstSeen, Seq("slice"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      // the running sums order a TEN-row frame (slice grain, bounded by
+      // construction) — the global-window audit's bucket-grain exemption
+      .withColumn("cum_tokens", sum(col("slice_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .select(col("slice"), col("slice_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Winnowing window: fingerprints = rightmost minimum of every
     * `WinnowW` consecutive 5-gram hashes. */
   val WinnowW = 4

@@ -501,6 +501,26 @@ class OpsSpec extends SparkSpec {
     assert(got === surv)
   }
 
+  test("vocabGrowth: new terms land in their first slice; running totals conserve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 0..99: doc i says "x w<i/10>" — the shared term x is new only
+    // in slice 0, each slice introduces exactly one w-term; slice
+    // boundaries are the value-range interpolation (lo 0, hi 99)
+    val docs = (0 until 100).map(i => (i.toLong, s"x w${i / 10}"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.vocabGrowthFrame(docs)
+      .orderBy(col("slice"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === (0 until 10))
+    assert(got.forall(_._2 === 20L)) // 10 docs × 2 tokens per slice
+    assert(got.map(_._3).toSeq === Seq(2L) ++ Seq.fill(9)(1L))
+    assert(got.last._4 === 200L && got.last._5 === 11L)
+    // running totals are exact prefix sums
+    assert(got.map(_._4).toSeq === got.map(_._2).scanLeft(0L)(_ + _).tail)
+    assert(got.map(_._5).toSeq === got.map(_._3).scanLeft(0L)(_ + _).tail)
+  }
+
   test("bpeMerges: greedy left-to-right, consecutive occurrences, ties, merged-token reuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
