@@ -1353,7 +1353,7 @@ object OracleSql {
     // proves the WAV encode->parse round-trip lossless
     "m5_audio_stats" ->
       ("""WITH s AS (SELECT doc_id,
-        |  [(unicode(substr(text, i, 1)) - 96) * 256
+        |  [(unicode(substr(text, i, 1)) % 192 - 96) * 256
         |    for i in range(1, length(text) + 1)] AS v FROM documents)
         |SELECT doc_id, CAST(len(v) AS INTEGER) AS n_samples,
         |  CAST(CASE WHEN len(v) = 0 THEN 0

@@ -464,25 +464,30 @@ object Composites {
         size(filter(split(lower(col("text")), "[^a-z0-9]+"),
           w => length(w) > 0)).as("n_tokens")))
 
-  /** Frame-level form: `labels` = (doc_id, cluster_id), `docs` =
-    * (doc_id, lang, n_tokens). */
-  def leakageSplitFrom(labels: DataFrame, docs: DataFrame): DataFrame = {
-    val gid = coalesce(col("cluster_id"), col("doc_id"))
-    val bucket = conv(substring(md5(col("gid").cast("string")), 1, 4), 16, 10)
-      .cast(LongType)
-    docs
-      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
-      .withColumn("gid", gid)
-      .withColumn("bucket", bucket)
+  /** The leakage-safety rule itself, in ONE place (shared by c13 and
+    * c14): gid = the doc's dedup-cluster label (its own id when
+    * unclustered), and the GROUP's md5 bucket — never the doc's — picks
+    * train/val/test via the integer cuts, so a cluster can never
+    * straddle splits. Input: any frame with `doc_id` and a nullable
+    * `cluster_id`; adds `gid` and `split`. */
+  private[graft] def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("gid").cast("string")), 1, 4), 16, 10).cast(LongType))
       .withColumn("split",
         when(col("bucket") < SplitTrainCut, "train")
           .when(col("bucket") < SplitValCut, "val")
           .otherwise("test"))
+
+  /** Frame-level form: `labels` = (doc_id, cluster_id), `docs` =
+    * (doc_id, lang, n_tokens). */
+  def leakageSplitFrom(labels: DataFrame, docs: DataFrame): DataFrame =
+    withSplit(docs
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("gid")).as("n_groups"),
         sum(col("n_tokens")).cast(LongType).as("total_tokens"))
-  }
 
   /** c14: the RELEASE MANIFEST — the summary table every training-data
     * release ships: the funnel's cleaned survivor corpus (c10's gates,
@@ -504,16 +509,7 @@ object Composites {
       .select(col("doc_id"), col("lang"), col("n_kept"))
     val labels = Dedup.clusterLabels(s, dir)
       .select(col("doc_id"), col("cluster_id"))
-    val bucket = conv(substring(md5(col("gid").cast("string")), 1, 4), 16, 10)
-      .cast(LongType)
-    surv
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < SplitTrainCut, "train")
-          .when(col("bucket") < SplitValCut, "val")
-          .otherwise("test"))
+    withSplit(surv.join(labels, Seq("doc_id"), "left"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("gid")).as("n_groups"),

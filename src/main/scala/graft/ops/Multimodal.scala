@@ -420,12 +420,17 @@ object Multimodal {
       sum_abs: Long, n_zero_cross: Long)
 
   /** Mono 16-bit PCM WAV with a REAL 44-byte RIFF header; samples are the
-    * deterministic text mapping s_i = (code_i − 96)·256 (letters land
-    * positive, spaces/digits negative — real sign structure for the
-    * zero-crossing stat). This is the audio analog of m4's BMP
+    * deterministic text mapping s_i = (cp_i mod 192 − 96)·256 over the
+    * CODE POINT sequence (letters land positive, spaces/digits negative —
+    * real sign structure for the zero-crossing stat). The mod keeps every
+    * sample in [−24576, 24320] — inside int16 with NO wrapping, so the
+    * oracle's unwrapped arithmetic is identical for every Unicode input,
+    * and code points (not UTF-16 units) match DuckDB's substr/length
+    * semantics on non-BMP text. This is the audio analog of m4's BMP
     * synthesis: the payload is a genuinely well-formed container. */
   def synthWav(text: String): Array[Byte] = {
-    val n = text.length
+    val cps = text.codePoints().toArray
+    val n = cps.length
     val out = new Array[Byte](44 + n * 2)
     def w16(off: Int, v: Int): Unit = {
       out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
@@ -438,7 +443,7 @@ object Multimodal {
     w32(24, 16000); w32(28, 32000); w16(32, 2); w16(34, 16)
     tag(36, "data"); w32(40, n * 2)
     var i = 0
-    while (i < n) { w16(44 + i * 2, ((text.charAt(i).toInt - 96) * 256) & 0xFFFF); i += 1 }
+    while (i < n) { w16(44 + i * 2, ((cps(i) % 192 - 96) * 256) & 0xFFFF); i += 1 }
     out
   }
 

@@ -663,14 +663,23 @@ object TextAnalysis {
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndexFrame(Tables.documents(s, dir))
 
-  /** Frame-level form of [[invertedIndex]] — any (doc_id, text). */
-  def invertedIndexFrame(documents: DataFrame): DataFrame = {
+  /** The (term, doc_id, tf, 1-based first_pos) postings table — ONE
+    * definition shared by the batch index build (t19) and the search
+    * serving tier ([[graft.streaming.SearchRestServing]]), so the
+    * tokenizer and the postings grain can never drift between the index
+    * a pipeline writes and the one the serving layer reads.
+    * Un-checkpointed: callers materialize per their own lifecycle. */
+  def postingsFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    val postings = documents
+    documents
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1L).as("first_pos"))
-      .localCheckpoint()
+  }
+
+  /** Frame-level form of [[invertedIndex]] — any (doc_id, text). */
+  def invertedIndexFrame(documents: DataFrame): DataFrame = {
+    val postings = postingsFrame(documents).localCheckpoint()
     val stats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("corpus_tf"))
     val w = org.apache.spark.sql.expressions.Window

@@ -446,15 +446,23 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   private var stats: DataFrame = _
   private var nDocs: Long = _
 
+  /** Parse a positive int param; Left(400 response) on junk. */
+  private def intParam(q: Map[String, String], name: String,
+      default: Int): Either[(Int, String), Int] =
+    q.get(name) match {
+      case None => Right(default)
+      case Some(v) => v.toIntOption.filter(_ > 0)
+        .toRight((400, s"""{"error":"$name must be a positive integer"}"""))
+    }
+
   def start(bindPort: Int = 0): Int = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    postings = spark.read.parquet(documentsPath)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1L).as("first_pos"))
+    // the t19 postings table, from the SHARED definition — the serving
+    // tier reads exactly the index the batch build writes
+    postings = graft.ops.TextAnalysis
+      .postingsFrame(spark.read.parquet(documentsPath))
       .localCheckpoint()
     stats = postings.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"),
+      .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .localCheckpoint()
     nDocs = postings.select(col("doc_id")).distinct().count()
@@ -462,10 +470,11 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/search/term", handlerQ { (path, q) =>
       if (path != "/search/term") (404, """{"error":"not found"}""")
-      else {
-        val t = q.getOrElse("t",
-          throw new IllegalArgumentException("t=<term> is required"))
-        val k = q.getOrElse("k", "10").toInt
+      else (for {
+        t <- q.get("t").filter(_.nonEmpty)
+          .toRight((400, """{"error":"t=<term> is required"}"""))
+        k <- intParam(q, "k", 10)
+      } yield {
         val st = stats.filter(col("term") === t).toJSON.collect()
         if (st.isEmpty) (404, s"""{"error":"term not found"}""")
         else {
@@ -475,17 +484,17 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
             .toJSON.collect()
           (200, s"""{"stats":${st.head},"postings":${head.mkString("[", ",", "]")}}""")
         }
-      }
+      }).merge
     })
     server.createContext("/search", handlerQ { (path, q) =>
       if (path != "/search") (404, """{"error":"not found"}""")
-      else {
-        val terms = q.getOrElse("q",
-          throw new IllegalArgumentException("q=t1+t2+... is required"))
-          .split("[ +]+").filter(_.nonEmpty).distinct.toSeq
-        val k = q.getOrElse("k", "10").toInt
-        if (terms.isEmpty) (400, """{"error":"empty query"}""")
-        else {
+      else (for {
+        raw <- q.get("q")
+          .toRight((400, """{"error":"q=t1+t2+... is required"}"""))
+        terms <- Some(raw.split("[ +]+").filter(_.nonEmpty).distinct.toSeq)
+          .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
+        k <- intParam(q, "k", 10)
+      } yield {
           // idfs for the query terms only — bounded by query length
           val idf = stats.filter(col("term").isin(terms: _*))
             .select(col("term"),
@@ -498,8 +507,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
             .orderBy(col("score").desc, col("doc_id").asc).limit(k)
             .toJSON.collect()
           (200, rows.mkString("[", ",", "]"))
-        }
-      }
+      }).merge
     })
     server.setExecutor(null)
     server.start()

@@ -181,9 +181,11 @@ class MultimodalSpec extends SparkSpec {
     // zero crossings at 512→−16384 and −16384→6656
     import spark.implicits._
     val got = Multimodal.audioStatsFrame(
-        Seq((7L, "ab z"), (8L, "")).toDF("doc_id", "text"))
+        Seq((7L, "ab z"), (8L, ""), (9L, "é")).toDF("doc_id", "text"))
       .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1)
     assert(got(0) === ((7L, 4, 16384, 23808L, 2L)))
     assert(got(1) === ((8L, 0, 0, 0L, 0L))) // empty payload: clean zeros
+    // non-ASCII: cp 233 maps via %192 with NO int16 wrap — (233%192−96)·256
+    assert(got(2) === ((9L, 1, 14080, 14080L, 0L)))
   }
 }

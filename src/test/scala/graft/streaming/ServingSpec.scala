@@ -466,8 +466,11 @@ class ServingSpec extends SparkSpec {
       assert(b2.contains(s""""score":${r6(2 * idfCat)}"""), b2)
       // doc3 matched both query terms
       assert(b2.contains("\"n_terms\":2"), b2)
-      // client errors: missing q
-      assert(Set(400, 500).contains(get("/search?k=3")._1))
+      // client errors are 4xx, not 500s: missing q / missing t / junk k
+      assert(get("/search?k=3")._1 === 400)
+      assert(get("/search/term?k=3")._1 === 400)
+      assert(get("/search?q=cat&k=abc")._1 === 400)
+      assert(get("/search/term?t=cat&k=-1")._1 === 400)
     } finally rest.stop()
   }
 }
