@@ -473,4 +473,65 @@ class ServingSpec extends SparkSpec {
       assert(get("/search/term?t=cat&k=-1")._1 === 400)
     } finally rest.stop()
   }
+
+  test("live search pipeline end-to-end: graftlog crawl topic → TWS inverted index → " +
+      "upserted live store → HTTP term reads that grow with ingest") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val topic = Files.createTempDirectory("graft-livesearch").toString + "/docs"
+      val ck = Files.createTempDirectory("graft-livesearch-ck").toString
+      def crawl(docs: (Long, String)*): Unit =
+        docs.toSeq.toDF("doc_id", "text")
+          .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
+          .write.format("graftlog").option("partitions", "2").mode("append").save(topic)
+      crawl(1L -> "cat dog cat", 2L -> "dog cat")
+      val docsStream = Sources.readLog(spark, topic)
+        .select(col("key").cast("long").as("doc_id"), col("ts"),
+          col("value").as("text"))
+        .as[StreamOps.DocStreamEvent]
+      val q = Sources.serveUpserted(
+          StreamOps.invertedIndexStream(docsStream).toDF(), "live_index", Seq("term"))
+        .option("checkpointLocation", ck)
+        .start()
+      val live = new LiveRestServing(spark, "global_temp.live_index", "term")
+      val port = live.start()
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      try {
+        q.processAllAvailable()
+        // after batch 1: cat df=2 tf=3, head (doc 1, tf 2) then (doc 2, tf 1)
+        val (s1, b1) = get("/state/keyvalue/cat")
+        assert(s1 === 200, b1)
+        assert(b1.contains("\"df\":2") && b1.contains("\"corpus_tf\":3"), b1)
+        // MORE of the crawl arrives on the same topic; the SAME running
+        // query folds it in and the served head is atomically replaced
+        crawl(3L -> "cat fish fish fish")
+        q.processAllAvailable()
+        val (s2, b2) = get("/state/keyvalue/cat")
+        assert(s2 === 200, b2)
+        assert(b2.contains("\"df\":3") && b2.contains("\"corpus_tf\":4"), b2)
+        // stale batch-1 rows are GONE (upsert, not append): exactly the
+        // current head's row count for cat, every row at df=3
+        assert(!b2.contains("\"df\":2"), b2)
+        val (s3, b3) = get("/state/keyvalue/fish")
+        assert(s3 === 200, b3)
+        assert(b3.contains("\"corpus_tf\":3") && b3.contains("\"doc_id\":3"), b3)
+        // a term the crawl never produced
+        assert(get("/state/keyvalue/zebra")._1 === 404)
+      } finally { live.stop(); quiesceAndStop(q) }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
