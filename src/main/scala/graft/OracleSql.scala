@@ -777,7 +777,7 @@ object OracleSql {
            |as$i AS (SELECT vec_id, embedding, cent_id AS cell
            |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
-           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
            |  FROM as$i GROUP BY cell),
            |cents$i AS (SELECT cent_id,
            |  [CAST(s AS DOUBLE) / len(ms) for s in
@@ -815,7 +815,7 @@ object OracleSql {
            |as$i AS (SELECT vec_id, embedding, cent_id AS cell
            |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
-           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
            |  FROM as$i GROUP BY cell),
            |cents$i AS (SELECT cent_id,
            |  [CAST(s AS DOUBLE) / len(ms) for s in
@@ -834,6 +834,51 @@ object OracleSql {
          |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored) WHERE rk = 1)
          |SELECT cell, count(*) AS n_members, round(min(csim), 6) AS min_sim,
          |  round(max(csim), 6) AS max_sim FROM asn GROUP BY cell""".stripMargin
+    },
+    "s16_pq_codes" -> {
+      val m = Similarity.PqM
+      val sd = Similarity.PqSubDim
+      val k = Similarity.PqK
+      // one assign→recenter→assign chain per the Spark constants; the
+      // L2 distance and the sequential-double recenter mirror the engine
+      // an explicit LEFT FOLD with a 0.0 seed — Spark's aggregate(...,
+      // lit(0.0), acc + x) order exactly; list_sum's internal summation
+      // is one ulp off at this term count (observed at sf0.01)
+      def distSql(cvCast: String) =
+        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+      val codeCols = (0 until m).map(j =>
+        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+      val errSum = (0 until m).map(j => s"max(CASE WHEN m = $j THEN d END)")
+        .mkString(" + ")
+      s"""WITH msq AS (SELECT unnest(range(0, $m)) AS m),
+         |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM embeddings CROSS JOIN msq),
+         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+         |  FROM sub WHERE vec_id < $k),
+         |d0 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+         |  FROM sub s JOIN c0 USING (m)),
+         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS cv
+         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+         |d1 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS d
+         |  FROM sub s JOIN c1 USING (m)),
+         |a1 AS (SELECT vec_id, m, cent AS cell, d FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1)
+         |SELECT vec_id,
+         |  $codeCols,
+         |  round($errSum, 6) AS recon_err
+         |FROM a1 GROUP BY vec_id""".stripMargin
     },
     "s9_quantize_stats" ->
       ("""WITH q AS (SELECT vec_id, embedding,
@@ -871,7 +916,7 @@ object OracleSql {
            |as$i AS (SELECT vec_id, embedding, cent_id AS cell
            |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
-           |agg$i AS (SELECT cell AS cent_id, list(embedding ORDER BY vec_id) AS ms
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
            |  FROM as$i GROUP BY cell),
            |cents$i AS (SELECT cent_id,
            |  [CAST(s AS DOUBLE) / len(ms) for s in

@@ -149,7 +149,10 @@ object PlanAudit {
         Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
       ("t23_vocab_growth", "cumulative distinct without re-scanning: each term contributes its FIRST slice (map-side-combined min at vocabulary grain), slice bounds fold in as a one-row broadcast on the zero key, and the only un-partitioned Window runs over the TEN slice rows — no rank, no corpus-grain global sort, no all-pairs",
         Seq("partial_min", "BroadcastHashJoin"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("s16_pq_codes", "PQ assignment is a map-side min_by over the checkpointed subvector table (ExistingRDD) joined to the K·M-row broadcast codebook (BroadcastHashJoin on the subspace key) — never a Window over the n×K scored rows, no all-pairs, zero parquet re-scans",
+        Seq("ExistingRDD", "BroadcastHashJoin", "partial_min_by"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -117,6 +117,7 @@ object SparkEntry {
       Similarity.bucketedNearDupWith(s, dir, Similarity.ScaledPlanes)),
     "s13_ivf_scaled"    -> (Similarity.ivfTopKScaled _),
     "s15_kmeans_cells"  -> (Similarity.kmeansCells _),
+    "s16_pq_codes"      -> (Similarity.pqCodes _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -338,6 +338,80 @@ object Similarity {
         round(max(col("csim")), 6).as("max_sim"))
   }
 
+  /** PQ geometry: M subvectors of SubDim dims, K centroids per subspace
+    * (4-bit codes — a 64-dim float vector compresses to 16 bits). */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+
+  /** PRODUCT QUANTIZATION CODES — the vector-compression standard behind
+    * IVF-PQ (Jégou et al.): split each embedding into [[PqM]] subvectors,
+    * learn [[PqK]] centroids per SUBSPACE (seeded from the first K
+    * vectors' slices, one Lloyd round with the vec_id-ordered
+    * sequential-double recenter the oracle reproduces bit-exactly), and
+    * emit each vector's per-subspace code plus its reconstruction error.
+    * At 100 TB this is what makes a vector store fit in memory: 16 bits
+    * per vector instead of 256 bytes, with recon_err the fidelity knob a
+    * deployment monitors per shard.
+    *
+    * ONE explode into (vec_id, m, subvector) rows (checkpointed — both
+    * assignment rounds and the recenter read the materialization), the
+    * K·M centroid table rides as a broadcast, assignment is a map-side
+    * min_by on (distance, centroid) — never a window over the n×K scored
+    * rows — and the final per-vector pivot lays the M codes AND the M
+    * error terms into fixed columns so the error sum has a defined
+    * order (a shuffled float sum would be run-dependent). */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"),
+          slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)).as("sv")))).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .localCheckpoint()
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    def assign(cents: DataFrame): DataFrame = sub
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d", dist)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("cent"), col("d")),
+        struct(col("d"), col("cent"))).as("a"))
+      .select(col("vec_id"), col("m"),
+        col("a.cent").as("cell"), col("a.d").as("d"))
+    val cents0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cent"), col("sv").as("cv"))
+    // one Lloyd round per subspace: members sorted by vec_id, summed
+    // sequentially in double — the ivfIndex recenter fold
+    val cents1 = assign(cents0)
+      .join(sub, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("sv")))).as("ms"))
+      .select(col("m"), col("cell").as("cent"),
+        transform(
+          aggregate(col("ms"),
+            array_repeat(lit(0.0), size(col("ms")(0).getField("sv"))),
+            (acc, e) => zip_with(acc, e.getField("sv"),
+              (a, x) => a + x.cast("double"))),
+          x => x / size(col("ms"))).as("cv"))
+      .localCheckpoint()
+    val codeCols = (0 until PqM).map(k =>
+      max(when(col("m") === k, col("cell"))).cast("int").as(s"c$k"))
+    val errCols = (0 until PqM).map(k =>
+      max(when(col("m") === k, col("d"))).as(s"e$k"))
+    assign(cents1)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, (codeCols.tail ++ errCols): _*)
+      // fixed-order error sum: e0+e1+e2+e3, never a shuffled float fold
+      .withColumn("recon_err", round(
+        col("e0") + col("e1") + col("e2") + col("e3"), 6))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("recon_err"))
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes

@@ -246,6 +246,52 @@ class SimilaritySpec extends SparkSpec {
       Similarity.semanticLabels(spark, sf01), "labels must be memoized")
   }
 
+  test("pqCodes: codes and reconstruction error against a driver-side PQ reference at sf0.01") {
+    import org.apache.spark.sql.functions.col
+    val M = Similarity.PqM; val SD = Similarity.PqSubDim; val K = Similarity.PqK
+    val emb = graft.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * SD, (m + 1) * SD)
+    def dist(s: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < SD) { val d = s(i).toDouble - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    var cents: Map[(Int, Int), Array[Double]] =
+      (for ((id, v) <- emb if id < K; m <- 0 until M)
+        yield (m, id.toInt) -> sub(v, m).map(_.toDouble)).toMap
+    def assign(): Map[(Long, Int), (Double, Int)] =
+      (for ((id, v) <- emb; m <- 0 until M) yield {
+        val best = (0 until K).map(c => (dist(sub(v, m), cents((m, c))), c))
+          .minBy { case (d, c) => (d, c) }
+        (id, m) -> best
+      }).toMap
+    val a0 = assign()
+    cents = a0.toSeq.groupBy { case ((_, m), (_, c)) => (m, c) }.map { case (mc, as) =>
+      val vs = as.map(_._1._1).sorted
+      val acc = new Array[Double](SD)
+      vs.foreach { v =>
+        val s = sub(emb.find(_._1 == v).get._2, mc._1)
+        for (i <- 0 until SD) acc(i) += s(i).toDouble
+      }
+      mc -> acc.map(_ / vs.length)
+    }
+    val a1 = assign()
+    val got = Similarity.pqCodes(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+        r.getDouble(5)))).toMap
+    emb.foreach { case (id, _) =>
+      val codes = (0 until M).map(m => a1((id, m))._2)
+      val err = (0 until M).map(m => a1((id, m))._1).reduceLeft(_ + _)
+      assert(got(id)._1 === codes, s"vec $id codes")
+      assert(math.abs(got(id)._2 - BigDecimal(err)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"vec $id err")
+    }
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,
