@@ -880,6 +880,58 @@ object OracleSql {
          |  round($errSum, 6) AS recon_err
          |FROM a1 GROUP BY vec_id""".stripMargin
     },
+    "s17_pq_adc" -> {
+      val m = Similarity.PqM
+      val sd = Similarity.PqSubDim
+      val k = Similarity.PqK
+      val nq = Similarity.PqQueries
+      def distSql(cvCast: String) =
+        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+      val codeCols = (0 until m).map(j =>
+        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+      val lookJoins = (0 until m).map(j =>
+        s"JOIN dt d$j ON d$j.m = $j AND d$j.cent = codes.c$j" +
+          (if (j > 0) s" AND d$j.q_id = d0.q_id" else "")).mkString("\n  ")
+      val adist = (0 until m).map(j => s"d$j.qd").mkString(" + ")
+      s"""WITH msq AS (SELECT unnest(range(0, $m)) AS m),
+         |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM embeddings CROSS JOIN msq),
+         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+         |  FROM sub WHERE vec_id < $k),
+         |d0 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+         |  FROM sub s JOIN c0 USING (m)),
+         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS cv
+         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+         |d1 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS d
+         |  FROM sub s JOIN c1 USING (m)),
+         |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
+         |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
+         |dt AS (SELECT s.vec_id AS q_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS qd
+         |  FROM sub s JOIN c1 USING (m) WHERE s.vec_id < $nq),
+         |j AS (SELECT d0.q_id, codes.vec_id AS c_id,
+         |    round($adist, 6) AS adist
+         |  FROM codes
+         |  $lookJoins
+         |  WHERE d0.q_id <> codes.vec_id),
+         |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+         |  FROM j)
+         |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin
+    },
     "s9_quantize_stats" ->
       ("""WITH q AS (SELECT vec_id, embedding,
         |    list_max([abs(CAST(embedding[i] AS DOUBLE))

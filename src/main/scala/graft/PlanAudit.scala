@@ -152,6 +152,9 @@ object PlanAudit {
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s16_pq_codes", "PQ assignment is a map-side min_by over the checkpointed subvector table (ExistingRDD) joined to the K·M-row broadcast codebook (BroadcastHashJoin on the subspace key) — never a Window over the n×K scored rows, no all-pairs, zero parquet re-scans",
         Seq("ExistingRDD", "BroadcastHashJoin", "partial_min_by"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("s17_pq_adc", "ADC search is ONE pass over the checkpointed 16-bit code table (ExistingRDD) with four broadcast hash-join lookups into the bounded query-side distance tables — the floats never leave the index build, the per-query top-5 plans WindowGroupLimit, no all-pairs",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 

@@ -118,6 +118,7 @@ object SparkEntry {
     "s13_ivf_scaled"    -> (Similarity.ivfTopKScaled _),
     "s15_kmeans_cells"  -> (Similarity.kmeansCells _),
     "s16_pq_codes"      -> (Similarity.pqCodes _),
+    "s17_pq_adc"        -> (Similarity.pqAdcTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -412,6 +412,85 @@ object Similarity {
         col("recon_err"))
   }
 
+  /** Queries scored by the ADC search (the s8 bench-query idiom). */
+  val PqQueries = 10
+
+  /** PQ ASYMMETRIC DISTANCE SEARCH (ADC) — the lookup-table search that
+    * product quantization exists for: each query computes its distance
+    * to every subspace centroid ONCE (a K·M table — 64 doubles), and a
+    * corpus vector's approximate distance is then M table lookups by its
+    * stored code, summed in fixed subspace order. At 100 TB the scan
+    * touches only the 16-bit code table — the floats never leave the
+    * index build — which is why IVF-PQ is the production ANN layout.
+    *
+    * The codes table is [[pqCodes]]'s materialization re-derived here
+    * (checkpointed); the query-side distance tables are bounded
+    * (queries · K · M rows) and fold in as broadcasts keyed per
+    * subspace, so the scan side is one pass over the codes with four
+    * hash-join lookups — no all-pairs, no float re-scan. Exact top-5
+    * per query by (approx distance asc, vec_id asc). */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodes(s, dir)
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .localCheckpoint()
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"),
+          slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)).as("sv")))).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .localCheckpoint()
+    // the codebook: the same seeded+one-Lloyd-round centroids pqCodes
+    // learned (re-derived from the shared sub table; production reads
+    // the persisted codebook)
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val cents0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cent"), col("sv").as("cv"))
+    val a0 = sub.join(broadcast(cents0), Seq("m"))
+      .withColumn("d", dist)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cent"), struct(col("d"), col("cent"))).as("cell"))
+    val cents1 = a0
+      .join(sub, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("sv")))).as("ms"))
+      .select(col("m"), col("cell").as("cent"),
+        transform(
+          aggregate(col("ms"),
+            array_repeat(lit(0.0), size(col("ms")(0).getField("sv"))),
+            (acc, e) => zip_with(acc, e.getField("sv"),
+              (a, x) => a + x.cast("double"))),
+          x => x / size(col("ms"))).as("cv"))
+      .localCheckpoint()
+    // query-side distance tables: queries × K × M rows, bounded
+    val dtab = sub.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(cents1), Seq("m"))
+      .withColumn("qd", dist)
+      .select(col("q_id"), col("m"), col("cent"), col("qd"))
+    def look(k: Int) = broadcast(
+      dtab.filter(col("m") === k)
+        .select(col("q_id"), col("cent").as(s"c$k"), col("qd").as(s"qd$k")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    codes
+      .join(look(0), Seq("c0"))
+      .join(look(1), Seq("q_id", "c1"))
+      .join(look(2), Seq("q_id", "c2"))
+      .join(look(3), Seq("q_id", "c3"))
+      .filter(col("q_id") =!= col("vec_id"))
+      // fixed subspace order, like pqCodes' error sum
+      .withColumn("adist", round(
+        col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes

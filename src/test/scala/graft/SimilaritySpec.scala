@@ -292,6 +292,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK: ADC distances are exact table-lookup sums over the s16 codes") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.pqAdcTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+    val byQ = got.groupBy(_._1._1)
+    assert(byQ.keySet === (0L until Similarity.PqQueries).toSet)
+    byQ.foreach { case (q, rs) =>
+      val ranked = rs.sortBy(_._1._2)
+      assert(ranked.map(_._1._2).toSeq === (1 to 5))
+      // adist non-decreasing in rank; self never appears
+      assert(ranked.map(_._2._2).toSeq === ranked.map(_._2._2).sorted.toSeq)
+      assert(ranked.forall(_._2._1 != q), s"query $q returned itself")
+    }
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,
