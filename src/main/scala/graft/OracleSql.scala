@@ -496,6 +496,43 @@ object OracleSql {
          |  CAST(sum(run) + ${n - 1} * count(*) AS BIGINT) AS dup_tokens
          |FROM sp GROUP BY doc_a, doc_b""".stripMargin
     },
+    "d15_substring_scrub" -> {
+      // d14's span chain, then: covered 1-based positions in the LATER
+      // doc (first occurrence kept), distinct across sources, cut from
+      // the positional token table; clean_hash reconstructs the scrubbed
+      // text so the compare proves the cut positions exactly
+      val n = graft.ops.Dedup.AnchorTokens
+      val cap = graft.ops.Dedup.MaxAnchorDocs
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |o AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+         |    THEN [{'pos': i, 'g': array_to_string(t[i:i+${n - 1}], ' ')}
+         |          for i in range(1, len(t) - ${n - 2})]
+         |    ELSE [] END) AS p FROM tok),
+         |occ AS (SELECT doc_id, p.pos AS pos, p.g AS g FROM o),
+         |el AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS dfd
+         |  FROM occ GROUP BY g) WHERE dfd BETWEEN 2 AND $cap),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, b.pos AS pb
+         |  FROM occ a JOIN el USING (g) JOIN occ b USING (g)
+         |  WHERE a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |      ORDER BY pa) AS island FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a0, count(*) AS run
+         |  FROM r GROUP BY doc_a, doc_b, diag, island),
+         |rm AS (SELECT DISTINCT doc_b AS doc_id,
+         |    unnest(range(a0 - diag, a0 - diag + run + ${n - 1})) AS p FROM sp),
+         |tk AS (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok,
+         |    unnest(range(1, len(t) + 1)) AS p FROM tok WHERE len(t) > 0),
+         |j AS (SELECT tk.doc_id, n_tokens, tk.p AS p, tok,
+         |    rm.p IS NOT NULL AS cut
+         |  FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p)
+         |SELECT doc_id, CAST(max(n_tokens) AS INTEGER) AS n_tokens,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' '
+         |    ORDER BY p), '')) AS clean_hash
+         |FROM j GROUP BY doc_id""".stripMargin
+    },
     "d8_dedup_clusters" -> {
       // the same banded-LSH pair graph as d4, then connected components via
       // a recursive CTE (min reachable doc_id = cluster id)

@@ -155,7 +155,10 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s17_pq_adc", "ADC search is ONE pass over the checkpointed 16-bit code table (ExistingRDD) with four broadcast hash-join lookups into the bounded query-side distance tables — the floats never leave the index build, the per-query top-5 plans WindowGroupLimit, no all-pairs",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
-        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)) and its removal set is a keyed left join back to the positional token table — the covered-position expansion is bounded by real duplicated mass, never corpus size; no all-pairs, no BNLJ",
+        Seq("ExistingRDD", "Window"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

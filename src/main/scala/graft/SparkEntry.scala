@@ -98,6 +98,7 @@ object SparkEntry {
     "d12_decontam_attrib" -> (Dedup.decontamAttribution _),
     "d13_containment_pairs" -> (Dedup.containmentPairs _),
     "d14_substring_dup" -> (Dedup.substringDup _),
+    "d15_substring_scrub" -> (Dedup.substringScrub _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
     "c13_leakage_split" -> (Composites.leakageSplit _),

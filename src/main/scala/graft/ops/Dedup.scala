@@ -640,4 +640,69 @@ object Dedup {
         (max(col("run")) + (n - 1)).cast(LongType).as("max_span_tokens"),
         (sum(col("run")) + lit(n - 1) * count(lit(1))).cast(LongType).as("dup_tokens"))
   }
+
+  /** d15: SPAN SCRUB — the APPLY for the d14 modality, and what
+    * deduplicate-text-datasets actually does to the corpus: it does not
+    * drop documents, it CUTS the duplicated bytes. Every maximal
+    * duplicated span keeps its FIRST occurrence (doc_a < doc_b — the
+    * d10/s11 keeper rule at span grain) and the covered token positions
+    * are removed from every later document; per document the op reports
+    * the token count, the removed-token count, and the md5 of the
+    * scrubbed text (t13's clean_hash idiom — the hash IS the
+    * reconstructed document, so the oracle proves the cut positions
+    * exactly).
+    *
+    * Scale shape: d14's span machinery verbatim (checkpointed positional
+    * gram table, df-capped anchors, islands per diagonal), then the
+    * covered-position expansion — bounded by the real duplicated token
+    * mass times the df cap, never by corpus size — a (doc, pos) distinct
+    * (spans from different sources overlap), and one anti-style left
+    * join back to the positional token table. Docs with at least one
+    * token each emit exactly one row. */
+  def substringScrub(s: SparkSession, dir: String): DataFrame =
+    substringScrubFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[substringScrub]] — any (doc_id, text). */
+  def substringScrubFrame(documents: DataFrame): DataFrame = {
+    val n = AnchorTokens
+    val occ = documents
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), posexplode(anchorGramsOf(col("t"))))
+      .withColumnRenamed("col", "g")
+      .localCheckpoint()
+    val anchors = occ.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd").between(2, MaxAnchorDocs))
+      .select(col("g"))
+    val hit = occ.join(anchors, Seq("g"))
+    val matches = hit.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(hit.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+    val diagWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val spans = matches.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(diagWin))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pb")).as("b0"), count(lit(1)).as("run"))
+    // covered 1-based positions in the LATER doc, from any source doc
+    val removed = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b0") + 1, col("b0") + col("run") + lit(n - 1)))
+          .as("p"))
+      .distinct()
+      .withColumn("rm", lit(1))
+    documents.select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), posexplode(col("t")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
+        col("col").as("tok"))
+      .join(removed, Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("rm").isNull,
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_hash"))
+  }
 }

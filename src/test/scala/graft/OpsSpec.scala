@@ -426,6 +426,37 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains((2L, 4L)))
   }
 
+  test("substringScrub: later docs lose exactly the shared spans; first occurrences keep them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the d14 golden corpus: doc 1 owns w1..w20; 2 embeds w5..w16; 3 is a
+    // full copy; 4 embeds w1..w8 and w13..w20 around its own tokens
+    val w = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      1L -> w.mkString(" "),
+      2L -> (Seq("x1", "x2") ++ w.slice(4, 16) ++ Seq("y1", "y2")).mkString(" "),
+      3L -> w.mkString(" "),
+      4L -> (Seq("p1", "p2") ++ w.slice(0, 8) ++ Seq("q1", "q2", "q3") ++
+        w.slice(12, 20) ++ Seq("r1")).mkString(" ")
+    ).toDF("doc_id", "text")
+    def h(ts: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ts.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val got = graft.ops.Dedup.substringScrubFrame(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean_hash"))
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is the first occurrence of every span: untouched
+    assert(got(1L) === ((20, 0L, h(w))))
+    // doc 2 loses w5..w16 (12 tokens), keeps its frame
+    assert(got(2L) === ((16, 12L, h(Seq("x1", "x2", "y1", "y2")))))
+    // doc 3 is a verbatim copy: fully scrubbed to the empty document
+    assert(got(3L) === ((20, 20L, h(Seq.empty))))
+    // doc 4 loses both 8-token spans, keeps p/q/r tokens in order
+    assert(got(4L) === ((22, 16L, h(Seq("p1", "p2", "q1", "q2", "q3", "r1")))))
+  }
+
   test("invertedIndex: postings head, 1-based first positions, tf-desc/doc-asc tie-break") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
