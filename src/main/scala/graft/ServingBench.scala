@@ -149,11 +149,16 @@ object ServingBench {
     // postings (round-12 addition)
     val srest = new graft.streaming.SearchRestServing(spark, s"$sfDir/documents.parquet")
     val sport = srest.start()
-    getPath(sport, "/search/term?t=table&k=10") // warm
+    // probe with the corpus's own highest-df terms (ADVICE r12: a
+    // hardcoded literal crashes the bench on corpora not containing it)
+    val probeTerms = srest.topTerms(3)
+    val probe1 = probeTerms.head
+    val probeQ = probeTerms.mkString("+")
+    getPath(sport, s"/search/term?t=$probe1&k=10") // warm
     val termHttp = (0 until keys.size).map(_ =>
-      timeMs(assert(getPath(sport, "/search/term?t=table&k=10") == 200)))
+      timeMs(assert(getPath(sport, s"/search/term?t=$probe1&k=10") == 200)))
     val searchHttp = (0 until keys.size).map(_ =>
-      timeMs(assert(getPath(sport, "/search?q=table+hash+scan&k=10") == 200)))
+      timeMs(assert(getPath(sport, s"/search?q=$probeQ&k=10") == 200)))
     srest.stop()
 
     val loadEnd = load1

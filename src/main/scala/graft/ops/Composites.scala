@@ -437,9 +437,11 @@ object Composites {
         sum(col("n_tokens")).cast(LongType).as("total_tokens"))
   }
 
-  /** Integer split cuts on the 16-bit md5 bucket: floor(0.8·65536) /
-    * floor(0.9·65536) — 80/10/10 with no float boundary drift between
-    * engines (t18's integer-predicate rule). */
+  /** Integer split cuts on the 16-bit md5 bucket: 52429 = round(0.8·65536)
+    * (0.8·65536 = 52428.8, rounded up) and 58982 = floor(0.9·65536) —
+    * ~80/10/10 with no float boundary drift between engines (t18's
+    * integer-predicate rule). The exact constants are the contract; the
+    * derivation is only how they were first chosen. */
   val SplitTrainCut = 52429L
   val SplitValCut = 58982L
 

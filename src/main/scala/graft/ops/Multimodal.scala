@@ -235,7 +235,11 @@ object Multimodal {
     * computes pixels directly — encode∘decode must be the identity for
     * the hashes to match). */
   def synthBmp(text: String): Array[Byte] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    // Locale.ROOT: the oracle and Spark pipelines lowercase
+    // locale-independently; a Turkish default locale would map 'I' to
+    // dotless-ı here and break the oracle equality (ADVICE r12)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = PhashGrid
     val stride = (n * 3 + 3) / 4 * 4

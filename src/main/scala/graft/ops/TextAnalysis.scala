@@ -875,6 +875,15 @@ object TextAnalysis {
       .filter(length(col("norm")) >= 4 + WinnowW) // k + w - 1 = 8 chars
       .withColumn("codes", codes)
       .withColumn("hs", hs)
+      // enforce the documented pack limit LOUDLY (ADVICE r12): a doc with
+      // ≥2²⁰ grams would silently overflow position bits into the hash,
+      // corrupting its fingerprints — fail instead of emitting wrong data
+      .withColumn("hs",
+        when(size(col("hs")) < lit(1 << 20), col("hs"))
+          .otherwise(raise_error(concat(
+            lit("winnowing: doc_id="), col("doc_id"),
+            lit(" has "), size(col("hs")).cast("string"),
+            lit(" grams >= 2^20 — chunk longer inputs upstream (t11) before fingerprinting")))))
       .withColumn("st", st)
       .withColumn("fps", array_distinct(sel))
       .select(col("doc_id"), size(col("hs")).as("n_grams"),

@@ -638,7 +638,7 @@ class GraftLogWrite(path: String, schema: StructType, opts: Map[String, String],
       * micro-batch re-execution) a no-op — the reference's EOS produce
       * loop (S10) at the sink layer. */
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      GraftLogCommitter.commit(messages, Some((queryId, epochId)))
+      GraftLogCommitter.commit(messages, Some(GraftLogCommitter.Epoch(queryId, epochId, path)))
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       GraftLogCommitter.abort(messages)
   }
@@ -727,28 +727,39 @@ class GraftLogDataWriter(cfg: GraftLogWriterConfig) extends DataWriter[InternalR
   * writers that bypass the lock. Multi-topic commits take locks in
   * sorted topic order (no deadlock between routed writers). */
 object GraftLogCommitter {
-  def commit(messages: Array[WriterCommitMessage], epoch: Option[(String, Long)]): Unit =
+  /** Epoch identity for the exactly-once replay guard. `base` is the
+    * sink's configured path — the single topic dir for plain writes, the
+    * broker-root dir for routed writes (topics resolve as `base/<topic>`)
+    * — so the marker location depends only on the QUERY's configuration,
+    * never on which topics this particular epoch's rows routed to
+    * (ADVICE r12: a sorted-first-topic marker is missed when a recovered
+    * epoch replays with a different topic set, re-appending
+    * already-committed topics). */
+  case class Epoch(queryId: String, epochId: Long, base: String) {
+    def markerPath: Path = Paths.get(base, "_epochs", s"$queryId-$epochId")
+  }
+
+  def commit(messages: Array[WriterCommitMessage], epoch: Option[Epoch]): Unit =
     synchronized {
       val entries = messages.collect { case m: GraftLogCommitMessage => m.entries }.flatten
-      if (entries.isEmpty) { epoch.foreach(markOnly(entries, _)); return }
+      if (entries.isEmpty) { epoch.foreach(markOnly); return }
       val topics = entries.map(_._1).distinct.sorted
       val locks = topics.map(lockTopic)
       try {
-        // replay guard: ONE marker, in the SORTED-FIRST topic the epoch
-        // touched — a single filesystem create is the atomic commit
-        // point, so a multi-topic epoch can never land in a
-        // partial-marker state (the pre-r12 per-topic markers could:
-        // a crash mid-marking left topic A marked and B not, and the
-        // all-markers replay test then re-appended BOTH — duplicating A
-        // despite its marker). With one marker the window is identical
-        // to the single-topic case: crash before the marker → the whole
-        // epoch replays (at-least-once, Kafka's non-transactional
-        // boundary); marker present → the whole epoch is a no-op.
-        // Replays locate the marker because routed replay is
-        // deterministic (same rows → same topic set → same sorted head).
-        val replayed = epoch.exists { case (q, e) =>
-          Files.exists(Paths.get(topics.head, "_epochs", s"$q-$e"))
-        }
+        // replay guard: ONE marker, at the sink's BASE path — a single
+        // filesystem create is the atomic commit point, so a multi-topic
+        // epoch can never land in a partial-marker state (the pre-r12
+        // per-topic markers could: a crash mid-marking left topic A
+        // marked and B not, and the all-markers replay test then
+        // re-appended BOTH — duplicating A despite its marker). With one
+        // marker the window is identical to the single-topic case: crash
+        // before the marker → the whole epoch replays (at-least-once,
+        // Kafka's non-transactional boundary); marker present → the
+        // whole epoch is a no-op. The base-path location (not the
+        // sorted-first topic of THIS commit's routing) makes replay
+        // detection independent of the topic set, so a nondeterministic
+        // source or routing cannot dodge the guard.
+        val replayed = epoch.exists(e => Files.exists(e.markerPath))
         if (replayed) {
           entries.foreach { case (_, _, staged, _) => Files.deleteIfExists(Paths.get(staged)) }
           return
@@ -772,7 +783,7 @@ object GraftLogCommitter {
             // once the dirty ratio crosses the policy threshold
             GraftLog.maybeCompactLocked(Paths.get(topicDir), p)
         }
-        epoch.foreach(markOnly(entries, _))
+        epoch.foreach(markOnly)
       } finally locks.reverse.foreach(unlockTopic)
     }
 
@@ -791,15 +802,10 @@ object GraftLogCommitter {
     l._2.release(); l._1.close()
   }
 
-  private def markOnly(entries: Seq[(String, Int, String, Long)],
-      epoch: (String, Long)): Unit = {
-    val (q, e) = epoch
-    // single atomic commit point: the sorted-first topic owns the marker
-    entries.map(_._1).distinct.sorted.headOption.foreach { t =>
-      val d = Paths.get(t, "_epochs")
-      Files.createDirectories(d)
-      Files.write(d.resolve(s"$q-$e"), Array.emptyByteArray)
-    }
+  private def markOnly(epoch: Epoch): Unit = {
+    // single atomic commit point at the sink's base path
+    Files.createDirectories(epoch.markerPath.getParent)
+    Files.write(epoch.markerPath, Array.emptyByteArray)
   }
 
   def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -468,6 +468,20 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     nDocs = postings.select(col("doc_id")).distinct().count()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    registerSearchHandlers()
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  /** Highest-df terms in the built index — the guaranteed-present probes
+    * a measurement harness should use instead of hardcoding a literal
+    * that some corpora won't contain (ADVICE r12). */
+  def topTerms(n: Int): Seq[String] =
+    stats.orderBy(col("df").desc, col("term").asc).select("term")
+      .limit(n).collect().map(_.getString(0)).toSeq
+
+  private def registerSearchHandlers(): Unit = {
     server.createContext("/search/term", handlerQ { (path, q) =>
       if (path != "/search/term") (404, """{"error":"not found"}""")
       else (for {
@@ -509,9 +523,6 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
           (200, rows.mkString("[", ",", "]"))
       }).merge
     })
-    server.setExecutor(null)
-    server.start()
-    port
   }
 }
 

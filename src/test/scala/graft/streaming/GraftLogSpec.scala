@@ -101,14 +101,14 @@ class GraftLogSpec extends SparkSpec {
     GraftLog.writeRecord(out, 0L, "k1".getBytes, "dup".getBytes)
     out.close()
     val msg = GraftLogCommitMessage(Seq((topic, 0, staged.toString, 1L)))
-    GraftLogCommitter.commit(Array(msg), Some(("q-replay", 7L)))  // first commit
+    GraftLogCommitter.commit(Array(msg), Some(GraftLogCommitter.Epoch("q-replay", 7L, topic)))  // first commit
     val afterFirst = spark.read.format("graftlog").load(topic).count()
     val staged2 = Paths.get(topic, "_staging", "replay-probe-2")
     val out2 = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(staged2))
     GraftLog.writeRecord(out2, 0L, "k1".getBytes, "dup".getBytes)
     out2.close()
     val msg2 = GraftLogCommitMessage(Seq((topic, 0, staged2.toString, 1L)))
-    GraftLogCommitter.commit(Array(msg2), Some(("q-replay", 7L))) // replay
+    GraftLogCommitter.commit(Array(msg2), Some(GraftLogCommitter.Epoch("q-replay", 7L, topic))) // replay
     assert(spark.read.format("graftlog").load(topic).count() === afterFirst)
     assert(!Files.exists(staged2)) // staged file cleaned up, not leaked
   }
@@ -547,11 +547,13 @@ class GraftLogSpec extends SparkSpec {
     assert(back.map(_._1).distinct.length === back.length)
   }
 
-  test("multi-topic epoch commit is all-or-nothing on replay: ONE marker in the " +
-      "sorted-first topic; replay of a marked epoch no-ops in EVERY topic") {
+  test("multi-topic epoch commit is all-or-nothing on replay: ONE marker at the " +
+      "sink's BASE path; replay no-ops in EVERY topic even with different routing") {
     import spark.implicits._
-    val tA = tmp("txn-a")
-    val tB = tmp("txn-b")
+    val base = tmp("txn-base")
+    val tA = Paths.get(base, "topic-a").toString
+    val tB = Paths.get(base, "topic-b").toString
+    val tC = Paths.get(base, "topic-c").toString
     def stage(topic: String, name: String, v: String): (String, Int, String, Long) = {
       val p = Paths.get(topic, "_staging", name)
       Files.createDirectories(p.getParent)
@@ -560,35 +562,44 @@ class GraftLogSpec extends SparkSpec {
       out.close()
       (topic, 0, p.toString, 1L)
     }
+    val ep = GraftLogCommitter.Epoch("q-txn", 9L, base)
     def counts() = (
       spark.read.format("graftlog").load(tA).count(),
       spark.read.format("graftlog").load(tB).count())
     // epoch 9 touches BOTH topics in one commit
     GraftLogCommitter.commit(Array(GraftLogCommitMessage(
-      Seq(stage(tA, "e9-a", "va"), stage(tB, "e9-b", "vb")))), Some(("q-txn", 9L)))
+      Seq(stage(tA, "e9-a", "va"), stage(tB, "e9-b", "vb")))), Some(ep))
     assert(counts() === ((1L, 1L)))
-    // the atomic commit point: exactly ONE marker, in the sorted-first topic
-    val head = Seq(tA, tB).sorted.head
-    val other = Seq(tA, tB).sorted.last
-    assert(Files.exists(Paths.get(head, "_epochs", "q-txn-9")))
-    assert(!Files.exists(Paths.get(other, "_epochs", "q-txn-9")))
+    // the atomic commit point: exactly ONE marker, at the BASE path —
+    // independent of which topics the epoch's rows routed to
+    assert(Files.exists(Paths.get(base, "_epochs", "q-txn-9")))
+    assert(!Files.exists(Paths.get(tA, "_epochs", "q-txn-9")))
+    assert(!Files.exists(Paths.get(tB, "_epochs", "q-txn-9")))
     // full replay of the marked epoch: BOTH topics no-op, staging cleaned
     val r1 = stage(tA, "e9-a-replay", "va"); val r2 = stage(tB, "e9-b-replay", "vb")
-    GraftLogCommitter.commit(Array(GraftLogCommitMessage(Seq(r1, r2))), Some(("q-txn", 9L)))
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(Seq(r1, r2))), Some(ep))
     assert(counts() === ((1L, 1L)))
     assert(!Files.exists(Paths.get(r1._3)) && !Files.exists(Paths.get(r2._3)))
+    // ADVICE r12: a replay whose routing picked a DIFFERENT topic set
+    // (nondeterministic source/routing) must STILL see the marker — the
+    // base-path location is topic-set independent, so even a disjoint
+    // set {C} no-ops instead of duplicating
+    val r3 = stage(tC, "e9-c-replay", "vc")
+    GraftLogCommitter.commit(Array(GraftLogCommitMessage(Seq(r3))), Some(ep))
+    assert(spark.read.format("graftlog").load(tC).count() === 0L)
+    assert(!Files.exists(Paths.get(r3._3)))
     // the crash-BEFORE-marker window stays at-least-once (Kafka's
     // non-transactional boundary): delete the marker and replay — the
     // WHOLE epoch re-appends, in both topics, never a partial mix
-    Files.delete(Paths.get(head, "_epochs", "q-txn-9"))
+    Files.delete(Paths.get(base, "_epochs", "q-txn-9"))
     GraftLogCommitter.commit(Array(GraftLogCommitMessage(
       Seq(stage(tA, "e9-a-crash", "va"), stage(tB, "e9-b-crash", "vb")))),
-      Some(("q-txn", 9L)))
+      Some(ep))
     assert(counts() === ((2L, 2L)))
     // and the epoch is marked again: a THIRD replay no-ops everywhere
     GraftLogCommitter.commit(Array(GraftLogCommitMessage(
       Seq(stage(tA, "e9-a-3", "va"), stage(tB, "e9-b-3", "vb")))),
-      Some(("q-txn", 9L)))
+      Some(ep))
     assert(counts() === ((2L, 2L)))
   }
 }
