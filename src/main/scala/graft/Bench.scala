@@ -100,6 +100,12 @@ object Bench {
         // (measures against prepared labels)
         if (name == "s10_semantic_dedup")
           graft.ops.Similarity.invalidateSemanticLabels()
+        // PQ label/apply split (VERDICT r12 #1): s16 (pqCodes → pqBuild)
+        // re-measures the whole index build on every rep by construction
+        // (it never consults the memo); s17 reads the prepared pqIndex
+        // memo, so its steady-state rep measures the SEARCH alone (four
+        // broadcast lookups + a code-table scan) — the first s17 rep
+        // pays the one-time index build, best-of-N sheds it
         // and on the funnel: c10 is the GATE phase (re-measures the gates
         // honestly — including the t14 stats it gates on, so the shared
         // stats memos drop too), c11 the packing phase over the
