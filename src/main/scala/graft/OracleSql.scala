@@ -653,7 +653,32 @@ object OracleSql {
         .mkString(" + ")
       val trainCut = graft.ops.Composites.SplitTrainCut
       val valCut = graft.ops.Composites.SplitValCut
+      // the t24 BPE-encode chain under a b-prefix (per-doc REAL token
+      // counts — c14 dual-reports the tokenizer budget next to the
+      // whitespace one; VERDICT r12 #3)
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val bpeRounds = (1 to k).map { r =>
+        s"""bpr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM bt${r - 1})),
+           |btop$r AS (SELECT pair FROM bpr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |bt$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM bt${r - 1} CROSS JOIN btop$r),""".stripMargin
+      }.mkString("\n")
       s"""WITH RECURSIVE $prepFunnelCtes,
+         |bt0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |$bpeRounds
+         |benc AS (SELECT doc_id,
+         |    len(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS bpe
+         |  FROM bt$k),
          |${minhashCtesWith("m_")},
          |banded AS (SELECT doc_id, $bucketCols FROM m_sig),
          |buckets AS ($bandUnion),
@@ -668,17 +693,19 @@ object OracleSql {
          |reach(id, r) AS (SELECT src, src FROM edges
          |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
          |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |j AS (SELECT s.doc_id, s.lang, s.n_kept,
+         |j AS (SELECT s.doc_id, s.lang, s.n_kept, benc.bpe,
          |    COALESCE(l.cluster_id, s.doc_id) AS gid
-         |  FROM surv s LEFT JOIN labels l USING (doc_id)),
-         |bk AS (SELECT lang, n_kept, gid, CAST(list_sum(
+         |  FROM surv s LEFT JOIN labels l USING (doc_id)
+         |  JOIN benc USING (doc_id)),
+         |bk AS (SELECT lang, n_kept, bpe, gid, CAST(list_sum(
          |    [(strpos('0123456789abcdef', substr(md5(CAST(gid AS VARCHAR)), i, 1)) - 1)::BIGINT
          |     << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) AS bucket FROM j)
          |SELECT CASE WHEN bucket < $trainCut THEN 'train'
          |    WHEN bucket < $valCut THEN 'val' ELSE 'test' END AS split,
          |  lang, count(*) AS n_docs,
          |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
-         |  CAST(sum(n_kept) AS BIGINT) AS kept_tokens
+         |  CAST(sum(n_kept) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens
          |FROM bk GROUP BY 1, 2""".stripMargin
     },
     "d9_contamination" ->
@@ -964,6 +991,94 @@ object OracleSql {
          |  FROM codes
          |  $lookJoins
          |  WHERE d0.q_id <> codes.vec_id),
+         |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+         |  FROM j)
+         |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin
+    },
+    // IVF-PQ composed search: the s13 √n-stride IVF chain prunes to each
+    // query's NProbe cells, the s17 PQ chain codes the corpus, and ADC
+    // runs ONLY over probed cells' codes — one cell-equality join before
+    // the four lookup joins (cc JOIN qc USING (cell)), mirroring the
+    // engine's prune-before-ADC plan exactly
+    "s18_ivfpq" -> {
+      val m = Similarity.PqM
+      val sd = Similarity.PqSubDim
+      val k = Similarity.PqK
+      val nq = Similarity.PqQueries
+      val nprobe = Similarity.NProbe
+      val iters = Similarity.LloydIters
+      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      def distSql(cvCast: String) =
+        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+      val codeCols = (0 until m).map(j =>
+        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+      val lookJoins = (0 until m).map(j =>
+        s"JOIN dt l$j ON l$j.q_id = qc.q_id AND l$j.m = $j AND l$j.cent = cc.c$j")
+        .mkString("\n  ")
+      val adist = (0 until m).map(j => s"l$j.qd").mkString(" + ")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT vec_id AS q_id, cent_id AS cell
+         |  FROM ranked WHERE vec_id < $nq AND rk <= $nprobe),
+         |msq AS (SELECT unnest(range(0, $m)) AS m),
+         |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM embeddings CROSS JOIN msq),
+         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+         |  FROM sub WHERE vec_id < $k),
+         |d0 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+         |  FROM sub s JOIN c0 USING (m)),
+         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS cv
+         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+         |d1 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS d
+         |  FROM sub s JOIN c1 USING (m)),
+         |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
+         |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
+         |dt AS (SELECT s.vec_id AS q_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS qd
+         |  FROM sub s JOIN c1 USING (m) WHERE s.vec_id < $nq),
+         |cc AS (SELECT codes.vec_id, cell, c0, c1, c2, c3
+         |  FROM codes JOIN cells USING (vec_id)),
+         |j AS (SELECT qc.q_id, cc.vec_id AS c_id,
+         |    round($adist, 6) AS adist
+         |  FROM cc JOIN qc USING (cell)
+         |  $lookJoins
+         |  WHERE qc.q_id <> cc.vec_id),
          |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
          |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
          |  FROM j)
@@ -1262,6 +1377,41 @@ object OracleSql {
          |$rounds
          |fin AS ($union)
          |SELECT round, pair, merged, cnt, vocab_size, corpus_tokens FROM fin""".stripMargin
+    },
+    // t21's induction chain with doc_id carried through every rewrite:
+    // the merges are re-derived identically (same top-1 per round — the
+    // pair stream is unchanged by the extra column), and the final
+    // per-doc rendering IS the encoded corpus, so ws/bpe token counts
+    // and the md5 of the encoding all fall out of the last CTE. The
+    // engine applies the learned merges in rank order over the same
+    // rendering; replace() scans left-to-right non-overlapping in both.
+    "t24_bpe_encode" -> {
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, nt, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH t0 AS (SELECT doc_id, len(t) AS nt,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |$rounds
+         |fin AS (SELECT doc_id, nt,
+         |    len(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS nb, s
+         |  FROM t$k)
+         |SELECT doc_id, CAST(nt AS INTEGER) AS ws_tokens,
+         |  CAST(nb AS INTEGER) AS bpe_tokens, md5(s) AS enc_hash,
+         |  round(CAST(nb AS DOUBLE) / greatest(nt, 1), 6) AS compression
+         |FROM fin""".stripMargin
     },
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,

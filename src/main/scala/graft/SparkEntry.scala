@@ -120,6 +120,7 @@ object SparkEntry {
     "s15_kmeans_cells"  -> (Similarity.kmeansCells _),
     "s16_pq_codes"      -> (Similarity.pqCodes _),
     "s17_pq_adc"        -> (Similarity.pqAdcTopK _),
+    "s18_ivfpq"         -> (Similarity.ivfPqTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "t20_pmi_pairs"     -> (TextAnalysis.pmiPairs _),
     "t21_bpe_merges"    -> (TextAnalysis.bpeMerges _),
     "t22_winnowing"     -> (TextAnalysis.winnowing _),
+    "t24_bpe_encode"    -> (TextAnalysis.bpeEncode _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

@@ -511,11 +511,18 @@ object Composites {
       .select(col("doc_id"), col("lang"), col("n_kept"))
     val labels = Dedup.clusterLabels(s, dir)
       .select(col("doc_id"), col("cluster_id"))
-    withSplit(surv.join(labels, Seq("doc_id"), "left"))
+    // the REAL token budget (VERDICT r12 #3): t24's per-doc BPE token
+    // counts over the surviving docs, read from the memoized encode
+    // table — whitespace counts (kept_tokens) stay dual-reported, the
+    // trainer's budget is tokenizer tokens
+    val enc = graft.ops.TextAnalysis.bpeEncodedMemo(s, dir)
+      .select(col("doc_id"), col("bpe_tokens"))
+    withSplit(surv.join(labels, Seq("doc_id"), "left").join(enc, Seq("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("gid")).as("n_groups"),
-        sum(col("n_kept")).cast(LongType).as("kept_tokens"))
+        sum(col("n_kept")).cast(LongType).as("kept_tokens"),
+        sum(col("bpe_tokens")).cast(LongType).as("bpe_tokens"))
   }
 
   /** AnomalyDetection: users generating ≥2 events within a 1-minute window

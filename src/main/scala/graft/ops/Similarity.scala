@@ -499,6 +499,99 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
   }
 
+  // ---- IVF-PQ composed search (s18) ---------------------------------
+
+  /** The composed IVF-PQ index a production vector store persists: the
+    * per-vector row holds its coarse cell (IVF, √n-stride centroids) AND
+    * its PQ code — 16 bits plus a cell id instead of 256 float bytes.
+    * `codedCells` is the only corpus-sized table a search touches;
+    * `cents` is the C≈√n-row coarse quantizer the query side probes. */
+  case class IvfPqIndex(codedCells: DataFrame, cents: DataFrame)
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), IvfPqIndex]()
+
+  def invalidateIvfPqIndex(): Unit = ivfPqCache.clear()
+
+  /** Build-or-read the composed index, memoized per (context, corpus)
+    * with the [[pqIndex]] discipline: the IVF assignment (√n stride, the
+    * s13 production rule) joins the PQ code table once on vec_id and the
+    * result is checkpointed — s18 then reads this prepared
+    * materialization, so its steady-state cost is the SEARCH alone. */
+  def ivfPqIndexOf(s: SparkSession, dir: String): IvfPqIndex = {
+    val it = ivfPqCache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.codedCells.sparkSession.sparkContext.isStopped)
+        it.remove()
+    ivfPqCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ => {
+        val pq = pqIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+        val n = Tables.embeddingsRowCount(s, dir)
+        val stride = math.max(1, math.sqrt(n.toDouble).toInt)
+        val (cells, cents) = ivfIndex(emb, stride, LloydIters)
+        val coded = pq.codes
+          .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+          .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .localCheckpoint()
+        IvfPqIndex(coded, cents)
+      })
+  }
+
+  /** IVF-PQ SEARCH (s18) — the production 100-TB ANN layout (Jégou et
+    * al.'s IVFADC): the coarse quantizer prunes the corpus to each
+    * query's `NProbe` nearest cells (an EQUALITY join on cell id — the
+    * s8/s13 shape), and ONLY those cells' PQ codes are scored by the
+    * asymmetric-distance lookup tables (the s17 ADC, four broadcast
+    * hash-join lookups). s17's flat ADC scans the whole code table per
+    * query batch — linear in the corpus; here the cell join bounds the
+    * scored rows to NProbe·n/C ≈ NProbe·√n per query, which is what
+    * makes a 100-TB vector store searchable: both the per-query probe
+    * and the √n-stride index build stay sub-quadratic, and the scan
+    * side still never touches a float (codes + cell ids only).
+    *
+    * Classic IVFADC quantizes RESIDUALS (vector − cell centroid); this
+    * composition quantizes raw vectors — same layout and pruning
+    * behavior, one fewer codebook family, and exactly reproducible by
+    * the DuckDB oracle. Recall vs the exact baseline and vs flat ADC is
+    * measured in SimilaritySpec. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfPqIndexOf(s, dir)
+    val pq = pqIndex(s, dir)
+    // query side: NProbe nearest coarse cells per query (bounded — C
+    // rows scored per query, window top-NProbe) plus the K·M ADC
+    // distance tables, both broadcast
+    val qemb = Tables.embeddings(s, dir).filter(col("vec_id") < PqQueries)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    val qcells = nearestCells(qemb, NProbe, idx.cents)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val dtab = pq.sub.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(pq.codebook), Seq("m"))
+      .withColumn("qd", pqDist)
+      .select(col("q_id"), col("m"), col("cent"), col("qd"))
+    def look(k: Int) = broadcast(
+      dtab.filter(col("m") === k)
+        .select(col("q_id"), col("cent").as(s"c$k"), col("qd").as(s"qd$k")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    idx.codedCells
+      // the prune: probed-cell equality join BEFORE any ADC lookup
+      .join(broadcast(qcells), Seq("cell"))
+      .join(look(0), Seq("q_id", "c0"))
+      .join(look(1), Seq("q_id", "c1"))
+      .join(look(2), Seq("q_id", "c2"))
+      .join(look(3), Seq("q_id", "c3"))
+      .filter(col("q_id") =!= col("vec_id"))
+      // fixed subspace order, like pqCodes' error sum
+      .withColumn("adist", round(
+        col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes

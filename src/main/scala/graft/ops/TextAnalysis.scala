@@ -926,6 +926,106 @@ object TextAnalysis {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMergesFrame(Tables.documents(s, dir))
 
+  /** The PRODUCTION induction knob: learn the merges on a deterministic
+    * md5-bucket sample (t6's rule — content-keyed, so the sample is
+    * stable across runs and engines) instead of the full corpus. BPE
+    * merge statistics concentrate fast — the top pair of a 1/mod sample
+    * matches the full corpus's once the sample holds a few thousand
+    * documents — so at a fixed sample budget the 6 per-round corpus
+    * rewrites (t21's inherent cost) stop growing with the corpus: at
+    * 10× the data, mod=10 re-buys sf0.1's induction cost with unchanged
+    * merges (measured in BASELINE.md). `mod = 1` is exactly
+    * [[bpeMergesFrame]]. The ENCODE phase (t24) always applies the
+    * learned merges to the FULL corpus. */
+  def bpeMergesSampled(documents: DataFrame, mod: Int): DataFrame =
+    bpeMergesFrame(
+      if (mod <= 1) documents
+      else documents.filter(
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % mod === 0))
+
+  /** Learned merges, memoized per (context, corpus) with the label/apply
+    * discipline ([[graft.ops.Dedup.clusterLabels]]): t21 (bpeMerges) is
+    * the INDUCTION phase and re-measures all 6 corpus rewrites on every
+    * call by construction (it never consults this memo); the APPLY side
+    * (t24's encode, c14's real-token budget) reads this prepared 6-row
+    * table — production trains a tokenizer once and every encode job
+    * loads the artifact. */
+  private val mergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def invalidateBpeMerges(): Unit = mergesCache.clear()
+
+  def bpeMergesMemo(s: SparkSession, dir: String): DataFrame = {
+    Dedup.evictStopped(mergesCache)
+    mergesCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        bpeMerges(s, dir).localCheckpoint())
+  }
+
+  /** BPE TOKENIZER APPLY (t24) — encode every document with t21's
+    * learned merges and report the REAL token counts a training-data
+    * release budgets by (whitespace counts over-estimate what the model
+    * sees; the manifest's token budget should be tokenizer tokens).
+    *
+    * Greedy application in MERGE-RANK ORDER: the 6 learned merges fold
+    * over each document's pipe-delimited rendering (t21's `|x||y|` →
+    * `|x_y|` literal replace — left-to-right non-overlapping, identical
+    * scan order in both engines), rank by rank, exactly how a trained
+    * BPE tokenizer encodes. The merge table collapses to ONE row (an
+    * array of (round,x,y) structs sorted by rank) folded in as a
+    * broadcast on a non-foldable zero key — the encode is a single
+    * narrow corpus pass: no shuffle, no driver round-trip, linear at
+    * any scale. `enc_hash` (md5 of the encoded rendering) makes the
+    * oracle prove the exact token SEQUENCE, not just the counts. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrame(Tables.documents(s, dir), bpeMergesMemo(s, dir))
+
+  /** Frame-level form of [[bpeEncode]]: `merges` is t21's output (round,
+    * pair, …) — only (round, pair) are read. */
+  def bpeEncodeFrame(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    // one row: the merges as (round, x, y) structs sorted by rank — the
+    // application order of greedy BPE — broadcast on the zero key
+    val mrow = merges
+      .agg(array_sort(collect_list(struct(col("round"),
+        split(col("pair"), " ").getItem(0).as("x"),
+        split(col("pair"), " ").getItem(1).as("y")))).as("ms"))
+      .withColumn("jk", pmod(size(col("ms")), lit(1)))
+    val encoded = documents
+      .select(col("doc_id"), toks0.as("t"))
+      .withColumn("s", when(size(col("t")) > 0,
+        concat(lit("||"), array_join(col("t"), "||"), lit("||")))
+        .otherwise(lit("")))
+      .withColumn("jk", pmod(size(col("t")), lit(1)))
+      .join(broadcast(mrow), Seq("jk"))
+      .withColumn("enc", aggregate(col("ms"), col("s"), (acc, m) =>
+        replace(acc,
+          concat(lit("|"), m.getField("x"), lit("||"), m.getField("y"), lit("|")),
+          concat(lit("|"), m.getField("x"), lit("_"), m.getField("y"), lit("|")))))
+    encoded.select(col("doc_id"),
+      size(col("t")).as("ws_tokens"),
+      size(filter(split(col("enc"), "\\|\\|"), x => length(x) > 0)).as("bpe_tokens"),
+      md5(col("enc")).as("enc_hash"))
+      .withColumn("compression", round(
+        col("bpe_tokens").cast("double") / greatest(col("ws_tokens"), lit(1)), 6))
+  }
+
+  /** The encoded per-doc table, memoized for the pure-composition
+    * consumers (c14's real-token budget): t24 re-measures the ENCODE on
+    * every call (it reads only the merges memo); this checkpoint is the
+    * per-doc token table a release pipeline writes once. */
+  private val encodedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def invalidateBpeEncoded(): Unit = encodedCache.clear()
+
+  def bpeEncodedMemo(s: SparkSession, dir: String): DataFrame = {
+    Dedup.evictStopped(encodedCache)
+    encodedCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        bpeEncode(s, dir).localCheckpoint())
+  }
+
   /** Frame-level form of [[bpeMerges]] — any frame with a text column. */
   def bpeMergesFrame(documents: DataFrame): DataFrame = {
     val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
