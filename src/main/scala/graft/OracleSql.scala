@@ -1321,6 +1321,35 @@ object OracleSql {
          |SELECT term, df, corpus_tf, rk, doc_id, tf, first_pos
          |FROM rnk JOIN stats USING (term) WHERE rk <= $top""".stripMargin
     },
+    "t25_bm25_topk" -> {
+      val k1 = graft.ops.TextAnalysis.Bm25K1
+      val b = graft.ops.TextAnalysis.Bm25B
+      val nq = graft.ops.TextAnalysis.Bm25Queries
+      val topK = graft.ops.TextAnalysis.Bm25TopK
+      // constants interpolated with ::DOUBLE casts (a bare DuckDB decimal
+      // literal is DECIMAL, whose arithmetic would drift from Spark's
+      // doubles); expression structure mirrors the engine's
+      // left-to-right order exactly
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |pe AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         |postings AS (SELECT term, doc_id, count(*) AS tf FROM pe GROUP BY 1, 2),
+         |stats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM postings GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+         |  FROM dlen),
+         |qt AS (SELECT term, df FROM stats ORDER BY df DESC, term ASC LIMIT $nq),
+         |sc AS (SELECT p.term, p.doc_id, p.tf, dl,
+         |    round(ln(1 + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+         |      * (p.tf * ${k1 + 1}::DOUBLE)
+         |      / (p.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
+         |        + $b::DOUBLE * CAST(dl AS DOUBLE) * n_docs / total_len)), 6) AS score
+         |  FROM postings p JOIN qt USING (term) JOIN dlen USING (doc_id)
+         |  CROSS JOIN tot),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
+         |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM sc)
+         |SELECT term, rank, doc_id, tf, dl, score FROM r WHERE rank <= $topK""".stripMargin
+    },
     "t20_pmi_pairs" -> {
       val minC = graft.ops.TextAnalysis.PmiMinCount
       val topK = graft.ops.TextAnalysis.PmiTopK

@@ -156,6 +156,15 @@ object PlanAudit {
       ("s17_pq_adc", "ADC search is ONE pass over the checkpointed 16-bit code table (ExistingRDD) with four broadcast hash-join lookups into the bounded query-side distance tables — the floats never leave the index build, the per-query top-5 plans WindowGroupLimit, no all-pairs",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("s18_ivfpq", "IVF-PQ composed search: the probed-cell EQUALITY join (broadcast query cells — NProbe·√n candidate codes per query, never the full code table) prunes BEFORE the four broadcast ADC lookup joins, all over the checkpointed coded-cells index (ExistingRDD — the √n-stride IVF build and the PQ code build ran once, inside the memo); per-query top-5 plans WindowGroupLimit; no floats on the scan side",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t24_bpe_encode", "the tokenizer APPLY reads the memoized 6-row merge table (ExistingRDD — induction ran once, in t21's phase) collapsed to ONE broadcast row on the zero key and folds the merges over each document in a single narrow corpus pass — one BroadcastHashJoin, no shuffle of the corpus, no driver round-trip",
+        Seq("ExistingRDD", "BroadcastHashJoin"),
+        Seq("Exchange hashpartitioning", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t25_bm25_topk", "BM25 derives everything from ONE postings checkpoint (ExistingRDD): df, doclen and the corpus totals are rollups of the materialization (zero parquet re-scans), the query-term and totals sides broadcast, and the per-term top-k plans WindowGroupLimit — candidates are the query terms' postings only, never a corpus scan",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)) and its removal set is a keyed left join back to the positional token table — the covered-position expansion is bounded by real duplicated mass, never corpus size; no all-pairs, no BNLJ",
         Seq("ExistingRDD", "Window"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin"))

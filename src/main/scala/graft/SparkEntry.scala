@@ -141,6 +141,7 @@ object SparkEntry {
     "t21_bpe_merges"    -> (TextAnalysis.bpeMerges _),
     "t22_winnowing"     -> (TextAnalysis.winnowing _),
     "t24_bpe_encode"    -> (TextAnalysis.bpeEncode _),
+    "t25_bm25_topk"     -> (TextAnalysis.bm25TopK _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

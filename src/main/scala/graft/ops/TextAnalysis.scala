@@ -692,6 +692,60 @@ object TextAnalysis {
         col("doc_id"), col("tf"), col("first_pos"))
   }
 
+  /** BM25 constants — the standard Robertson/Sparck-Jones defaults. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Bench query set: the `Bm25Queries` highest-df terms (guaranteed
+    * present in any corpus — the ADVICE-r12 probe rule). */
+  val Bm25Queries = 5
+  val Bm25TopK = 10
+
+  /** BM25 RANKED RETRIEVAL (t25) — the standard ranking function the
+    * tf-idf search tier approximates, over t19's postings
+    * materialization: score(q,d) = idf(q) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·|d|/avgdl)) with idf = ln(1 + (N−df+0.5)/(df+0.5)) (the
+    * Lucene-style positive form). Everything derives from ONE postings
+    * checkpoint: df per term, doclen = Σtf per doc (the postings rollup
+    * — no second tokenize), and the corpus aggregates (N, total length)
+    * fold in as a one-row broadcast on the zero key. The query set is
+    * the `Bm25Queries` highest-df terms (deterministic: df desc, term
+    * asc), broadcast against the candidate postings — candidates are
+    * the query terms' posting rows only, never a corpus scan — and the
+    * per-term top-k plans WindowGroupLimit. All float math is a fixed
+    * left-to-right expression both engines evaluate identically. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Frame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[bm25TopK]] — any (doc_id, text). */
+  def bm25Frame(documents: DataFrame): DataFrame = {
+    val postings = postingsFrame(documents).localCheckpoint()
+    val stats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlen = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val tot = dlen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_len"))
+      .withColumn("jk", pmod(col("n_docs"), lit(1L)))
+    val qterms = stats.orderBy(col("df").desc, col("term").asc)
+      .limit(Bm25Queries).select(col("term"), col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id").asc)
+    postings.join(broadcast(qterms), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .withColumn("jk", pmod(col("tf"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("idf", log(lit(1.0)
+        + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(Bm25K1 + 1))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+            + lit(Bm25B) * col("dl").cast("double") * col("n_docs")
+              / col("total_len"))), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+  }
+
   /** Bigrams with fewer occurrences than this don't get a PMI score. */
   val PmiMinCount = 5
   /** Result head size — collocations ranked by association strength. */

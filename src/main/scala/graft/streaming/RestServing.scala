@@ -437,14 +437,20 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   *    matching ANY query term, scored Σ tf·idf with t10's smoothed idf
   *    (ln((N+1)/(df+1))+1); per-term idfs come from the stats rows for
   *    the query terms only (bounded by query length), candidates from
-  *    the postings rows for those terms — never a corpus scan. */
+  *    the postings rows for those terms — never a corpus scan.
+  *  - `/search?q=…&rank=bm25&k=10` — the same candidate set ranked by
+  *    BM25 (t25's scoring: k1=1.2, b=0.75, the Lucene-style positive
+  *    idf), reading the doclen table built once at `start()` — length
+  *    normalization without touching the corpus at query time. */
 class SearchRestServing(spark: SparkSession, documentsPath: String)
     extends HttpJsonServer {
   import org.apache.spark.sql.DataFrame
 
   private var postings: DataFrame = _
   private var stats: DataFrame = _
+  private var dlens: DataFrame = _
   private var nDocs: Long = _
+  private var totalLen: Long = _
 
   /** Parse a positive int param; Left(400 response) on junk. */
   private def intParam(q: Map[String, String], name: String,
@@ -465,7 +471,13 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .localCheckpoint()
-    nDocs = postings.select(col("doc_id")).distinct().count()
+    // doclen = the per-doc postings rollup (no second tokenize) — the
+    // BM25 length-normalization table, one long per doc
+    dlens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+      .localCheckpoint()
+    nDocs = dlens.count()
+    totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     registerSearchHandlers()
@@ -509,14 +521,32 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
           .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
         k <- intParam(q, "k", 10)
       } yield {
-          // idfs for the query terms only — bounded by query length
-          val idf = stats.filter(col("term").isin(terms: _*))
-            .select(col("term"),
-              (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
-          val rows = postings.filter(col("term").isin(terms: _*))
-            .join(broadcast(idf), Seq("term"))
+          val cand = postings.filter(col("term").isin(terms: _*))
+          val perTerm = q.get("rank") match {
+            case Some("bm25") =>
+              import graft.ops.TextAnalysis.{Bm25K1, Bm25B}
+              // t25's scoring over the prepared doclen table: same
+              // constants, same positive idf, same evaluation order
+              val idf = stats.filter(col("term").isin(terms: _*))
+                .select(col("term"), log(lit(1.0)
+                  + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+              cand.join(broadcast(idf), Seq("term"))
+                .join(dlens, Seq("doc_id"))
+                .withColumn("s", col("idf") * (col("tf") * lit(Bm25K1 + 1))
+                  / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+                    + lit(Bm25B) * col("dl").cast("double") * lit(nDocs)
+                      / lit(totalLen))))
+            case _ =>
+              // idfs for the query terms only — bounded by query length
+              val idf = stats.filter(col("term").isin(terms: _*))
+                .select(col("term"),
+                  (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+              cand.join(broadcast(idf), Seq("term"))
+                .withColumn("s", col("tf") * col("idf"))
+          }
+          val rows = perTerm
             .groupBy(col("doc_id"))
-            .agg(round(sum(col("tf") * col("idf")), 6).as("score"),
+            .agg(round(sum(col("s")), 6).as("score"),
               count(lit(1)).as("n_terms"))
             .orderBy(col("score").desc, col("doc_id").asc).limit(k)
             .toJSON.collect()

@@ -307,6 +307,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: cell pruning bounds the ADC candidates; recall measured vs exact and flat ADC") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.ivfPqTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until Similarity.PqQueries).toSet,
+      "every query must produce results")
+    byQ.foreach { case (q, rs) =>
+      val ranked = rs.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq === (1 to 5), s"query $q ranks")
+      assert(ranked.map(_._4).toSeq === ranked.map(_._4).sorted.toSeq,
+        s"query $q adist must be non-decreasing in rank")
+      assert(ranked.forall(_._3 != q), s"query $q returned itself")
+    }
+    // the PRUNE is real: candidates after the cell join are a small
+    // fraction of the flat-ADC candidate count (queries × corpus) —
+    // NProbe·√n per query by construction
+    val idx = Similarity.ivfPqIndexOf(spark, sf01)
+    val n = graft.Tables.embeddingsRowCount(spark, sf01)
+    val qemb = graft.Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") < Similarity.PqQueries)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+    val qcells = Similarity.nearestCells(qemb, Similarity.NProbe, idx.cents)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = idx.codedCells.join(qcells, Seq("cell")).count()
+    val flat = n * Similarity.PqQueries
+    info(f"IVF-PQ candidates: $cand of $flat flat-ADC (${cand.toDouble / flat}%.4f)")
+    assert(cand < flat / 4, s"cell join must prune: $cand !< $flat/4")
+    // recall@5 vs the exact baseline, next to flat ADC's — the fidelity
+    // cost of pruning at isotropic sf0.01 (PQ@16bit is coarse here by
+    // design; the oracle proves exactness, this measures the knob)
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
+    val adcPairs = Similarity.pqAdcTopK(spark, sf01).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqPairs = got.map(r => (r._1, r._3)).toSet
+    val rAdc = (adcPairs & truth).size.toDouble / truth.size
+    val rIvfPq = (ivfpqPairs & truth).size.toDouble / truth.size
+    info(f"recall@5 vs exact: flat-ADC=$rAdc%.3f ivfpq=$rIvfPq%.3f")
+    // IVF-PQ scans <1/4 of the codes; it must retain a useful share of
+    // flat ADC's (already PQ-coarse) agreement with the exact truth
+    assert(rIvfPq >= rAdc * 0.25,
+      f"pruned recall collapsed: $rIvfPq%.3f vs flat $rAdc%.3f")
+    assert(Similarity.ivfPqIndexOf(spark, sf01) eq
+      Similarity.ivfPqIndexOf(spark, sf01), "index must be memoized")
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,

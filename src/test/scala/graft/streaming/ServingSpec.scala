@@ -466,6 +466,22 @@ class ServingSpec extends SparkSpec {
       assert(b2.contains(s""""score":${r6(2 * idfCat)}"""), b2)
       // doc3 matched both query terms
       assert(b2.contains("\"n_terms\":2"), b2)
+      // BM25 tier on the same query: N=4, dl = (3,2,4,4), total_len=13
+      //   idf(t) = ln(1 + (N-df+0.5)/(df+0.5)); score per (t,d) =
+      //   idf · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/total_len))
+      val (s3, b3) = get("/search?q=cat+fish&rank=bm25&k=3")
+      assert(s3 === 200, b3)
+      val k1 = graft.ops.TextAnalysis.Bm25K1
+      val bb = graft.ops.TextAnalysis.Bm25B
+      val bmIdfCat = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+      val bmIdfFish = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+      def bm(idf: Double, tf: Long, dl: Long): Double =
+        idf * (tf * (k1 + 1)) / (tf + k1 * ((1.0 - bb) + bb * dl.toDouble * 4 / 13))
+      // doc3: cat tf1 + fish tf3 (dl 4); doc1: cat tf2 (dl 3); doc2: cat tf1 (dl 2)
+      val bmRanked = "\"doc_id\":(\\d+)".r.findAllMatchIn(b3).map(_.group(1).toInt).toSeq
+      assert(bmRanked === Seq(3, 1, 2), b3)
+      assert(b3.contains(s""""score":${r6(bm(bmIdfCat, 1, 4) + bm(bmIdfFish, 3, 4))}"""), b3)
+      assert(b3.contains(s""""score":${r6(bm(bmIdfCat, 2, 3))}"""), b3)
       // client errors are 4xx, not 500s: missing q / missing t / junk k
       assert(get("/search?k=3")._1 === 400)
       assert(get("/search/term?k=3")._1 === 400)
