@@ -187,10 +187,14 @@ object Dedup {
       // identityHashCode can be reused by a NEW context after the old one
       // is GC'd, which would serve a checkpointed frame bound to a dead
       // session
-      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ => {
-        val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-        connectedComponents(pairs, "doc_id", "cluster_id")
-      })
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        // store-first when artifacts are enabled: a second session's
+        // apply stage reads the persisted label table (plain parquet
+        // scan, zero label re-execution — ArtifactsSpec pins the plan)
+        Artifacts.readOrBuild(s, dir, "d8_labels") {
+          val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+          connectedComponents(pairs, "doc_id", "cluster_id")
+        })
   }
 
   def invalidateLabels(): Unit = labelCache.clear()

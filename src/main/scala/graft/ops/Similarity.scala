@@ -392,14 +392,20 @@ object Similarity {
 
   /** One full PQ index build: subvector explode (checkpointed), seeded +
     * one-Lloyd-round codebook (checkpointed), lazy code-table pivot. */
-  private def pqBuild(s: SparkSession, dir: String): PqIndex = {
-    val sub = Tables.embeddings(s, dir)
+  /** The (vec_id, m, subvector) explode — lazy; [[pqBuild]] checkpoints
+    * it, the artifact read path keeps it lazy (only the ≤PqQueries
+    * query vectors' slices are ever computed there, with the vec_id
+    * filter pushed to the parquet scan). */
+  private def subFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), explode(transform(
         sequence(lit(0), lit(PqM - 1)),
         m => struct(m.as("m"),
           slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)).as("sv")))).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-      .localCheckpoint()
+
+  private def pqBuild(s: SparkSession, dir: String): PqIndex = {
+    val sub = subFrame(s, dir).localCheckpoint()
     def assign(cents: DataFrame): DataFrame = sub
       .join(broadcast(cents), Seq("m"))
       .withColumn("d", pqDist)
@@ -446,10 +452,23 @@ object Similarity {
     while (it.hasNext)
       if (it.next().getValue.codes.sparkSession.sparkContext.isStopped) it.remove()
     pqCache.computeIfAbsent(
-      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ => {
-        val b = pqBuild(s, dir)
-        b.copy(codes = b.codes.localCheckpoint())
-      })
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        // store-first when artifacts are enabled: codes + codebook read
+        // as plain parquet, the subvector frame stays lazy (query-side
+        // slices only)
+        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "pq_codes")
+            && Artifacts.exists(s, dir, "pq_codebook"))
+          PqIndex(subFrame(s, dir), Artifacts.read(s, dir, "pq_codebook"),
+            Artifacts.read(s, dir, "pq_codes"))
+        else {
+          val b = pqBuild(s, dir)
+          val ck = b.copy(codes = b.codes.localCheckpoint())
+          if (Artifacts.enabled(s)) {
+            Artifacts.write(s, dir, "pq_codebook", ck.codebook)
+            Artifacts.write(s, dir, "pq_codes", ck.codes)
+          }
+          ck
+        })
   }
 
   /** Queries scored by the ADC search (the s8 bench-query idiom). */
@@ -524,19 +543,28 @@ object Similarity {
       if (it.next().getValue.codedCells.sparkSession.sparkContext.isStopped)
         it.remove()
     ivfPqCache.computeIfAbsent(
-      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ => {
-        val pq = pqIndex(s, dir)
-        val emb = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
-        val n = Tables.embeddingsRowCount(s, dir)
-        val stride = math.max(1, math.sqrt(n.toDouble).toInt)
-        val (cells, cents) = ivfIndex(emb, stride, LloydIters)
-        val coded = pq.codes
-          .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
-          .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
-          .localCheckpoint()
-        IvfPqIndex(coded, cents)
-      })
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "ivfpq_cells")
+            && Artifacts.exists(s, dir, "ivfpq_cents"))
+          IvfPqIndex(Artifacts.read(s, dir, "ivfpq_cells"),
+            Artifacts.read(s, dir, "ivfpq_cents"))
+        else {
+          val pq = pqIndex(s, dir)
+          val emb = Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+          val n = Tables.embeddingsRowCount(s, dir)
+          val stride = math.max(1, math.sqrt(n.toDouble).toInt)
+          val (cells, cents) = ivfIndex(emb, stride, LloydIters)
+          val coded = pq.codes
+            .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+            .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+            .localCheckpoint()
+          if (Artifacts.enabled(s)) {
+            Artifacts.write(s, dir, "ivfpq_cells", coded)
+            Artifacts.write(s, dir, "ivfpq_cents", cents)
+          }
+          IvfPqIndex(coded, cents)
+        })
   }
 
   /** IVF-PQ SEARCH (s18) — the production 100-TB ANN layout (Jégou et
@@ -707,9 +735,11 @@ object Similarity {
     Dedup.evictStopped(labelCache) // dead-context entries, see Dedup
     labelCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
-        Dedup.connectedComponents(
-          bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
-          "vec_id", "cluster_id"))
+        Artifacts.readOrBuild(s, dir, "s10_labels") {
+          Dedup.connectedComponents(
+            bucketedNearDup(s, dir).select(col("a_id"), col("b_id")),
+            "vec_id", "cluster_id")
+        })
   }
 
   def invalidateSemanticLabels(): Unit = labelCache.clear()

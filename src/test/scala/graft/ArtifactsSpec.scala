@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Artifacts, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Persisted-artifact goldens (VERDICT r12 #6): with
+  * `spark.graft.artifacts.enabled=true`, the first session WRITES the
+  * label/index tables as parquet and a SECOND session (simulated by
+  * dropping the in-memory memo — the artifact store is the only state
+  * that survives) reads them back with ZERO build re-execution: the
+  * apply/search plan is a plain parquet FileScan of the artifact path,
+  * with none of the build machinery (shingle explodes, CC iterations,
+  * Lloyd rounds) anywhere in it. */
+class ArtifactsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withArtifacts[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    spark.conf.set("spark.graft.artifacts.dir", tmp)
+    spark.conf.set("spark.graft.artifacts.enabled", "true")
+    try f(tmp)
+    finally {
+      spark.conf.set("spark.graft.artifacts.enabled", "false")
+      Dedup.invalidateLabels()
+      Similarity.invalidateSemanticLabels()
+      Similarity.invalidatePqIndex()
+      Similarity.invalidateIvfPqIndex()
+    }
+  }
+
+  test("d8 labels: session 2 reads the artifact — FileScan of the store, no relabeling") {
+    // baseline labels with artifacts OFF (the honest build)
+    Dedup.invalidateLabels()
+    val expected = Dedup.clusterLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.invalidateLabels()
+    withArtifacts { tmp =>
+      val first = Dedup.clusterLabels(spark, dir) // builds AND persists
+      assert(first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+      assert(Artifacts.exists(spark, dir, "d8_labels"), "artifact must be written")
+      // "second session": only the store survives a restart
+      Dedup.invalidateLabels()
+      val second = Dedup.clusterLabels(spark, dir)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") && plan.contains(tmp),
+        s"labels must come from the artifact store:\n$plan")
+      assert(!plan.contains("Generate"), "no shingle explode = no rebuild")
+      assert(second.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+      // and the APPLY stage composes over the artifact unchanged
+      val apply = Dedup.dedupApply(spark, dir)
+      val applyPlan = apply.queryExecution.executedPlan.toString
+      assert(applyPlan.contains(tmp), "apply must read the artifact")
+      assert(apply.count() > 0)
+    }
+  }
+
+  test("PQ + IVF-PQ index: session 2 searches against the persisted code tables") {
+    Similarity.invalidatePqIndex()
+    Similarity.invalidateIvfPqIndex()
+    val expected = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    Similarity.invalidatePqIndex()
+    Similarity.invalidateIvfPqIndex()
+    withArtifacts { tmp =>
+      // first session: build + persist all four index artifacts
+      Similarity.ivfPqTopK(spark, dir).count()
+      Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
+        assert(Artifacts.exists(spark, dir, a), s"$a must be written"))
+      // second session: searches read the store, results identical
+      Similarity.invalidatePqIndex()
+      Similarity.invalidateIvfPqIndex()
+      val s18 = Similarity.ivfPqTopK(spark, dir)
+      val plan = s18.queryExecution.executedPlan.toString
+      assert(plan.contains(tmp), s"search must read the artifact store:\n$plan")
+      assert(s18.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        === expected, "artifact-backed search must return the built index's results")
+      // flat ADC (s17) reads the same persisted codes; the only parquet
+      // scans beyond the store are the bounded query-side slices
+      val s17 = Similarity.pqAdcTopK(spark, dir)
+      assert(s17.queryExecution.executedPlan.toString.contains(tmp))
+      assert(s17.count() === Similarity.PqQueries * 5)
+    }
+  }
+
+  test("s10 semantic labels round-trip through the store") {
+    Similarity.invalidateSemanticLabels()
+    val expected = Similarity.semanticDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Similarity.invalidateSemanticLabels()
+    withArtifacts { tmp =>
+      Similarity.semanticDedupClusters(spark, dir).count()
+      assert(Artifacts.exists(spark, dir, "s10_labels"))
+      Similarity.invalidateSemanticLabels()
+      val second = Similarity.semanticDedupClusters(spark, dir)
+      assert(second.queryExecution.executedPlan.toString.contains(tmp))
+      assert(second.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    }
+  }
+}
