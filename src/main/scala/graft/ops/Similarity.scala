@@ -397,15 +397,26 @@ object Similarity {
     * query vectors' slices are ever computed there, with the vec_id
     * filter pushed to the parquet scan). */
   private def subFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    subFrameOf(Tables.embeddings(s, dir), PqM, PqSubDim)
+
+  private[graft] def subFrameOf(emb: DataFrame, m: Int, sd: Int): DataFrame =
+    emb
       .select(col("vec_id"), explode(transform(
-        sequence(lit(0), lit(PqM - 1)),
-        m => struct(m.as("m"),
-          slice(col("embedding"), m * PqSubDim + 1, lit(PqSubDim)).as("sv")))).as("x"))
+        sequence(lit(0), lit(m - 1)),
+        mm => struct(mm.as("m"),
+          slice(col("embedding"), mm * sd + 1, lit(sd)).as("sv")))).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
 
-  private def pqBuild(s: SparkSession, dir: String): PqIndex = {
-    val sub = subFrame(s, dir).localCheckpoint()
+  private def pqBuild(s: SparkSession, dir: String): PqIndex =
+    pqBuildFrame(Tables.embeddings(s, dir), PqM, PqSubDim, PqK)
+
+  /** Frame-level PQ build with explicit geometry (M subspaces of `sd`
+    * dims, K centroids each) — the oracle-checked s16 path uses the
+    * [[PqM]]/[[PqSubDim]]/[[PqK]] constants; the serving tier derives
+    * `sd` from its corpus's dimension. */
+  private[graft] def pqBuildFrame(emb: DataFrame, pm: Int, sd: Int,
+      pk: Int): PqIndex = {
+    val sub = subFrameOf(emb, pm, sd).localCheckpoint()
     def assign(cents: DataFrame): DataFrame = sub
       .join(broadcast(cents), Seq("m"))
       .withColumn("d", pqDist)
@@ -414,7 +425,7 @@ object Similarity {
         struct(col("d"), col("cent"))).as("a"))
       .select(col("vec_id"), col("m"),
         col("a.cent").as("cell"), col("a.d").as("d"))
-    val cents0 = sub.filter(col("vec_id") < PqK)
+    val cents0 = sub.filter(col("vec_id") < pk)
       .select(col("m"), col("vec_id").cast("int").as("cent"), col("sv").as("cv"))
     // one Lloyd round per subspace: members sorted by vec_id, summed
     // sequentially in double — the ivfIndex recenter fold
@@ -430,18 +441,19 @@ object Similarity {
               (a, x) => a + x.cast("double"))),
           x => x / size(col("ms"))).as("cv"))
       .localCheckpoint()
-    val codeCols = (0 until PqM).map(k =>
+    val codeCols = (0 until pm).map(k =>
       max(when(col("m") === k, col("cell"))).cast("int").as(s"c$k"))
-    val errCols = (0 until PqM).map(k =>
+    val errCols = (0 until pm).map(k =>
       max(when(col("m") === k, col("d"))).as(s"e$k"))
     val codes = assign(cents1)
       .groupBy(col("vec_id"))
       .agg(codeCols.head, (codeCols.tail ++ errCols): _*)
-      // fixed-order error sum: e0+e1+e2+e3, never a shuffled float fold
+      // fixed-order error sum: e0+e1+…, a left fold, never a shuffled
+      // float reduction
       .withColumn("recon_err", round(
-        col("e0") + col("e1") + col("e2") + col("e3"), 6))
-      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        col("recon_err"))
+        (0 until pm).map(k => col(s"e$k")).reduce(_ + _), 6))
+      .select(col("vec_id") +: (0 until pm).map(k => col(s"c$k"))
+        :+ col("recon_err"): _*)
     PqIndex(sub, cents1, codes)
   }
 

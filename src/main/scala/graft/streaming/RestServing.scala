@@ -352,6 +352,12 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
   * never the corpus (the same never-all-pairs discipline as the batch
   * forms). Endpoints (GET, JSON):
   *  - `/ann/topk?vec=v1,v2,…&k=5&nprobe=4` — IVF-probed approximate top-k
+  *  - `/ann/topk/pq?vec=…&k=5&nprobe=4` — the s18 IVF-PQ tier: the same
+  *    in-process cell probe, then ASYMMETRIC-DISTANCE scoring over the
+  *    probed cells' PQ codes only — the query's K·M distance table is
+  *    computed in-process against the collected codebook (no job, no
+  *    float column on the scan side), and the scan touches the coded
+  *    cells (a few ints per vector), exactly the 100-TB read path
   *  - `/ann/topk/exact?vec=…&k=5` — brute-force over the corpus (the
   *    audit tier every approximate answer can be checked against)
   */
@@ -363,6 +369,9 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   private var cells: DataFrame = _
   private var emb: DataFrame = _
   private var cents: Array[(Long, Array[Double], Double)] = _
+  private var codedCells: DataFrame = _
+  private var codebook: Array[(Int, Int, Array[Double])] = _
+  private var pqSd: Int = _
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
     import graft.ops.Similarity
@@ -378,6 +387,22 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       .select(col("cent_id"), col("c_emb").cast("array<double>"), col("c_norm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // the IVF-PQ tier's index: subspace width from the corpus dimension,
+    // codes joined to cells once, codebook (K·M rows) collected
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    pqSd = dim / Similarity.PqM
+    val pq = Similarity.pqBuildFrame(
+      emb.select(col("vec_id"), col("embedding")),
+      Similarity.PqM, pqSd, Similarity.PqK)
+    codedCells = pq.codes
+      .select(col("vec_id") +:
+        (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .localCheckpoint()
+    codebook = pq.codebook
+      .select(col("m"), col("cent"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     def parseVec(q: Map[String, String]): Array[Double] = {
@@ -399,18 +424,55 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       if (path != "/ann/topk/exact") (404, """{"error":"not found"}""")
       else answer(emb, parseVec(q), q.getOrElse("k", "5").toInt)
     })
+    def probeCells(qv: Array[Double], nprobe: Int): Array[Long] = {
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      // in-process probe: C dot products against the collected centroids
+      cents.map { case (id, ce, cn) =>
+        val d = qv.zip(ce).map { case (a, b) => a * b }.sum
+        (if (cn > 0 && qn > 0) d / (cn * qn) else Double.NegativeInfinity, id)
+      }.sortBy { case (s, id) => (-s, id) }.take(nprobe).map(_._2)
+    }
+    server.createContext("/ann/topk/pq", handlerQ { (path, q) =>
+      if (path != "/ann/topk/pq") (404, """{"error":"not found"}""")
+      else {
+        val qv = parseVec(q)
+        if (qv.forall(_ == 0.0)) (400, """{"error":"zero-norm query vector"}""")
+        else {
+          val probed = probeCells(qv, q.getOrElse("nprobe", "4").toInt)
+          // the query's ADC distance tables, in-process: K distances per
+          // subspace against the collected codebook (K·M doubles total)
+          val dtab: Array[Map[Int, Double]] =
+            (0 until graft.ops.Similarity.PqM).map { mm =>
+              val qs = qv.slice(mm * pqSd, (mm + 1) * pqSd)
+              codebook.collect { case (m, cent, cv) if m == mm =>
+                var acc = 0.0
+                var i = 0
+                while (i < pqSd) {
+                  val d = qs(i) - cv(i); acc += d * d; i += 1
+                }
+                cent -> acc
+              }.toMap
+            }.toArray
+          val adist = (0 until graft.ops.Similarity.PqM)
+            .map(mm => element_at(typedlit(dtab(mm)), col(s"c$mm")))
+            .reduce(_ + _)
+          val rows = codedCells.filter(col("cell").isin(probed: _*))
+            .select(col("vec_id"), round(adist, 6).as("adist"))
+            .orderBy(col("adist").asc, col("vec_id").asc)
+            .limit(q.getOrElse("k", "5").toInt)
+            .toJSON.collect()
+          (200, rows.mkString("[", ",", "]"))
+        }
+      }
+    })
     server.createContext("/ann/topk", handlerQ { (path, q) =>
       if (path != "/ann/topk") (404, """{"error":"not found"}""")
       else {
         val qv = parseVec(q)
         val qn = math.sqrt(qv.map(x => x * x).sum)
-        val nprobe = q.getOrElse("nprobe", "4").toInt
-        // in-process probe: C dot products against the collected centroids
-        val probed = cents.map { case (id, ce, cn) =>
-          val d = qv.zip(ce).map { case (a, b) => a * b }.sum
-          (if (cn > 0 && qn > 0) d / (cn * qn) else Double.NegativeInfinity, id)
-        }.sortBy { case (s, id) => (-s, id) }.take(nprobe).map(_._2)
-        answer(cells.filter(col("cell").isin(probed: _*)), qv,
+        if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
+        else answer(cells.filter(col("cell")
+          .isin(probeCells(qv, q.getOrElse("nprobe", "4").toInt): _*)), qv,
           q.getOrElse("k", "5").toInt)
       }
     })

@@ -414,6 +414,18 @@ class ServingSpec extends SparkSpec {
       assert(se === 200)
       val exactIds = "\"vec_id\":(\\d+)".r.findAllMatchIn(be).map(_.group(1).toInt).toSeq
       assert(ids === exactIds, s"ivf=$ids exact=$exactIds")
+      // the IVF-PQ tier: same probe, ADC over the probed cells' codes —
+      // on this separated geometry the coded scan still finds cluster 0,
+      // with approximate distances ascending in rank
+      val (sp, bp) = get(s"/ann/topk/pq?vec=$q&k=5&nprobe=4")
+      assert(sp === 200, bp)
+      val pqIds = "\"vec_id\":(\\d+)".r.findAllMatchIn(bp).map(_.group(1).toInt).toSeq
+      assert(pqIds.size === 5 && pqIds.forall(_ % 4 === 0),
+        s"IVF-PQ top-5 left cluster 0: $pqIds")
+      val pqDists = "\"adist\":([0-9.E-]+)".r.findAllMatchIn(bp)
+        .map(_.group(1).toDouble).toSeq
+      assert(pqDists === pqDists.sorted, s"adist must ascend: $pqDists")
+      assert(get("/ann/topk/pq?vec=0,0,0,0,0,0,0,0")._1 === 400)
       // client errors, not 500s: missing vec, zero-norm vec
       assert(get("/ann/topk?k=5")._1 === 500 ||
         get("/ann/topk?k=5")._1 === 400)
