@@ -156,9 +156,9 @@ object PlanAudit {
       ("s17_pq_adc", "ADC search is ONE pass over the checkpointed 16-bit code table (ExistingRDD) with four broadcast hash-join lookups into the bounded query-side distance tables — the floats never leave the index build, the per-query top-5 plans WindowGroupLimit, no all-pairs",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("s18_ivfpq", "IVF-PQ composed search: the probed-cell EQUALITY join (broadcast query cells — NProbe·√n candidate codes per query, never the full code table) prunes BEFORE the four broadcast ADC lookup joins, all over the checkpointed coded-cells index (ExistingRDD — the √n-stride IVF build and the PQ code build ran once, inside the memo); per-query top-5 plans WindowGroupLimit; no floats on the scan side",
+      ("s18_ivfpq", "IVF-PQ composed search: the probed-cell EQUALITY join (broadcast query cells — NProbe·√n candidate codes per query, never the full code table) prunes BEFORE the four broadcast ADC lookup joins, all over the checkpointed coded-cells index (ExistingRDD — the √n-stride IVF build and the PQ code build ran once, inside the memo); per-query top-5 plans WindowGroupLimit; zero parquet scans (queries re-assembled from the index materialization). The one nested-loop is the s8/s13-sanctioned BOUNDED probe: ≤PqQueries query rows scored against the broadcast C-row centroid table",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
-        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+        Seq("FileScan parquet", "CartesianProduct")),
       ("t24_bpe_encode", "the tokenizer APPLY reads the memoized 6-row merge table (ExistingRDD — induction ran once, in t21's phase) collapsed to ONE broadcast row on the zero key and folds the merges over each document in a single narrow corpus pass — one BroadcastHashJoin, no shuffle of the corpus, no driver round-trip",
         Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("Exchange hashpartitioning", "CartesianProduct", "BroadcastNestedLoopJoin")),

@@ -96,3 +96,44 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** BPE induction-knob probe (VERDICT r12 #4, BASELINE.md round-13): the
+  * full-corpus t21 induction vs [[graft.ops.TextAnalysis
+  * .bpeMergesSampled]] with the sample budget held at the sf0.1 design
+  * point (mod ≈ docs/5000 → ~5000 sampled docs at any corpus size), plus
+  * merge-SEQUENCE agreement between the regimes. The claim under
+  * measurement: t21's cost is 6 sequential full-corpus rewrites, so at
+  * 10× the corpus the fixed form pays ~10× while the sampled form re-buys
+  * the sf0.1 cost — and BPE pair statistics concentrate fast enough that
+  * a ~5k-doc sample learns the same merges. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    import graft.ops.TextAnalysis
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val mod = math.max(1, math.round(n / 5000.0).toInt)
+    def time2(df: => DataFrame): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def mergeSeq(df: DataFrame): Seq[String] =
+      df.orderBy(col("round")).select(col("pair")).collect()
+        .map(_.getString(0)).toSeq
+    val fullSec = time2(TextAnalysis.bpeMergesFrame(docs))
+    val sampSec = time2(TextAnalysis.bpeMergesSampled(docs, mod))
+    val full = mergeSeq(TextAnalysis.bpeMergesFrame(docs))
+    val samp = mergeSeq(TextAnalysis.bpeMergesSampled(docs, mod))
+    println(
+      s"""{"dir":"$dir","docs":$n,"mod":$mod,""" +
+      s""""full_sec":${f"$fullSec%.2f"},"sampled_sec":${f"$sampSec%.2f"},""" +
+      s""""merges_equal":${full == samp},""" +
+      s""""full":${full.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""sampled":${samp.mkString("[\"", "\",\"", "\"]")}}""")
+    spark.stop()
+  }
+}

@@ -601,9 +601,17 @@ object Similarity {
     val pq = pqIndex(s, dir)
     // query side: NProbe nearest coarse cells per query (bounded — C
     // rows scored per query, window top-NProbe) plus the K·M ADC
-    // distance tables, both broadcast
-    val qemb = Tables.embeddings(s, dir).filter(col("vec_id") < PqQueries)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    // distance tables, both broadcast. The bench query vectors are
+    // re-assembled FROM the index's subvector materialization (M slices
+    // concatenated in subspace order = the original vector bit-for-bit),
+    // so the search plan reads ONLY prepared materializations — zero
+    // parquet scans (the PLANS.md s18 check pins this).
+    val qemb = pq.sub.filter(col("vec_id") < PqQueries)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("sv")))),
+        x => x.getField("sv"))).as("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
     val qcells = nearestCells(qemb, NProbe, idx.cents)
       .select(col("vec_id").as("q_id"), col("cell"))
     val dtab = pq.sub.filter(col("vec_id") < PqQueries)

@@ -585,4 +585,50 @@ class OpsSpec extends SparkSpec {
     // after r3, doc 1 is [a_b_a_b, a_b] -> corpus = 2 + 2 + 2 = 6
     assert(got(2)._6 === 6L)
   }
+
+  test("t24 encode golden: merges apply greedily in rank order; sampled mod=1 is the full form") {
+    import spark.implicits._
+    // same corpus as the t21 golden; rounds 4-6 continue (cnt-1 ties
+    // break pair-asc): r4 "a_b c_c" (doc3), r5 "a_b_a_b a_b" (doc1),
+    // r6 "c_c c" (doc2) — every doc ends fully merged to ONE token
+    val docs = Seq((1L, "a b a b a b"), (2L, "c c c"), (3L, "a b c c"))
+      .toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeMergesFrame(docs)
+    val enc = graft.ops.TextAnalysis.bpeEncodeFrame(docs, merges)
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        col("compression"))
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(enc(0) === ((1L, 6, 1, r6(1.0 / 6))))
+    assert(enc(1) === ((2L, 3, 1, r6(1.0 / 3))))
+    assert(enc(2) === ((3L, 4, 1, r6(1.0 / 4))))
+    // the sampled induction knob at mod=1 IS the full form
+    val full = merges.select("round", "pair", "cnt").collect().toSeq
+    val samp = graft.ops.TextAnalysis.bpeMergesSampled(docs, 1)
+      .select("round", "pair", "cnt").collect().toSeq
+    assert(samp === full)
+  }
+
+  test("bpeMergesSampled: a skewed pair distribution survives sampling") {
+    // Real (Zipfian) text separates its top pairs from the noise floor
+    // by far more than sampling variance, so a 1/mod sample learns the
+    // same merges. The uniform-31-word synthetic corpora have NO such
+    // gap — their top-1 pair is coin-flip noise and no sample can track
+    // it (BpeProbe records that negative result in BASELINE.md). This
+    // golden pins the positive case: plant a dominant phrase on half
+    // the docs and the sampled induction recovers the same leading
+    // merges as the full corpus.
+    val docs = graft.Tables.documents(spark, sf001)
+      .withColumn("text", when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" zq yw zq yw zq yw"))).otherwise(col("text")))
+    def lead(df: org.apache.spark.sql.DataFrame, k: Int): Seq[String] =
+      df.orderBy(col("round")).select(col("pair")).collect()
+        .map(_.getString(0)).toSeq.take(k)
+    val full = lead(graft.ops.TextAnalysis.bpeMergesFrame(docs), 2)
+    val sampled = lead(graft.ops.TextAnalysis.bpeMergesSampled(docs, 3), 2)
+    assert(full.head === "zq yw", s"planted pair must dominate: $full")
+    assert(sampled === full,
+      s"sampled induction must recover the dominant merges: $sampled vs $full")
+  }
 }
