@@ -105,7 +105,12 @@ object Bench {
         // (it never consults the memo); s17 reads the prepared pqIndex
         // memo, so its steady-state rep measures the SEARCH alone (four
         // broadcast lookups + a code-table scan) — the first s17 rep
-        // pays the one-time index build, best-of-N sheds it
+        // pays the one-time index build, best-of-N sheds it. s18 extends
+        // the same split to the composed IVF-PQ index (ivfPqIndexOf),
+        // and on the tokenizer side t21 re-measures induction honestly
+        // (bpeMerges never consults the merges memo) while t24 reads it
+        // and measures the ENCODE; c14 reads the memoized encode table
+        // (pure composition — its first rep pays the memo builds).
         // and on the funnel: c10 is the GATE phase (re-measures the gates
         // honestly — including the t14 stats it gates on, so the shared
         // stats memos drop too), c11 the packing phase over the
