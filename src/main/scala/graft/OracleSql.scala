@@ -496,6 +496,54 @@ object OracleSql {
          |  CAST(sum(run) + ${n - 1} * count(*) AS BIGINT) AS dup_tokens
          |FROM sp GROUP BY doc_a, doc_b""".stripMargin
     },
+    // incremental batch-vs-corpus dedup: d4's banded LSH with the two
+    // join sides split at the 90% doc_id cut, plus the exact md5 tier
+    "d16_delta_dedup" -> {
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |cutt AS (SELECT CAST(floor(count(*) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |hx AS (SELECT doc_id, md5(text) AS ch FROM documents),
+         |xmt AS (SELECT h.doc_id, min(c.doc_id) AS exact_partner
+         |  FROM hx h JOIN hx c ON h.ch = c.ch CROSS JOIN cutt
+         |  WHERE h.doc_id >= cut AND c.doc_id < cut GROUP BY h.doc_id),
+         |banded AS (SELECT doc_id, $bucketCols FROM sig),
+         |buckets AS ($bandUnion),
+         |nearc AS (SELECT l.doc_id AS b_id, r.doc_id AS c_id,
+         |    max(CAST($agree AS DOUBLE) / $nPerms) AS est
+         |  FROM buckets l
+         |  JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+         |  JOIN sig sa ON l.doc_id = sa.doc_id
+         |  JOIN sig sb ON r.doc_id = sb.doc_id
+         |  CROSS JOIN cutt
+         |  WHERE l.doc_id >= cut AND r.doc_id < cut
+         |    AND CAST($agree AS DOUBLE) / $nPerms >= 0.5
+         |  GROUP BY l.doc_id, r.doc_id),
+         |nearr AS (SELECT b_id, c_id AS near_partner, est AS near_est,
+         |  row_number() OVER (PARTITION BY b_id
+         |    ORDER BY est DESC, c_id ASC) AS rk FROM nearc)
+         |SELECT b.doc_id,
+         |  CASE WHEN xmt.exact_partner IS NOT NULL THEN 'exact'
+         |    WHEN n.near_partner IS NOT NULL THEN 'near'
+         |    ELSE 'new' END AS verdict,
+         |  COALESCE(xmt.exact_partner, n.near_partner) AS partner,
+         |  CASE WHEN xmt.exact_partner IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |    ELSE n.near_est END AS est_jaccard
+         |FROM (SELECT doc_id FROM documents CROSS JOIN cutt
+         |  WHERE doc_id >= cut) b
+         |LEFT JOIN xmt ON b.doc_id = xmt.doc_id
+         |LEFT JOIN (SELECT * FROM nearr WHERE rk = 1) n
+         |  ON b.doc_id = n.b_id""".stripMargin
+    },
     "d15_substring_scrub" -> {
       // d14's span chain, then: covered 1-based positions in the LATER
       // doc (first occurrence kept), distinct across sources, cut from
@@ -1146,6 +1194,50 @@ object OracleSql {
          |  ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
          |SELECT q_id, rank, c_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
     },
+    // filtered ANN: the s13 chain with the label attribute attached to the
+    // index and folded into the candidate join key — predicate-before-top-k
+    "s19_filtered_ann" -> {
+      val nprobe = Similarity.NProbe
+      val iters = Similarity.LloydIters
+      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, e.embedding, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT r.vec_id, r.embedding, cent_id AS cell, e.label
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE rk = 1),
+         |qc AS (SELECT r.vec_id AS q_id, r.embedding AS q_emb,
+         |    cent_id AS cell, e.label
+         |  FROM ranked r JOIN embeddings e USING (vec_id)
+         |  WHERE r.vec_id < 10 AND rk <= $nprobe),
+         |s AS (SELECT q_id, c.vec_id AS c_id, label,
+         |    ${cosSql("q_emb", "c.embedding")} AS sim
+         |  FROM cells c JOIN qc USING (cell, label) WHERE q_id <> c.vec_id),
+         |r AS (SELECT q_id, c_id, label, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank FROM s)
+         |SELECT q_id, rank, c_id, label, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
     // embedding-side label phase: s5's bucketed pair graph, then connected
     // components via the same recursive-CTE shape as d8
     "s10_semantic_dedup" ->
@@ -1349,6 +1441,69 @@ object OracleSql {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
          |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM sc)
          |SELECT term, rank, doc_id, tf, dl, score FROM r WHERE rank <= $topK""".stripMargin
+    },
+    // PII scrub: identical synthetic contamination (CASE chain mirrors
+    // piiSynth), counts via regexp_extract_all, redaction via the same
+    // fixed-order replace chain with the 'g' flag (Spark replaces all
+    // matches by default; RE2 needs the flag)
+    "t26_pii_scrub" -> {
+      val em = graft.ops.TextAnalysis.PiiEmailRe
+      val card = graft.ops.TextAnalysis.PiiCardRe
+      val ip = graft.ops.TextAnalysis.PiiIpRe
+      val ph = graft.ops.TextAnalysis.PiiPhoneRe
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR)
+         |       || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.org' ELSE '' END
+         |  || CASE WHEN doc_id % 6 = 0 THEN ' cc u' || CAST(doc_id + 1 AS VARCHAR)
+         |       || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.net' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-'
+         |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |       || '.' || CAST(doc_id % 250 AS VARCHAR)
+         |       || '.' || CAST(doc_id % 100 + 1 AS VARCHAR) ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' card 4'
+         |       || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 15, '0') ELSE '' END
+         |  AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$em')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ph')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS INTEGER) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$card')) AS INTEGER) AS n_card,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$em', '<EMAIL>', 'g'), '$card', '<CARD>', 'g'),
+         |    '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')) AS clean_hash
+         |  FROM p)
+         |SELECT doc_id, n_email, n_phone, n_ip, n_card, clean_hash FROM c
+         |WHERE n_email + n_phone + n_ip + n_card > 0""".stripMargin
+    },
+    // bigram-LM perplexity gate: integer micro-nat log-probs make the
+    // per-doc reduction order-free (the engine-side discipline mirrored)
+    "t27_lm_quality" -> {
+      val a = graft.ops.TextAnalysis.LmAlpha
+      val k = graft.ops.TextAnalysis.LmKeepPpl
+      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE [] END) AS bigram FROM tok),
+         |tb AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         |cb AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt,
+         |    string_split(bigram, ' ')[1] AS w1 FROM tb GROUP BY 1),
+         |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |  FROM cb GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2])
+         |    AS DOUBLE) AS v FROM cb),
+         |sc AS (SELECT doc_id, n, CAST(round(ln(
+         |    (CAST(cnt AS DOUBLE) + $a) / (CAST(ctx_cnt AS DOUBLE) + $a * v))
+         |    * 1e6) AS BIGINT) AS lpm
+         |  FROM tb JOIN cb USING (bigram) JOIN ctx USING (w1) CROSS JOIN vv),
+         |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(n * lpm) AS BIGINT) AS s FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6) AS ppl,
+         |  CASE WHEN round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6)
+         |    <= $k THEN 1 ELSE 0 END AS keep
+         |FROM ag""".stripMargin
     },
     "t20_pmi_pairs" -> {
       val minC = graft.ops.TextAnalysis.PmiMinCount

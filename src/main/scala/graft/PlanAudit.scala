@@ -167,7 +167,18 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)) and its removal set is a keyed left join back to the positional token table — the covered-position expansion is bounded by real duplicated mass, never corpus size; no all-pairs, no BNLJ",
         Seq("ExistingRDD", "Window"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("s19_filtered_ann", "filtered ANN pre-filters INSIDE the index scan: the label predicate is part of the candidate EQUALITY join key (cell AND label — BroadcastHashJoin over the checkpointed s13 index), so the filter prunes candidates instead of post-filtering a top-k; the n√n build is confined inside the checkpoint, per-query top-5 over the pre-filtered survivors",
+        Seq("ExistingRDD", "BroadcastHashJoin"), Seq("CartesianProduct")),
+      ("t26_pii_scrub", "PII scrub is one narrow codegen'd projection pipeline over the corpus scan — four regexp counts and the nested redaction chain per row, zero shuffles, zero joins, no UDFs; the per-doc report filter is pushed into the same stage",
+        Seq("FileScan parquet"),
+        Seq("Exchange hashpartitioning", "Window", "CartesianProduct",
+          "BroadcastNestedLoopJoin")),
+      ("t27_lm_quality", "the bigram-LM gate keeps the t10 discipline: ONE tokenize+explode into the checkpointed doc-grain bigram table (ExistingRDD), corpus counts / contexts / V all derive FROM materializations (zero second tokenize), V folds in as a one-row broadcast, and the per-doc reduction is a map-side-combined integer sum — no Window, no corpus sort",
+        Seq("ExistingRDD", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "SortAggregate")),
+      ("d16_delta_dedup", "incremental dedup joins the BATCH side (~10% of docs) against the corpus on EQUALITY keys only — md5(text) for the exact tier, (band, bucket) over the checkpointed signature table (ExistingRDD, hashed once) for the near tier; the 90% cut is a one-row broadcast predicate, partner selection a map-side-combined max_by — never all-pairs, no re-hash per side",
+        Seq("ExistingRDD"), Seq("CartesianProduct"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

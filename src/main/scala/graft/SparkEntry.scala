@@ -99,6 +99,7 @@ object SparkEntry {
     "d13_containment_pairs" -> (Dedup.containmentPairs _),
     "d14_substring_dup" -> (Dedup.substringDup _),
     "d15_substring_scrub" -> (Dedup.substringScrub _),
+    "d16_delta_dedup"   -> (Dedup.deltaDedup _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
     "c13_leakage_split" -> (Composites.leakageSplit _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "s16_pq_codes"      -> (Similarity.pqCodes _),
     "s17_pq_adc"        -> (Similarity.pqAdcTopK _),
     "s18_ivfpq"         -> (Similarity.ivfPqTopK _),
+    "s19_filtered_ann"  -> (Similarity.filteredIvfTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),
@@ -142,6 +144,8 @@ object SparkEntry {
     "t22_winnowing"     -> (TextAnalysis.winnowing _),
     "t24_bpe_encode"    -> (TextAnalysis.bpeEncode _),
     "t25_bm25_topk"     -> (TextAnalysis.bm25TopK _),
+    "t26_pii_scrub"     -> (TextAnalysis.piiScrub _),
+    "t27_lm_quality"    -> (TextAnalysis.lmQuality _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

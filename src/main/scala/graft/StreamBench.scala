@@ -231,6 +231,20 @@ object StreamBench {
       // nearly every gram is owner-known and hit-capped — the steady state
       // measures the saturated read-only path (state get, no write, no
       // emission), the crawl-stream regime the operator is built for
+      // streaming PII scrub: the t26 redaction chain applied in-flight —
+      // pure stateless column work (4 regexp counts + the nested replace
+      // chain per row), the shape of a scrub-on-ingest pipeline; every
+      // synthetic row carries an email + ip + phone so the regex engine
+      // does real work on each document
+      "pii_scrub" -> (() => Pipeline(
+        graft.ops.TextAnalysis.piiScrubFrame(
+          rate().select(v.as("doc_id"), concat(
+            lit("the quick brown fox mailed u"), v, lit("@ex"), v % 10,
+            lit(".org from 10."), v % 200, lit("."), v % 250, lit("."),
+            v % 100 + 1, lit(" tel 555-"),
+            lpad((v % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((v % 10000).cast("string"), 4, "0")).as("text"))),
+        OutputMode.Append())),
       "substring_attrib_tws" -> (() => Pipeline(
         StreamOps.substringAttribStream(
           rate().select(v.as("doc_id"), col("timestamp").as("ts"),

@@ -687,6 +687,53 @@ object Similarity {
     ivfTopKWith(s, dir, LloydIters, math.max(1, math.sqrt(n.toDouble).toInt))
   }
 
+  /** FILTERED ANN (s19) — vector search under a metadata predicate, the
+    * "namespace"/filtered-search feature every production vector store
+    * exposes (search only documents matching `label = X`, lang = en,
+    * license = permissive, …). The semantics that matter: the predicate
+    * applies BEFORE top-k (filtered recall — the k results are the k
+    * nearest SURVIVORS), not as a post-filter of an unfiltered top-k,
+    * which silently returns < k or misses matches ranked past k.
+    *
+    * Strategy = PRE-filtering pushed into the index scan: the s13
+    * √n-stride IVF index is joined to the probe set on (cell, label) —
+    * the predicate is part of the EQUALITY JOIN KEY, so filtering costs
+    * zero extra work and prunes candidates by the filter's selectivity
+    * (~10× here: 10 labels) on top of the cell pruning (√n). The
+    * attribute attach (cells ⋈ label) is keyed on the index's primary
+    * key: the cells table leaves [[nearestCells]] hash-partitioned by
+    * vec_id, so one side of that join reuses the build's partitioning;
+    * at 100 TB index and attribute tables are bucketed by vec_id and
+    * this is a co-partitioned join. Queries search their OWN label's
+    * partition (scoped search — the common case); exact cosine re-ranks
+    * the pre-filtered candidates, ties on id. */
+  def filteredIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddingsRowCount(s, dir)
+    val stride = math.max(1, math.sqrt(n.toDouble).toInt)
+    val embAll = Tables.embeddings(s, dir)
+    val emb = embAll.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val labels = embAll.select(col("vec_id"), col("label"))
+    val (cells, cents) = ivfIndex(emb, stride, LloydIters)
+    val corpus = cells.join(labels, Seq("vec_id"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"), col("cell"), col("label"))
+    val queries = nearestCells(emb.filter(col("vec_id") < 10), NProbe, cents)
+      .join(broadcast(labels.filter(col("vec_id") < 10)), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    corpus.join(broadcast(queries), Seq("cell", "label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("label"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("label"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** s5: scale-safe embedding near-dup — the production path. Candidates
     * are generated by an EQUALITY join on the SRP bucket (cosine-similar
     * vectors land in the same sign pattern with high probability), then

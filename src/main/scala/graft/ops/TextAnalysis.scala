@@ -1120,4 +1120,144 @@ object TextAnalysis {
     }
     rounds.reduce(_ unionAll _).orderBy(col("round"))
   }
+
+  // ---- PII detection & redaction (t26) ------------------------------
+
+  /** PII regex family — spelled to mean the same thing under Java regex
+    * (Spark codegen) and RE2 (the DuckDB oracle): no lookaround, no
+    * backreferences, ASCII `\d`/`\b` only (identical in both engines).
+    * Kept as constants interpolated into OracleSql so engine and oracle
+    * can never desynchronize. */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiCardRe = "\\b\\d{16}\\b"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII-bearing corpus (the [[Multimodal]] `synthBmp`
+    * discipline: the synthetic tables carry no real PII, so both engines
+    * CONSTRUCT the same contaminated corpus from doc_id and scrub it —
+    * the scrub machinery is what's under test). doc_id%3 plants an
+    * email, %6 a second one (so counts exceed 1), %5 a 555 phone, %7 a
+    * private-range IPv4, %11 a 16-digit card number. */
+  def piiSynth: Column = {
+    def n(c: Column): Column = c.cast("string")
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, concat(lit(" mail u"), n(id), lit("@ex"),
+        n(id % 10), lit(".org"))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" cc u"), n(id + 1), lit("@ex"),
+        n(id % 7), lit(".net"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" tel 555-"), lpad(n(id % 1000), 3, "0"),
+        lit("-"), lpad(n(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" ip 10."), n(id % 200), lit("."),
+        n(id % 250), lit("."), n(id % 100 + 1))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" card 4"),
+        lpad(n(id % 1000000000), 15, "0"))).otherwise(lit("")))
+  }
+
+  /** PII DETECTION + REDACTION (t26) — the scrub step every public-data
+    * training pipeline runs before release (emails, phone numbers, IP
+    * addresses, card-shaped digit runs). Per document: a count per
+    * category over the ORIGINAL text, and the md5 of the fully REDACTED
+    * text — the hash proves the exact replacement output (d15's
+    * reconstructed-text discipline), not just that something matched.
+    * Redaction order is fixed (email → card → ip → phone); the four
+    * categories are disjoint by pattern shape, so order only matters for
+    * determinism, not results.
+    *
+    * Scale: pure per-row column work — four codegen'd regexp counts and
+    * one nested regexp_replace chain, zero shuffles, zero UDFs; at
+    * 100 TB this runs at scan speed and the only data movement is the
+    * filtered per-doc report. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubFrame(Tables.documents(s, dir)
+      .select(col("doc_id"), piiSynth.as("text")))
+
+  /** Frame-level form of [[piiScrub]] — any (doc_id, text). */
+  def piiScrubFrame(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      t, lit(PiiEmailRe), lit("<EMAIL>")), lit(PiiCardRe), lit("<CARD>")),
+      lit(PiiIpRe), lit("<IP>")), lit(PiiPhoneRe), lit("<PHONE>"))
+    documents.select(col("doc_id"),
+        regexp_count(t, lit(PiiEmailRe)).as("n_email"),
+        regexp_count(t, lit(PiiPhoneRe)).as("n_phone"),
+        regexp_count(t, lit(PiiIpRe)).as("n_ip"),
+        regexp_count(t, lit(PiiCardRe)).as("n_card"),
+        md5(scrubbed).as("clean_hash"))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") + col("n_card") > 0)
+  }
+
+  // ---- bigram language-model quality scoring (t27) -------------------
+
+  /** Add-k smoothing constant for the bigram LM (k = 1/2). */
+  val LmAlpha = 0.5
+
+  /** Keep threshold on bigram perplexity: documents at or below pass the
+    * quality gate. 31 = the perplexity of a uniform model over this
+    * corpus family's vocabulary — "reads no worse than random" is the
+    * natural fixed cut for a corpus-trained LM gate. */
+  val LmKeepPpl = 31.0
+
+  /** Per-document PERPLEXITY under a corpus-trained bigram LM — the
+    * model-based quality filter of the CCNet/RefinedWeb lineage (train a
+    * cheap LM on the corpus, keep documents the model finds predictable;
+    * gibberish, boilerplate explosions and wrong-language text all score
+    * high perplexity). P(w2|w1) is add-k smoothed over the corpus bigram
+    * table: (c(w1,w2)+α) / (c(w1,·)+α·V), α = [[LmAlpha]], V = the
+    * prediction vocabulary (distinct w2).
+    *
+    * Shape: ONE tokenize+explode builds the doc-grain bigram table
+    * (checkpointed — the corpus counts, the context counts and V all
+    * derive FROM it, never from a second tokenize, the t10/t19
+    * discipline); corpus tables are vocabulary-bounded, so the join back
+    * reaches the optimizer un-hinted (AQE broadcasts while they fit);
+    * the one-row V folds in as a broadcast. Per-bigram log-probs are
+    * scaled to integer MICRO-nats (round(ln·1e6) — the number of
+    * distinct values is bigram-vocabulary-bounded, so the libm last-ulp
+    * boundary risk does not grow with the corpus) and summed as exact
+    * BIGINTs, making the per-doc reduction order-free across engines and
+    * partitionings — the d15 determinism discipline applied to floating
+    * aggregation. Two shuffles total (doc-grain counts, corpus counts).
+    *
+    * Emits (doc_id, n_bigrams, ppl, keep); single-token documents have
+    * no bigram evidence and drop out (mirrored in the oracle). */
+  def lmQuality(s: SparkSession, dir: String): DataFrame =
+    lmQualityFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[lmQuality]] — any (doc_id, text). */
+  def lmQualityFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    // staggered-slice zip: bigram list without re-evaluating the
+    // tokenizer per index (the shingleCol lesson from Dedup); docs under
+    // 2 tokens have no bigram evidence — empty list, they drop out
+    val bigrams = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val tb = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cb = tb.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint() // corpus bigram counts: derived once, read twice
+    val ctx = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vv = cb.agg(countDistinct(col("w2")).cast("double").as("v"))
+    tb.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .withColumn("lpm", round(log(
+          (col("cnt").cast("double") + LmAlpha) /
+            (col("ctx_cnt").cast("double") + col("v") * LmAlpha)) * 1e6, 0)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lpm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("s").cast("double") / 1e6 / col("n_bigrams")), 6).as("ppl"))
+      .withColumn("keep", when(col("ppl") <= LmKeepPpl, 1).otherwise(0))
+  }
 }

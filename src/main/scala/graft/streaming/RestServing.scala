@@ -351,7 +351,11 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
   * before exact cosine re-ranking — NProbe·n/C candidates per query,
   * never the corpus (the same never-all-pairs discipline as the batch
   * forms). Endpoints (GET, JSON):
-  *  - `/ann/topk?vec=v1,v2,…&k=5&nprobe=4` — IVF-probed approximate top-k
+  *  - `/ann/topk?vec=v1,v2,…&k=5&nprobe=4[&label=L]` — IVF-probed
+  *    approximate top-k; `label` (when the corpus carries a label
+  *    attribute) scopes the search s19-style: the predicate prunes the
+  *    index scan BEFORE top-k, so the k results are the k nearest
+  *    survivors — never a post-filtered (and silently short) answer
   *  - `/ann/topk/pq?vec=…&k=5&nprobe=4` — the s18 IVF-PQ tier: the same
   *    in-process cell probe, then ASYMMETRIC-DISTANCE scoring over the
   *    probed cells' PQ codes only — the query's K·M distance table is
@@ -372,17 +376,26 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   private var codedCells: DataFrame = _
   private var codebook: Array[(Int, Int, Array[Double])] = _
   private var pqSd: Int = _
+  private var hasLabel: Boolean = false
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
     import graft.ops.Similarity
-    emb = spark.read.parquet(embeddingsPath)
+    val raw = spark.read.parquet(embeddingsPath)
+    hasLabel = raw.columns.contains("label")
+    emb = raw
       .select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("norm"))
       .localCheckpoint()
     val n = emb.count()
     val st = if (stride > 0) stride else math.max(1, math.sqrt(n.toDouble).toInt)
     val (cellsDf, centsDf) = Similarity.ivfIndex(emb, st, lloydIters)
-    cells = cellsDf
+    // the s19 filtered-search tier: when the corpus carries a label
+    // attribute, attach it to the index ONCE (keyed on the index's
+    // primary key) so a label predicate prunes the scan, never a top-k
+    cells = if (hasLabel)
+      cellsDf.join(raw.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .localCheckpoint()
+    else cellsDf
     cents = centsDf
       .select(col("cent_id"), col("c_emb").cast("array<double>"), col("c_norm"))
       .collect()
@@ -470,10 +483,20 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       else {
         val qv = parseVec(q)
         val qn = math.sqrt(qv.map(x => x * x).sum)
+        val labelOpt = q.get("label").map(_.toInt)
         if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
-        else answer(cells.filter(col("cell")
-          .isin(probeCells(qv, q.getOrElse("nprobe", "4").toInt): _*)), qv,
-          q.getOrElse("k", "5").toInt)
+        else if (labelOpt.isDefined && !hasLabel)
+          (400, """{"error":"corpus has no label attribute"}""")
+        else {
+          // PRE-filter: the label predicate lands on the index scan next
+          // to the cell predicate, so the k results are the k nearest
+          // SURVIVORS (a post-filter of an unfiltered top-k would return
+          // fewer, or none when the query's neighborhood is another label)
+          val probed = cells.filter(col("cell")
+            .isin(probeCells(qv, q.getOrElse("nprobe", "4").toInt): _*))
+          val scoped = labelOpt.fold(probed)(l => probed.filter(col("label") === l))
+          answer(scoped, qv, q.getOrElse("k", "5").toInt)
+        }
       }
     })
     server.setExecutor(null)

@@ -631,4 +631,132 @@ class OpsSpec extends SparkSpec {
     assert(sampled === full,
       s"sampled induction must recover the dominant merges: $sampled vs $full")
   }
+
+  test("piiScrub: hand-computed counts, boundary edge cases, exact redacted-text hash") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "hello mail a.b@x.io and 10.1.2.3 plus 555-123-4567 card 1234567890123456"),
+      (1L, "no pii here"),
+      (2L, "two mails a@b.co c@d.org"),
+      (3L, "almost card 123456789012345 fifteen digits"),
+      (4L, "ip-ish 1.2.3.4.5"),
+      (5L, "phone inside text555-123-4567x no boundary")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrubFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    // doc 1 (nothing), doc 3 (15 digits != 16) and doc 5 (no word
+    // boundary before the digits) must not report at all
+    assert(got.keySet === Set(0L, 2L, 4L))
+    assert(got(0L)._1 === 1 && got(0L)._2 === 1 && got(0L)._3 === 1 && got(0L)._4 === 1)
+    assert(got(0L)._5 === md5hex(
+      "hello mail <EMAIL> and <IP> plus <PHONE> card <CARD>"))
+    assert(got(2L)._1 === 2, "both emails counted")
+    assert(got(2L)._5 === md5hex("two mails <EMAIL> <EMAIL>"))
+    // leftmost-first: 1.2.3.4 matches (the trailing .5 is a non-word
+    // char, so \b holds), leaving '.5' behind
+    assert(got(4L)._3 === 1)
+    assert(got(4L)._5 === md5hex("ip-ish <IP>.5"))
+  }
+
+  test("lmQuality: ppl matches an in-memory add-k bigram LM reference exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat"),
+      (2L, "zz qq zz qq zz"), // repetitive but self-consistent bigrams
+      (3L, "single"),         // one token: no bigram evidence, drops out
+      (4L, "the dog sat on the mat"),
+      (5L, "")                // zero tokens, drops out
+    ).toDF("doc_id", "text")
+    // independent reference: plain Scala collections, same formula
+    val toks = Map(
+      0L -> "the cat sat on the mat", 1L -> "the cat sat",
+      2L -> "zz qq zz qq zz", 4L -> "the dog sat on the mat"
+    ).map { case (id, t) => id -> t.split(" ").toSeq }
+    val bgs = toks.map { case (id, ts) => id -> ts.zip(ts.tail) }
+    val corpus = bgs.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = corpus.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = corpus.keys.map(_._2).toSet.size.toDouble
+    val a = graft.ops.TextAnalysis.LmAlpha
+    val expect = bgs.map { case (id, bs) =>
+      val lpmSum = bs.map { b =>
+        math.round(math.log((corpus(b) + a) / (ctx(b._1) + a * v)) * 1e6)
+      }.sum
+      val ppl = BigDecimal(math.exp(-lpmSum.toDouble / 1e6 / bs.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((bs.size.toLong, ppl))
+    }
+    val got = graft.ops.TextAnalysis.lmQualityFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(got.keySet === expect.keySet, "only docs with >= 2 tokens report")
+    expect.foreach { case (id, (nb, ppl)) =>
+      assert(got(id)._1 === nb, s"doc $id n_bigrams")
+      assert(got(id)._2 === ppl, s"doc $id ppl")
+      assert(got(id)._3 === (if (ppl <= graft.ops.TextAnalysis.LmKeepPpl) 1 else 0),
+        s"doc $id keep flag")
+    }
+    // the self-consistent repetitive doc is far more predictable than the
+    // mixed-English ones — the gate orders documents sensibly
+    assert(got(2L)._2 < got(0L)._2, "repetitive doc must score lower ppl")
+  }
+
+  test("deltaDedup: verdicts agree with the exact md5 tier and the d4 pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cut = math.floor(docs.size * 0.9).toLong
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val corpusByHash = docs.filter(_._1 < cut).toSeq
+      .groupBy { case (_, t) => md5hex(t) }
+      .map { case (h, ds) => h -> ds.map(_._1).min }
+    // independent near tier: d4's oracle-verified pair graph, batch ids
+    // are the largest so the corpus side of a cross pair is always doc_a
+    val lshBest = graft.ops.Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < cut && b >= cut }
+      .groupBy(_._2)
+      .map { case (b, ps) =>
+        val best = ps.minBy { case (c, _, e) => (-e, c) }
+        b -> ((best._1, best._3))
+      }
+    val got = graft.ops.Dedup.deltaDedup(spark, dir).collect()
+      .map { r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))) }.toMap
+    assert(got.keySet === docs.keySet.filter(_ >= cut), "one verdict per batch doc")
+    got.foreach { case (b, (verdict, partner, est)) =>
+      corpusByHash.get(md5hex(docs(b))) match {
+        case Some(p) =>
+          assert(verdict === "exact" && partner === p && est === 1.0, s"doc $b exact tier")
+        case None => lshBest.get(b) match {
+          case Some((p, e)) =>
+            assert(verdict === "near" && partner === p && est === e, s"doc $b near tier")
+          case None =>
+            assert(verdict === "new" && partner === -1L && est === -1.0, s"doc $b new")
+        }
+      }
+    }
+  }
+
+  test("piiScrub on the synthetic corpus: every count matches the doc_id plant formula") {
+    val got = TextAnalysis.piiScrub(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val n = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    (0L until n).foreach { id =>
+      val exp = ((if (id % 3 == 0) 1 else 0) + (if (id % 6 == 0) 1 else 0),
+        if (id % 5 == 0) 1 else 0, if (id % 7 == 0) 1 else 0,
+        if (id % 11 == 0) 1 else 0)
+      if (exp == ((0, 0, 0, 0)))
+        assert(!got.contains(id), s"doc $id has no planted PII but reported")
+      else assert(got(id) === exp, s"doc $id counts")
+    }
+  }
 }

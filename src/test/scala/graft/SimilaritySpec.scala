@@ -354,6 +354,55 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqIndexOf(spark, sf01), "index must be memoized")
   }
 
+  test("filteredIvfTopK: label-scoped results, pre-filter beats post-filter, filtered recall") {
+    val emb = graft.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.filteredIvfTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    // every result is in the query's label partition, never the query itself
+    got.foreach { case (q, _, c, lbl, _) =>
+      assert(lbl === emb(q), s"row label must be the query's: q=$q")
+      assert(emb(c) === emb(q), s"candidate $c outside query $q's label scope")
+      assert(c !== q, s"query $q returned itself")
+    }
+    // PRE-filter semantics: post-filtering the unfiltered s13 top-5 by
+    // label can only ever be a subset — the filtered search must find at
+    // least as much, and (on this corpus) strictly more overall, because
+    // same-label candidates ranked past the unfiltered top-5 are exactly
+    // what a post-filter loses
+    val post = Similarity.ivfTopKScaled(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (q, c) => emb(q) == emb(c) }.toSet
+    val gotPairs = got.map(r => (r._1, r._3)).toSet
+    assert(post.subsetOf(gotPairs),
+      s"pre-filtered results must contain every post-filter survivor: ${post -- gotPairs}")
+    assert(gotPairs.size > post.size,
+      s"filtered search found nothing beyond the post-filter (${gotPairs.size} vs ${post.size})")
+    // filtered recall vs the EXACT same-label truth (brute force within
+    // the label partition, computed independently from the raw arrays)
+    val vecs = graft.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (0L until 10L).flatMap { q =>
+      val qv = vecs.find(_._1 == q).get
+      vecs.filter(v => v._3 == qv._3 && v._1 != q)
+        .map(v => (v._1, cos(qv._2, v._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(c => (q, c._1))
+    }.toSet
+    val recall = (gotPairs & truth).size.toDouble / truth.size
+    info(f"filtered recall@5 vs exact same-label truth: $recall%.3f " +
+      s"(${gotPairs.size} results, ${truth.size} truth pairs)")
+    assert(recall > 0.05, f"filtered IVF recall floor: $recall%.3f")
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,

@@ -433,6 +433,59 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("vector serving: label-filtered tier pre-filters inside the index scan — " +
+      "full k of the scoped label where a post-filter would come up short") {
+    import spark.implicits._
+    // same separated geometry as the tier test above, plus a label that
+    // ALTERNATES within each direction cluster ((id/4) % 2) — so the
+    // unfiltered top-5 for a cluster-0 query mixes labels, and scoping to
+    // one label must dig PAST the unfiltered top-k for its 5 survivors
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    val vecs = (0 until 200).map { id =>
+      val b = base(id % 4)
+      (id.toLong, b.zipWithIndex.map { case (x, i) =>
+        (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq, (id / 4) % 2)
+    }
+    val path = Files.createTempDirectory("graft-fann").toString + "/emb.parquet"
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(path)
+    val rest = new VectorRestServing(spark, path)
+    val port = rest.start(0, stride = 14, lloydIters = 1)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      def ids(body: String): Seq[Int] =
+        "\"vec_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+      val q = base(0).mkString(",")
+      val (su, bu) = get(s"/ann/topk?vec=$q&k=5&nprobe=4")
+      assert(su === 200, bu)
+      val unfiltered = ids(bu)
+      val (sf, bf) = get(s"/ann/topk?vec=$q&k=5&nprobe=4&label=1")
+      assert(sf === 200, bf)
+      val filtered = ids(bf)
+      // full k, every survivor in the query's cluster AND the scoped label
+      assert(filtered.size === 5, s"pre-filter must fill k: $filtered")
+      assert(filtered.forall(id => id % 4 === 0 && (id / 4) % 2 === 1),
+        s"scoped results outside cluster-0/label-1: $filtered")
+      // pre ⊇ post: every label-1 doc of the unfiltered top-5 survives,
+      // and the scoped search found label-1 neighbors PAST the unfiltered
+      // top-5 (exactly what a post-filter loses)
+      val post = unfiltered.filter(id => (id / 4) % 2 === 1)
+      assert(post.forall(filtered.contains), s"post=$post filtered=$filtered")
+      assert(filtered.size > post.size,
+        s"nothing found past the unfiltered top-k (post=$post)")
+      assert(get(s"/ann/topk?vec=$q&k=5&label=9")._2 === "[]" ||
+        ids(get(s"/ann/topk?vec=$q&k=5&label=9")._2).isEmpty,
+        "absent label returns an empty result set, not an error")
+    } finally rest.stop()
+  }
+
   test("search serving: term lookup returns stats + posting head, 404 on absent terms; " +
       "multi-term tf-idf ranking matches the hand-computed scores") {
     import spark.implicits._

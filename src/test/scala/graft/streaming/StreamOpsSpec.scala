@@ -935,6 +935,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(last.map(h => (h.rk, h.doc_id, h.tf)).toList === List((1, 1L, 3L)))
   }}
 
+  test("piiScrubFrame runs unchanged as a streaming scrub-on-ingest stage " +
+      "(stateless append), output identical to the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "mail a.b@x.io and 10.1.2.3"),
+      (1L, "clean document, nothing to scrub"),
+      (2L, "call 555-123-4567 or card 1234567890123456"))
+    val in = MemoryStream[(Long, String)]
+    runQuery(graft.ops.TextAnalysis.piiScrubFrame(
+        in.toDF().toDF("doc_id", "text")), "pii_stream", OutputMode.Append()) {
+      in.addData(rows: _*)
+    }
+    val got = spark.table("pii_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).sortBy(_._1)
+    val batch = graft.ops.TextAnalysis.piiScrubFrame(
+        rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).sortBy(_._1)
+    assert(got.toSeq === batch.toSeq)
+    assert(got.map(_._1).toSeq === Seq(0L, 2L), "clean doc 1 reports nothing")
+  }
+
   test("secureOptions maps the SecureKafkaStreamsExample client properties to kafka.-prefixed keys") {
     // SecureKafkaStreamsExample.java:166-171 sets security.protocol +
     // the four SSL store/key properties; Spark's connector takes the
