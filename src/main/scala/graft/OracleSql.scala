@@ -1238,6 +1238,54 @@ object OracleSql {
          |SELECT q_id, rank, c_id, label, round(sim, 6) AS sim
          |FROM r WHERE rank <= 5""".stripMargin
     },
+    // incremental index assignment: the s13/s19 IVF chain trained on the
+    // corpus side only (vec_id < 90% cut), batch vectors assigned to the
+    // final centroids, corpus occupancy of the assigned cell alongside
+    "s20_delta_assign" -> {
+      val iters = Similarity.LloydIters
+      val cutSql =
+        "(SELECT CAST(floor(count(*) * 0.9) AS BIGINT) FROM embeddings)"
+      val strideSql = s"(SELECT CAST(floor(sqrt(CAST(floor(count(*) * 0.9)" +
+        s" AS BIGINT))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM corp e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < $cutSql),
+         |cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM corp WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM corp e CROSS JOIN cents$iters),
+         |cellt AS (SELECT vec_id, cent_id AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored) WHERE rk = 1),
+         |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+         |  FROM cellt GROUP BY cell),
+         |bs AS (SELECT b.vec_id, cent_id,
+         |    ${cosSql("b.embedding", "c_emb")} AS csim
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id >= $cutSql) b CROSS JOIN cents$iters),
+         |ba AS (SELECT vec_id, cent_id AS cell, csim
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM bs) WHERE rk = 1)
+         |SELECT ba.vec_id, ba.cell, round(ba.csim, 6) AS sim,
+         |  COALESCE(occ.cell_n, 0) AS cell_n
+         |FROM ba LEFT JOIN occ ON ba.cell = occ.cell""".stripMargin
+    },
     // embedding-side label phase: s5's bucketed pair graph, then connected
     // components via the same recursive-CTE shape as d8
     "s10_semantic_dedup" ->
@@ -1503,6 +1551,50 @@ object OracleSql {
          |  round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6) AS ppl,
          |  CASE WHEN round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6)
          |    <= $k THEN 1 ELSE 0 END AS keep
+         |FROM ag""".stripMargin
+    },
+    // DSIR importance weights: the t27 chain twice (target slice vs raw
+    // corpus) from ONE bigram table; unseen-in-target bigrams back off
+    // to the add-k floor via COALESCE(0)
+    "t28_dsir_weights" -> {
+      val a = graft.ops.TextAnalysis.LmAlpha
+      val tau = graft.ops.TextAnalysis.DsirTauMicro
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSql AS t FROM documents),
+         |bg AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         |  unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE [] END) AS bigram FROM tok),
+         |tb AS (SELECT doc_id, tgt, bigram, count(*) AS n
+         |  FROM bg GROUP BY 1, 2, 3),
+         |cbr AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt,
+         |    string_split(bigram, ' ')[1] AS w1 FROM tb GROUP BY 1),
+         |ctr AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         |  FROM cbr GROUP BY 1),
+         |vvr AS (SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2])
+         |    AS DOUBLE) AS v FROM cbr),
+         |cbt AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt_t,
+         |    string_split(bigram, ' ')[1] AS w1
+         |  FROM tb WHERE tgt = 1 GROUP BY 1),
+         |ctt AS (SELECT w1, CAST(sum(cnt_t) AS BIGINT) AS ctx_t
+         |  FROM cbt GROUP BY 1),
+         |vvt AS (SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2])
+         |    AS DOUBLE) AS v_t FROM cbt),
+         |sc AS (SELECT doc_id, n,
+         |  CAST(round(ln((CAST(COALESCE(cbt.cnt_t, 0) AS DOUBLE) + $a)
+         |    / (CAST(COALESCE(ctt.ctx_t, 0) AS DOUBLE) + v_t * $a)) * 1e6)
+         |    AS BIGINT)
+         |  - CAST(round(ln((CAST(cbr.cnt AS DOUBLE) + $a)
+         |    / (CAST(ctr.ctx_cnt AS DOUBLE) + v * $a)) * 1e6) AS BIGINT) AS d
+         |  FROM tb
+         |  JOIN cbr ON cbr.bigram = tb.bigram
+         |  JOIN ctr ON ctr.w1 = cbr.w1
+         |  LEFT JOIN cbt ON cbt.bigram = tb.bigram
+         |  LEFT JOIN ctt ON ctt.w1 = cbr.w1
+         |  CROSS JOIN vvr CROSS JOIN vvt),
+         |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(n * d) AS BIGINT) AS lr_micro FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, lr_micro,
+         |  CASE WHEN lr_micro >= $tau THEN 1 ELSE 0 END AS selected
          |FROM ag""".stripMargin
     },
     "t20_pmi_pairs" -> {

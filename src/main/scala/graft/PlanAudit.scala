@@ -178,7 +178,13 @@ object PlanAudit {
         Seq("ExistingRDD", "HashAggregate"),
         Seq("CartesianProduct", "Window", "SortAggregate")),
       ("d16_delta_dedup", "incremental dedup joins the BATCH side (~10% of docs) against the corpus on EQUALITY keys only — md5(text) for the exact tier, (band, bucket) over the checkpointed signature table (ExistingRDD, hashed once) for the near tier; the 90% cut is a one-row broadcast predicate, partner selection a map-side-combined max_by — never all-pairs, no re-hash per side",
-        Seq("ExistingRDD"), Seq("CartesianProduct"))
+        Seq("ExistingRDD"), Seq("CartesianProduct")),
+      ("t28_dsir_weights", "DSIR trains BOTH LMs from the one checkpointed doc-grain bigram table (ExistingRDD — target flag rode the single tokenize); all four count tables are vocabulary-bounded rollups, V_raw/V_target fold in as one-row broadcasts, per-doc reduction a map-side-combined integer sum — no Window, no second corpus scan",
+        Seq("ExistingRDD", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "SortAggregate")),
+      ("s20_delta_assign", "incremental assignment trains the IVF index on the CORPUS side only (the build confined to the checkpoint — ExistingRDD) and scores batch×C through the map-side-combined max_by (partial_max_by, no Window on the corpus-sized side); occupancy is a rollup of the checkpointed corpus assignment",
+        Seq("ExistingRDD", "partial_max_by"),
+        Seq("CartesianProduct", "Window"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -123,6 +123,7 @@ object SparkEntry {
     "s17_pq_adc"        -> (Similarity.pqAdcTopK _),
     "s18_ivfpq"         -> (Similarity.ivfPqTopK _),
     "s19_filtered_ann"  -> (Similarity.filteredIvfTopK _),
+    "s20_delta_assign"  -> (Similarity.deltaAssign _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "t25_bm25_topk"     -> (TextAnalysis.bm25TopK _),
     "t26_pii_scrub"     -> (TextAnalysis.piiScrub _),
     "t27_lm_quality"    -> (TextAnalysis.lmQuality _),
+    "t28_dsir_weights"  -> (TextAnalysis.dsirWeights _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

@@ -245,6 +245,38 @@ object StreamBench {
             lpad((v % 1000).cast("string"), 3, "0"), lit("-"),
             lpad((v % 10000).cast("string"), 4, "0")).as("text"))),
         OutputMode.Append())),
+      // streaming delta dedup: ingest docs verdict-checked against a
+      // 50k-doc standing corpus (banded signatures + content hashes
+      // prepared once at build — the Artifacts read path); stream text
+      // reuses the corpus formula so the exact tier does real matching
+      "delta_dedup_stream" -> (() => {
+        def textOf(id: org.apache.spark.sql.Column) = concat_ws(" ",
+          (0 until 12).map(i =>
+            concat(lit(('a' + i).toChar.toString), (id + i * 37) % 5000)): _*)
+        val corpusDocs = spark.range(50000)
+          .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        val sig = graft.ops.Dedup.minhashSigFrameOf(corpusDocs)
+          .select(col("doc_id").as("c_id"),
+            array((0 until graft.ops.Dedup.NumPerms)
+              .map(i => col(s"mh$i")): _*).as("c_sig"))
+        val banded = sig
+          .select(col("c_id"), col("c_sig"),
+            explode(graft.ops.Dedup.bandBuckets(col("c_sig"))).as("bb"))
+          .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+            col("c_id"), col("c_sig"))
+          .localCheckpoint()
+        val hashes = corpusDocs
+          .groupBy(md5(col("text")).as("ch"))
+          .agg(min(col("doc_id")).as("exact_partner"))
+          .localCheckpoint()
+        Pipeline(
+          StreamOps.deltaDedupStream(
+            rate().select(v.as("doc_id"), col("timestamp").as("ts"),
+              textOf(v).as("text"))
+              .as(org.apache.spark.sql.Encoders.product[StreamOps.DocStreamEvent]),
+            banded, hashes),
+          OutputMode.Update())
+      }),
       "substring_attrib_tws" -> (() => Pipeline(
         StreamOps.substringAttribStream(
           rate().select(v.as("doc_id"), col("timestamp").as("ts"),

@@ -80,7 +80,11 @@ object Dedup {
     * once and the min() combines map-side before the one doc_id shuffle —
     * the shape that survives a 100× scale-up. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    minhashSigFrameOf(Tables.documents(s, dir))
+
+  /** Frame-level form of [[minhashSignatures]] — any (doc_id, text). */
+  def minhashSigFrameOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), explode(shingleCol(3)).as("sh"))
       .select(col("doc_id"),
         (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType)
@@ -92,6 +96,33 @@ object Dedup {
           val (a, b) = minhashPerms(i)
           min((col("h") * a + b) % MinhashPrime).as(s"mh$i")
         }: _*)
+
+  /** The SAME signature as one per-row ARRAY expression over `text` —
+    * the streaming-ingest form: an arriving document is a single row, so
+    * the signature needs no explode+groupBy (and a streaming scrub stage
+    * stays stateless). Identical values to [[minhashSignatures]] by
+    * construction (same shingles, same md5→60-bit→mod-p hash, same
+    * affine family); the explode form remains the BATCH path because
+    * there the per-shingle hash must be computed once, map-side-combined
+    * (see the [[minhashSignatures]] scaladoc). */
+  private[graft] def minhashSigArray: Column = {
+    val hs = transform(shingleCol(3), sh =>
+      conv(substring(md5(sh), 1, 15), 16, 10).cast(LongType) % MinhashPrime)
+    array(minhashPerms.map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % MinhashPrime))
+    }: _*)
+  }
+
+  /** The [[Bands]] (band, bucket) structs of a signature array column —
+    * shared by the batch banding and the streaming ingest join key. */
+  private[graft] def bandBuckets(sig: Column): Column = {
+    val rows = NumPerms / Bands
+    array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(i => sig.getItem(i)): _*)).as("bucket"))
+    }: _*)
+  }
 
   /** MinHash+LSH near-dup pairs: band signatures into buckets, join within
     * buckets only, then score candidates by signature agreement.
@@ -747,18 +778,18 @@ object Dedup {
         .groupBy(col("ch")).agg(min(col("doc_id")).as("exact_partner")),
         Seq("ch"))
       .select(col("doc_id"), col("exact_partner"))
-    // near tier: d4's banded LSH, batch side vs corpus side
-    val rows = NumPerms / Bands
-    val sig = minhashSignatures(s, dir)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"mh$i")): _*).as("sig"))
+    // near tier: d4's banded LSH, batch side vs corpus side; the
+    // signature table goes through the Artifacts store — with artifacts
+    // enabled a second session (or the streaming ingest path,
+    // deltaDedupStream's corpus side) reads the persisted signatures
+    // instead of re-hashing the corpus
+    val sig = Artifacts.readOrBuild(s, dir, "minhash_sig")(
+        minhashSignatures(s, dir)
+          .select(col("doc_id"),
+            array((0 until NumPerms).map(i => col(s"mh$i")): _*).as("sig")))
       .localCheckpoint()
     val banded = sig.select(col("doc_id"), col("sig"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", (b * rows until (b + 1) * rows)
-              .map(i => col("sig").getItem(i)): _*)).as("bucket"))
-        }: _*)).as("bb"))
+        explode(bandBuckets(col("sig"))).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .crossJoin(broadcast(cut))

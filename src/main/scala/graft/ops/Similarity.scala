@@ -734,6 +734,47 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** INCREMENTAL INDEX ASSIGNMENT (s20) — the vector-side twin of d16's
+    * delta ingest: a production vector store never retrains its index
+    * for today's batch, it ASSIGNS the new vectors to the existing
+    * corpus-trained cells (and periodically monitors drift). Batch = the
+    * newest 10% of vec_ids (cut and stride from footer metadata, the
+    * s13 rule — no count() job); the IVF index is trained on the CORPUS
+    * side only, then each batch vector takes its nearest cell (max_by —
+    * map-side combined, the nearestCells shape) with its cosine to the
+    * centroid and the cell's corpus occupancy alongside (the drift
+    * signal: a batch crowding into low-occupancy cells means the
+    * centroids no longer describe the data and a retrain is due).
+    *
+    * Scale: the batch×C scoring is the documented IVF-build crossJoin
+    * shape at one-tenth the rows (0.1·n·√0.9n); the occupancy rollup is
+    * map-side combined off the checkpointed corpus assignment. Nothing
+    * here touches corpus-size² work. */
+  def deltaAssign(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddingsRowCount(s, dir)
+    val cut = math.floor(n * 0.9).toLong
+    val stride = math.max(1, math.sqrt(cut.toDouble).toInt)
+    val embAll = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    val (cells, cents) = ivfIndex(embAll.filter(col("vec_id") < cut),
+      stride, LloydIters)
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    embAll.filter(col("vec_id") >= cut)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("csim")),
+        struct(coalesce(col("csim"), lit(Double.NegativeInfinity)),
+          (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        round(col("m.csim"), 6).as("sim"))
+      .join(occ, Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("sim"),
+        coalesce(col("cell_n"), lit(0L)).as("cell_n"))
+  }
+
   /** s5: scale-safe embedding near-dup — the production path. Candidates
     * are generated by an EQUALITY join on the SRP bucket (cosine-similar
     * vectors land in the same sign pattern with high probability), then

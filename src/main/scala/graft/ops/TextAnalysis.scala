@@ -1260,4 +1260,81 @@ object TextAnalysis {
         round(exp(-col("s").cast("double") / 1e6 / col("n_bigrams")), 6).as("ppl"))
       .withColumn("keep", when(col("ppl") <= LmKeepPpl, 1).otherwise(0))
   }
+
+  // ---- DSIR-style importance weights (t28) ---------------------------
+
+  /** Selection threshold on the total log-ratio, in integer micro-nats:
+    * documents the target LM likes at least as much as the raw LM are
+    * selected. Integer because the emitted statistic is integer — lr as
+    * a rounded float was a real rounding landmine (a ratio of integers
+    * scaled by 1e6 lands EXACTLY on decimal .5 boundaries, where Spark's
+    * BigDecimal HALF_UP and DuckDB's float-multiply round disagree by an
+    * ulp — observed at sf0.1, doc with lr = 0.0063845). */
+  val DsirTauMicro = 0L
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING weights (t28) — the
+    * domain-targeting selection step (Xie et al.'s DSIR lineage): score
+    * every raw document by how much more a TARGET-domain LM likes it
+    * than the raw-corpus LM, and select the documents whose TOTAL
+    * log-ratio (emitted exactly, in integer micro-nats) clears
+    * [[DsirTauMicro]]. Target here = the `lang =
+    * 'en'` slice (the attribute every pipeline has); both models are the
+    * t27 add-k bigram LM, trained from the SAME doc-grain bigram
+    * materialization — one tokenize for both numerator and denominator.
+    *
+    * log p_target − log p_raw is computed per corpus bigram in integer
+    * micro-nats (t27's order-free discipline) and summed exactly;
+    * bigrams unseen in the target back off to the add-k floor (cnt=0,
+    * ctx=0 → α/(α·V_t) = 1/V_t), so the ratio is total — no OOV drops.
+    * Scale: the two count tables and both context tables are
+    * vocabulary-bounded rollups of the one checkpointed bigram table;
+    * the target flag is a projection of the corpus scan (no second
+    * tokenize); V_raw/V_target fold in as one-row broadcasts. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrame(Tables.documents(s, dir), col("lang") === "en")
+
+  /** Frame-level form of [[dsirWeights]]: any (doc_id, text, …) frame
+    * and any boolean target predicate over its columns. */
+  def dsirWeightsFrame(documents: DataFrame, target: Column): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // the target flag rides the one tokenize+explode (no second scan)
+    val tb = documents
+      .select(col("doc_id"), target.cast("int").as("tgt"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("tgt"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("tgt"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def lm(c: DataFrame) = {
+      val cb = c.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cnt"))
+        .localCheckpoint()
+      val ctx = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+      val vv = cb.agg(countDistinct(col("w2")).cast("double").as("v"))
+      (cb, ctx, vv)
+    }
+    val (cbR, ctxR, vvR) = lm(tb)
+    val (cbT, ctxT, vvT) = lm(tb.filter(col("tgt") === 1))
+    def lpm(cnt: Column, ctx: Column, v: Column): Column =
+      round(log((coalesce(cnt, lit(0L)).cast("double") + LmAlpha) /
+        (coalesce(ctx, lit(0L)).cast("double") + v * LmAlpha)) * 1e6, 0)
+        .cast("long")
+    tb.join(cbR, Seq("w1", "w2"))
+      .join(ctxR, Seq("w1"))
+      .join(cbT.withColumnRenamed("cnt", "cnt_t"), Seq("w1", "w2"), "left")
+      .join(ctxT.withColumnRenamed("ctx_cnt", "ctx_t"), Seq("w1"), "left")
+      .crossJoin(broadcast(vvR))
+      .crossJoin(broadcast(vvT.withColumnRenamed("v", "v_t")))
+      .withColumn("d", lpm(col("cnt_t"), col("ctx_t"), col("v_t"))
+        - lpm(col("cnt"), col("ctx_cnt"), col("v")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("d")).as("lr_micro"))
+      .withColumn("selected",
+        when(col("lr_micro") >= DsirTauMicro, 1).otherwise(0))
+      .select(col("doc_id"), col("n_bigrams"), col("lr_micro"), col("selected"))
+  }
 }

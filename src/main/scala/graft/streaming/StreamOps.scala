@@ -511,6 +511,52 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** STREAMING DELTA DEDUP — d16's ingest form: documents stream in and
+    * each gets an exact/near/new verdict against a STATIC standing
+    * corpus (its content-hash table and banded MinHash signature table,
+    * prepared batch-side — in production the [[graft.ops.Artifacts]]
+    * store). The arriving document is one row, so its signature is the
+    * per-row ARRAY expression ([[graft.ops.Dedup.minhashSigArray]] — no
+    * explode+groupBy, the scrub stage stays stateless until the final
+    * per-doc reduction); both corpus probes are stream-static LEFT
+    * equality joins (band-bucket for near, md5 for exact — stateless,
+    * the static side is a prepared materialization), and the only
+    * streaming state is the per-doc best-candidate reduction (Update
+    * mode; each doc_id lives in exactly one micro-batch, so rows arrive
+    * together — production would window the key by ingest day to bound
+    * state).
+    *
+    * `corpusBanded` = (band, bucket, c_id, c_sig); `corpusHashes` =
+    * (ch, exact_partner). Output matches the batch d16 row shape. */
+  def deltaDedupStream(docs: Dataset[DocStreamEvent],
+      corpusBanded: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val nPerms = graft.ops.Dedup.NumPerms
+    val cand = docs.toDF()
+      .withWatermark("ts", "10 seconds")
+      .withColumn("ch", md5(col("text")))
+      .withColumn("sig", graft.ops.Dedup.minhashSigArray)
+      .join(corpusHashes, Seq("ch"), "left")
+      .select(col("doc_id"), col("ts"), col("sig"), col("exact_partner"),
+        explode(graft.ops.Dedup.bandBuckets(col("sig"))).as("bb"))
+      .select(col("doc_id"), col("ts"), col("sig"), col("exact_partner"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(corpusBanded, Seq("band", "bucket"), "left")
+      .withColumn("est", when(col("c_id").isNotNull,
+        size(filter(zip_with(col("sig"), col("c_sig"), (a, b) => a === b),
+          v => v)).cast("double") / nPerms))
+    cand.groupBy(col("doc_id"))
+      .agg(max(col("exact_partner")).as("exact_partner"),
+        max(when(col("est") >= 0.5,
+          struct(col("est").as("e"), (-col("c_id")).as("nc")))).as("best"))
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, "exact")
+          .when(col("best").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_partner"), -col("best.nc")).as("partner"),
+        when(col("exact_partner").isNotNull, 1.0)
+          .otherwise(col("best.e")).as("est_jaccard"))
+  }
+
   case class TermPosting(term: String, doc_id: Long, tf: Long)
   case class IndexHead(term: String, df: Long, corpus_tf: Long, rk: Int,
       doc_id: Long, tf: Long)

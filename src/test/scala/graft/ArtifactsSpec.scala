@@ -99,4 +99,38 @@ class ArtifactsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
     }
   }
+
+  test("d16 minhash signatures: session 2's delta dedup reads the persisted signature table") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    val expected = rows(Dedup.deltaDedup(spark, dir))
+    withArtifacts { _ =>
+      assert(rows(Dedup.deltaDedup(spark, dir)) === expected) // builds AND persists
+      assert(Artifacts.exists(spark, dir, "minhash_sig"), "artifact must be written")
+      // the persisted table IS the signature table (value round-trip)
+      val stored = Artifacts.read(spark, dir, "minhash_sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val fresh = Dedup.minhashSignatures(spark, dir).collect()
+        .map(r => r.getLong(0) -> (1 until 17).map(r.getLong)).toMap
+      assert(stored.keySet === fresh.keySet)
+      stored.foreach { case (id, sig) => assert(sig === fresh(id), s"doc $id sig") }
+      // behavioral proof the second session READS the store instead of
+      // re-hashing: replace the artifact with collision-free fake
+      // signatures — every near verdict must disappear (a rebuild would
+      // resurrect them), while the exact tier (md5, not signature-based)
+      // is untouched
+      import org.apache.spark.sql.functions.{col, transform, sequence, lit}
+      Artifacts.write(spark, dir, "minhash_sig",
+        graft.Tables.documents(spark, dir).select(col("doc_id"),
+          transform(sequence(lit(0), lit(15)),
+            i => col("doc_id") * 16 + i.cast("long")).as("sig")))
+      val second = rows(Dedup.deltaDedup(spark, dir))
+      assert(!second.exists(_._2 == "near"),
+        "fake store signatures must kill every near verdict — store not read?")
+      assert(second.filter(_._2 == "exact") === expected.filter(_._2 == "exact"),
+        "exact tier must be unaffected by the signature artifact")
+    }
+  }
 }

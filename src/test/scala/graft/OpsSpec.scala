@@ -704,6 +704,55 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._2 < got(0L)._2, "repetitive doc must score lower ppl")
   }
 
+  test("dsirWeights: log-ratio matches an in-memory two-LM reference; " +
+      "target-like docs score positive, off-target negative") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the dog sat on the mat", "en"),
+      (2L, "le chat le chien le chat", "fr"),
+      (3L, "the cat sat on the mat", "fr"), // en-looking text, fr label
+      (4L, "le chien sat le chat on", "de"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    // independent reference: two add-k bigram LMs over plain collections
+    val toks = rows.map { case (id, t, l) => (id, t.split(" ").toSeq, l) }
+    val bgsAll = toks.map { case (id, ts, l) => (id, ts.zip(ts.tail), l) }
+    def lm(sel: Seq[((String, String), Long)]) = {
+      val cnt = sel.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val ctx = cnt.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      val v = cnt.keys.map(_._2).toSet.size.toDouble
+      (cnt, ctx, v)
+    }
+    def counted(sel: Seq[(Long, Seq[(String, String)], String)]) =
+      sel.flatMap(_._2).groupBy(identity).toSeq.map { case (k, v) => k -> v.size.toLong }
+    val (cntR, ctxR, vR) = lm(counted(bgsAll))
+    val (cntT, ctxT, vT) = lm(counted(bgsAll.filter(_._3 == "en")))
+    val a = graft.ops.TextAnalysis.LmAlpha
+    def lpm(c: Long, x: Long, v: Double): Long =
+      math.round(math.log((c + a) / (x + v * a)) * 1e6)
+    val expect = bgsAll.map { case (id, bs, _) =>
+      val s = bs.map { b =>
+        lpm(cntT.getOrElse(b, 0L), ctxT.getOrElse(b._1, 0L), vT) -
+          lpm(cntR(b), ctxR(b._1), vR)
+      }.sum
+      id -> ((bs.size.toLong, s))
+    }.toMap
+    val got = graft.ops.TextAnalysis
+      .dsirWeightsFrame(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, (nb, s)) =>
+      assert(got(id)._1 === nb, s"doc $id n_bigrams")
+      assert(got(id)._2 === s, s"doc $id lr_micro")
+      assert(got(id)._3 ===
+        (if (s >= graft.ops.TextAnalysis.DsirTauMicro) 1 else 0))
+    }
+    // selection behaves like DSIR: English text selected REGARDLESS of
+    // its label (doc 3), French text rejected
+    assert(got(0L)._3 === 1 && got(1L)._3 === 1 && got(3L)._3 === 1)
+    assert(got(2L)._3 === 0, "off-target doc must not be selected")
+  }
+
   test("deltaDedup: verdicts agree with the exact md5 tier and the d4 pair graph") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

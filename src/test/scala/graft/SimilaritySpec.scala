@@ -403,6 +403,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, f"filtered IVF recall floor: $recall%.3f")
   }
 
+  test("deltaAssign: batch assignments match a driver-side corpus-trained Lloyd reference") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val cut = math.floor(all.length * 0.9).toLong
+    val stride = math.max(1, math.sqrt(cut.toDouble).toInt)
+    val corpus = all.filter(_._1 < cut)
+    val batch = all.filter(_._1 >= cut)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents: Seq[(Long, Array[Double])] =
+      corpus.filter(_._1 % stride == 0).map { case (id, v) => (id, v) }.toSeq
+    def assign(vs: Array[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      vs.map { case (id, v) =>
+        val best = cents.map { case (cid, c) => (cos(v, c), cid) }
+          .minBy { case (s, cid) => (-s, cid) }
+        id -> ((best._2, best._1))
+      }.toMap
+    (1 to Similarity.LloydIters).foreach { _ =>
+      cents = assign(corpus).toSeq.groupBy(_._2._1).map { case (c, ms) =>
+        val members = ms.map(_._1).sorted.map(id => corpus.find(_._1 == id).get._2)
+        val acc = new Array[Double](members.head.length)
+        members.foreach(v => for (i <- acc.indices) acc(i) += v(i))
+        (c, acc.map(_ / members.length))
+      }.toSeq
+    }
+    val corpusAssign = assign(corpus)
+    val occ = corpusAssign.values.groupBy(_._1).map { case (c, ms) => c -> ms.size.toLong }
+    val expected = assign(batch)
+    val got = Similarity.deltaAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet === batch.map(_._1).toSet, "one assignment per batch vector")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    expected.foreach { case (id, (cell, sim)) =>
+      assert(got(id)._1 === cell, s"vector $id cell")
+      assert(math.abs(got(id)._2 - r6(sim)) < 1e-9, s"vector $id sim")
+      assert(got(id)._3 === occ.getOrElse(cell, 0L), s"vector $id cell occupancy")
+    }
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,

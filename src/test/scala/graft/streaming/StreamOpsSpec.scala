@@ -959,6 +959,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq(0L, 2L), "clean doc 1 reports nothing")
   }
 
+  test("deltaDedupStream: streamed batch docs get the exact same verdicts " +
+      "as the batch d16 against the same standing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cut = math.floor(all.length * 0.9).toLong
+    // standing-corpus artifacts, prepared batch-side
+    val corpusDocs = all.filter(_._1 < cut).toSeq.toDF("doc_id", "text")
+    val sig = graft.ops.Dedup.minhashSigFrameOf(corpusDocs)
+      .select(col("doc_id").as("c_id"),
+        array((0 until graft.ops.Dedup.NumPerms).map(i => col(s"mh$i")): _*)
+          .as("c_sig"))
+      .localCheckpoint()
+    val banded = sig
+      .select(col("c_id"), col("c_sig"),
+        explode(graft.ops.Dedup.bandBuckets(col("c_sig"))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("c_id"), col("c_sig"))
+      .localCheckpoint()
+    val hashes = corpusDocs
+      .groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("exact_partner"))
+      .localCheckpoint()
+    // stream the batch side through the ingest pipeline
+    val in = MemoryStream[StreamOps.DocStreamEvent]
+    runQuery(StreamOps.deltaDedupStream(in.toDS(), banded, hashes),
+        "delta_stream", OutputMode.Update()) {
+      in.addData(all.filter(_._1 >= cut)
+        .map { case (id, t) => StreamOps.DocStreamEvent(id, ts(id * 10), t) }
+        .toIndexedSeq: _*)
+    }
+    val got = spark.table("delta_stream").collect()
+      .map { r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))) }.toMap
+    val batch = graft.ops.Dedup.deltaDedup(spark, dir).collect()
+      .map { r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))) }.toMap
+    assert(got === batch, "stream verdicts must equal the batch d16 verdicts")
+    assert(batch.values.exists(_._1 == "near") || batch.values.exists(_._1 == "exact"),
+      "corpus must contain at least one real dup so the parity is non-vacuous")
+  }
+
   test("secureOptions maps the SecureKafkaStreamsExample client properties to kafka.-prefixed keys") {
     // SecureKafkaStreamsExample.java:166-171 sets security.protocol +
     // the four SSL store/key properties; Spark's connector takes the
