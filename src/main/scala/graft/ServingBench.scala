@@ -161,9 +161,27 @@ object ServingBench {
       timeMs(assert(getPath(sport, s"/search?q=$probeQ&k=10") == 200)))
     srest.stop()
 
+    // the DEDUP tier: ingest-time membership checks against the corpus's
+    // prepared signature/hash tables (round-13 addition); probe with a
+    // real corpus text (exact path) and a novel one (near/new path —
+    // signature job + bucket probe, the expensive branch)
+    val drest = new graft.streaming.DedupRestServing(
+      spark, s"$sfDir/documents.parquet")
+    val dport = drest.start()
+    val corpusText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).head.getString(0)
+    def enc(t: String) = java.net.URLEncoder.encode(t, "UTF-8")
+    getPath(dport, s"/dedup/check?text=${enc(corpusText)}") // warm
+    val dedupExact = (0 until keys.size).map(_ => timeMs(
+      assert(getPath(dport, s"/dedup/check?text=${enc(corpusText)}") == 200)))
+    val dedupNovel = (0 until keys.size).map(i => timeMs(
+      assert(getPath(dport,
+        s"/dedup/check?text=${enc(s"wholly novel probe text number $i zxqv")}") == 200)))
+    drest.stop()
+
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
   }
 }

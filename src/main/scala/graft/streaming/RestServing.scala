@@ -641,6 +641,102 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   }
 }
 
+/** DEDUP-CHECK SERVING TIER — "is this text already in the corpus?" as a
+  * point query, the ingest-time membership check in front of a training
+  * corpus (the serving twin of [[graft.streaming.StreamOps.deltaDedupStream]]
+  * — same verdicts, request/response instead of a stream). The standing
+  * corpus's content-hash and banded-signature tables are prepared once
+  * at `start()` from the SHARED batch definitions
+  * ([[graft.ops.Dedup.minhashSigFrameOf]]/`bandBuckets` — the serving
+  * tier probes exactly the tables d16 builds, in production the
+  * Artifacts store). Per request the query text's signature is computed
+  * by the SAME Catalyst expression on a one-row frame (engine-exact, no
+  * JVM reimplementation that could drift), candidates come only from the
+  * query's ≤[[graft.ops.Dedup.Bands]] band buckets (LSH keeps buckets
+  * tiny by design — nothing corpus-sized leaves the executors), and the
+  * exact tier is an equality probe on md5. Verdict semantics = d16:
+  * exact beats near, est ≥ 0.5, partner ties to the smallest doc_id.
+  *
+  *  - `GET /dedup/check?text=…` →
+  *    `{"verdict":"exact|near|new","partner":id,"est_jaccard":e}`
+  */
+class DedupRestServing(spark: SparkSession, documentsPath: String)
+    extends HttpJsonServer {
+  import org.apache.spark.sql.DataFrame
+  import graft.ops.Dedup
+
+  private var banded: DataFrame = _
+  private var hashes: DataFrame = _
+
+  def start(bindPort: Int = 0): Int = {
+    val docs = spark.read.parquet(documentsPath)
+      .select(col("doc_id"), col("text"))
+    val sig = Dedup.minhashSigFrameOf(docs)
+      .select(col("doc_id").as("c_id"),
+        array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
+      .localCheckpoint()
+    banded = sig
+      .select(col("c_id"), col("c_sig"),
+        explode(Dedup.bandBuckets(col("c_sig"))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("c_id"), col("c_sig"))
+      .localCheckpoint()
+    hashes = docs
+      .groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("exact_partner"))
+      .localCheckpoint()
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/dedup/check", handlerQ { (path, q) =>
+      if (path != "/dedup/check") (404, """{"error":"not found"}""")
+      else q.get("text").filter(_.nonEmpty) match {
+        case None => (400, """{"error":"text=... is required"}""")
+        case Some(text) =>
+          // the query row's hash, signature and band buckets, from the
+          // SAME expressions the corpus tables were built with
+          val qrow = spark.range(1).select(lit(text).as("text"))
+            .select(md5(col("text")).as("ch"),
+              Dedup.minhashSigArray.as("sig"))
+            .select(col("ch"), col("sig"),
+              Dedup.bandBuckets(col("sig")).as("bbs"))
+            .head()
+          val ch = qrow.getString(0)
+          val qsig = qrow.getSeq[Long](1)
+          val bbs = qrow.getSeq[org.apache.spark.sql.Row](2)
+            .map(r => (r.getInt(0), r.getString(1)))
+          val exact = hashes.filter(col("ch") === ch)
+            .select(col("exact_partner")).collect().headOption.map(_.getLong(0))
+          exact match {
+            case Some(p) =>
+              (200, s"""{"verdict":"exact","partner":$p,"est_jaccard":1.0}""")
+            case None =>
+              val bucketPred = bbs.map { case (b, h) =>
+                col("band") === b && col("bucket") === h
+              }.reduce(_ || _)
+              val best = banded.filter(bucketPred)
+                .select(col("c_id"), col("c_sig")).collect()
+                .map { r =>
+                  val cs = r.getSeq[Long](1)
+                  val agree = qsig.zip(cs).count { case (a, b) => a == b }
+                  (agree.toDouble / Dedup.NumPerms, r.getLong(0))
+                }
+                .filter(_._1 >= 0.5)
+                .sortBy { case (e, id) => (-e, id) }.headOption
+              best match {
+                case Some((e, id)) =>
+                  (200, s"""{"verdict":"near","partner":$id,"est_jaccard":$e}""")
+                case None =>
+                  (200, """{"verdict":"new","partner":null,"est_jaccard":null}""")
+              }
+          }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+}
+
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
 private[streaming] trait HttpJsonServer {

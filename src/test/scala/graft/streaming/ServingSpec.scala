@@ -486,6 +486,56 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("dedup serving: /dedup/check verdicts equal batch d16 for every batch doc; " +
+      "novel text is new, missing text a client error") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cut = math.floor(all.length * 0.9).toLong
+    val path = Files.createTempDirectory("graft-dedup").toString + "/docs.parquet"
+    all.filter(_._1 < cut).toSeq.toDF("doc_id", "text").write.parquet(path)
+    val rest = new DedupRestServing(spark, path)
+    val port = rest.start(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def check(text: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/dedup/check?text=" +
+              java.net.URLEncoder.encode(text, "UTF-8"))).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val batch = graft.ops.Dedup.deltaDedup(spark, dir).collect()
+        .map { r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))) }.toMap
+      all.filter(_._1 >= cut).foreach { case (id, text) =>
+        val (sc, body) = check(text)
+        assert(sc === 200, body)
+        val verdict = "\"verdict\":\"(\\w+)\"".r
+          .findFirstMatchIn(body).get.group(1)
+        val partner = "\"partner\":(\\d+|null)".r
+          .findFirstMatchIn(body).get.group(1)
+        val est = "\"est_jaccard\":([0-9.]+|null)".r
+          .findFirstMatchIn(body).get.group(1)
+        val (bv, bp, be) = batch(id)
+        assert(verdict === bv, s"doc $id verdict")
+        assert((if (partner == "null") -1L else partner.toLong) === bp,
+          s"doc $id partner")
+        assert((if (est == "null") -1.0 else est.toDouble) === be, s"doc $id est")
+      }
+      val (sn, bn) = check("a sentence no corpus document has ever contained zxqv")
+      assert(sn === 200 && bn.contains("\"verdict\":\"new\""), bn)
+      assert(check("")._1 === 400 ||
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/dedup/check")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() === 400)
+    } finally rest.stop()
+  }
+
   test("search serving: term lookup returns stats + posting head, 404 on absent terms; " +
       "multi-term tf-idf ranking matches the hand-computed scores") {
     import spark.implicits._
