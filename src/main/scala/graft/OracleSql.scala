@@ -80,6 +80,32 @@ object OracleSql {
        |sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
+  /** t27's bigram-LM CTE chain ending in pplt(doc_id, n_bigrams, ppl) —
+    * shared by the t27 gate and the c15 curriculum oracle. */
+  private lazy val lmPplCtes: String = {
+    val a = graft.ops.TextAnalysis.LmAlpha
+    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+       |    ELSE [] END) AS bigram FROM tok),
+       |tb AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+       |cb AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt,
+       |    string_split(bigram, ' ')[1] AS w1 FROM tb GROUP BY 1),
+       |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+       |  FROM cb GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2])
+       |    AS DOUBLE) AS v FROM cb),
+       |sclm AS (SELECT doc_id, n, CAST(round(ln(
+       |    (CAST(cnt AS DOUBLE) + $a) / (CAST(ctx_cnt AS DOUBLE) + $a * v))
+       |    * 1e6) AS BIGINT) AS lpm
+       |  FROM tb JOIN cb USING (bigram) JOIN ctx USING (w1) CROSS JOIN vv),
+       |aglm AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(n * lpm) AS BIGINT) AS s FROM sclm GROUP BY doc_id),
+       |pplt AS (SELECT doc_id, n_bigrams,
+       |  round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6) AS ppl
+       |  FROM aglm)""".stripMargin
+  }
+
   /** Sequential-double cosine similarity between two 64-dim list columns. */
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -1238,6 +1264,31 @@ object OracleSql {
          |SELECT q_id, rank, c_id, label, round(sim, 6) AS sim
          |FROM r WHERE rank <= 5""".stripMargin
     },
+    // scalar int8 quantization: per-dim affine grid from corpus min/max,
+    // codes proven by md5, sequential-fold reconstruction error
+    "s21_sq8" -> {
+      val x = "CAST(embedding[i] AS DOUBLE)"
+      val deq = s"(mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (mxs[i] - mns[i]))"
+      s"""WITH ex AS (SELECT vec_id, embedding FROM embeddings),
+         |pos AS (SELECT vec_id, unnest([{'i': i, 'x': $x}
+         |  for i in range(1, len(embedding) + 1)]) AS p FROM ex),
+         |dim AS (SELECT p.i AS i, min(p.x) AS mn, max(p.x) AS mx
+         |  FROM pos GROUP BY 1),
+         |grid AS (SELECT list(mn ORDER BY i) AS mns,
+         |  list(mx ORDER BY i) AS mxs FROM dim),
+         |cq AS (SELECT vec_id, embedding,
+         |  [CASE WHEN mxs[i] > mns[i]
+         |     THEN CAST(round(($x - mns[i]) / (mxs[i] - mns[i]) * 255)
+         |       AS INTEGER) ELSE 0 END
+         |   for i in range(1, len(embedding) + 1)] AS codes
+         |  FROM ex CROSS JOIN grid),
+         |er AS (SELECT vec_id, codes, round(list_sum(
+         |  [($x - $deq) * ($x - $deq)
+         |   for i in range(1, len(embedding) + 1)]), 6) AS err
+         |  FROM cq CROSS JOIN grid)
+         |SELECT vec_id, md5(array_to_string(codes, ',')) AS code_hash, err
+         |FROM er""".stripMargin
+    },
     // incremental index assignment: the s13/s19 IVF chain trained on the
     // corpus side only (vec_id < 90% cut), batch vectors assigned to the
     // final centroids, corpus occupancy of the assigned cell alongside
@@ -1528,30 +1579,11 @@ object OracleSql {
     // bigram-LM perplexity gate: integer micro-nat log-probs make the
     // per-doc reduction order-free (the engine-side discipline mirrored)
     "t27_lm_quality" -> {
-      val a = graft.ops.TextAnalysis.LmAlpha
       val k = graft.ops.TextAnalysis.LmKeepPpl
-      s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
-         |    ELSE [] END) AS bigram FROM tok),
-         |tb AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
-         |cb AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cnt,
-         |    string_split(bigram, ' ')[1] AS w1 FROM tb GROUP BY 1),
-         |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
-         |  FROM cb GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT string_split(bigram, ' ')[2])
-         |    AS DOUBLE) AS v FROM cb),
-         |sc AS (SELECT doc_id, n, CAST(round(ln(
-         |    (CAST(cnt AS DOUBLE) + $a) / (CAST(ctx_cnt AS DOUBLE) + $a * v))
-         |    * 1e6) AS BIGINT) AS lpm
-         |  FROM tb JOIN cb USING (bigram) JOIN ctx USING (w1) CROSS JOIN vv),
-         |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(n * lpm) AS BIGINT) AS s FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams,
-         |  round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6) AS ppl,
-         |  CASE WHEN round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6)
-         |    <= $k THEN 1 ELSE 0 END AS keep
-         |FROM ag""".stripMargin
+      s"""WITH $lmPplCtes
+         |SELECT doc_id, n_bigrams, ppl,
+         |  CASE WHEN ppl <= $k THEN 1 ELSE 0 END AS keep
+         |FROM pplt""".stripMargin
     },
     // DSIR importance weights: the t27 chain twice (target slice vs raw
     // corpus) from ONE bigram table; unseen-in-target bigrams back off
@@ -1596,6 +1628,22 @@ object OracleSql {
          |SELECT doc_id, n_bigrams, lr_micro,
          |  CASE WHEN lr_micro >= $tau THEN 1 ELSE 0 END AS selected
          |FROM ag""".stripMargin
+    },
+    // curriculum shards: t27's ppl chain, then the plain global-window
+    // prefix sum (the oracle's luxury — the engine uses the two-level
+    // ppl-grid scan and must agree exactly)
+    "c15_curriculum" -> {
+      val shard = graft.ops.Composites.CurricShardTokens
+      s"""WITH $lmPplCtes,
+         |cd AS (SELECT doc_id, n_bigrams + 1 AS n, ppl FROM pplt),
+         |od AS (SELECT *, CAST(COALESCE(sum(n) OVER (ORDER BY ppl, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |  AS prev FROM cd)
+         |SELECT CAST(prev // $shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens,
+         |  min(ppl) AS ppl_min, max(ppl) AS ppl_max
+         |FROM od GROUP BY 1""".stripMargin
     },
     "t20_pmi_pairs" -> {
       val minC = graft.ops.TextAnalysis.PmiMinCount

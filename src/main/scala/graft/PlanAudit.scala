@@ -184,7 +184,13 @@ object PlanAudit {
         Seq("CartesianProduct", "Window", "SortAggregate")),
       ("s20_delta_assign", "incremental assignment trains the IVF index on the CORPUS side only (the build confined to the checkpoint — ExistingRDD) and scores batch×C through the map-side-combined max_by (partial_max_by, no Window on the corpus-sized side); occupancy is a rollup of the checkpointed corpus assignment",
         Seq("ExistingRDD", "partial_max_by"),
-        Seq("CartesianProduct", "Window"))
+        Seq("CartesianProduct", "Window")),
+      ("s21_sq8", "scalar quantization is stats-then-scan: one posexplode into a 64-group map-side-combined min/max aggregate (partial_min), the grid folds back as ONE broadcast row, and the code+error pass is a single narrow projection — no Window, no shuffle of the corpus after the stats",
+        Seq("partial_min", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "Exchange rangepartitioning")),
+      ("c15_curriculum", "the curriculum's global ORDER-BY-ppl prefix sum is the two-level scan: the row-grain running sum is a Window PARTITIONED by the ppl grid cell, and only the VALUE-bounded cell summary (never corpus-proportional) passes through the single-partition window — no corpus-grain global sort",
+        Seq("Window", "ExistingRDD"),
+        Seq("CartesianProduct", "Exchange rangepartitioning"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -104,6 +104,7 @@ object SparkEntry {
     "c12_quality_report" -> (Composites.qualityReport _),
     "c13_leakage_split" -> (Composites.leakageSplit _),
     "c14_release_manifest" -> (Composites.releaseManifest _),
+    "c15_curriculum"    -> (Composites.curriculumShards _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "s18_ivfpq"         -> (Similarity.ivfPqTopK _),
     "s19_filtered_ann"  -> (Similarity.filteredIvfTopK _),
     "s20_delta_assign"  -> (Similarity.deltaAssign _),
+    "s21_sq8"           -> (Similarity.sq8Quantize _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

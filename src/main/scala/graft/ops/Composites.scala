@@ -535,4 +535,49 @@ object Composites {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("w.start").as("window_start"), col("user_id"), col("cnt"))
+
+  // ---- curriculum sharding (c15) -------------------------------------
+
+  /** Tokens per curriculum shard, and the ppl-grid granularity of the
+    * prefix scan's bucketing (cells = floor(ppl·grid) — VALUE-bounded,
+    * not corpus-bounded: the cell count depends on the perplexity range,
+    * never on the document count). */
+  val CurricShardTokens = 2048L
+  val CurricPplGrid = 16
+
+  /** CURRICULUM SHARDING (c15) — order the corpus easiest-first by t27
+    * LM perplexity and pack it into fixed-token-budget shards: the
+    * "curriculum learning" data layout (predictable text first, hard
+    * text last) a trainer consumes shard-by-shard. Composes two
+    * established pieces: the t27 quality model supplies (ppl, and
+    * n_tokens = n_bigrams + 1 — no second tokenize), and the global
+    * ORDER-BY-ppl prefix sum reuses the two-level scan discipline
+    * (w5/t17/c11): the row-grain running sum is a Window PARTITIONED by
+    * the ppl grid cell (floor(ppl·16) — monotone in the sort key, so
+    * cross-cell order is free), and only the cell-grain summary passes
+    * through the single-partition window before broadcasting back. The
+    * cell count is bounded by the VALUE RANGE of perplexity, so the
+    * global window's input does not grow with the corpus at all —
+    * stronger than the corpus/4096 bound the doc-id packing uses.
+    * Sub-2-token documents have no LM evidence and are excluded
+    * (t27's contract). Emits the shard manifest a loader consumes. */
+  def curriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = TextAnalysis.lmQuality(s, dir)
+      .select(col("doc_id"), (col("n_bigrams") + 1).as("n"), col("ppl"))
+      .withColumn("b", floor(col("ppl") * CurricPplGrid).cast("long"))
+    val prior = d.groupBy(col("b")).agg(sum(col("n")).as("bsum"))
+      .withColumn("prev_sum", coalesce(sum(col("bsum")).over(
+        W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("prev_sum"))
+    val inCell = W.partitionBy(col("b")).orderBy(col("ppl"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    d.withColumn("local_prev", coalesce(sum(col("n")).over(inCell), lit(0L)))
+      .join(prior, Seq("b"))
+      .withColumn("shard",
+        expr(s"(prev_sum + local_prev) div $CurricShardTokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"),
+        min(col("ppl")).as("ppl_min"), max(col("ppl")).as("ppl_max"))
+  }
 }

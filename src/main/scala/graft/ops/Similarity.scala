@@ -775,6 +775,59 @@ object Similarity {
         coalesce(col("cell_n"), lit(0L)).as("cell_n"))
   }
 
+  /** SCALAR (int8) QUANTIZATION (s21) — the OTHER standard vector
+    * compression next to PQ (s16): per-dimension min/max over the corpus
+    * define an affine grid, each float becomes one byte
+    * (round((x−min)/(max−min)·255) — 4× smaller than float32, no
+    * codebook training), and the per-vector reconstruction error is the
+    * quality report that decides SQ8-vs-PQ for a deployment. Codes are
+    * proven exact by md5 of the code sequence (the enc-hash discipline);
+    * the error is a fixed-order sequential fold over the 64 dims
+    * (deterministic — no cross-row float reduction anywhere).
+    *
+    * Scale: one posexplode for the per-dim stats (64 groups, map-side
+    * combined), stats fold back as ONE broadcast row, then a single
+    * narrow per-row projection over the corpus — the same
+    * stats-then-scan shape as s9, linear and shuffle-free past the
+    * 64-row aggregate. All arithmetic is IEEE basic ops (no libm), so
+    * codes can never drift between engines. */
+  def sq8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val grid = dims
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("g"))
+      .select(transform(col("g"), e => e.getField("mn")).as("mns"),
+        transform(col("g"), e => e.getField("mx")).as("mxs"))
+    val codes = transform(col("embedding"), (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      when(mx > mn,
+        round((x.cast("double") - mn) / (mx - mn) * 255, 0).cast("int"))
+        .otherwise(lit(0))
+    })
+    emb.crossJoin(broadcast(grid))
+      .withColumn("codes", codes)
+      .withColumn("err_terms", zip_with(
+        zip_with(col("embedding"), col("codes"),
+          (x, c) => struct(x.cast("double").as("x"), c.cast("double").as("c"))),
+        zip_with(col("mns"), col("mxs"),
+          (mn, mx) => struct(mn.as("mn"), mx.as("mx"))),
+        (xc, mm) => {
+          val deq = mm.getField("mn") +
+            xc.getField("c") / 255.0 * (mm.getField("mx") - mm.getField("mn"))
+          xc.getField("x") - deq
+        }))
+      .select(col("vec_id"),
+        md5(concat_ws(",", col("codes"))).as("code_hash"),
+        round(aggregate(col("err_terms"), lit(0.0),
+          (acc, d) => acc + d * d), 6).as("err"))
+  }
+
   /** s5: scale-safe embedding near-dup — the production path. Candidates
     * are generated by an EQUALITY join on the SRP bucket (cosine-similar
     * vectors land in the same sign pattern with high probability), then

@@ -753,6 +753,38 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 === 0, "off-target doc must not be selected")
   }
 
+  test("curriculumShards: the two-level ppl-grid scan equals a global-order reference") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.ops.TextAnalysis.lmQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1, r.getDouble(2)))
+    // independent reference: one straight global sort + running sum
+    val ordered = q.sortBy { case (id, _, ppl) => (ppl, id) }
+    var running = 0L
+    val assigned = ordered.map { case (id, n, ppl) =>
+      val shard = running / graft.ops.Composites.CurricShardTokens
+      running += n
+      (shard, id, n, ppl)
+    }
+    val expect = assigned.groupBy(_._1).map { case (s, ds) =>
+      s -> ((ds.length.toLong, ds.map(_._3).sum,
+        ds.map(_._4).min, ds.map(_._4).max))
+    }
+    val got = graft.ops.Composites.curriculumShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expect.keySet, "shard ids")
+    expect.foreach { case (s, v) => assert(got(s) === v, s"shard $s summary") }
+    // curriculum property: shards are ppl-monotone — every shard's max
+    // is at most the next shard's min (easiest text first)
+    val byShard = expect.toSeq.sortBy(_._1)
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(a._4 <= b._3, s"shard ppl ranges must not interleave: $a $b")
+      case _ =>
+    }
+    assert(byShard.size > 2, "non-vacuous: multiple shards")
+  }
+
   test("deltaDedup: verdicts agree with the exact md5 tier and the d4 pair graph") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

@@ -450,6 +450,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8Quantize: codes and reconstruction error match an in-memory affine-grid reference") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(i => vecs.map(_._2(i)).min).toArray
+    val mxs = (0 until dim).map(i => vecs.map(_._2(i)).max).toArray
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = vecs.map { case (id, v) =>
+      val codes = (0 until dim).map { i =>
+        if (mxs(i) > mns(i))
+          BigDecimal((v(i) - mns(i)) / (mxs(i) - mns(i)) * 255)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        else 0
+      }
+      var err = 0.0
+      (0 until dim).foreach { i =>
+        val deq = mns(i) + codes(i).toDouble / 255.0 * (mxs(i) - mns(i))
+        val d = v(i) - deq
+        err += d * d
+      }
+      id -> ((md5hex(codes.mkString(",")), r6(err)))
+    }.toMap
+    val got = Similarity.sq8Quantize(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, (h, e)) =>
+      assert(got(id)._1 === h, s"vector $id code hash")
+      assert(math.abs(got(id)._2 - e) < 1e-9, s"vector $id err")
+    }
+    // sanity: errors are small relative to unit-norm vectors (the whole
+    // point of 8-bit quantization) and strictly positive somewhere
+    assert(expect.values.forall(_._2 < 0.01), "SQ8 error must be tiny")
+    assert(expect.values.exists(_._2 > 0.0), "non-vacuous: some rounding occurred")
+  }
+
   test("kmeansCells: cluster summary against a driver-side Lloyd reference at sf0.01") {
     import org.apache.spark.sql.functions.col
     // Independent reference: run the same seeded Lloyd (stride seeding,
