@@ -1629,6 +1629,22 @@ object OracleSql {
          |  CASE WHEN lr_micro >= $tau THEN 1 ELSE 0 END AS selected
          |FROM ag""".stripMargin
     },
+    // dataset version diff: deterministic versions from doc_id, full
+    // outer join on the key, churn-only output
+    "c16_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+        |  WHERE doc_id % 10 <> 7),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' rev2' ELSE text END) AS new_hash FROM documents
+        |  WHERE doc_id % 17 <> 3),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    old_hash, new_hash,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |      WHEN v2.doc_id IS NULL THEN 'removed'
+        |      WHEN old_hash <> new_hash THEN 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status, old_hash, new_hash FROM j
+        |WHERE status IS NOT NULL""".stripMargin,
     // curriculum shards: t27's ppl chain, then the plain global-window
     // prefix sum (the oracle's luxury — the engine uses the two-level
     // ppl-grid scan and must agree exactly)

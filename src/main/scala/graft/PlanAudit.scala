@@ -190,7 +190,11 @@ object PlanAudit {
         Seq("CartesianProduct", "Window", "Exchange rangepartitioning")),
       ("c15_curriculum", "the curriculum's global ORDER-BY-ppl prefix sum is the two-level scan: the row-grain running sum is a Window PARTITIONED by the ppl grid cell, and only the VALUE-bounded cell summary (never corpus-proportional) passes through the single-partition window — no corpus-grain global sort",
         Seq("Window", "ExistingRDD"),
-        Seq("CartesianProduct", "Exchange rangepartitioning"))
+        Seq("CartesianProduct", "Exchange rangepartitioning")),
+      ("c16_dataset_diff", "the version diff is two narrow hashed projections and ONE full-outer join on the primary key (co-partitionable at 100 TB via doc_id bucketing); md5s are map-side, output bounded by churn — no Window, no global sort, no second corpus scan per side",
+        Seq("FullOuter"),
+        Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin",
+          "Exchange rangepartitioning"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

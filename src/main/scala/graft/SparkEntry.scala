@@ -105,6 +105,7 @@ object SparkEntry {
     "c13_leakage_split" -> (Composites.leakageSplit _),
     "c14_release_manifest" -> (Composites.releaseManifest _),
     "c15_curriculum"    -> (Composites.curriculumShards _),
+    "c16_dataset_diff"  -> (Composites.datasetDiff _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -561,6 +561,37 @@ object Composites {
     * stronger than the corpus/4096 bound the doc-id packing uses.
     * Sub-2-token documents have no LM evidence and are excluded
     * (t27's contract). Emits the shard manifest a loader consumes. */
+  /** DATASET VERSION DIFF (c16) — the release-versioning step: given two
+    * corpus versions, emit the churn manifest (added / removed / changed
+    * documents with their content hashes) a data-governance pipeline
+    * records per release; unchanged documents are excluded, so the
+    * OUTPUT is bounded by real churn, never corpus size. The two
+    * versions are CONSTRUCTED deterministically from doc_id (the
+    * piiSynth discipline — both engines derive identical versions, the
+    * diff machinery is what's under test): v1 drops doc_id%10==7, v2
+    * drops doc_id%17==3 and revises the text of doc_id%13==0.
+    *
+    * Scale: two narrow hashed projections of one corpus scan and a
+    * single full-outer hash join on the primary key — at 100 TB both
+    * sides are bucketed by doc_id and this is a co-partitioned join;
+    * the md5s are map-side, nothing is collected. */
+  def datasetDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), md5(when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .as("new_hash"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   def curriculumShards(s: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val d = TextAnalysis.lmQuality(s, dir)

@@ -753,6 +753,33 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 === 0, "off-target doc must not be selected")
   }
 
+  test("datasetDiff: every churn row matches the version-construction rules; unchanged docs absent") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables.documents(spark, dir).count()
+    val got = graft.ops.Composites.datasetDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    (0L until n).foreach { id =>
+      val inV1 = id % 10 != 7
+      val inV2 = id % 17 != 3
+      val revised = id % 13 == 0
+      val expected =
+        if (inV1 && !inV2) Some("removed")
+        else if (!inV1 && inV2) Some("added")
+        else if (inV1 && inV2 && revised) Some("changed")
+        else None // both unchanged, or in neither
+      expected match {
+        case None => assert(!got.contains(id), s"doc $id must not appear")
+        case Some(st) =>
+          assert(got(id)._1 === st, s"doc $id status")
+          if (st != "added") assert(got(id)._2 != null, s"doc $id old_hash")
+          if (st != "removed") assert(got(id)._3 != null, s"doc $id new_hash")
+          if (st == "changed") assert(got(id)._2 !== got(id)._3)
+      }
+    }
+  }
+
   test("curriculumShards: the two-level ppl-grid scan equals a global-order reference") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.ops.TextAnalysis.lmQuality(spark, dir).collect()

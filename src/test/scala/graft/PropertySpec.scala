@@ -337,4 +337,71 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === expected, s"seed ${900 + k}")
     }
   }
+
+  test("property: lmQualityFrame equals an in-memory add-k bigram LM on generated corpora") {
+    import spark.implicits._
+    (0 until 3).foreach { k =>
+      val docs = corpus(1200 + k, 25)
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      }.filter(_._2.size >= 2)
+      val bgs = toks.map { case (id, ts) => id -> ts.zip(ts.tail) }
+      val cnt = bgs.flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      val ctx = cnt.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      val v = cnt.keys.map(_._2).toSet.size.toDouble
+      val a = TextAnalysis.LmAlpha
+      val expect = bgs.map { case (id, bs) =>
+        val s = bs.map(b =>
+          math.round(math.log((cnt(b) + a) / (ctx(b._1) + v * a)) * 1e6)).sum
+        val ppl = BigDecimal(math.exp(-s.toDouble / 1e6 / bs.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((bs.size.toLong, ppl))
+      }.toMap
+      val got = TextAnalysis.lmQualityFrame(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.keySet === expect.keySet, s"seed ${1200 + k}: doc set")
+      expect.foreach { case (id, e) =>
+        assert(got(id) === e, s"seed ${1200 + k}: doc $id")
+      }
+    }
+  }
+
+  test("property: dsirWeightsFrame identity law — target == corpus makes every " +
+      "log-ratio exactly zero") {
+    import spark.implicits._
+    val docs = corpus(1300, 30)
+    val got = TextAnalysis.dsirWeightsFrame(docs.toDF("doc_id", "text"), lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, lr, sel) =>
+      assert(lr === 0L, s"doc $id: identical LMs must cancel exactly")
+      assert(sel === 1, s"doc $id: zero ratio clears the >= 0 threshold")
+    }
+  }
+
+  test("property: sq8 codes are bytes and every reconstruction error is within " +
+      "the half-step bound") {
+    // the affine grid's worst case per dim is half a quantization step;
+    // the bound is sum_i (span_i / 255 / 2)^2, an algebraic law the
+    // row-compare oracle cannot state
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val dim = vecs.head._2.length
+    val bound = (0 until dim).map { i =>
+      val xs = vecs.map(_._2(i))
+      val h = (xs.max - xs.min) / 255.0 / 2.0
+      h * h
+    }.sum
+    val got = graft.ops.Similarity.sq8Quantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.length === vecs.length)
+    got.foreach { case (id, hash, err) =>
+      assert(hash.length === 32, s"vector $id: md5 hash shape")
+      assert(err >= 0.0 && err <= bound * (1 + 1e-9),
+        s"vector $id: err $err above the half-step bound $bound")
+    }
+  }
 }
