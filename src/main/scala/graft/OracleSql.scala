@@ -1158,6 +1158,193 @@ object OracleSql {
          |  FROM j)
          |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin
     },
+    // filtered IVF-PQ: the s18 chain with the label folded INTO both the
+    // query-cell and coded-cell tables and the candidate join keyed on
+    // (cell, label) — pre-filter semantics over the code-only scan
+    "s23_filtered_ivfpq" -> {
+      val m = Similarity.PqM
+      val sd = Similarity.PqSubDim
+      val k = Similarity.PqK
+      val nq = Similarity.PqQueries
+      val nprobe = Similarity.NProbe
+      val iters = Similarity.LloydIters
+      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      def distSql(cvCast: String) =
+        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+      val codeCols = (0 until m).map(j =>
+        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+      val lookJoins = (0 until m).map(j =>
+        s"JOIN dt l$j ON l$j.q_id = qc.q_id AND l$j.m = $j AND l$j.cent = cc.c$j")
+        .mkString("\n  ")
+      val adist = (0 until m).map(j => s"l$j.qd").mkString(" + ")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT r.vec_id AS q_id, r.cent_id AS cell, e.label
+         |  FROM ranked r JOIN embeddings e USING (vec_id)
+         |  WHERE r.vec_id < $nq AND r.rk <= $nprobe),
+         |msq AS (SELECT unnest(range(0, $m)) AS m),
+         |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM embeddings CROSS JOIN msq),
+         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+         |  FROM sub WHERE vec_id < $k),
+         |d0 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+         |  FROM sub s JOIN c0 USING (m)),
+         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS cv
+         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+         |d1 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS d
+         |  FROM sub s JOIN c1 USING (m)),
+         |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
+         |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
+         |dt AS (SELECT s.vec_id AS q_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS qd
+         |  FROM sub s JOIN c1 USING (m) WHERE s.vec_id < $nq),
+         |cc AS (SELECT codes.vec_id, cell, e.label, c0, c1, c2, c3
+         |  FROM codes JOIN cells USING (vec_id)
+         |  JOIN embeddings e USING (vec_id)),
+         |j AS (SELECT qc.q_id, cc.vec_id AS c_id, qc.label,
+         |    round($adist, 6) AS adist
+         |  FROM cc JOIN qc USING (cell, label)
+         |  $lookJoins
+         |  WHERE qc.q_id <> cc.vec_id),
+         |r AS (SELECT q_id, c_id, label, adist, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+         |  FROM j)
+         |SELECT q_id, rank, c_id, label, adist FROM r WHERE rank <= 5""".stripMargin
+    },
+    // residual IVF-PQ (IVFADC proper): the s18 coarse chain, then the PQ
+    // chain runs over RESIDUALS (vector − cell centroid) and the ADC
+    // tables are computed per (query, probed cell) from the query's
+    // per-cell residual — the lookup key gains the cell
+    "s22_ivfpq_residual" -> {
+      val m = Similarity.PqM
+      val sd = Similarity.PqSubDim
+      val k = Similarity.PqK
+      val nq = Similarity.PqQueries
+      val nprobe = Similarity.NProbe
+      val iters = Similarity.LloydIters
+      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      val refine = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+           |    ${cosSql("e.embedding", "c_emb")} AS csim
+           |  FROM embeddings e CROSS JOIN cents${i - 1}),
+           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+           |  FROM as$i GROUP BY cell),
+           |cents$i AS (SELECT cent_id,
+           |  [CAST(s AS DOUBLE) / len(ms) for s in
+           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+           |      for i in range(1, len(a) + 1)])] AS c_emb
+           |  FROM agg$i),""".stripMargin
+      }.mkString("\n")
+      def distSql(cvCast: String) =
+        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+      val codeCols = (0 until m).map(j =>
+        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+      val lookJoins = (0 until m).map(j =>
+        s"JOIN dt l$j ON l$j.q_id = qc.q_id AND l$j.cell = cc.cell " +
+          s"AND l$j.m = $j AND l$j.cent = cc.c$j").mkString("\n  ")
+      val adist = (0 until m).map(j => s"l$j.qd").mkString(" + ")
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % $strideSql = 0),
+         |$refine
+         |scored AS (SELECT e.vec_id, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents$iters),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rk = 1),
+         |qc AS (SELECT vec_id AS q_id, cent_id AS cell
+         |  FROM ranked WHERE vec_id < $nq AND rk <= $nprobe),
+         |res AS (SELECT c.vec_id, c.cell,
+         |    [CAST(e.embedding[i] AS DOUBLE) - ct.c_emb[i]
+         |      for i in range(1, len(e.embedding) + 1)] AS remb
+         |  FROM cells c JOIN embeddings e USING (vec_id)
+         |  JOIN cents$iters ct ON ct.cent_id = c.cell),
+         |msq AS (SELECT unnest(range(0, $m)) AS m),
+         |sub AS (SELECT vec_id, m, remb[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM res CROSS JOIN msq),
+         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+         |  FROM sub WHERE vec_id < $k),
+         |d0 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+         |  FROM sub s JOIN c0 USING (m)),
+         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS cv
+         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+         |d1 AS (SELECT s.vec_id, s.m, cent,
+         |    ${distSql("cv[i]")} AS d
+         |  FROM sub s JOIN c1 USING (m)),
+         |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
+         |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
+         |qres AS (SELECT qc.q_id, qc.cell,
+         |    [CAST(e.embedding[i] AS DOUBLE) - ct.c_emb[i]
+         |      for i in range(1, len(e.embedding) + 1)] AS remb
+         |  FROM qc JOIN embeddings e ON e.vec_id = qc.q_id
+         |  JOIN cents$iters ct ON ct.cent_id = qc.cell),
+         |qsub AS (SELECT q_id, cell, m, remb[m * $sd + 1 : m * $sd + $sd] AS sv
+         |  FROM qres CROSS JOIN msq),
+         |dt AS (SELECT s.q_id, s.cell, s.m, cent,
+         |    ${distSql("cv[i]")} AS qd
+         |  FROM qsub s JOIN c1 USING (m)),
+         |cc AS (SELECT codes.vec_id, cell, c0, c1, c2, c3
+         |  FROM codes JOIN cells USING (vec_id)),
+         |j AS (SELECT qc.q_id, cc.vec_id AS c_id,
+         |    round($adist, 6) AS adist
+         |  FROM cc JOIN qc USING (cell)
+         |  $lookJoins
+         |  WHERE qc.q_id <> cc.vec_id),
+         |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+         |  FROM j)
+         |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin
+    },
     "s9_quantize_stats" ->
       ("""WITH q AS (SELECT vec_id, embedding,
         |    list_max([abs(CAST(embedding[i] AS DOUBLE))
@@ -1753,6 +1940,46 @@ object OracleSql {
          |  round(CAST(nb AS DOUBLE) / greatest(nt, 1), 6) AS compression
          |FROM fin""".stripMargin
     },
+    // t24's chain extended to the id-encoded form: vocab = distinct
+    // tokens of the final rendering, dense ids by (count desc, token
+    // asc); per-doc ids re-assembled in position order and hashed —
+    // proves the exact id sequence
+    "t29_token_ids" -> {
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |$rounds
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split(s, '||'), x -> len(x) > 0) AS tl
+         |  FROM t$k),
+         |vc AS (SELECT tok, count(*) AS cnt
+         |  FROM (SELECT unnest(tl) AS tok FROM toks) GROUP BY tok),
+         |vocab AS (SELECT tok, CAST(row_number() OVER (
+         |    ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM vc),
+         |ex AS (SELECT doc_id, i AS pos, tl[i] AS tok
+         |  FROM toks, unnest(range(1, len(tl) + 1)) AS u(i)),
+         |ids AS (SELECT doc_id,
+         |    array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS idstr
+         |  FROM ex JOIN vocab USING (tok) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tl) AS INTEGER) AS n_tokens,
+         |  md5(coalesce(i.idstr, '')) AS id_hash
+         |FROM toks t LEFT JOIN ids i USING (doc_id)""".stripMargin
+    },
     "t15_scrub_numeric" ->
       ("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked
@@ -2075,6 +2302,45 @@ object OracleSql {
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM p GROUP BY 1""".stripMargin
+    },
+    // c11's packing with the budget in REAL tokenizer tokens: the funnel
+    // survivor CTEs + the t24 encode chain, joined on doc_id, prefix-
+    // packed by bpe token count
+    "c17_packed_ids" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH $prepFunnelCtes,
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |enc AS (SELECT doc_id,
+         |    len(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS nb
+         |  FROM t$k),
+         |sv AS (SELECT surv.doc_id, surv.lang, enc.nb AS n
+         |  FROM surv JOIN enc USING (doc_id)),
+         |pk AS (SELECT doc_id, lang, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM sv)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pk GROUP BY 1""".stripMargin
     },
     // the drop-reason report: first failing gate in priority order,
     // corpus-relative quantile thresholds (see Composites.qualityReport)

@@ -106,6 +106,7 @@ object SparkEntry {
     "c14_release_manifest" -> (Composites.releaseManifest _),
     "c15_curriculum"    -> (Composites.curriculumShards _),
     "c16_dataset_diff"  -> (Composites.datasetDiff _),
+    "c17_packed_ids"    -> (Composites.prepPackedIds _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),
@@ -127,6 +128,8 @@ object SparkEntry {
     "s19_filtered_ann"  -> (Similarity.filteredIvfTopK _),
     "s20_delta_assign"  -> (Similarity.deltaAssign _),
     "s21_sq8"           -> (Similarity.sq8Quantize _),
+    "s22_ivfpq_residual" -> (Similarity.resIvfPqTopK _),
+    "s23_filtered_ivfpq" -> (Similarity.filteredIvfPqTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),
@@ -151,6 +154,7 @@ object SparkEntry {
     "t26_pii_scrub"     -> (TextAnalysis.piiScrub _),
     "t27_lm_quality"    -> (TextAnalysis.lmQuality _),
     "t28_dsir_weights"  -> (TextAnalysis.dsirWeights _),
+    "t29_token_ids"     -> (TextAnalysis.tokenIds _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

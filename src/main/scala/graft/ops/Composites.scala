@@ -373,6 +373,27 @@ object Composites {
         countDistinct(col("lang")).as("n_langs"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
 
+  /** c17: PACKED SHARDS IN REAL TOKENIZER TOKENS — c11's fixed-budget
+    * bin packing with the budget measured in t24 BPE tokens instead of
+    * whitespace counts: what the loader actually streams to a trainer
+    * is id sequences (t29), so the shard capacity that matters is
+    * tokenizer tokens (VERDICT r13 #4's packed-shard variant). Pure
+    * composition over two memoized materializations — the c10 survivor
+    * set and the t24 encode table, joined on the primary key — then the
+    * c11 two-level prefix scan; nothing here re-derives gates or
+    * re-encodes. */
+  def prepPackedIds(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packedBins(
+      prepSurvivorsMemo(s, dir).select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.bpeEncodedMemo(s, dir)
+          .select(col("doc_id"), col("bpe_tokens").cast(LongType).as("n")),
+          Seq("doc_id")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast(LongType).as("total_bpe_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
   /** c12 gate constants: minimum token count, maximum within-doc
     * repetition ratio, and the support quantile below which a document
     * is "atypical" (the LM-filter tail drop). */

