@@ -2342,6 +2342,53 @@ object OracleSql {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM pk GROUP BY 1""".stripMargin
     },
+    // c18 = c17's bin assignment joined to t29's id sequences, rolled up
+    // per shard with the packed-bytes hash (see Composites.trainerShards)
+    "c18_trainer_shards" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH $prepFunnelCtes,
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split(s, '||'), x -> len(x) > 0) AS tl
+         |  FROM t$k),
+         |vc AS (SELECT tok2 AS tok, count(*) AS cnt
+         |  FROM (SELECT unnest(tl) AS tok2 FROM toks) GROUP BY tok2),
+         |vocab AS (SELECT tok, CAST(row_number() OVER (
+         |    ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM vc),
+         |tex AS (SELECT doc_id, i AS pos, tl[i] AS tok
+         |  FROM toks, unnest(range(1, len(tl) + 1)) AS u(i)),
+         |docids AS (SELECT doc_id,
+         |    array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS idstr
+         |  FROM tex JOIN vocab USING (tok) GROUP BY doc_id),
+         |sv AS (SELECT surv.doc_id, len(toks.tl) AS n
+         |  FROM surv JOIN toks USING (doc_id)),
+         |pk AS (SELECT doc_id, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM sv)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_ids,
+         |  md5(string_agg(coalesce(d.idstr, ''), '|' ORDER BY pk.doc_id))
+         |    AS shard_hash
+         |FROM pk LEFT JOIN docids d USING (doc_id) GROUP BY 1""".stripMargin
+    },
     // the drop-reason report: first failing gate in priority order,
     // corpus-relative quantile thresholds (see Composites.qualityReport)
     "c12_quality_report" -> {

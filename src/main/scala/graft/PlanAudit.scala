@@ -170,10 +170,9 @@ object PlanAudit {
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s19_filtered_ann", "filtered ANN pre-filters INSIDE the index scan: the label predicate is part of the candidate EQUALITY join key (cell AND label — BroadcastHashJoin over the checkpointed s13 index), so the filter prunes candidates instead of post-filtering a top-k; the n√n build is confined inside the checkpoint, per-query top-5 over the pre-filtered survivors",
         Seq("ExistingRDD", "BroadcastHashJoin"), Seq("CartesianProduct")),
-      ("s22_ivfpq_residual", "residual IVF-PQ (IVFADC proper) preserves the prune-before-ADC shape: the probed-cell EQUALITY join (broadcast per-cell query residuals) bounds the scored codes to NProbe·√n per query BEFORE the four ADC lookups, whose key now carries the cell ((q_id, cell, code) — the residual differs per probed cell); the coarse index, residual code table and residual codebook are prepared materializations (ExistingRDD), per-query top-5 plans WindowGroupLimit, and the only parquet read is the ≤PqQueries query slice with the vec_id filter pushed to the scan. The one nested-loop is the s8/s13-sanctioned BOUNDED probe of the broadcast centroid table",
-        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit",
-          "LessThan(vec_id,10)"),
-        Seq("CartesianProduct")),
+      ("s22_ivfpq_residual", "residual IVF-PQ (IVFADC proper) preserves the prune-before-ADC shape: the probed-cell EQUALITY join (broadcast per-cell query residuals) bounds the scored codes to NProbe·√n per query BEFORE the four ADC lookups, whose key now carries the cell ((q_id, cell, code) — the residual differs per probed cell); the coarse index, residual code table and residual codebook are prepared materializations (ExistingRDD), per-query top-5 plans WindowGroupLimit, and the query slice is a prepared materialization too (the vec_id filter was pushed to the parquet scan INSIDE the localCheckpoint's build plan, so the executed search plan shows only ExistingRDD scans — same audit stance as s18). The one nested-loop is the s8/s13-sanctioned BOUNDED probe of the broadcast centroid table",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
+        Seq("FileScan parquet", "CartesianProduct")),
       ("s23_filtered_ivfpq", "filtered IVF-PQ composes s19's pre-filter with s18's code-only scan: the label is part of the candidate EQUALITY join key ((cell, label) — BroadcastHashJoin, pre-filter semantics, never a post-filtered top-k) and the scored side is the checkpointed PQ code table (ExistingRDD) — no floats at scan time; the four ADC lookups and the query-label attach are bounded broadcasts, per-query top-5 plans WindowGroupLimit",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),

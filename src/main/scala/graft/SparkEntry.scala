@@ -107,6 +107,7 @@ object SparkEntry {
     "c15_curriculum"    -> (Composites.curriculumShards _),
     "c16_dataset_diff"  -> (Composites.datasetDiff _),
     "c17_packed_ids"    -> (Composites.prepPackedIds _),
+    "c18_trainer_shards" -> (Composites.trainerShards _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -98,18 +98,46 @@ object Artifacts {
   def exists(s: SparkSession, dir: String, name: String): Boolean = {
     val p = new Path(path(s, dir, name))
     val fs = fsOf(s, p)
-    fs.exists(manifestPath(p)) && {
-      val in = fs.open(manifestPath(p))
-      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      recorded == fingerprint(s, dir)
-    }
+    // TOCTOU (ADVICE r14 #3): a racing write() can delete the manifest
+    // between our exists and open — that window reads as absent, not as
+    // a crash.
+    try {
+      fs.exists(manifestPath(p)) && {
+        val in = fs.open(manifestPath(p))
+        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        recorded == fingerprint(s, dir)
+      }
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Atomic, manifested write: stage under `.tmp-<nonce>`, manifest
     * last, rename into place. If a concurrent builder won the rename,
-    * adopt its table and drop the staged copy. */
-  def write(s: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
+    * adopt its table and drop the staged copy.
+    *
+    * The manifest records the corpus fingerprint captured BEFORE the
+    * build materializes (ADVICE r14 #2): if the corpus mutates during
+    * df.write, the artifact holds pre-mutation data stamped with the
+    * pre-mutation fingerprint, so exists() correctly reports it stale
+    * against the mutated corpus — never fresh-forever.
+    *
+    * Rename discipline (ADVICE r14 #3): a stale dst is removed first
+    * (unavoidable for rebuild), then rename WITHOUT re-checking dst —
+    * and because RawLocalFileSystem's rename onto an existing dir can
+    * fall back to moving tmp INSIDE dst (nesting a .tmp-* table in the
+    * winner's artifact), we sweep dst for nested .tmp-* dirs after the
+    * rename and remove them, so a lost race can't pollute the winner's
+    * parquet reads via partition inference. */
+  def write(s: SparkSession, dir: String, name: String, df: DataFrame): Unit =
+    write(s, dir, name, df, Nil)
+
+  /** `partitionBy`-aware form: each partition value becomes its own
+    * directory of the artifact (c18's shard-per-bin layout — a loader
+    * opens one bin's directory as one shard). The frame is repartitioned
+    * on the same keys first so each shard is one file, not one fragment
+    * per upstream task. */
+  def write(s: SparkSession, dir: String, name: String, df: DataFrame,
+      partitionBy: Seq[String]): Unit = {
     val dst = new Path(path(s, dir, name))
     val fs = fsOf(s, dst)
     val rootP = new Path(root(s))
@@ -119,13 +147,38 @@ object Artifacts {
       fs.setPermission(rootP,
         new org.apache.hadoop.fs.permission.FsPermission("700"))
     }
+    val preBuildFp = fingerprint(s, dir)
     val tmp = new Path(dst.getParent,
       dst.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer =
+      if (partitionBy.isEmpty) df.write
+      else df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(manifestPath(tmp), true)
-    try out.write(fingerprint(s, dir).getBytes("UTF-8")) finally out.close()
+    try out.write(preBuildFp.getBytes("UTF-8")) finally out.close()
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // concurrent winner adopted
+    else sweepNestedTmp(fs, dst)
+  }
+
+  /** Remove any `.tmp-*` dir that a lost rename race nested inside the
+    * winner's table (RawLocalFileSystem fallback — see [[write]]). */
+  private def sweepNestedTmp(fs: FileSystem, dst: Path): Unit =
+    try fs.listStatus(dst).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.contains(".tmp-"))
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.FileNotFoundException => () }
+
+  /** Drop artifacts so the next [[readOrBuild]] rebuilds — the action a
+    * pipeline takes on a tripped [[graft.ops.Similarity.driftDecision]]
+    * (VERDICT r14 #6: `retrain=true` now has a one-call consequence). */
+  def invalidate(s: SparkSession, dir: String, names: String*): Unit = {
+    names.foreach { name =>
+      val p = new Path(path(s, dir, name))
+      val fs = fsOf(s, p)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   def read(s: SparkSession, dir: String, name: String): DataFrame =
@@ -139,7 +192,11 @@ object Artifacts {
     * untouched. */
   def readOrBuild(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
+    readOrBuild(s, dir, name, Nil)(build)
+
+  def readOrBuild(s: SparkSession, dir: String, name: String,
+      partitionBy: Seq[String])(build: => DataFrame): DataFrame =
     if (!enabled(s)) build
     else if (exists(s, dir, name)) read(s, dir, name)
-    else { write(s, dir, name, build); read(s, dir, name) }
+    else { write(s, dir, name, build, partitionBy); read(s, dir, name) }
 }

@@ -399,8 +399,23 @@ object Similarity {
   private def subFrame(s: SparkSession, dir: String): DataFrame =
     subFrameOf(Tables.embeddings(s, dir), PqM, PqSubDim)
 
+  /** In-plan PQ geometry guard (ADVICE r14 #4), hoisted into the shared
+    * sub-frame so EVERY PQ consumer — s16/s17/s18/s22/s23 builds, query
+    * reassembly, residual slices, serving — fails loudly when the
+    * embedding dimension is not exactly M·sd: without it the trailing
+    * `dim % M` dimensions silently vanish from codes, ADC tables and
+    * reassembled queries. [[graft.streaming.RestServing]]'s start-time
+    * `require` is the fail-fast duplicate; this one rides the plan, so
+    * a mixed-dimension corpus trips at the first row, not never. */
+  private[graft] def pqGuarded(e: Column, m: Int, sd: Int): Column =
+    when(size(e) === m * sd, e).otherwise(raise_error(concat(
+      lit(s"PQ geometry mismatch: expected dim ${m * sd} (M=$m, sd=$sd), got "),
+      size(e).cast("string"),
+      lit(" — trailing dimensions would be silently dropped"))))
+
   private[graft] def subFrameOf(emb: DataFrame, m: Int, sd: Int): DataFrame =
     emb
+      .select(col("vec_id"), pqGuarded(col("embedding"), m, sd).as("embedding"))
       .select(col("vec_id"), explode(transform(
         sequence(lit(0), lit(m - 1)),
         mm => struct(mm.as("m"),
@@ -790,6 +805,8 @@ object Similarity {
     // ADC tables per (query, cell): K·M distances from the residual's
     // subvectors to the residual codebook
     val dtab = qres
+      .select(col("q_id"), col("cell"),
+        pqGuarded(col("r"), PqM, PqSubDim).as("r"))
       .select(col("q_id"), col("cell"), explode(transform(
         sequence(lit(0), lit(PqM - 1)),
         mm => struct(mm.as("m"),
@@ -996,6 +1013,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
     driftDecisionFrames(embAll.filter(col("vec_id") < cut),
       embAll.filter(col("vec_id") >= cut), stride)
+  }
+
+  /** Artifact names the vector-index lifecycle persists — the set a
+    * tripped drift decision must drop so searches rebuild. */
+  private[graft] val VectorIndexArtifacts = Seq(
+    "pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents",
+    "res_cells", "res_cents", "res_codebook")
+
+  /** The drift→rebuild path as ONE call (VERDICT r14 #6): evaluate
+    * [[driftDecision]] and, when it trips, drop the persisted
+    * vector-index artifacts ([[Artifacts.invalidate]]) AND the
+    * in-session index memos, so the next search — or the next
+    * `readOrBuild` — retrains against the drifted corpus instead of
+    * serving an index whose cells no longer fit the data. Returns the
+    * retrain flag so a pipeline can log/alert on it. File-level
+    * freshness (the `_MANIFEST` fingerprint) cannot see this case: the
+    * corpus files may be unchanged while the DISTRIBUTION of a delta
+    * batch drifted — this is the data-level staleness axis. */
+  def retrainOnDrift(s: SparkSession, dir: String): Boolean = {
+    val tripped = driftDecision(s, dir).collect().head.getBoolean(5)
+    if (tripped) {
+      Artifacts.invalidate(s, dir, VectorIndexArtifacts: _*)
+      invalidatePqIndex(); invalidateIvfPqIndex(); invalidateResIvfPqIndex()
+    }
+    tripped
   }
 
   /** Frame-level [[driftDecision]] (the spec plants drifted batches

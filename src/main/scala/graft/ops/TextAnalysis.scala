@@ -1109,17 +1109,47 @@ object TextAnalysis {
     * encoded corpus), so `element_at` never nulls. `id_hash` = md5 of
     * the comma-joined decimal ids — the oracle proves the exact id
     * SEQUENCE, not just counts. */
+  /** Tokenizer code/config version folded into the vocab artifact NAME
+    * (ADVICE r14 #5): the artifact manifest fingerprints only the
+    * CORPUS, so a [[MergeRounds]] or tokenizer-regex change would leave
+    * a stale `bpe_vocab` looking fresh — with the version in the name,
+    * a code change addresses a different artifact and rebuilds. The
+    * regex literal is the one [[bpeEncodedRendering]] tokenizes with. */
+  private[graft] val BpeVocabArtifact =
+    s"bpe_vocab_m${MergeRounds}_" + java.security.MessageDigest
+      .getInstance("MD5").digest("split(lower(text), [^a-z0-9]+)".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
     val encoded = bpeEncodedRendering(Tables.documents(s, dir),
       bpeMergesMemo(s, dir)).localCheckpoint()
-    val vocab = Artifacts.readOrBuild(s, dir, "bpe_vocab")(
+    val vocab = Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(
       bpeVocabFrame(encoded))
     tokenIdsFrame(encoded, vocab)
+  }
+
+  /** Session-level id arrays (doc_id, ids) — c18's input. */
+  private[graft] def tokenIdArrays(s: SparkSession, dir: String): DataFrame = {
+    val encoded = bpeEncodedRendering(Tables.documents(s, dir),
+      bpeMergesMemo(s, dir)).localCheckpoint()
+    val vocab = Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(
+      bpeVocabFrame(encoded))
+    tokenIdArraysFrame(encoded, vocab)
   }
 
   /** Frame-level t29 body: `encoded` = [[bpeEncodedRendering]] output,
     * `vocab` = (token, id, …). */
   private[graft] def tokenIdsFrame(encoded: DataFrame,
+      vocab: DataFrame): DataFrame =
+    tokenIdArraysFrame(encoded, vocab)
+      .select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        md5(concat_ws(",", transform(col("ids"), i => i.cast("string"))))
+          .as("id_hash"))
+
+  /** The id-array-bearing form of t29 — what [[graft.ops.Composites]]'
+    * shard emission (c18) packs into trainer files. */
+  private[graft] def tokenIdArraysFrame(encoded: DataFrame,
       vocab: DataFrame): DataFrame = {
     val vrow = vocab
       .agg(map_from_entries(collect_list(struct(col("token"), col("id"))))
@@ -1130,10 +1160,18 @@ object TextAnalysis {
       .withColumn("jk", pmod(size(col("t")), lit(1)))
       .join(broadcast(vrow), Seq("jk"))
       .withColumn("ids", transform(encToks, t => element_at(col("vm"), t)))
-      .select(col("doc_id"),
-        size(col("ids")).as("n_tokens"),
-        md5(concat_ws(",", transform(col("ids"), i => i.cast("string"))))
-          .as("id_hash"))
+      // OOV guard (ADVICE r14 #5): the versioned artifact name removes
+      // the KNOWN staleness axis (code/config drift); this in-plan
+      // assertion removes the unknown ones — a null id means the vocab
+      // does not cover the encoded corpus, and concat_ws would silently
+      // skip it, leaving id_hash and n_tokens in quiet disagreement.
+      .withColumn("ids", when(
+          size(col("ids")) === size(filter(col("ids"), i => i.isNotNull)),
+          col("ids"))
+        .otherwise(raise_error(lit("tokenIds: OOV token against the " +
+          "persisted vocab — stale bpe_vocab artifact or tokenizer drift; " +
+          "rebuild the vocab"))))
+      .select(col("doc_id"), col("ids"))
   }
 
   /** The encoded per-doc table, memoized for the pure-composition

@@ -190,6 +190,94 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("c18 trainer shards: session 2 reads per-bin shard files from the store; " +
+      "a loader opens one bin's directory directly") {
+    import graft.ops.{Composites, TextAnalysis}
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // baseline with artifacts OFF (the honest build)
+    val expected = rollup(Composites.trainerShards(spark, dir))
+    assert(expected.nonEmpty)
+    withArtifacts { tmp =>
+      assert(rollup(Composites.trainerShards(spark, dir)) === expected)
+      assert(Artifacts.exists(spark, dir, "trainer_shards"), "shards written")
+      // "second session": drop every build memo — only the store survives
+      Composites.invalidateSurvivors()
+      TextAnalysis.invalidateBpeEncoded()
+      TextAnalysis.invalidateBpeMerges()
+      val second = Composites.trainerShardTable(spark, dir)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains(tmp), s"shard table must come from the store:\n$plan")
+      assert(rollup(Composites.trainerShards(spark, dir)) === expected,
+        "artifact-backed rollup must match the built one")
+      // shard-per-bin layout: each bin is its own directory a loader
+      // opens as one shard, holding the exact id arrays
+      val base = Artifacts.path(spark, dir, "trainer_shards")
+      val bins = second.select(col("bin")).distinct().collect().map(_.getLong(0))
+      assert(bins.nonEmpty)
+      bins.foreach { b =>
+        assert(new java.io.File(base, s"bin=$b").isDirectory, s"shard dir bin=$b")
+      }
+      val shard0 = spark.read.parquet(s"$base/bin=${bins.min}")
+      assert(shard0.columns.toSet === Set("doc_id", "ids"))
+      assert(shard0.count() ===
+        second.filter(col("bin") === bins.min).count())
+    }
+  }
+
+  test("drift→rebuild is one call: a tripped decision drops the index artifacts, " +
+      "the next readOrBuild rebuilds; an in-distribution corpus keeps them") {
+    import spark.implicits._
+    // two planted corpora (the drift-decision spec's cluster geometry,
+    // 64-dim for the PQ guard): same two-cluster 90% body; the control's
+    // top-10% batch is drawn from the same clusters, the drifted one's
+    // is near-orthogonal to both
+    val rnd = new scala.util.Random(7)
+    def vec(center: Float) =
+      Array.fill(64)(center + rnd.nextGaussian().toFloat * 0.05f)
+    def cluster(i: Long) = vec(if (i % 2 == 0) 1.0f else -1.0f)
+    val body = (0L until 180L).map(i => (i, cluster(i), (i % 2).toInt))
+    val inDistTail = (180L until 200L).map(i => (i, cluster(i), (i % 2).toInt))
+    val driftTail = (180L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => (if (d % 2 == 0) 1.0f else -1.0f) *
+        (1.0f + (i % 7) * 0.01f)), 0)
+    }
+    def writeCorpus(rows: Seq[(Long, Array[Float], Int)]): String = {
+      val c = java.nio.file.Files.createTempDirectory("graft-drift").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$c/embeddings.parquet")
+      c
+    }
+    val control = writeCorpus(body ++ inDistTail)
+    val drifted = writeCorpus(body ++ driftTail)
+    withArtifacts { _ =>
+      // control: build + persist, the decision keeps the artifacts
+      Similarity.invalidateIvfPqIndex(); Similarity.invalidatePqIndex()
+      Similarity.ivfPqTopK(spark, control).count()
+      assert(Artifacts.exists(spark, control, "ivfpq_cells"))
+      assert(!Similarity.retrainOnDrift(spark, control),
+        "in-distribution tail must not trip retrain")
+      assert(Artifacts.exists(spark, control, "ivfpq_cells"),
+        "untripped decision must not drop artifacts")
+      // drifted: build + persist, then the one call drops everything
+      Similarity.invalidateIvfPqIndex(); Similarity.invalidatePqIndex()
+      Similarity.ivfPqTopK(spark, drifted).count()
+      Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
+        assert(Artifacts.exists(spark, drifted, a), s"$a written"))
+      assert(Similarity.retrainOnDrift(spark, drifted),
+        "orthogonal top-10% batch must trip retrain")
+      Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
+        assert(!Artifacts.exists(spark, drifted, a), s"$a must be dropped"))
+      // and the next build rebuilds: readOrBuild runs its builder again
+      var rebuilt = false
+      Artifacts.readOrBuild(spark, drifted, "ivfpq_cells") {
+        rebuilt = true
+        spark.range(3).toDF("vec_id")
+      }
+      assert(rebuilt, "post-invalidate readOrBuild must rebuild")
+    }
+  }
+
   test("drift decision: in-distribution batch keeps the index, a shifted batch trips retrain") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -536,6 +536,74 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("dedup serving: the request path runs ZERO Spark jobs (job-listener pinned) — " +
+      "the one-row signature projection folds at optimization time") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "entirely unrelated corpus text about spark plans"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-dedup-j0").toString + "/docs.parquet"
+    docs.write.parquet(path)
+    val rest = new DedupRestServing(spark, path)
+    val port = rest.start(0) // index-build jobs run HERE, outside the window
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def check(text: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/dedup/check?text=" +
+              java.net.URLEncoder.encode(text, "UTF-8"))).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // Count every job that is not one of our marker flush jobs. The
+      // listener bus is an ordered queue per listener, so once marker
+      // k's JobStart is observed, every event posted before it (i.e.
+      // any job a request might have run) has been delivered too —
+      // no sleeps, no races.
+      val stray = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var markers = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+              .contains("graft-flush")) markers += 1
+          else stray.incrementAndGet()
+      }
+      def flush(expect: Int): Unit = {
+        spark.sparkContext.setJobGroup("graft-flush", "listener window marker")
+        try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (markers < expect && System.nanoTime < deadline) Thread.sleep(10)
+        assert(markers >= expect, s"listener bus never delivered marker $expect")
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        flush(1)
+        stray.set(0) // discard anything queued before the window opened
+        // exact hit, near hit, miss — 4 texts × 3 rounds, first request
+        // included (the zero-jobs property is per-request, not warm-only)
+        (1 to 3).foreach { _ =>
+          assert(check("the quick brown fox jumps over the lazy dog")._2
+            .contains("\"verdict\":\"exact\""))
+          assert(check("the quick brown fox jumps over the lazy dog today")._2
+            .contains("\"verdict\":\"exact\""))
+          assert(check("zxqv entirely novel text nothing shares")._2
+            .contains("\"verdict\":\"new\""))
+          assert(check("pack my box with five dozen liquor jugs")._1 === 200)
+        }
+        flush(2)
+        assert(stray.get() === 0,
+          s"request path ran ${stray.get()} Spark job(s); " +
+            "the dedup tier must stay driver-side (LocalTableScan fold)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally rest.stop()
+  }
+
   test("search serving: term lookup returns stats + posting head, 404 on absent terms; " +
       "multi-term tf-idf ranking matches the hand-computed scores") {
     import spark.implicits._
