@@ -77,6 +77,11 @@ object Bench {
     // keys off the best-of-2 totals, and the driver capture must carry
     // them. A driver with a hard runtime ceiling sets
     // SPARK_GRAFT_BENCH_REPS=1 explicitly.)
+    // Fixed-work calibration probe (see Calib): measures ambient box
+    // speed at capture START (post-warmup, pre-suite) and END, recorded
+    // in the JSON so cross-epoch comparisons can normalize away
+    // co-tenancy the load fields don't see.
+    val calibStart = Calib.runRounded(spark)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // SPARK_GRAFT_BENCH_QUERIES (optional, comma-separated names): measure
     // only the named queries — the scale-proof runs (BASELINE.md scaling
@@ -158,8 +163,10 @@ object Bench {
     // the artifact itself instead of relying on the reader to check load
     // fields.
     val loadWarn = loadStart > 4.0
+    val calibEnd = Calib.runRounded(spark)
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_best":$totalBest,"reps":$reps,""" +
+      s""""calib_sec":$calibStart,"calib_sec_end":$calibEnd,""" +
       s""""load1_start":$loadStart,"load1_end":$load1,""" +
       s""""load_warning":$loadWarn,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,""" +

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fixed-work CALIBRATION PROBE (VERDICT r13 #1 / r14 #2): a
+  * deterministic job whose cost depends only on box conditions — never
+  * on testdata, query code, or suite composition — recorded in every
+  * bench JSON (`calib_sec` at capture start, `calib_sec_end` at end).
+  *
+  * Why: this box's throughput drifts up to 2× under co-tenancy that
+  * `/proc/loadavg` does NOT see (round-13's measured +18–41% inflation
+  * on untouched queries at load ≤1.3). Load fields flag visible
+  * contention only; the probe measures the slowdown itself. The ratio
+  * of `calib_sec` between two captures estimates their ambient speed
+  * difference, so a cross-epoch comparison can separate "the code got
+  * slower" from "the box got slower" — the round-7 comparison rule's
+  * missing instrument.
+  *
+  * Work shape: 400M-row codegen'd long arithmetic across 32 input
+  * partitions feeding one 64-group hash aggregate — saturates the same
+  * CPU + shuffle machinery the suite uses, ~1.5 s on this box idle.
+  * Constants are frozen; changing them breaks cross-round probe
+  * comparability (treat like a bench query's definition).
+  */
+object Calib {
+  def run(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, 32)
+      .select((col("id") * 2654435761L % 1000003L).as("h"))
+      .groupBy((col("h") % 64).as("b")).agg(sum(col("h")).as("s"))
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Rounded for JSON embedding. */
+  def runRounded(spark: SparkSession): Double =
+    math.round(run(spark) * 1000.0) / 1000.0
+}

@@ -200,7 +200,10 @@ object PlanAudit {
       ("c16_dataset_diff", "the version diff is two narrow hashed projections and ONE full-outer join on the primary key (co-partitionable at 100 TB via doc_id bucketing); md5s are map-side, output bounded by churn — no Window, no global sort, no second corpus scan per side",
         Seq("FullOuter"),
         Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin",
-          "Exchange rangepartitioning"))
+          "Exchange rangepartitioning")),
+      ("c18_trainer_shards", "shard emission is PURE COMPOSITION over prepared materializations: the survivor set, the encode table and the encoded rendering are all ExistingRDD (gates, merges and the encode each ran once, in their memo phases), the vocab folds in as ONE broadcast map row on the zero key, the bin assignment is c11's two-level prefix scan, and the per-shard rollup groups at bin grain (bounded by PackCapacity) — zero parquet scans, zero re-derivation, no all-pairs anywhere",
+        Seq("ExistingRDD", "BroadcastHashJoin"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -39,7 +39,45 @@ object ScaleData {
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window")
 
+  /** Clustered-embeddings variant (VERDICT r14 #3): same row count as
+    * the sf-mult corpus but with PLANTED cluster structure — the regime
+    * residual quantization (s22) exists for, where the isotropic decade
+    * corpora cannot show its fidelity gain (residuals of unclustered
+    * gaussians are gaussians again; see BASELINE.md "ANN recall at the
+    * decades"). Geometry mirrors the SimilaritySpec planted test:
+    * centers ~ N(0, 5²) per dim (offsets dominate), member noise 0.2,
+    * label = cluster id mod 10 (so the filtered paths s19/s23 stay
+    * meaningful). Writes ONLY embeddings.parquet — the doc/lineitem
+    * families are unaffected by embedding geometry. */
+  def writeClusteredEmbeddings(outDir: String, mult: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8009)
+    val nClusters = 64
+    val centers = Array.fill(nClusters)(Array.fill(64)(rnd.nextGaussian() * 5.0))
+    val nVecs = 2000 * mult
+    val vecRows = (0 until nVecs).map { i =>
+      val c = rnd.nextInt(nClusters)
+      (i.toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.2).toFloat),
+        c % 10)
+    }
+    vecRows.toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("clustered-emb")) {
+      val outDir = if (args.length > 1) args(1) else "/root/repo/testdata-sf1c"
+      val mult = if (args.length > 2) args(2).toInt else 10
+      val s = GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      writeClusteredEmbeddings(outDir, mult, s)
+      println(s"""{"out":"$outDir","vecs":${2000 * mult},"mode":"clustered-emb"}""")
+      s.stop()
+      return
+    }
     val outDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mult = if (args.length > 2) args(2).toInt else 10

@@ -58,6 +58,7 @@ object ServingBench {
     val parts = 32
     val spark = GraftSession.local(cpus)
     val loadStart = load1
+    val calibStart = Calib.runRounded(spark)
 
     // the stored KTable: per-order rollup of lineitem — 150k keys at
     // sf0.1, 1.5M at sf1-synth, so the scan-cost difference between a
@@ -181,7 +182,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
   }
 }

@@ -1128,10 +1128,11 @@ object TextAnalysis {
     tokenIdsFrame(encoded, vocab)
   }
 
-  /** Session-level id arrays (doc_id, ids) — c18's input. */
+  /** Session-level id arrays (doc_id, ids) — c18's input. Reads the
+    * memoized rendering (encode ran once), unlike t29's [[tokenIds]],
+    * which re-measures its encode by contract. */
   private[graft] def tokenIdArrays(s: SparkSession, dir: String): DataFrame = {
-    val encoded = bpeEncodedRendering(Tables.documents(s, dir),
-      bpeMergesMemo(s, dir)).localCheckpoint()
+    val encoded = bpeRenderedMemo(s, dir)
     val vocab = Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(
       bpeVocabFrame(encoded))
     tokenIdArraysFrame(encoded, vocab)
@@ -1188,6 +1189,23 @@ object TextAnalysis {
     encodedCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         bpeEncode(s, dir).localCheckpoint())
+  }
+
+  /** The encoded RENDERING (doc_id, t, enc) memoized — c18's shard
+    * emission reads this materialization (the encode ran once; packing
+    * is pure composition), while t29 keeps re-measuring its own encode
+    * honestly through [[tokenIds]]. */
+  private val renderedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def invalidateBpeRendered(): Unit = renderedCache.clear()
+
+  private[graft] def bpeRenderedMemo(s: SparkSession, dir: String): DataFrame = {
+    Dedup.evictStopped(renderedCache)
+    renderedCache.computeIfAbsent(
+      (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
+        bpeEncodedRendering(Tables.documents(s, dir), bpeMergesMemo(s, dir))
+          .localCheckpoint())
   }
 
   /** Frame-level form of [[bpeMerges]] — any frame with a text column. */

@@ -204,6 +204,7 @@ class ArtifactsSpec extends SparkSpec {
       // "second session": drop every build memo — only the store survives
       Composites.invalidateSurvivors()
       TextAnalysis.invalidateBpeEncoded()
+      TextAnalysis.invalidateBpeRendered()
       TextAnalysis.invalidateBpeMerges()
       val second = Composites.trainerShardTable(spark, dir)
       val plan = second.queryExecution.executedPlan.toString

@@ -616,15 +616,40 @@ class SimilaritySpec extends SparkSpec {
       f"residual code fidelity floor within probed cells: $rResP%.3f")
   }
 
-  test("decade recall floors: s18/s19/s22/s23 recall@5 at sf1-synth and sf10-synth") {
+  test("decade recall floors: s18/s19/s22/s23 recall@5 at sf1/sf10-synth and the " +
+      "clustered decade corpus, pinned under the measured values") {
     import org.apache.spark.sql.functions.col
-    // VERDICT r13 #6: the small-SF recall floors say nothing about the
-    // decades — exact ground truth for the 10 bench queries is tractable
-    // at any corpus size (one broadcast-query scan), so measure there.
-    // Floors are pinned under the measured values (BASELINE.md table).
-    Seq(("/root/repo/testdata-sf1", 0.0, 0.0),
-        ("/root/repo/testdata-sf10", 0.0, 0.0)).foreach {
-      case (dir, pqFloor, flatFloor) =>
+    // VERDICT r13 #6 / r14 #3: exact ground truth for the 10 bench
+    // queries is tractable at any corpus size (one broadcast-query
+    // scan), so recall is measured at the decades and PINNED — floors =
+    // measured − 0.02 (one truth pair of slack; corpora and index
+    // builds are fully deterministic). Measured 2026-08-15 (BASELINE.md
+    // "ANN recall at the decades"):
+    //   sf1-synth  s18=0.120 s22=0.040 s19=0.140 s23=0.080
+    //   sf10-synth s18=0.060 s22=0.060 s19=0.140 s23=0.060
+    //   sf1c clust s18=0.040 s22=0.060 s19=0.980 s23=0.040
+    // WHY residual (s22) ≤ raw (s18) on the isotropic decades: the
+    // driver-matched synthetic embeddings are unit gaussians with NO
+    // cluster structure, so coarse residuals are gaussians again —
+    // a residual codebook quantizes the same distribution as a raw one
+    // while paying per-(query,cell) table granularity, and NProbe
+    // pruning dominates both. On the clustered corpus (sf1c — the
+    // regime IVFADC exists for) the ordering inverts: cluster offsets
+    // dominate raw coordinates, probing is near-perfect (s19 = 0.98),
+    // and the fidelity limiter is the code itself, where residual wins
+    // (0.060 vs 0.040 here; +0.12 within probed cells in the planted
+    // unit test above).
+    val sf1c = "/root/repo/testdata-sf1c"
+    if (!new java.io.File(s"$sf1c/embeddings.parquet").exists())
+      graft.ScaleData.writeClusteredEmbeddings(sf1c, 10, spark)
+    val results = Seq(
+      ("/root/repo/testdata-sf1", Map("s18" -> 0.10, "s22" -> 0.02,
+        "s19" -> 0.12, "s23" -> 0.06)),
+      ("/root/repo/testdata-sf10", Map("s18" -> 0.04, "s22" -> 0.04,
+        "s19" -> 0.12, "s23" -> 0.04)),
+      (sf1c, Map("s18" -> 0.02, "s22" -> 0.04,
+        "s19" -> 0.96, "s23" -> 0.02))).map {
+      case (dir, floors) =>
         val emb = graft.Tables.embeddings(spark, dir)
         val truth = pairs(Similarity.bruteForceTopK(spark, dir))
         // exact SAME-LABEL truth for the filtered paths (s19/s23): the
@@ -652,10 +677,23 @@ class SimilaritySpec extends SparkSpec {
         val r23 = (pairs(Similarity.filteredIvfPqTopK(spark, dir)) & ltruthP).size.toDouble / ltruthP.size
         info(f"$dir recall@5: s18=$r18%.3f s22=$r22%.3f (vs exact) " +
           f"s19=$r19%.3f s23=$r23%.3f (vs exact same-label)")
-        assert(r18 >= pqFloor, f"$dir s18 recall $r18%.3f < $pqFloor")
-        assert(r22 >= pqFloor, f"$dir s22 recall $r22%.3f < $pqFloor")
-        assert(r19 >= flatFloor, f"$dir s19 recall $r19%.3f < $flatFloor")
-        assert(r23 >= pqFloor, f"$dir s23 recall $r23%.3f < $pqFloor")
-    }
+        assert(r18 >= floors("s18"), f"$dir s18 recall $r18%.3f < ${floors("s18")}")
+        assert(r22 >= floors("s22"), f"$dir s22 recall $r22%.3f < ${floors("s22")}")
+        assert(r19 >= floors("s19"), f"$dir s19 recall $r19%.3f < ${floors("s19")}")
+        assert(r23 >= floors("s23"), f"$dir s23 recall $r23%.3f < ${floors("s23")}")
+        // the index memos are keyed (session, dir) so the three corpora
+        // don't collide — but drop them anyway so this test leaves no
+        // decade-sized checkpoints behind for later suites
+        Similarity.invalidatePqIndex(); Similarity.invalidateIvfPqIndex()
+        Similarity.invalidateResIvfPqIndex()
+        dir -> (r18, r22)
+    }.toMap
+    // the r14 verdict's open question, answered with an assertion: on
+    // the CLUSTERED decade corpus residual quantization must not lose
+    // to raw at matched code budget (it wins on fidelity; both share
+    // the coarse index and probe set)
+    val (c18r, c22r) = results(sf1c)
+    assert(c22r >= c18r,
+      f"clustered decade: residual $c22r%.3f must not lose to raw $c18r%.3f")
   }
 }
