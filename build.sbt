@@ -25,6 +25,9 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // TCP_NODELAY for the JDK HttpServer serving tiers: without it every
+  // localhost request pays a flat ~45 ms Nagle/delayed-ACK stall
+  "-Dsun.net.httpserver.nodelay=true",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

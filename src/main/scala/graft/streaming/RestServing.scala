@@ -692,26 +692,56 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
   private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
   private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
 
-  /** The query row's (content hash, signature, band buckets) from the
-    * SAME Catalyst expressions the corpus tables were built with —
-    * evaluated WITHOUT a Spark job (VERDICT r13 #3: the previous form
-    * ran up to three jobs per request, a ~200 ms planning floor each).
-    * The one-row frame is a LocalRelation and every expression is
-    * deterministic, so Catalyst's ConvertToLocalRelation folds the
-    * whole projection at optimization time: the executed plan is a
-    * LocalTableScan and head() returns driver-side — zero jobs, zero
-    * tasks (ServingSpec pins this with a job listener). Engine-exact by
-    * construction: same expression tree, same evaluation code. */
-  private def signatureOf(text: String): (String, Array[Long], Seq[String]) = {
+  /** The query row's signature pipeline, COMPILED ONCE at start(): the
+    * SAME Catalyst expressions the corpus tables were built with,
+    * analyzed against a template one-row frame, then turned into
+    * layered [[org.apache.spark.sql.catalyst.expressions.UnsafeProjection]]s
+    * (the engine's own codegen evaluation path). Per request we
+    * evaluate the projections over an InternalRow — zero Spark jobs
+    * (ServingSpec pins this with a job listener) AND zero per-request
+    * planning: the earlier per-request `Seq(text).toDF.select(...).head()`
+    * form also ran no jobs (ConvertToLocalRelation folded it) but paid
+    * analyzer+optimizer time on every call, a measured ~130 ms p50
+    * floor (SERVBENCH_r15 first capture) against the 200 ms job floor
+    * it had removed. Engine-exact by construction either way: same
+    * expression tree, same evaluation code — only compiled once. */
+  private var sigLayers: Seq[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] = _
+
+  private def compileSignature(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     import spark.implicits._
-    val qrow = Seq(text).toDF("text")
+    val template = Seq("").toDF("text")
       .select(md5(col("text")).as("ch"), Dedup.minhashSigArray.as("sig"))
       .select(col("ch"), col("sig"), Dedup.bandBuckets(col("sig")).as("bbs"))
-      .head()
-    (qrow.getString(0), qrow.getSeq[Long](1).toArray,
-      qrow.getSeq[org.apache.spark.sql.Row](2)
-        .map(r => r.getInt(0) + ":" + r.getString(1)))
+    val analyzed = template.queryExecution.analyzed
+    val leafOut = analyzed.collectLeaves().head.output
+    // innermost projection first; each layer binds to the previous
+    // layer's output attributes (toDF's rename layer included)
+    val projects = analyzed.collect { case p: Project => p }.reverse
+    var input = leafOut
+    sigLayers = projects.map { p =>
+      val up = UnsafeProjection.create(p.projectList, input)
+      input = p.projectList.map(_.toAttribute)
+      up
+    }
   }
+
+  private def signatureOf(text: String): (String, Array[Long], Seq[String]) =
+    synchronized { // UnsafeProjections reuse their result buffer
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      var row: InternalRow = InternalRow(UTF8String.fromString(text))
+      sigLayers.foreach(p => row = p(row))
+      val ch = row.getUTF8String(0).toString
+      val sig = row.getArray(1).toLongArray()
+      val bbs = row.getArray(2)
+      val keys = (0 until bbs.numElements()).map { i =>
+        val st = bbs.getStruct(i, 2)
+        st.getInt(0) + ":" + st.getUTF8String(1).toString
+      }
+      (ch, sig, keys)
+    }
 
   def start(bindPort: Int = 0): Int = {
     val docs = spark.read.parquet(documentsPath)
@@ -720,6 +750,7 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
       .select(col("doc_id").as("c_id"),
         array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
       .localCheckpoint()
+    compileSignature()
     hashIndex = new java.util.HashMap[String, java.lang.Long]()
     docs.groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("exact_partner"))
@@ -779,7 +810,20 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
 
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
+private[streaming] object HttpJsonServer {
+  /** TCP_NODELAY for every JDK HttpServer in this JVM. Must be set
+    * before the server class's static config init (trait construction
+    * precedes the first HttpServer.create): without it the two-write
+    * response pattern (sendResponseHeaders, then body) hits Nagle +
+    * delayed-ACK — a measured FLAT ~45 ms per localhost request
+    * (SERVBENCH r15 first capture), dwarfing the ~1.4 ms signature
+    * evaluation the dedup tier actually does. */
+  val ensureNoDelay: Unit =
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+}
+
 private[streaming] trait HttpJsonServer {
+  HttpJsonServer.ensureNoDelay
   protected var server: HttpServer = _
 
   /** Bound port after `start` (pass port 0 for an ephemeral one). */
