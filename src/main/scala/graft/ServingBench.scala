@@ -109,6 +109,15 @@ object ServingBench {
       java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
     get(port, keys.head) // warm
     val http = keys.map(k => timeMs(assert(get(port, k) == 200)))
+    // the HOT tier: the same point reads served from the instance's
+    // in-process local store (the reference's actual store.get(key)
+    // mechanics) — zero Spark work per request
+    def getHot(k: Long): Int = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    getHot(keys.head) // warm
+    val hotHttp = keys.map(k => timeMs(assert(getHot(k) == 200)))
     rest.stop()
 
     // the LIVE tier: point reads over a RUNNING stream's memory-sink
@@ -182,7 +191,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
   }
 }

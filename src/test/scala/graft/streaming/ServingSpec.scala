@@ -125,6 +125,14 @@ class ServingSpec extends SparkSpec {
       // byKey: 200 with the row; 404 on an absent key (reference byKey:86-99)
       assert(get("/state/keyvalue/42") === (200, """[{"k":42,"v":420}]"""))
       assert(get("/state/keyvalue/9999")._1 === 404)
+      // the HOT tier (in-process local store, the reference's actual
+      // store.get mechanics): byte-identical body to the cold tier on
+      // every probed key, same 404 contract
+      Seq(1L, 42L, 250L, 500L).foreach { k =>
+        assert(get(s"/state/keyvalue/hot/$k") === get(s"/state/keyvalue/$k"),
+          s"hot/cold tier disagreement for key $k")
+      }
+      assert(get("/state/keyvalue/hot/9999")._1 === 404)
       // batched lookup over the union of hosting partitions
       val (bc, bb) = get("/state/keyvalues?keys=1,2,3")
       assert(bc === 200)
