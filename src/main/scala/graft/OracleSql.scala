@@ -2342,6 +2342,46 @@ object OracleSql {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM pk GROUP BY 1""".stripMargin
     },
+    // c19 = the loader-facing pack manifest: per doc its shard, length,
+    // within-shard offset and seeded shuffle keys (Composites.packManifest)
+    "c19_pack_manifest" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val seed = graft.ops.Composites.ShuffleSeed
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH $prepFunnelCtes,
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |enc AS (SELECT doc_id,
+         |    len(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS nb
+         |  FROM t$k),
+         |sv AS (SELECT surv.doc_id, enc.nb AS n
+         |  FROM surv JOIN enc USING (doc_id)),
+         |pk AS (SELECT doc_id, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM sv)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin, doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(prefix - (prefix // $cap) * $cap AS BIGINT) AS start_offset,
+         |  md5('$seed:b' || CAST(prefix // $cap AS BIGINT)) AS shard_key,
+         |  md5('$seed:d' || CAST(doc_id AS BIGINT)) AS doc_key
+         |FROM pk""".stripMargin
+    },
     // c18 = c17's bin assignment joined to t29's id sequences, rolled up
     // per shard with the packed-bytes hash (see Composites.trainerShards)
     "c18_trainer_shards" -> {

@@ -203,7 +203,11 @@ object PlanAudit {
           "Exchange rangepartitioning")),
       ("c18_trainer_shards", "shard emission is PURE COMPOSITION over prepared materializations: the survivor set, the encode table and the encoded rendering are all ExistingRDD (gates, merges and the encode each ran once, in their memo phases), the vocab folds in as ONE broadcast map row on the zero key, the bin assignment is c11's two-level prefix scan, and the per-shard rollup groups at bin grain (bounded by PackCapacity) — zero parquet scans, zero re-derivation, no all-pairs anywhere",
         Seq("ExistingRDD", "BroadcastHashJoin"),
-        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin"))
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c19_pack_manifest", "the loader manifest adds ONLY per-row column work to the packing pass: offsets fall out of the c11 two-level prefix scan (row-grain Window partitioned by the doc-id bucket; the single-partition window sees bucket summaries only) and the seeded shuffle keys are md5 projections — no global sort, no new shuffle beyond the packing aggregation, inputs are the survivor/encode memos (ExistingRDD)",
+        Seq("ExistingRDD", "Window"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin",
+          "Exchange rangepartitioning"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint
@@ -247,7 +251,7 @@ object PlanAudit {
     * this audit exists to prevent. */
   val globalWindowChecks: Seq[String] = Seq(
     "w5_late_data", "t17_sequence_pack", "c10_prep_full",
-    "c11_prep_packed", "c12_quality_report")
+    "c11_prep_packed", "c12_quality_report", "c19_pack_manifest")
 
   private val BucketGrainCols = Set("b", "qcell")
 

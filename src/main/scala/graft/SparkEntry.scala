@@ -108,6 +108,7 @@ object SparkEntry {
     "c16_dataset_diff"  -> (Composites.datasetDiff _),
     "c17_packed_ids"    -> (Composites.prepPackedIds _),
     "c18_trainer_shards" -> (Composites.trainerShards _),
+    "c19_pack_manifest" -> (Composites.packManifest _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -446,6 +446,38 @@ object Composites {
           array_sort(collect_list(struct(col("doc_id"), col("idstr")))),
           x => x.getField("idstr")), "|")).as("shard_hash"))
 
+  /** Seed constant for c19's deterministic shuffle keys — versioned so
+    * a reshuffle is an explicit seed bump, never an accident. */
+  val ShuffleSeed = "graft-shuffle-v1"
+
+  /** c19: THE PACK MANIFEST — the loader-facing metadata that turns
+    * c18's shard files into training batches: per document its shard
+    * (`bin`), its real-token length (`n_tokens`), its starting OFFSET (`start_offset`)
+    * inside the shard's continuous token stream (what attention-mask /
+    * document-boundary construction needs for packed sequences), and
+    * two SEEDED SHUFFLE KEYS — `shard_key` = md5(seed:bin) orders
+    * shards, `doc_key` = md5(seed:doc_id) orders docs within a shard —
+    * so a trainer reads a reproducible pseudo-random order at every
+    * scale WITHOUT any global sort: the keys are plain columns, the
+    * loader sorts its own shard's bounded doc list and the shard list
+    * (metadata grain). Offsets fall out of the c11 two-level prefix
+    * scan (`prefix − bin·PackCapacity` — the packing discipline is one
+    * continuous token stream chopped at capacity boundaries); no new
+    * shuffle beyond the packing pass itself. */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packedBinsWithPrefix(
+      prepSurvivorsMemo(s, dir).select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.bpeEncodedMemo(s, dir)
+          .select(col("doc_id"), col("bpe_tokens").cast(LongType).as("n")),
+          Seq("doc_id")))
+      .select(col("bin"), col("doc_id"),
+        col("n").as("n_tokens"),
+        (col("prefix") - col("bin") * TextAnalysis.PackCapacity).as("start_offset"),
+        md5(concat(lit(ShuffleSeed + ":b"), col("bin").cast("string")))
+          .as("shard_key"),
+        md5(concat(lit(ShuffleSeed + ":d"), col("doc_id").cast("string")))
+          .as("doc_key"))
+
   /** c12 gate constants: minimum token count, maximum within-doc
     * repetition ratio, and the support quantile below which a document
     * is "atypical" (the LM-filter tail drop). */

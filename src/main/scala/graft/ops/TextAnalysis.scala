@@ -543,7 +543,15 @@ object TextAnalysis {
     * falls back to a join on `b` — a key the row side is already
     * partitioned by — when a 10^12-document corpus outgrows the
     * broadcast. Raising PackBucket is the other lever. */
-  def packedBins(d0: DataFrame): DataFrame = {
+  def packedBins(d0: DataFrame): DataFrame =
+    packedBinsWithPrefix(d0).drop("prefix")
+
+  /** [[packedBins]] keeping the exclusive token prefix sum (`prefix`) —
+    * c19's pack manifest derives each doc's within-bin byte offset from
+    * it (`prefix − bin·PackCapacity`: the packing discipline is one
+    * continuous token stream chopped at capacity boundaries, docs
+    * assigned to the bin where they START). Same two-level scan. */
+  def packedBinsWithPrefix(d0: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val d = d0.withColumn("b", expr(s"doc_id div $PackBucket"))
     val prior = d.groupBy(col("b")).agg(sum(col("n")).as("bsum"))
@@ -554,7 +562,8 @@ object TextAnalysis {
       .rowsBetween(W.unboundedPreceding, -1)
     d.withColumn("local_prev", coalesce(sum(col("n")).over(inBucket), lit(0L)))
       .join(prior, Seq("b"))
-      .withColumn("bin", expr(s"(prev_sum + local_prev) div $PackCapacity"))
+      .withColumn("prefix", col("prev_sum") + col("local_prev"))
+      .withColumn("bin", expr(s"prefix div $PackCapacity"))
       .drop("b", "prev_sum", "local_prev")
   }
 
