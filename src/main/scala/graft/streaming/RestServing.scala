@@ -414,6 +414,13 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   private var codebook: Array[(Int, Int, Array[Double])] = _
   private var pqSd: Int = _
   private var hasLabel: Boolean = false
+  /** The HOT tier's local index: cell → members (id, embedding, norm,
+    * label), loaded once at start() — the per-replica shard of the IVF
+    * index a serving instance holds in memory (the
+    * [[RestServing]] hot-point-read / dedup-tier discipline applied to
+    * ANN). At 100 TB each replica holds only ITS cells; this
+    * single-process stand-in holds all of them. */
+  private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
     import graft.ops.Similarity
@@ -461,6 +468,20 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       .select(col("m"), col("cent"), col("cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+    // hot-tier local index: one collect of the cells table, grouped by
+    // cell; members sorted by vec_id for deterministic iteration
+    hotCells = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
+    (if (hasLabel) cells else cells.withColumn("label", lit(0)))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").cast("array<double>"), col("norm"), col("label"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (cell, rows) =>
+        hotCells.put(cell, rows.map(r => (r.getLong(1),
+          r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
+          .sortBy(_._1))
+      }
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     def parseVec(q: Map[String, String]): Array[Double] = {
@@ -520,6 +541,40 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
             .limit(q.getOrElse("k", "5").toInt)
             .toJSON.collect()
           (200, rows.mkString("[", ",", "]"))
+        }
+      }
+    })
+    // HOT tier: same IVF probe + pre-filter semantics as /ann/topk,
+    // served from the in-process cell index — zero Spark work per
+    // request. Arithmetic parity with the Spark tier by construction:
+    // the dot is the same sequential double fold, the norm is the
+    // collected l2norm column, and the 6-dp round is the same HALF_UP
+    // rule Spark's round() applies — ServingSpec pins byte-identical
+    // bodies between the tiers.
+    server.createContext("/ann/topk/hot", handlerQ { (path, q) =>
+      if (path != "/ann/topk/hot") (404, """{"error":"not found"}""")
+      else {
+        val qv = parseVec(q)
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val labelOpt = q.get("label").map(_.toInt)
+        if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
+        else if (labelOpt.isDefined && !hasLabel)
+          (400, """{"error":"corpus has no label attribute"}""")
+        else {
+          val probed = probeCells(qv, q.getOrElse("nprobe", "4").toInt)
+          val k = q.getOrElse("k", "5").toInt
+          val top = probed.iterator
+            .flatMap(c => Option(hotCells.get(c)).iterator.flatten)
+            .filter(m => labelOpt.forall(_ == m._4))
+            .map { case (id, e, n, _) =>
+              var d = 0.0; var i = 0
+              while (i < e.length) { d += qv(i) * e(i); i += 1 }
+              (BigDecimal(d / (n * qn))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+            }
+            .toArray.sortBy { case (s, id) => (-s, id) }.take(k)
+          (200, top.map { case (s, id) => s"""{"vec_id":$id,"sim":$s}""" }
+            .mkString("[", ",", "]"))
         }
       }
     })

@@ -422,6 +422,16 @@ class ServingSpec extends SparkSpec {
       assert(se === 200)
       val exactIds = "\"vec_id\":(\\d+)".r.findAllMatchIn(be).map(_.group(1).toInt).toSeq
       assert(ids === exactIds, s"ivf=$ids exact=$exactIds")
+      // the HOT tier (in-process cell index): byte-identical body to the
+      // Spark-tier probe for the same query — same probe set, same dot
+      // fold, same 6-dp HALF_UP round, same JSON shape
+      Seq(s"/ann/topk/hot?vec=$q&k=5&nprobe=4" -> s"/ann/topk?vec=$q&k=5&nprobe=4",
+          s"/ann/topk/hot?vec=$q&k=3&nprobe=2" -> s"/ann/topk?vec=$q&k=3&nprobe=2")
+        .foreach { case (hot, cold) =>
+          assert(get(hot) === get(cold), s"hot/cold ANN disagreement: $hot") }
+      assert(get("/ann/topk/hot?vec=0,0,0,0,0,0,0,0")._1 === 400)
+      assert(get(s"/ann/topk/hot?vec=$q&k=5&label=1")._1 === 400,
+        "label filter on an unlabeled corpus is a client error (hot tier)")
       // the IVF-PQ tier: same probe, ADC over the probed cells' codes —
       // on this separated geometry the coded scan still finds cluster 0,
       // with approximate distances ascending in rank
@@ -477,6 +487,10 @@ class ServingSpec extends SparkSpec {
       val (sf, bf) = get(s"/ann/topk?vec=$q&k=5&nprobe=4&label=1")
       assert(sf === 200, bf)
       val filtered = ids(bf)
+      // hot tier: identical bodies for both the unfiltered and the
+      // label-scoped form on the labeled corpus
+      assert(get(s"/ann/topk/hot?vec=$q&k=5&nprobe=4") === (su, bu))
+      assert(get(s"/ann/topk/hot?vec=$q&k=5&nprobe=4&label=1") === (sf, bf))
       // full k, every survivor in the query's cluster AND the scoped label
       assert(filtered.size === 5, s"pre-filter must fill k: $filtered")
       assert(filtered.forall(id => id % 4 === 0 && (id / 4) % 2 === 1),
