@@ -636,6 +636,14 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   private var dlens: DataFrame = _
   private var nDocs: Long = _
   private var totalLen: Long = _
+  /** The HOT tier's in-process inverted index — term → stats JSON and
+    * term → tf-desc-ordered posting JSON rows, rendered ONCE at start()
+    * by the same to_json the cold tier's toJSON uses (byte parity by
+    * construction). This is a search engine's actual serving layout
+    * (the postings ARE the store, terms shard across replicas at
+    * scale); the cold per-request-Spark tier stays beside it. */
+  private var hotStats: java.util.HashMap[String, String] = _
+  private var hotHeads: java.util.HashMap[String, Array[String]] = _
 
   /** Parse a positive int param; Left(400 response) on junk. */
   private def intParam(q: Map[String, String], name: String,
@@ -663,6 +671,22 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       .localCheckpoint()
     nDocs = dlens.count()
     totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
+
+    hotStats = new java.util.HashMap[String, String]()
+    stats
+      .select(col("term"),
+        to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
+      .collect().foreach(r => hotStats.put(r.getString(0), r.getString(1)))
+    hotHeads = new java.util.HashMap[String, Array[String]]()
+    postings
+      .select(col("term"), col("tf").cast("long").as("tf"), col("doc_id"),
+        to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        hotHeads.put(t,
+          rows.sortBy(r => (-r.getLong(1), r.getLong(2))).map(_.getString(3)))
+      }
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     registerSearchHandlers()
@@ -694,6 +718,24 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
             .select(col("doc_id"), col("tf"), col("first_pos"))
             .toJSON.collect()
           (200, s"""{"stats":${st.head},"postings":${head.mkString("[", ",", "]")}}""")
+        }
+      }).merge
+    })
+    // HOT tier: the same term lookup from the in-process index — zero
+    // Spark work per request; bodies byte-identical to /search/term
+    // (ServingSpec pins it), 404/400 contract identical
+    server.createContext("/search/term/hot", handlerQ { (path, q) =>
+      if (path != "/search/term/hot") (404, """{"error":"not found"}""")
+      else (for {
+        t <- q.get("t").filter(_.nonEmpty)
+          .toRight((400, """{"error":"t=<term> is required"}"""))
+        k <- intParam(q, "k", 10)
+      } yield {
+        Option(hotStats.get(t)) match {
+          case None => (404, s"""{"error":"term not found"}""")
+          case Some(st) =>
+            val head = hotHeads.get(t).take(k)
+            (200, s"""{"stats":$st,"postings":${head.mkString("[", ",", "]")}}""")
         }
       }).merge
     })

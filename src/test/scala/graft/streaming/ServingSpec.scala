@@ -655,6 +655,14 @@ class ServingSpec extends SparkSpec {
       val headIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
       assert(headIds === Seq(1, 2)) // k=2 caps the head; tf desc, doc asc
       assert(get("/search/term?t=zebra")._1 === 404)
+      // hot tier: byte-identical term lookups, same 404/400 contract
+      Seq("/search/term/hot?t=cat&k=2" -> "/search/term?t=cat&k=2",
+          "/search/term/hot?t=dog" -> "/search/term?t=dog",
+          "/search/term/hot?t=fish&k=1" -> "/search/term?t=fish&k=1")
+        .foreach { case (hot, cold) =>
+          assert(get(hot) === get(cold), s"hot/cold search disagreement: $hot") }
+      assert(get("/search/term/hot?t=zebra")._1 === 404)
+      assert(get("/search/term/hot")._1 === 400)
       // multi-term search "cat fish": N=4 docs;
       //   idf(cat) = ln(5/4)+1, idf(fish) = ln(5/2)+1
       //   doc1: 2*idf_cat; doc2: 1*idf_cat; doc3: 1*idf_cat + 3*idf_fish
