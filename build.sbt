@@ -22,6 +22,10 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
+  // the serving layer verifies the effective HttpServer nodelay flag
+  // (HttpJsonServer.ensureNoDelay) — the check degrades to a no-op
+  // without this open
+  "jdk.httpserver/sun.net.httpserver",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -181,6 +181,22 @@ object Artifacts {
     }
   }
 
+  /** Drop every artifact of this corpus whose name starts with `prefix`
+    * except `keep` — the superseded-version sweep for NAME-VERSIONED
+    * artifacts (ADVICE r15 #3: a tokenizer-config bump renames
+    * `bpe_vocab_*`; without this, each previous version's directory is
+    * orphaned forever — fresh by manifest, addressed by nothing). */
+  def invalidateByPrefix(s: SparkSession, dir: String, prefix: String,
+      keep: String): Unit = {
+    val parent = new Path(root(s) + "/" + md5hex(dir))
+    val fs = fsOf(s, parent)
+    try fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName.stripSuffix(".parquet")
+      if (st.isDirectory && n.startsWith(prefix) && n != keep)
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
   def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(path(s, dir, name))
 

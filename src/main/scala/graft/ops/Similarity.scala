@@ -254,7 +254,14 @@ object Similarity {
       cents: DataFrame): DataFrame = {
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
-        (dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
+        // a zero-norm member or centroid has no defined cosine: null it
+        // (handled below) instead of tripping ANSI DIVIDE_BY_ZERO — the
+        // index build must survive degenerate corpus rows (ADVICE r15 #1's
+        // batch-side twin); identical to the plain division whenever both
+        // norms are positive, so oracle-checked results are unchanged
+        when(col("norm") * col("c_norm") > 0,
+          dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
     if (keep == 1)
       scored.groupBy(col("vec_id"))
         .agg(max_by(
@@ -483,16 +490,18 @@ object Similarity {
         // store-first when artifacts are enabled: codes + codebook read
         // as plain parquet, the subvector frame stays lazy (query-side
         // slices only)
-        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "pq_codes")
-            && Artifacts.exists(s, dir, "pq_codebook"))
-          PqIndex(subFrame(s, dir), Artifacts.read(s, dir, "pq_codebook"),
-            Artifacts.read(s, dir, "pq_codes"))
+        if (Artifacts.enabled(s)
+            && Artifacts.exists(s, dir, VectorArtifacts.PqCodes)
+            && Artifacts.exists(s, dir, VectorArtifacts.PqCodebook))
+          PqIndex(subFrame(s, dir),
+            Artifacts.read(s, dir, VectorArtifacts.PqCodebook),
+            Artifacts.read(s, dir, VectorArtifacts.PqCodes))
         else {
           val b = pqBuild(s, dir)
           val ck = b.copy(codes = b.codes.localCheckpoint())
           if (Artifacts.enabled(s)) {
-            Artifacts.write(s, dir, "pq_codebook", ck.codebook)
-            Artifacts.write(s, dir, "pq_codes", ck.codes)
+            Artifacts.write(s, dir, VectorArtifacts.PqCodebook, ck.codebook)
+            Artifacts.write(s, dir, VectorArtifacts.PqCodes, ck.codes)
           }
           ck
         })
@@ -571,10 +580,11 @@ object Similarity {
         it.remove()
     ivfPqCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
-        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "ivfpq_cells")
-            && Artifacts.exists(s, dir, "ivfpq_cents"))
-          IvfPqIndex(Artifacts.read(s, dir, "ivfpq_cells"),
-            Artifacts.read(s, dir, "ivfpq_cents"))
+        if (Artifacts.enabled(s)
+            && Artifacts.exists(s, dir, VectorArtifacts.IvfPqCells)
+            && Artifacts.exists(s, dir, VectorArtifacts.IvfPqCents))
+          IvfPqIndex(Artifacts.read(s, dir, VectorArtifacts.IvfPqCells),
+            Artifacts.read(s, dir, VectorArtifacts.IvfPqCents))
         else {
           val pq = pqIndex(s, dir)
           val emb = Tables.embeddings(s, dir)
@@ -587,8 +597,8 @@ object Similarity {
             .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
             .localCheckpoint()
           if (Artifacts.enabled(s)) {
-            Artifacts.write(s, dir, "ivfpq_cells", coded)
-            Artifacts.write(s, dir, "ivfpq_cents", cents)
+            Artifacts.write(s, dir, VectorArtifacts.IvfPqCells, coded)
+            Artifacts.write(s, dir, VectorArtifacts.IvfPqCents, cents)
           }
           IvfPqIndex(coded, cents)
         })
@@ -741,12 +751,13 @@ object Similarity {
         it.remove()
     resIvfPqCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
-        if (Artifacts.enabled(s) && Artifacts.exists(s, dir, "res_cells")
-            && Artifacts.exists(s, dir, "res_cents")
-            && Artifacts.exists(s, dir, "res_codebook"))
-          ResIvfPqIndex(Artifacts.read(s, dir, "res_cells"),
-            Artifacts.read(s, dir, "res_cents"),
-            Artifacts.read(s, dir, "res_codebook"))
+        if (Artifacts.enabled(s)
+            && Artifacts.exists(s, dir, VectorArtifacts.ResCells)
+            && Artifacts.exists(s, dir, VectorArtifacts.ResCents)
+            && Artifacts.exists(s, dir, VectorArtifacts.ResCodebook))
+          ResIvfPqIndex(Artifacts.read(s, dir, VectorArtifacts.ResCells),
+            Artifacts.read(s, dir, VectorArtifacts.ResCents),
+            Artifacts.read(s, dir, VectorArtifacts.ResCodebook))
         else {
           val emb = Tables.embeddings(s, dir)
             .select(col("vec_id"), col("embedding"),
@@ -771,9 +782,9 @@ object Similarity {
             .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
             .localCheckpoint()
           if (Artifacts.enabled(s)) {
-            Artifacts.write(s, dir, "res_cells", coded)
-            Artifacts.write(s, dir, "res_cents", cents)
-            Artifacts.write(s, dir, "res_codebook", pq.codebook)
+            Artifacts.write(s, dir, VectorArtifacts.ResCells, coded)
+            Artifacts.write(s, dir, VectorArtifacts.ResCents, cents)
+            Artifacts.write(s, dir, VectorArtifacts.ResCodebook, pq.codebook)
           }
           ResIvfPqIndex(coded, cents, pq.codebook)
         })
@@ -1015,11 +1026,29 @@ object Similarity {
       embAll.filter(col("vec_id") >= cut), stride)
   }
 
+  /** One REGISTRY of every artifact name the vector-index builders
+    * persist (ADVICE r15 #4): the builders read/write through these
+    * constants, and [[VectorIndexArtifacts]] — the set a tripped drift
+    * decision drops — is DERIVED from the same registry, so an index
+    * artifact added here is invalidated by construction; a stale one
+    * can never survive [[retrainOnDrift]] because its name lived only
+    * at a call site. */
+  private[graft] object VectorArtifacts {
+    val PqCodes = "pq_codes"
+    val PqCodebook = "pq_codebook"
+    val IvfPqCells = "ivfpq_cells"
+    val IvfPqCents = "ivfpq_cents"
+    val ResCells = "res_cells"
+    val ResCents = "res_cents"
+    val ResCodebook = "res_codebook"
+    val all: Seq[String] = Seq(PqCodes, PqCodebook, IvfPqCells, IvfPqCents,
+      ResCells, ResCents, ResCodebook)
+  }
+
   /** Artifact names the vector-index lifecycle persists — the set a
-    * tripped drift decision must drop so searches rebuild. */
-  private[graft] val VectorIndexArtifacts = Seq(
-    "pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents",
-    "res_cells", "res_cents", "res_codebook")
+    * tripped drift decision must drop so searches rebuild. Derived from
+    * the [[VectorArtifacts]] registry the builders themselves use. */
+  private[graft] val VectorIndexArtifacts: Seq[String] = VectorArtifacts.all
 
   /** The drift→rebuild path as ONE call (VERDICT r14 #6): evaluate
     * [[driftDecision]] and, when it trips, drop the persisted

@@ -1061,7 +1061,7 @@ object TextAnalysis {
     * folds in as a single broadcast row on a non-foldable zero key. */
   private[graft] def bpeEncodedRendering(documents: DataFrame,
       merges: DataFrame): DataFrame = {
-    val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val toks0 = filter(split(lower(col("text")), BpeTokenSplit), w => length(w) > 0)
     // one row: the merges as (round, x, y) structs sorted by rank — the
     // application order of greedy BPE — broadcast on the zero key
     val mrow = merges
@@ -1118,22 +1118,43 @@ object TextAnalysis {
     * encoded corpus), so `element_at` never nulls. `id_hash` = md5 of
     * the comma-joined decimal ids — the oracle proves the exact id
     * SEQUENCE, not just counts. */
+  /** THE BPE tokenizer's word-split regex, in ONE place (ADVICE r15
+    * #3): [[bpeMergesFrame]] induces over it, [[bpeEncodedRendering]]
+    * encodes with it, and [[BpeVocabArtifact]] folds it into the vocab
+    * artifact's version — a tokenizer change here re-versions the
+    * artifact BY CONSTRUCTION, never via a hand-copied literal that
+    * could drift. */
+  private[graft] val BpeTokenSplit = "[^a-z0-9]+"
+
   /** Tokenizer code/config version folded into the vocab artifact NAME
     * (ADVICE r14 #5): the artifact manifest fingerprints only the
     * CORPUS, so a [[MergeRounds]] or tokenizer-regex change would leave
     * a stale `bpe_vocab` looking fresh — with the version in the name,
     * a code change addresses a different artifact and rebuilds. The
-    * regex literal is the one [[bpeEncodedRendering]] tokenizes with. */
+    * hashed config IS the shared [[BpeTokenSplit]] constant the
+    * tokenizer runs (ADVICE r15 #3 — the two cannot drift apart). */
   private[graft] val BpeVocabArtifact =
     s"bpe_vocab_m${MergeRounds}_" + java.security.MessageDigest
-      .getInstance("MD5").digest("split(lower(text), [^a-z0-9]+)".getBytes("UTF-8"))
+      .getInstance("MD5")
+      .digest(s"split(lower(text), $BpeTokenSplit)".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
+
+  /** Build-or-read the versioned vocab artifact, sweeping SUPERSEDED
+    * versions when a new one is about to be built (ADVICE r15 #3's
+    * second half: a tokenizer-config bump renames the artifact, and
+    * without the sweep every previous `bpe_vocab_*` directory would be
+    * orphaned forever — fresh by manifest, addressed by nothing). */
+  private def bpeVocab(s: SparkSession, dir: String,
+      encoded: => DataFrame): DataFrame = {
+    if (Artifacts.enabled(s) && !Artifacts.exists(s, dir, BpeVocabArtifact))
+      Artifacts.invalidateByPrefix(s, dir, "bpe_vocab_", keep = BpeVocabArtifact)
+    Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(bpeVocabFrame(encoded))
+  }
 
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
     val encoded = bpeEncodedRendering(Tables.documents(s, dir),
       bpeMergesMemo(s, dir)).localCheckpoint()
-    val vocab = Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(
-      bpeVocabFrame(encoded))
+    val vocab = bpeVocab(s, dir, encoded)
     tokenIdsFrame(encoded, vocab)
   }
 
@@ -1142,8 +1163,7 @@ object TextAnalysis {
     * which re-measures its encode by contract. */
   private[graft] def tokenIdArrays(s: SparkSession, dir: String): DataFrame = {
     val encoded = bpeRenderedMemo(s, dir)
-    val vocab = Artifacts.readOrBuild(s, dir, BpeVocabArtifact)(
-      bpeVocabFrame(encoded))
+    val vocab = bpeVocab(s, dir, encoded)
     tokenIdArraysFrame(encoded, vocab)
   }
 
@@ -1219,7 +1239,7 @@ object TextAnalysis {
 
   /** Frame-level form of [[bpeMerges]] — any frame with a text column. */
   def bpeMergesFrame(documents: DataFrame): DataFrame = {
-    val toks0 = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val toks0 = filter(split(lower(col("text")), BpeTokenSplit), w => length(w) > 0)
     var corpus = documents
       .select(toks0.as("t")).filter(size(col("t")) > 0)
       .select(concat(lit("||"), array_join(col("t"), "||"), lit("||")).as("s"))

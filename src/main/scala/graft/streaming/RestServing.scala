@@ -492,16 +492,23 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     def answer(df: DataFrame, qv: Array[Double], k: Int): (Int, String) = {
       val qn = math.sqrt(qv.map(x => x * x).sum)
       if (qn == 0.0) return (400, """{"error":"zero-norm query vector"}""")
+      // a zero-norm STORED vector has no defined cosine (0/0 → NaN, which
+      // Spark sorts above every real similarity): excluded in this tier
+      // AND the hot one, so the two can never diverge on degenerate rows
+      // (ADVICE r15 #1 — BigDecimal(NaN) was a 500 hot-side while the
+      // NaN row silently topped the cold answer)
       val sim = (graft.ops.Similarity.dot(col("embedding"), typedlit(qv.toSeq)) /
         (col("norm") * qn)).as("sim")
-      val rows = df.select(col("vec_id"), round(sim, 6).as("sim"))
+      val rows = df.filter(col("norm") > 0)
+        .select(col("vec_id"), round(sim, 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(k).toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     }
     server.createContext("/ann/topk/exact", handlerQ { (path, q) =>
       if (path != "/ann/topk/exact") (404, """{"error":"not found"}""")
-      else answer(emb, parseVec(q), q.getOrElse("k", "5").toInt)
+      else (for (k <- intParam(q, "k", 5))
+        yield answer(emb, parseVec(q), k)).merge
     })
     def probeCells(qv: Array[Double], nprobe: Int): Array[Long] = {
       val qn = math.sqrt(qv.map(x => x * x).sum)
@@ -513,11 +520,14 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     }
     server.createContext("/ann/topk/pq", handlerQ { (path, q) =>
       if (path != "/ann/topk/pq") (404, """{"error":"not found"}""")
-      else {
+      else (for {
+        k <- intParam(q, "k", 5)
+        nprobe <- intParam(q, "nprobe", 4)
+      } yield {
         val qv = parseVec(q)
         if (qv.forall(_ == 0.0)) (400, """{"error":"zero-norm query vector"}""")
         else {
-          val probed = probeCells(qv, q.getOrElse("nprobe", "4").toInt)
+          val probed = probeCells(qv, nprobe)
           // the query's ADC distance tables, in-process: K distances per
           // subspace against the collected codebook (K·M doubles total)
           val dtab: Array[Map[Int, Double]] =
@@ -538,11 +548,11 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           val rows = codedCells.filter(col("cell").isin(probed: _*))
             .select(col("vec_id"), round(adist, 6).as("adist"))
             .orderBy(col("adist").asc, col("vec_id").asc)
-            .limit(q.getOrElse("k", "5").toInt)
+            .limit(k)
             .toJSON.collect()
           (200, rows.mkString("[", ",", "]"))
         }
-      }
+      }).merge
     })
     // HOT tier: same IVF probe + pre-filter semantics as /ann/topk,
     // served from the in-process cell index — zero Spark work per
@@ -553,7 +563,10 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     // bodies between the tiers.
     server.createContext("/ann/topk/hot", handlerQ { (path, q) =>
       if (path != "/ann/topk/hot") (404, """{"error":"not found"}""")
-      else {
+      else (for {
+        k <- intParam(q, "k", 5)
+        nprobe <- intParam(q, "nprobe", 4)
+      } yield {
         val qv = parseVec(q)
         val qn = math.sqrt(qv.map(x => x * x).sum)
         val labelOpt = q.get("label").map(_.toInt)
@@ -561,11 +574,12 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         else if (labelOpt.isDefined && !hasLabel)
           (400, """{"error":"corpus has no label attribute"}""")
         else {
-          val probed = probeCells(qv, q.getOrElse("nprobe", "4").toInt)
-          val k = q.getOrElse("k", "5").toInt
+          val probed = probeCells(qv, nprobe)
           val top = probed.iterator
             .flatMap(c => Option(hotCells.get(c)).iterator.flatten)
-            .filter(m => labelOpt.forall(_ == m._4))
+            // zero-norm members skipped, same rule as the cold tier's
+            // norm > 0 filter (ADVICE r15 #1)
+            .filter(m => m._3 > 0 && labelOpt.forall(_ == m._4))
             .map { case (id, e, n, _) =>
               var d = 0.0; var i = 0
               while (i < e.length) { d += qv(i) * e(i); i += 1 }
@@ -576,11 +590,14 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           (200, top.map { case (s, id) => s"""{"vec_id":$id,"sim":$s}""" }
             .mkString("[", ",", "]"))
         }
-      }
+      }).merge
     })
     server.createContext("/ann/topk", handlerQ { (path, q) =>
       if (path != "/ann/topk") (404, """{"error":"not found"}""")
-      else {
+      else (for {
+        k <- intParam(q, "k", 5)
+        nprobe <- intParam(q, "nprobe", 4)
+      } yield {
         val qv = parseVec(q)
         val qn = math.sqrt(qv.map(x => x * x).sum)
         val labelOpt = q.get("label").map(_.toInt)
@@ -593,11 +610,11 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           // SURVIVORS (a post-filter of an unfiltered top-k would return
           // fewer, or none when the query's neighborhood is another label)
           val probed = cells.filter(col("cell")
-            .isin(probeCells(qv, q.getOrElse("nprobe", "4").toInt): _*))
+            .isin(probeCells(qv, nprobe): _*))
           val scoped = labelOpt.fold(probed)(l => probed.filter(col("label") === l))
-          answer(scoped, qv, q.getOrElse("k", "5").toInt)
+          answer(scoped, qv, k)
         }
-      }
+      }).merge
     })
     server.setExecutor(null)
     server.start()
@@ -637,22 +654,18 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   private var nDocs: Long = _
   private var totalLen: Long = _
   /** The HOT tier's in-process inverted index — term → stats JSON and
-    * term → tf-desc-ordered posting JSON rows, rendered ONCE at start()
-    * by the same to_json the cold tier's toJSON uses (byte parity by
-    * construction). This is a search engine's actual serving layout
-    * (the postings ARE the store, terms shard across replicas at
-    * scale); the cold per-request-Spark tier stays beside it. */
+    * term → tf-desc-ordered posting-HEAD JSON rows, rendered ONCE at
+    * start() by the same to_json the cold tier's toJSON uses (byte
+    * parity by construction). Memory contract (ADVICE r15 #2): heads
+    * are capped at [[SearchRestServing.MaxTermK]] rows per term BEFORE
+    * they leave the cluster, so the hot tier holds vocabulary-grain
+    * state (terms × ≤MaxTermK head rows + one stats row per term) —
+    * never the corpus-token-grain postings themselves. This is a search
+    * engine's actual serving layout (the postings ARE the store, terms
+    * shard across replicas at scale); the cold per-request-Spark tier
+    * stays beside it. */
   private var hotStats: java.util.HashMap[String, String] = _
   private var hotHeads: java.util.HashMap[String, Array[String]] = _
-
-  /** Parse a positive int param; Left(400 response) on junk. */
-  private def intParam(q: Map[String, String], name: String,
-      default: Int): Either[(Int, String), Int] =
-    q.get(name) match {
-      case None => Right(default)
-      case Some(v) => v.toIntOption.filter(_ > 0)
-        .toRight((400, s"""{"error":"$name must be a positive integer"}"""))
-    }
 
   def start(bindPort: Int = 0): Int = {
     // the t19 postings table, from the SHARED definition — the serving
@@ -677,15 +690,26 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       .select(col("term"),
         to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
       .collect().foreach(r => hotStats.put(r.getString(0), r.getString(1)))
+    // the hot heads are CAPPED server-side (ADVICE r15 #2): only the
+    // top-[[SearchRestServing.MaxTermK]] postings per term — ranked by
+    // the SAME (tf desc, doc_id asc) order the endpoint serves — ever
+    // leave the cluster (a WindowGroupLimit plan, the a8 shape), so the
+    // collect is vocabulary·MaxTermK-bounded, never corpus-token-grain,
+    // and the class's 'nothing corpus-sized reaches the serving
+    // process' invariant holds for the hot tier too. Both term tiers
+    // reject k > MaxTermK with the same 400.
     hotHeads = new java.util.HashMap[String, Array[String]]()
+    val headRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
-      .select(col("term"), col("tf").cast("long").as("tf"), col("doc_id"),
+      .withColumn("rn", row_number().over(headRank))
+      .filter(col("rn") <= SearchRestServing.MaxTermK)
+      .select(col("term"), col("rn"),
         to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (t, rows) =>
-        hotHeads.put(t,
-          rows.sortBy(r => (-r.getLong(1), r.getLong(2))).map(_.getString(3)))
+        hotHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -708,7 +732,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       else (for {
         t <- q.get("t").filter(_.nonEmpty)
           .toRight((400, """{"error":"t=<term> is required"}"""))
-        k <- intParam(q, "k", 10)
+        k <- intParam(q, "k", 10, max = SearchRestServing.MaxTermK)
       } yield {
         val st = stats.filter(col("term") === t).toJSON.collect()
         if (st.isEmpty) (404, s"""{"error":"term not found"}""")
@@ -729,7 +753,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       else (for {
         t <- q.get("t").filter(_.nonEmpty)
           .toRight((400, """{"error":"t=<term> is required"}"""))
-        k <- intParam(q, "k", 10)
+        k <- intParam(q, "k", 10, max = SearchRestServing.MaxTermK)
       } yield {
         Option(hotStats.get(t)) match {
           case None => (404, s"""{"error":"term not found"}""")
@@ -781,6 +805,13 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       }).merge
     })
   }
+}
+
+object SearchRestServing {
+  /** The largest posting head either term tier serves (and the hot
+    * tier's per-term memory bound): a k above this is a 400 in BOTH
+    * tiers, so the cap can never make hot and cold answers diverge. */
+  val MaxTermK = 100
 }
 
 /** DEDUP-CHECK SERVING TIER — "is this text already in the corpus?" as a
@@ -951,9 +982,29 @@ private[streaming] object HttpJsonServer {
     * response pattern (sendResponseHeaders, then body) hits Nagle +
     * delayed-ACK — a measured FLAT ~45 ms per localhost request
     * (SERVBENCH r15 first capture), dwarfing the ~1.4 ms signature
-    * evaluation the dedup tier actually does. */
-  val ensureNoDelay: Unit =
+    * evaluation the dedup tier actually does.
+    *
+    * ServerConfig reads the property ONCE at class-init (ADVICE r15
+    * #5: any HttpServer created elsewhere in the JVM before this point
+    * would make the set a silent no-op and the 45 ms floor return
+    * unmeasured) — so after setting it we (a) force ServerConfig's
+    * static init NOW, with our value in place, and (b) read the
+    * effective flag back reflectively (build.sbt opens
+    * jdk.httpserver/sun.net.httpserver) and warn LOUDLY if some
+    * earlier init already latched nodelay=false. */
+  val ensureNoDelay: Unit = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
+    try {
+      val sc = Class.forName("sun.net.httpserver.ServerConfig")
+      val m = sc.getDeclaredMethod("noDelay")
+      m.setAccessible(true)
+      if (!m.invoke(null).asInstanceOf[Boolean])
+        System.err.println("[graft] WARNING: sun.net.httpserver.nodelay " +
+          "was latched FALSE before the serving tiers initialized — every " +
+          "localhost request will pay the ~45 ms Nagle/delayed-ACK floor. " +
+          "Set -Dsun.net.httpserver.nodelay=true at JVM start.")
+    } catch { case _: Throwable => () } // check is best-effort (needs add-opens)
+  }
 }
 
 private[streaming] trait HttpJsonServer {
@@ -967,6 +1018,22 @@ private[streaming] trait HttpJsonServer {
 
   protected def handler(f: String => (Int, String)): com.sun.net.httpserver.HttpHandler =
     handlerQ { (path, _) => f(path) }
+
+  /** Parse a positive int param (optionally bounded); Left(400) on junk
+    * — shared so every tier pair (hot/cold) enforces the SAME contract
+    * (ADVICE r15 #1: take(k) vs limit(k) silently diverged on k ≤ 0). */
+  protected def intParam(q: Map[String, String], name: String, default: Int,
+      max: Int = Int.MaxValue): Either[(Int, String), Int] =
+    q.get(name) match {
+      case None => Right(default)
+      case Some(v) => v.toIntOption.filter(_ > 0) match {
+        case None =>
+          Left((400, s"""{"error":"$name must be a positive integer"}"""))
+        case Some(i) if i > max =>
+          Left((400, s"""{"error":"$name must be at most $max"}"""))
+        case Some(i) => Right(i)
+      }
+    }
 
   protected def handlerQ(
       f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =

@@ -26,6 +26,7 @@ class ArtifactsSpec extends SparkSpec {
       Similarity.invalidateSemanticLabels()
       Similarity.invalidatePqIndex()
       Similarity.invalidateIvfPqIndex()
+      Similarity.invalidateResIvfPqIndex()
     }
   }
 
@@ -276,6 +277,60 @@ class ArtifactsSpec extends SparkSpec {
         spark.range(3).toDF("vec_id")
       }
       assert(rebuilt, "post-invalidate readOrBuild must rebuild")
+    }
+  }
+
+  test("VectorIndexArtifacts registry is COMPLETE: everything the three index " +
+      "builders persist is dropped by one invalidate (ADVICE r15 #4)") {
+    withArtifacts { tmp =>
+      Similarity.invalidatePqIndex()
+      Similarity.invalidateIvfPqIndex()
+      Similarity.invalidateResIvfPqIndex()
+      // run all three index families so every builder persists its tables
+      Similarity.pqAdcTopK(spark, dir).count()
+      Similarity.ivfPqTopK(spark, dir).count()
+      Similarity.resIvfPqTopK(spark, dir).count()
+      def onDisk: Set[String] = {
+        val parent = new java.io.File(tmp).listFiles().head // md5(dir)/
+        parent.listFiles().map(_.getName.stripSuffix(".parquet")).toSet
+      }
+      val indexArtifacts = onDisk.filter(n =>
+        n.startsWith("pq_") || n.startsWith("ivfpq_") || n.startsWith("res_"))
+      // the registry covers exactly what the builders wrote — a builder
+      // persisting a name the registry misses would survive retrainOnDrift
+      // and serve a stale index (the failure mode the registry closes)
+      assert(indexArtifacts === Similarity.VectorIndexArtifacts.toSet,
+        s"registry drift: disk=$indexArtifacts vs registry=${
+          Similarity.VectorIndexArtifacts.toSet}")
+      Artifacts.invalidate(spark, dir, Similarity.VectorIndexArtifacts: _*)
+      assert(onDisk.intersect(Similarity.VectorIndexArtifacts.toSet).isEmpty,
+        "one invalidate call must drop every index artifact")
+      Similarity.invalidatePqIndex()
+      Similarity.invalidateIvfPqIndex()
+      Similarity.invalidateResIvfPqIndex()
+    }
+  }
+
+  test("bpe_vocab version bump sweeps the superseded artifact instead of " +
+      "orphaning it (ADVICE r15 #3)") {
+    import spark.implicits._
+    withArtifacts { tmp =>
+      // plant a superseded tokenizer-version vocab (an old name the
+      // current code no longer addresses) — fresh by manifest, orphaned
+      Artifacts.write(spark, dir, "bpe_vocab_m6_00000000",
+        Seq(("tok", 0, 1L)).toDF("token", "id", "cnt"))
+      assert(Artifacts.exists(spark, dir, "bpe_vocab_m6_00000000"))
+      // building the CURRENT vocab sweeps the superseded version
+      graft.ops.TextAnalysis.tokenIds(spark, dir).count()
+      assert(Artifacts.exists(spark, dir,
+        graft.ops.TextAnalysis.BpeVocabArtifact), "current vocab written")
+      assert(!Artifacts.exists(spark, dir, "bpe_vocab_m6_00000000"),
+        "superseded vocab version must be swept when the new one builds")
+      val parent = new java.io.File(tmp).listFiles().head
+      val vocabs = parent.listFiles().map(_.getName)
+        .filter(_.startsWith("bpe_vocab_"))
+      assert(vocabs.length === 1, s"exactly one vocab version on disk: ${
+        vocabs.mkString(",")}")
     }
   }
 

@@ -451,6 +451,58 @@ class ServingSpec extends SparkSpec {
     } finally rest.stop()
   }
 
+  test("vector serving: degenerate inputs — a zero-norm member is excluded " +
+      "identically by hot and cold tiers; junk k/nprobe are 400s in every tier") {
+    import spark.implicits._
+    // 2 direction clusters plus ONE all-zero member (vec 99): cosine to a
+    // zero vector is undefined (0/0), so both tiers must exclude it — the
+    // hot tier used to 500 on BigDecimal(NaN) while the cold tier's NaN
+    // row silently sorted first (ADVICE r15 #1)
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 4) 10.0 else 0.0)
+    val vecs = (0 until 99).map { id =>
+      val b = base(id % 2)
+      (id.toLong, b.zipWithIndex.map { case (x, i) =>
+        (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq)
+    } :+ (99L, Seq.fill(8)(0.0f))
+    val path = Files.createTempDirectory("graft-ann-edge").toString + "/emb.parquet"
+    vecs.toDF("vec_id", "embedding").write.parquet(path)
+    val rest = new VectorRestServing(spark, path)
+    val port = rest.start(0, stride = 9, lloydIters = 1)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val q = base(0).mkString(",")
+      // k large enough that the zero-norm member WOULD surface if scored:
+      // both tiers must agree byte-for-byte and neither may contain vec 99
+      // (nprobe = all 12 cells so the probe can't hide it)
+      val hot = get(s"/ann/topk/hot?vec=$q&k=100&nprobe=12")
+      val cold = get(s"/ann/topk?vec=$q&k=100&nprobe=12")
+      assert(hot === cold, s"hot/cold divergence on degenerate corpus")
+      assert(hot._1 === 200 && !hot._2.contains("\"vec_id\":99"),
+        s"zero-norm member must be excluded: ${hot._2.take(200)}")
+      // exact tier scans the same full corpus here (nprobe covered every
+      // cell), so it must agree too — same norm > 0 exclusion rule
+      assert(get(s"/ann/topk/exact?vec=$q&k=100")._2 === cold._2,
+        "exact tier excludes the zero-norm member under the same rule")
+      // k/nprobe validation is the SAME positive-int contract in every
+      // tier: k=0, k=-1, junk k, junk nprobe are 400s — never a 500
+      // (cold limit(-1)) vs 200-[] (hot take(-1)) split
+      for (tier <- Seq("/ann/topk", "/ann/topk/hot", "/ann/topk/pq", "/ann/topk/exact");
+           bad <- Seq("k=0", "k=-1", "k=abc")) {
+        assert(get(s"$tier?vec=$q&$bad")._1 === 400, s"$tier?$bad must 400")
+      }
+      for (tier <- Seq("/ann/topk", "/ann/topk/hot", "/ann/topk/pq"))
+        assert(get(s"$tier?vec=$q&nprobe=0")._1 === 400, s"$tier nprobe=0 must 400")
+    } finally rest.stop()
+  }
+
   test("vector serving: label-filtered tier pre-filters inside the index scan — " +
       "full k of the scoped label where a post-filter would come up short") {
     import spark.implicits._
@@ -700,6 +752,14 @@ class ServingSpec extends SparkSpec {
       assert(get("/search/term?k=3")._1 === 400)
       assert(get("/search?q=cat&k=abc")._1 === 400)
       assert(get("/search/term?t=cat&k=-1")._1 === 400)
+      // the hot tier's memory bound is a CONTRACT, not a silent cap
+      // (ADVICE r15 #2): k above MaxTermK is the same 400 in both term
+      // tiers, and AT the bound the tiers still agree byte-for-byte
+      val maxK = SearchRestServing.MaxTermK
+      assert(get(s"/search/term?t=cat&k=${maxK + 1}")._1 === 400)
+      assert(get(s"/search/term/hot?t=cat&k=${maxK + 1}")._1 === 400)
+      assert(get(s"/search/term/hot?t=cat&k=$maxK")
+        === get(s"/search/term?t=cat&k=$maxK"))
     } finally rest.stop()
   }
 
