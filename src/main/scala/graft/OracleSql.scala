@@ -2429,6 +2429,95 @@ object OracleSql {
          |    AS shard_hash
          |FROM pk LEFT JOIN docids d USING (doc_id) GROUP BY 1""".stripMargin
     },
+    // c20 = the incremental shard refresh: d16's 'new' batch docs that
+    // also pass the c10 gates, encoded against the frozen tokenizer, and
+    // packed into bins appended after the STANDING corpus's (doc_id <
+    // cut survivors) last bin — standing shards untouched by
+    // construction (see Composites.deltaShards)
+    "c20_delta_shards" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      val bucketCols = (0 until nBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+        s"md5(${cols.mkString(" || '|' || ")}) AS bucket$b"
+      }.mkString(", ")
+      val bandUnion = (0 until nBands)
+        .map(b => s"SELECT $b AS band, bucket$b AS bucket, doc_id FROM banded")
+        .mkString(" UNION ALL ")
+      val agree = (0 until nPerms)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $prepFunnelCtes,
+         |${minhashCtesWith("m")},
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split(s, '||'), x -> len(x) > 0) AS tl
+         |  FROM t$k),
+         |vc AS (SELECT tok2 AS tok, count(*) AS cnt
+         |  FROM (SELECT unnest(tl) AS tok2 FROM toks) GROUP BY tok2),
+         |vocab AS (SELECT tok, CAST(row_number() OVER (
+         |    ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM vc),
+         |tex AS (SELECT doc_id, i AS pos, tl[i] AS tok
+         |  FROM toks, unnest(range(1, len(tl) + 1)) AS u(i)),
+         |docids AS (SELECT doc_id,
+         |    array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS idstr
+         |  FROM tex JOIN vocab USING (tok) GROUP BY doc_id),
+         |cutt AS (SELECT CAST(floor(count(*) * 0.9) AS BIGINT) AS cut
+         |  FROM documents),
+         |hx AS (SELECT doc_id, md5(text) AS ch FROM documents),
+         |xm AS (SELECT DISTINCT h.doc_id FROM hx h JOIN hx c ON h.ch = c.ch
+         |  CROSS JOIN cutt WHERE h.doc_id >= cut AND c.doc_id < cut),
+         |banded AS (SELECT doc_id, $bucketCols FROM msig),
+         |buckets AS ($bandUnion),
+         |nearb AS (SELECT DISTINCT l.doc_id FROM buckets l
+         |  JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+         |  JOIN msig sa ON l.doc_id = sa.doc_id
+         |  JOIN msig sb ON r.doc_id = sb.doc_id
+         |  CROSS JOIN cutt
+         |  WHERE l.doc_id >= cut AND r.doc_id < cut
+         |    AND CAST($agree AS DOUBLE) / $nPerms >= 0.5),
+         |newdocs AS (SELECT d.doc_id FROM documents d CROSS JOIN cutt
+         |  WHERE d.doc_id >= cut
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM xm)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM nearb)),
+         |ssv AS (SELECT surv.doc_id, len(toks.tl) AS n
+         |  FROM surv JOIN toks USING (doc_id) CROSS JOIN cutt
+         |  WHERE surv.doc_id < cut),
+         |spk AS (SELECT doc_id, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM ssv),
+         |maxb AS (SELECT COALESCE(CAST(max(prefix // $cap) AS BIGINT), -1)
+         |  AS maxbin FROM spk),
+         |dsv AS (SELECT surv.doc_id, len(toks.tl) AS n
+         |  FROM surv JOIN toks USING (doc_id) JOIN newdocs USING (doc_id)
+         |  CROSS JOIN cutt WHERE surv.doc_id >= cut),
+         |dpk AS (SELECT doc_id, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM dsv)
+         |SELECT CAST(maxbin + 1 + (prefix // $cap) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_ids,
+         |  md5(string_agg(coalesce(d.idstr, ''), '|' ORDER BY dpk.doc_id))
+         |    AS shard_hash
+         |FROM dpk CROSS JOIN maxb LEFT JOIN docids d USING (doc_id)
+         |GROUP BY 1""".stripMargin
+    },
     // the drop-reason report: first failing gate in priority order,
     // corpus-relative quantile thresholds (see Composites.qualityReport)
     "c12_quality_report" -> {

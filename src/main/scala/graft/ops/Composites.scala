@@ -478,6 +478,62 @@ object Composites {
         md5(concat(lit(ShuffleSeed + ":d"), col("doc_id").cast("string")))
           .as("doc_key"))
 
+  /** c20: INCREMENTAL SHARD REFRESH — the daily pipeline's last meter
+    * (VERDICT r15 #5): the delta family (d16) decides which of today's
+    * batch documents are NEW against the standing corpus, and this
+    * composes that decision with the trainer layer — new survivors are
+    * encoded (t24/t29, against the FROZEN full-corpus tokenizer
+    * artifact) and packed into bins APPENDED after the standing
+    * corpus's last bin, WITHOUT re-packing a single standing shard.
+    * The standing corpus is the d16 convention (the first 90% by dense
+    * doc_id; [[graft.ops.Dedup.denseCutDf]] is the shared guard), its
+    * shards are c18's pack restricted to standing survivors, and the
+    * delta docs are the batch's d16-'new' verdicts that also pass the
+    * c10 gates — the full ingest discipline: dedup against the corpus,
+    * then quality-gate, then encode, then append.
+    *
+    * Output = the c18 shard report (bin, n_docs, total_ids,
+    * shard_hash) for the NEW bins only — what the refresh job ships;
+    * OpsSpec's golden proves the standing report is byte-unchanged and
+    * every new doc lands strictly after the standing max bin.
+    *
+    * Scale shape: pure composition over memoized materializations (c10
+    * survivors, t24 encode, t29 ids, d16's signature artifact); the
+    * standing side contributes ONE scalar (its max bin — a one-row
+    * broadcast off the same two-level prefix scan c11 runs), and the
+    * delta pack's prefix scan runs over the batch alone (~10% of the
+    * corpus), so a daily refresh never re-shuffles the standing corpus
+    * at any scale. */
+  def deltaShards(s: SparkSession, dir: String): DataFrame = {
+    val cutDf = Dedup.denseCutDf(Tables.documents(s, dir))
+    val enc = TextAnalysis.bpeEncodedMemo(s, dir)
+      .select(col("doc_id"), col("bpe_tokens").cast(LongType).as("n"))
+    val surv = prepSurvivorsMemo(s, dir).select(col("doc_id"))
+      .join(enc, Seq("doc_id"))
+      .crossJoin(broadcast(cutDf))
+    // the standing corpus's last bin — one row off the c11 prefix scan
+    val maxBin = TextAnalysis.packedBins(
+        surv.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("n")))
+      .agg(coalesce(max(col("bin")), lit(-1L)).as("maxbin"))
+    val newIds = Dedup.deltaDedup(s, dir)
+      .filter(col("verdict") === "new").select(col("doc_id"))
+    val delta = surv.filter(col("doc_id") >= col("cut"))
+      .join(newIds, Seq("doc_id")).select(col("doc_id"), col("n"))
+    TextAnalysis.packedBins(delta)
+      .crossJoin(broadcast(maxBin))
+      .select((col("maxbin") + 1 + col("bin")).as("bin"), col("doc_id"))
+      .join(TextAnalysis.tokenIdArrays(s, dir), Seq("doc_id"))
+      .select(col("bin"), col("doc_id"),
+        size(col("ids")).cast(LongType).as("n"),
+        concat_ws(",", transform(col("ids"), i => i.cast("string"))).as("idstr"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_ids"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("idstr")))),
+          x => x.getField("idstr")), "|")).as("shard_hash"))
+  }
+
   /** c12 gate constants: minimum token count, maximum within-doc
     * repetition ratio, and the support quantile below which a document
     * is "atypical" (the LM-filter tail drop). */

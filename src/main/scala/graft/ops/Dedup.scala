@@ -766,27 +766,31 @@ object Dedup {
     * with a map-side-combined min per hash. Within-batch duplicates are
     * deliberately out of scope here — that is d3/d8's job run on the
     * batch alone. */
+  /** The delta family's ONE-ROW batch cut: floor(n·0.9), guarded
+    * (ADVICE r13 #4) — "newest 10%" equals a 10%-by-count batch only
+    * for DENSE 0..n−1 ids (the testdata contract and the ingest
+    * contract of a monotonically-assigned crawl id), so density is
+    * verified in the SAME one-row aggregate that computes the cut
+    * (zero extra jobs) and sparse/offset ids fail loudly instead of
+    * silently cutting the wrong batch. Shared by d16 and c20 so the
+    * dedup verdicts and the shard refresh agree on what "the batch"
+    * is by construction. */
+  private[graft] def denseCutDf(docs: DataFrame): DataFrame =
+    docs.agg(
+      when(min(col("doc_id")) === 0 &&
+          max(col("doc_id")) === count(lit(1)) - 1,
+        floor(count(lit(1)) * 0.9))
+        .otherwise(raise_error(concat(
+          lit("deltaDedup: doc_id must be dense 0..n-1 (got min="),
+          min(col("doc_id")).cast("string"), lit(", max="),
+          max(col("doc_id")).cast("string"), lit(", n="),
+          count(lit(1)).cast("string"),
+          lit(") — use an order-statistic cut for sparse ids"))))
+        .as("cut"))
+
   def deltaDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // PRECONDITION (ADVICE r13 #4): "newest 10%" is defined as
-    // doc_id >= floor(n·0.9), which equals a 10%-by-count batch only for
-    // DENSE 0..n−1 ids — the testdata contract (TESTDATA.md) and the
-    // ingest contract of a monotonically-assigned crawl id. The guard
-    // verifies density in the SAME one-row aggregate that computes the
-    // cut (zero extra jobs) and fails loudly on sparse/offset ids
-    // instead of silently cutting the wrong batch; a sparse-id corpus
-    // needs an order-statistic cut (sort by id, row_number) upstream.
-    val cut = docs.agg(
-        when(min(col("doc_id")) === 0 &&
-            max(col("doc_id")) === count(lit(1)) - 1,
-          floor(count(lit(1)) * 0.9))
-          .otherwise(raise_error(concat(
-            lit("deltaDedup: doc_id must be dense 0..n-1 (got min="),
-            min(col("doc_id")).cast("string"), lit(", max="),
-            max(col("doc_id")).cast("string"), lit(", n="),
-            count(lit(1)).cast("string"),
-            lit(") — use an order-statistic cut for sparse ids"))))
-          .as("cut"))
+    val cut = denseCutDf(docs)
     // exact tier: corpus content-hash set, min-doc partner per hash
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("ch"))
       .crossJoin(broadcast(cut))

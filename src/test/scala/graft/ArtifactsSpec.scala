@@ -227,6 +227,58 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("c20 delta shards: new docs land only AFTER the standing max bin, every " +
+      "delta survivor exactly once, and the persisted standing shards are " +
+      "byte-unchanged by the refresh") {
+    import graft.ops.{Composites, Dedup, TextAnalysis}
+    val n = graft.Tables.documents(spark, dir).count()
+    val cut = math.floor(n * 0.9).toLong
+    // expected delta population: d16-'new' batch docs passing the c10 gates
+    val newIds = Dedup.deltaDedup(spark, dir)
+      .filter(col("verdict") === "new").collect().map(_.getLong(0)).toSet
+    val surv = Composites.prepSurvivorsMemo(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedDocs = (newIds intersect surv).filter(_ >= cut)
+    assert(expectedDocs.nonEmpty, "degenerate corpus: no delta survivors")
+    val delta = Composites.deltaShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(delta.map(_._2).sum === expectedDocs.size,
+      "every delta survivor packed exactly once")
+    // the standing corpus's last bin, computed the c11 way
+    val encDf = TextAnalysis.bpeEncodedMemo(spark, dir)
+      .select(col("doc_id"), col("bpe_tokens").cast("long").as("n"))
+    val standingMax = TextAnalysis.packedBins(
+        Composites.prepSurvivorsMemo(spark, dir).select("doc_id")
+          .join(encDf, Seq("doc_id"))
+          .filter(col("doc_id") < cut).select(col("doc_id"), col("n")))
+      .agg(max(col("bin"))).head.getLong(0)
+    assert(delta.map(_._1).min === standingMax + 1,
+      s"first delta bin must be standingMax+1 (= ${standingMax + 1})")
+    assert(delta.map(_._1).forall(_ > standingMax),
+      "no delta doc may land in a standing bin")
+    // byte-unchanged: persist c18's shard files, run the refresh, and
+    // prove not a single standing shard byte moved
+    withArtifacts { _ =>
+      Composites.trainerShards(spark, dir).count() // persists trainer_shards
+      val base = new java.io.File(Artifacts.path(spark, dir, "trainer_shards"))
+      def snapshot: Map[String, String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(base).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getPath -> java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+        }.toMap
+      }
+      val before = snapshot
+      assert(before.nonEmpty)
+      val refreshed = Composites.deltaShards(spark, dir).collect()
+      assert(refreshed.nonEmpty)
+      assert(snapshot === before,
+        "the incremental refresh must never rewrite a standing shard file")
+    }
+  }
+
   test("drift→rebuild is one call: a tripped decision drops the index artifacts, " +
       "the next readOrBuild rebuilds; an in-distribution corpus keeps them") {
     import spark.implicits._
