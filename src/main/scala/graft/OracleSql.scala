@@ -177,6 +177,94 @@ object OracleSql {
        |    AND boiler_ratio <= (SELECT boiler_thr FROM thr))""".stripMargin
   }
 
+  /** The full s18 IVF-PQ chain — stride-seeded Lloyd-refined coarse
+    * cells, the two-round PQ codebook, per-query ADC tables, the
+    * probed-cell candidate join — ending in `r`(q_id, c_id, adist,
+    * rank). Shared by s18 (rank ≤ 5) and s24 (rank ≤ RerankDepth
+    * short-list, exact-cosine refined). */
+  private lazy val ivfPqAdcCtes: String = {
+    val m = Similarity.PqM
+    val sd = Similarity.PqSubDim
+    val k = Similarity.PqK
+    val nq = Similarity.PqQueries
+    val nprobe = Similarity.NProbe
+    val iters = Similarity.LloydIters
+    val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    val refine = (1 to iters).map { i =>
+      s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
+         |    ${cosSql("e.embedding", "c_emb")} AS csim
+         |  FROM embeddings e CROSS JOIN cents${i - 1}),
+         |as$i AS (SELECT vec_id, embedding, cent_id AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
+         |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
+         |  FROM as$i GROUP BY cell),
+         |cents$i AS (SELECT cent_id,
+         |  [CAST(s AS DOUBLE) / len(ms) for s in
+         |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+         |      for i in range(1, len(a) + 1)])] AS c_emb
+         |  FROM agg$i),""".stripMargin
+    }.mkString("\n")
+    def distSql(cvCast: String) =
+      s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
+         |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
+         |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
+    val codeCols = (0 until m).map(j =>
+      s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
+    val lookJoins = (0 until m).map(j =>
+      s"JOIN dt l$j ON l$j.q_id = qc.q_id AND l$j.m = $j AND l$j.cent = cc.c$j")
+      .mkString("\n  ")
+    val adist = (0 until m).map(j => s"l$j.qd").mkString(" + ")
+    s"""cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % $strideSql = 0),
+       |$refine
+       |scored AS (SELECT e.vec_id, cent_id,
+       |    ${cosSql("e.embedding", "c_emb")} AS csim
+       |  FROM embeddings e CROSS JOIN cents$iters),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rk = 1),
+       |qc AS (SELECT vec_id AS q_id, cent_id AS cell
+       |  FROM ranked WHERE vec_id < $nq AND rk <= $nprobe),
+       |msq AS (SELECT unnest(range(0, $m)) AS m),
+       |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
+       |  FROM embeddings CROSS JOIN msq),
+       |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
+       |  FROM sub WHERE vec_id < $k),
+       |d0 AS (SELECT s.vec_id, s.m, cent,
+       |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
+       |  FROM sub s JOIN c0 USING (m)),
+       |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
+       |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
+       |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
+       |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
+       |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
+       |      for i in range(1, len(a) + 1)])] AS cv
+       |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
+       |d1 AS (SELECT s.vec_id, s.m, cent,
+       |    ${distSql("cv[i]")} AS d
+       |  FROM sub s JOIN c1 USING (m)),
+       |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
+       |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
+       |dt AS (SELECT s.vec_id AS q_id, s.m, cent,
+       |    ${distSql("cv[i]")} AS qd
+       |  FROM sub s JOIN c1 USING (m) WHERE s.vec_id < $nq),
+       |cc AS (SELECT codes.vec_id, cell, c0, c1, c2, c3
+       |  FROM codes JOIN cells USING (vec_id)),
+       |j AS (SELECT qc.q_id, cc.vec_id AS c_id,
+       |    round($adist, 6) AS adist
+       |  FROM cc JOIN qc USING (cell)
+       |  $lookJoins
+       |  WHERE qc.q_id <> cc.vec_id),
+       |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+       |  FROM j)""".stripMargin
+  }
+
   /** Scaled simhash CTE chain (Dedup.simhashScaled): word hash = 60 bits
     * from md5 hex chars 1-15 masked to `bits`, votes/fingerprint as the
     * 32-bit form. Ends in sim(doc_id, simhash). */
@@ -1075,88 +1163,26 @@ object OracleSql {
     // runs ONLY over probed cells' codes — one cell-equality join before
     // the four lookup joins (cc JOIN qc USING (cell)), mirroring the
     // engine's prune-before-ADC plan exactly
-    "s18_ivfpq" -> {
-      val m = Similarity.PqM
-      val sd = Similarity.PqSubDim
-      val k = Similarity.PqK
-      val nq = Similarity.PqQueries
-      val nprobe = Similarity.NProbe
-      val iters = Similarity.LloydIters
-      val strideSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
-      val refine = (1 to iters).map { i =>
-        s"""sc$i AS (SELECT e.vec_id, e.embedding, cent_id,
-           |    ${cosSql("e.embedding", "c_emb")} AS csim
-           |  FROM embeddings e CROSS JOIN cents${i - 1}),
-           |as$i AS (SELECT vec_id, embedding, cent_id AS cell
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY csim DESC, cent_id ASC) AS rk FROM sc$i) WHERE rk = 1),
-           |agg$i AS (SELECT cell AS cent_id, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS ms
-           |  FROM as$i GROUP BY cell),
-           |cents$i AS (SELECT cent_id,
-           |  [CAST(s AS DOUBLE) / len(ms) for s in
-           |    list_reduce(ms, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
-           |      for i in range(1, len(a) + 1)])] AS c_emb
-           |  FROM agg$i),""".stripMargin
-      }.mkString("\n")
-      def distSql(cvCast: String) =
-        s"""list_reduce([0.0] || [(CAST(s.sv[i] AS DOUBLE) - $cvCast)
-           |      * (CAST(s.sv[i] AS DOUBLE) - $cvCast)
-           |    for i in range(1, ${sd + 1})], (acc, x) -> acc + x)""".stripMargin
-      val codeCols = (0 until m).map(j =>
-        s"CAST(max(CASE WHEN m = $j THEN cell END) AS INTEGER) AS c$j").mkString(",\n  ")
-      val lookJoins = (0 until m).map(j =>
-        s"JOIN dt l$j ON l$j.q_id = qc.q_id AND l$j.m = $j AND l$j.cent = cc.c$j")
-        .mkString("\n  ")
-      val adist = (0 until m).map(j => s"l$j.qd").mkString(" + ")
-      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb
-         |  FROM embeddings WHERE vec_id % $strideSql = 0),
-         |$refine
-         |scored AS (SELECT e.vec_id, cent_id,
-         |    ${cosSql("e.embedding", "c_emb")} AS csim
-         |  FROM embeddings e CROSS JOIN cents$iters),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, cent_id ASC) AS rk FROM scored),
-         |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rk = 1),
-         |qc AS (SELECT vec_id AS q_id, cent_id AS cell
-         |  FROM ranked WHERE vec_id < $nq AND rk <= $nprobe),
-         |msq AS (SELECT unnest(range(0, $m)) AS m),
-         |sub AS (SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sv
-         |  FROM embeddings CROSS JOIN msq),
-         |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cent, sv AS cv
-         |  FROM sub WHERE vec_id < $k),
-         |d0 AS (SELECT s.vec_id, s.m, cent,
-         |    ${distSql("CAST(cv[i] AS DOUBLE)")} AS d
-         |  FROM sub s JOIN c0 USING (m)),
-         |a0 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY d ASC, cent ASC) AS rk FROM d0) WHERE rk = 1),
-         |g1 AS (SELECT m, cell, list(CAST(sv AS DOUBLE[]) ORDER BY vec_id) AS msv
-         |  FROM a0 JOIN sub USING (vec_id, m) GROUP BY m, cell),
-         |c1 AS (SELECT m, cent, [CAST(x AS DOUBLE) / len(msv) for x in
-         |    list_reduce(msv, (a, b) -> [a[i] + CAST(b[i] AS DOUBLE)
-         |      for i in range(1, len(a) + 1)])] AS cv
-         |  FROM (SELECT m, CAST(cell AS INTEGER) AS cent, msv FROM g1)),
-         |d1 AS (SELECT s.vec_id, s.m, cent,
-         |    ${distSql("cv[i]")} AS d
-         |  FROM sub s JOIN c1 USING (m)),
-         |a1 AS (SELECT vec_id, m, cent AS cell FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY d ASC, cent ASC) AS rk FROM d1) WHERE rk = 1),
-         |codes AS (SELECT vec_id, $codeCols FROM a1 GROUP BY vec_id),
-         |dt AS (SELECT s.vec_id AS q_id, s.m, cent,
-         |    ${distSql("cv[i]")} AS qd
-         |  FROM sub s JOIN c1 USING (m) WHERE s.vec_id < $nq),
-         |cc AS (SELECT codes.vec_id, cell, c0, c1, c2, c3
-         |  FROM codes JOIN cells USING (vec_id)),
-         |j AS (SELECT qc.q_id, cc.vec_id AS c_id,
-         |    round($adist, 6) AS adist
-         |  FROM cc JOIN qc USING (cell)
-         |  $lookJoins
-         |  WHERE qc.q_id <> cc.vec_id),
-         |r AS (SELECT q_id, c_id, adist, CAST(row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
-         |  FROM j)
-         |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin
+    "s18_ivfpq" ->
+      s"""WITH $ivfPqAdcCtes
+         |SELECT q_id, rank, c_id, adist FROM r WHERE rank <= 5""".stripMargin,
+    // s24 = the s18 chain widened to the top-RerankDepth ADC short-list,
+    // then exact cosine over ONLY those candidates (IVFADC-R; ranked by
+    // the unrounded sim, the s1 discipline)
+    "s24_ivfpq_rerank" -> {
+      val depth = Similarity.RerankDepth
+      s"""WITH $ivfPqAdcCtes,
+         |cand AS (SELECT q_id, c_id FROM r WHERE rank <= $depth),
+         |ex AS (SELECT cand.q_id, cand.c_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |  JOIN embeddings ce ON ce.vec_id = cand.c_id),
+         |rr AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+         |  FROM ex)
+         |SELECT q_id, rank, c_id, round(sim, 6) AS sim
+         |FROM rr WHERE rank <= 5""".stripMargin
     },
     // filtered IVF-PQ: the s18 chain with the label folded INTO both the
     // query-cell and coded-cell tables and the candidate join keyed on

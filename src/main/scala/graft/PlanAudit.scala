@@ -176,6 +176,9 @@ object PlanAudit {
       ("s23_filtered_ivfpq", "filtered IVF-PQ composes s19's pre-filter with s18's code-only scan: the label is part of the candidate EQUALITY join key ((cell, label) — BroadcastHashJoin, pre-filter semantics, never a post-filtered top-k) and the scored side is the checkpointed PQ code table (ExistingRDD) — no floats at scan time; the four ADC lookups and the query-label attach are bounded broadcasts, per-query top-5 plans WindowGroupLimit",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),
+      ("s24_ivfpq_rerank", "IVFADC-R exact rerank: the short-list stage is s18's pruned code-only plan unchanged (ExistingRDD index, probed-cell equality join, WindowGroupLimit at rank ≤ RerankDepth), and the refinement adds exactly the BOUNDED R·Q-row full-vector fetch — a primary-key hash join of the candidate ids against the embeddings table (co-partitionable by vec_id bucketing at 100 TB; the R·queries float reads ARE the refinement's entire I/O) plus the broadcast ≤PqQueries query side — then an exact-cosine WindowGroupLimit top-5; no cartesian anywhere, floats touched only for the short-list",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
+        Seq("CartesianProduct")),
       ("t26_pii_scrub", "PII scrub is one narrow codegen'd projection pipeline over the corpus scan — four regexp counts and the nested redaction chain per row, zero shuffles, zero joins, no UDFs; the per-doc report filter is pushed into the same stage",
         Seq("FileScan parquet"),
         Seq("Exchange hashpartitioning", "Window", "CartesianProduct",
@@ -207,7 +210,10 @@ object PlanAudit {
       ("c19_pack_manifest", "the loader manifest adds ONLY per-row column work to the packing pass: offsets fall out of the c11 two-level prefix scan (row-grain Window partitioned by the doc-id bucket; the single-partition window sees bucket summaries only) and the seeded shuffle keys are md5 projections — no global sort, no new shuffle beyond the packing aggregation, inputs are the survivor/encode memos (ExistingRDD)",
         Seq("ExistingRDD", "Window"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin",
-          "Exchange rangepartitioning"))
+          "Exchange rangepartitioning")),
+      ("c20_delta_shards", "the incremental refresh never re-shuffles the standing corpus: the standing side collapses to ONE broadcast scalar (its max bin, off the same two-level prefix scan c11 runs over the survivor/encode memos — ExistingRDD inputs), the delta pack's prefix scan runs over the ~10% batch alone, d16's verdicts come from the banded signature join (equality keys, never all-pairs), and the only nested-loops are the sanctioned one-row cut/max-bin broadcasts — no cartesian, no global sort",
+        Seq("ExistingRDD", "Window"),
+        Seq("CartesianProduct", "Exchange rangepartitioning"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint
@@ -249,6 +255,12 @@ object PlanAudit {
     * construction). An un-partitioned Window over a corpus-proportional
     * column (doc_id, a raw value histogram) is the single-partition sort
     * this audit exists to prevent. */
+  // c18/c20 are NOT here: their plans legitimately carry bpeVocabFrame's
+  // vocabulary-grain id-assignment window (ordered by cnt/token — the
+  // documented t19/t23 bound, input grows with vocabulary, never with
+  // document count), which this bucket-grain-only audit would flag. Their
+  // two-level prefix scans are pinned through c11/c19, which share the
+  // exact packedBins code path.
   val globalWindowChecks: Seq[String] = Seq(
     "w5_late_data", "t17_sequence_pack", "c10_prep_full",
     "c11_prep_packed", "c12_quality_report", "c19_pack_manifest")

@@ -133,6 +133,7 @@ object SparkEntry {
     "s21_sq8"           -> (Similarity.sq8Quantize _),
     "s22_ivfpq_residual" -> (Similarity.resIvfPqTopK _),
     "s23_filtered_ivfpq" -> (Similarity.filteredIvfPqTopK _),
+    "s24_ivfpq_rerank"  -> (Similarity.ivfPqRerankTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

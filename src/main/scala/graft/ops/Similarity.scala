@@ -621,11 +621,21 @@ object Similarity {
     * behavior, one fewer codebook family, and exactly reproducible by
     * the DuckDB oracle. Recall vs the exact baseline and vs flat ADC is
     * measured in SimilaritySpec. */
-  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(s, dir, NProbe, 5)
+
+  /** The s18 search parameterized by its two production knobs — `nprobe`
+    * (coarse cells probed per query; THE recall/cost lever, swept in
+    * SimilaritySpec and BASELINE.md's recall curve) and `depth` (ranks
+    * kept per query; s24's rerank reads a deeper candidate list from the
+    * SAME plan). Same plan shape at every setting: the probed-cell
+    * equality join prunes before any ADC lookup, zero parquet scans. */
+  private[graft] def ivfPqRanked(s: SparkSession, dir: String,
+      nprobe: Int, depth: Int): DataFrame = {
     val idx = ivfPqIndexOf(s, dir)
     val pq = pqIndex(s, dir)
-    // query side: NProbe nearest coarse cells per query (bounded — C
-    // rows scored per query, window top-NProbe) plus the K·M ADC
+    // query side: nprobe nearest coarse cells per query (bounded — C
+    // rows scored per query, window top-nprobe) plus the K·M ADC
     // distance tables, both broadcast. The bench query vectors are
     // re-assembled FROM the index's subvector materialization (M slices
     // concatenated in subspace order = the original vector bit-for-bit),
@@ -637,7 +647,7 @@ object Similarity {
         array_sort(collect_list(struct(col("m"), col("sv")))),
         x => x.getField("sv"))).as("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-    val qcells = nearestCells(qemb, NProbe, idx.cents)
+    val qcells = nearestCells(qemb, nprobe, idx.cents)
       .select(col("vec_id").as("q_id"), col("cell"))
     val dtab = pq.sub.filter(col("vec_id") < PqQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
@@ -661,8 +671,52 @@ object Similarity {
       .withColumn("adist", round(
         col("qd0") + col("qd1") + col("qd2") + col("qd3"), 6))
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= depth)
       .select(col("q_id"), col("rank"), col("vec_id").as("c_id"), col("adist"))
+  }
+
+  /** Candidates the rerank tier refines per query — Jégou et al.'s
+    * IVFADC-R short-list size R. */
+  val RerankDepth = 20
+
+  /** IVF-PQ WITH EXACT RERANK (s24) — the standard IVFADC refinement
+    * step (Jégou et al. §V: re-rank the R-candidate short-list by exact
+    * distance): the s18 plan produces each query's top-[[RerankDepth]]
+    * ADC candidates (codes only, never a float), and ONLY those R·Q
+    * rows fetch their full vectors — a primary-key hash join against
+    * the embeddings table (bucketed co-partitioned at 100 TB; R floats
+    * per query is the refinement's entire I/O cost) — for an exact
+    * cosine top-5. Recall is bounded below by s18's (the exact re-order
+    * of a superset of s18's top-5 can only keep or add true
+    * neighbors) and measured against it in SimilaritySpec; this is the
+    * knob that buys back the pinned isotropic-corpus recall without
+    * touching NProbe's scan cost. Ranked by the UNROUNDED similarity
+    * (the s1 discipline), rounded for display. */
+  def ivfPqRerankTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqRerankWith(s, dir, NProbe)
+
+  /** [[ivfPqRerankTopK]] at an explicit probe width — the
+    * SimilaritySpec/BASELINE recall-curve knob. */
+  private[graft] def ivfPqRerankWith(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val cand = ivfPqRanked(s, dir, nprobe, RerankDepth)
+      .select(col("q_id"), col("c_id"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_norm"))
+    val ce = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      l2norm(col("embedding")).as("c_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    cand
+      .join(ce, Seq("c_id")) // the R·Q-bounded full-vector fetch
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
   }
 
   /** FILTERED IVF-PQ SEARCH (s23) — s19's pre-filter discipline

@@ -354,6 +354,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqIndexOf(spark, sf01), "index must be memoized")
   }
 
+  test("s24 exact rerank: recall never below s18's at every NProbe, and " +
+      "rerank recall is non-decreasing in NProbe (the knob curve's spec pin)") {
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf01))
+    val sweep = Seq(1, 2, 4, 8)
+    val rows = sweep.map { np =>
+      val adc = pairs(Similarity.ivfPqRanked(spark, sf01, np, 5))
+      val rr = pairs(Similarity.ivfPqRerankWith(spark, sf01, np))
+      val rAdc = (adc & truth).size.toDouble / truth.size
+      val rRr = (rr & truth).size.toDouble / truth.size
+      info(f"nprobe=$np: adc=$rAdc%.3f rerank=$rRr%.3f")
+      // provable dominance, asserted hard: s24's top-5 is the exact
+      // re-order of a SUPERSET of s18's top-5, and a global-top-5
+      // member can be displaced only by the <5 vectors above it — so
+      // the rerank can never lose a true neighbor the ADC kept
+      assert(rRr >= rAdc,
+        f"rerank must dominate ADC at nprobe=$np: $rRr%.3f < $rAdc%.3f")
+      (np, rAdc, rRr)
+    }
+    // rerank recall is monotone in NProbe for the same reason: a wider
+    // probe grows the candidate set, and exact re-ranking of a superset
+    // cannot drop a true neighbor from the top-5
+    rows.sliding(2).foreach { case Seq((n1, _, r1), (n2, _, r2)) =>
+      assert(r2 >= r1,
+        f"rerank recall fell with wider probe: nprobe=$n1→$r1%.3f nprobe=$n2→$r2%.3f")
+    }
+    // the default-knob result (what s24 ships) clears a real floor above
+    // the s18 default measured this round — the knob buys recall back
+    val (_, adcDefault, rrDefault) = rows.find(_._1 == Similarity.NProbe).get
+    assert(rrDefault > 0.0, "rerank found no true neighbors at the default knob")
+    assert(rrDefault >= adcDefault)
+  }
+
   test("filteredIvfTopK: label-scoped results, pre-filter beats post-filter, filtered recall") {
     val emb = graft.Tables.embeddings(spark, sf01)
       .select(col("vec_id"), col("label")).collect()
