@@ -227,6 +227,81 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("shard-consumer round trip: the reader reconstructs the continuous token " +
+      "stream — ids hash-equal to t29, offsets+lengths tile every shard, the " +
+      "seeded order is a reproducible permutation; second session reads the " +
+      "artifact shard files") {
+    import graft.ops.{Composites, TextAnalysis}
+    val cap = TextAnalysis.PackCapacity
+    def readerRows = Composites.shardReader(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq,
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))
+    }
+    val rows = readerRows
+    assert(rows.nonEmpty)
+    // 1) declared length == actual id-array length, everywhere
+    rows.foreach { case (_, d, ids, n, _, _, _) =>
+      assert(ids.size.toLong === n, s"doc $d: manifest n_tokens != ids length") }
+    // 2) the ids are EXACTLY t29's encode: per-doc md5 of the
+    //    comma-joined decimal ids equals the independently-computed id_hash
+    val t29 = TextAnalysis.tokenIds(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getString(2))).toMap
+    rows.foreach { case (_, d, ids, n, _, _, _) =>
+      val (tn, th) = t29(d)
+      assert(n === tn, s"doc $d token count vs t29")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h === th, s"doc $d ids differ from t29's encode")
+    }
+    // 3) offsets tile the stream: global position (bin·cap + start_offset)
+    //    is the exclusive running sum of lengths in doc_id order — every
+    //    doc starts exactly where the previous one ended, across bin
+    //    boundaries too (docs are assigned to the bin where they START)
+    var expect = 0L
+    rows.sortBy(_._2).foreach { case (b, d, _, n, off, _, _) =>
+      assert(b * cap + off === expect,
+        s"doc $d: global offset ${b * cap + off} != running sum $expect")
+      assert(off >= 0 && off < cap, s"doc $d: start_offset $off outside [0, $cap)")
+      expect += n
+    }
+    // 4) the seeded training order is a deterministic PERMUTATION of all
+    //    packed docs: reproducible across reads, covering every doc once,
+    //    and actually different from plain doc_id order (it IS a shuffle)
+    def order(rs: Array[(Long, Long, Seq[Int], Long, Long, String, String)]) =
+      rs.sortBy { case (_, d, _, _, _, sk, dk) => (sk, dk, d) }.map(_._2).toSeq
+    val o1 = order(rows)
+    val o2 = order(readerRows)
+    assert(o1 === o2, "training order must be reproducible")
+    assert(o1.sorted === rows.map(_._2).sorted.toSeq, "order must be a permutation")
+    assert(o1 !== o1.sorted, "seeded keys must actually shuffle the doc order")
+    // 5) second session: with the store on, the shard side of the reader
+    //    is a plain FileScan of the persisted artifact — every parquet
+    //    scan in the plan points at the store, everything else is a memo
+    //    (ExistingRDD); the corpus is never re-read for the id arrays
+    withArtifacts { tmp =>
+      Composites.trainerShards(spark, dir).count() // persists trainer_shards
+      Composites.invalidateSurvivors()
+      TextAnalysis.invalidateBpeEncoded()
+      TextAnalysis.invalidateBpeRendered()
+      TextAnalysis.invalidateBpeMerges()
+      val reader = Composites.shardReader(spark, dir)
+      val plan = reader.queryExecution.executedPlan.toString
+      assert(plan.contains(tmp), s"shard side must read the artifact store:\n$plan")
+      val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      assert(scans.nonEmpty)
+      scans.foreach(l => assert(l.contains(tmp),
+        s"every FileScan must point at the store, got: ${l.trim.take(160)}"))
+      val rows2 = reader.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq,
+          r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))
+      }
+      assert(rows2.map(t => (t._1, t._2, t._3)).sortBy(_._2).toSeq
+        === rows.map(t => (t._1, t._2, t._3)).sortBy(_._2).toSeq,
+        "artifact-backed reader must reconstruct the identical shards")
+    }
+  }
+
   test("c20 delta shards: new docs land only AFTER the standing max bin, every " +
       "delta survivor exactly once, and the persisted standing shards are " +
       "byte-unchanged by the refresh") {
