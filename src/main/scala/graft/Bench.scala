@@ -167,6 +167,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_best":$totalBest,"reps":$reps,""" +
       s""""calib_sec":$calibStart,"calib_sec_end":$calibEnd,""" +
+      s""""calib_warning":${Calib.warning(calibStart, calibEnd)},""" +
       s""""load1_start":$loadStart,"load1_end":$load1,""" +
       s""""load_warning":$loadWarn,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,""" +
@@ -186,5 +187,6 @@ object Bench {
     // query is dropped from `total`, shrinking it) — so a run with errors
     // exits nonzero and can never be read as a fast baseline.
     if (errors.nonEmpty) sys.exit(1)
+    Calib.enforce(calibStart, calibEnd)
   }
 }

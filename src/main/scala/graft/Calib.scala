@@ -45,4 +45,30 @@ object Calib {
   /** Rounded for JSON embedding. */
   def runRounded(spark: SparkSession): Double =
     math.round(run(spark) * 1000.0) / 1000.0
+
+  /** Contamination gate (VERDICT r15 #2): the probe exists so a
+    * contaminated capture can't silently become a round's committed
+    * record — this threshold makes it a GATE instead of a footnote.
+    * Idle reference on this box is ≈0.7 s; quiet-epoch captures start
+    * 0.7–1.4 s; the round-15 SERVBENCH capture whose Spark-tier rows
+    * inverted the routing story started at 2.1 s. Default 1.5 s splits
+    * those regimes; override with SPARK_GRAFT_CALIB_MAX. */
+  def warnThreshold: Double =
+    sys.env.get("SPARK_GRAFT_CALIB_MAX").map(_.toDouble).getOrElse(1.5)
+
+  /** True when any probe reading exceeds [[warnThreshold]] — emitted as
+    * `calib_warning` in every bench JSON beside the raw `calib_sec`. */
+  def warning(calibs: Double*): Boolean = calibs.exists(_ > warnThreshold)
+
+  /** Refuse mode: with SPARK_GRAFT_CALIB_STRICT=1 a contaminated capture
+    * exits nonzero AFTER printing its JSON (the numbers stay inspectable;
+    * the nonzero exit keeps a capture script from committing them). */
+  def enforce(calibs: Double*): Unit =
+    if (sys.env.get("SPARK_GRAFT_CALIB_STRICT").contains("1") &&
+        warning(calibs: _*)) {
+      System.err.println(f"[graft] calib gate: probe ${calibs.map(c => f"$c%.2f").mkString("/")} s " +
+        f"exceeds $warnThreshold%.2f s — contaminated capture refused " +
+        "(unset SPARK_GRAFT_CALIB_STRICT to keep it)")
+      sys.exit(3)
+    }
 }

@@ -88,6 +88,18 @@ object ScaleData {
     val liMult = if (args.length > 3) args(3).toInt else mult
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val liRows = write(outDir, srcDir, mult, liMult, spark)
+    println(s"""{"out":"$outDir","docs":${5000 * mult},"vecs":${2000 * mult},""" +
+      s""""lineitem":$liRows,"mult":$mult,"li_mult":$liMult}""")
+    spark.stop()
+  }
+
+  /** The corpus generator body, callable from tests (the decade-recall
+    * spec regenerates a missing git-ignored corpus instead of failing on
+    * a fresh checkout — byte-stable, so pinned floors stay valid).
+    * Returns the synthesized lineitem row count. */
+  def write(outDir: String, srcDir: String, mult: Int, liMult: Int,
+      spark: org.apache.spark.sql.SparkSession): Long = {
     import spark.implicits._
     val rnd = new scala.util.Random(8008)
 
@@ -143,8 +155,6 @@ object ScaleData {
         Paths.get(s"$outDir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"""{"out":"$outDir","docs":$nDocs,"vecs":$nVecs,""" +
-      s""""lineitem":${li.count() * liMult},"mult":$mult,"li_mult":$liMult}""")
-    spark.stop()
+    li.count() * liMult
   }
 }

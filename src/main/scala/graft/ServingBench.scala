@@ -197,7 +197,8 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
+    Calib.enforce(calibStart)
   }
 }

@@ -695,11 +695,21 @@ object Similarity {
   def ivfPqRerankTopK(s: SparkSession, dir: String): DataFrame =
     ivfPqRerankWith(s, dir, NProbe)
 
-  /** [[ivfPqRerankTopK]] at an explicit probe width — the
-    * SimilaritySpec/BASELINE recall-curve knob. */
+  /** [[ivfPqRerankTopK]] at an explicit probe width and short-list
+    * depth — the SimilaritySpec/BASELINE recall-curve knobs. The two
+    * knobs buy recall in DIFFERENT regimes (measured, BASELINE.md
+    * "recall-vs-knob curves"): on isotropic corpora the limiter is
+    * probe coverage, so widening `nprobe` lifts rerank recall
+    * monotonically; on clustered corpora probing is already
+    * near-perfect and the limiter is ADC code fidelity churning the
+    * fixed-R short-list — there deepening `depth` is the lever and
+    * widening nprobe alone can even lose a true neighbor (more
+    * candidates compete for the same R slots). Per-width dominance
+    * (rerank ≥ ADC at the SAME width) is provable; cross-width
+    * monotonicity at fixed R is an empirical property of the corpus. */
   private[graft] def ivfPqRerankWith(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
-    val cand = ivfPqRanked(s, dir, nprobe, RerankDepth)
+      nprobe: Int, depth: Int = RerankDepth): DataFrame = {
+    val cand = ivfPqRanked(s, dir, nprobe, depth)
       .select(col("q_id"), col("c_id"))
     val emb = Tables.embeddings(s, dir)
     val qe = emb.filter(col("vec_id") < PqQueries)

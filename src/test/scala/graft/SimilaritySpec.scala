@@ -372,9 +372,14 @@ class SimilaritySpec extends SparkSpec {
         f"rerank must dominate ADC at nprobe=$np: $rRr%.3f < $rAdc%.3f")
       (np, rAdc, rRr)
     }
-    // rerank recall is monotone in NProbe for the same reason: a wider
-    // probe grows the candidate set, and exact re-ranking of a superset
-    // cannot drop a true neighbor from the top-5
+    // rerank recall is monotone in NProbe HERE (isotropic corpus,
+    // deterministic data + build — an empirical pin, not a theorem: at
+    // fixed RerankDepth a wider probe adds candidates that compete for
+    // the same R short-list slots, and on CLUSTERED corpora that churn
+    // measurably inverts the curve — BASELINE.md "recall-vs-knob
+    // curves", sf1c row, where depth is the lever instead). On the
+    // isotropic regime the limiter is probe coverage, so the curve
+    // rises; this assertion pins that measured shape.
     rows.sliding(2).foreach { case Seq((n1, _, r1), (n2, _, r2)) =>
       assert(r2 >= r1,
         f"rerank recall fell with wider probe: nprobe=$n1→$r1%.3f nprobe=$n2→$r2%.3f")
@@ -384,6 +389,22 @@ class SimilaritySpec extends SparkSpec {
     val (_, adcDefault, rrDefault) = rows.find(_._1 == Similarity.NProbe).get
     assert(rrDefault > 0.0, "rerank found no true neighbors at the default knob")
     assert(rrDefault >= adcDefault)
+    // the SECOND knob — short-list depth R at fixed probe width — IS
+    // provably monotone (unlike nprobe): the ADC top-R1 list is a prefix
+    // of the top-R2 list for R1<R2 under the same deterministic ordering,
+    // and an exact re-rank of a superset cannot drop a global-top-5
+    // neighbor. This is the lever for CLUSTERED corpora (BASELINE.md:
+    // sf1c rerank 0.10 → 0.72 from R=20 → 200 while nprobe buys nothing)
+    val depthRows = Seq(10, 20, 50).map { d =>
+      val r = pairs(Similarity.ivfPqRerankWith(spark, sf01, Similarity.NProbe, d))
+      val rec = (r & truth).size.toDouble / truth.size
+      info(f"depth=$d: rerank=$rec%.3f")
+      (d, rec)
+    }
+    depthRows.sliding(2).foreach { case Seq((d1, r1), (d2, r2)) =>
+      assert(r2 >= r1,
+        f"rerank recall fell with deeper short-list: R=$d1→$r1%.3f R=$d2→$r2%.3f")
+    }
   }
 
   test("filteredIvfTopK: label-scoped results, pre-filter beats post-filter, filtered recall") {
@@ -674,6 +695,15 @@ class SimilaritySpec extends SparkSpec {
     val sf1c = "/root/repo/testdata-sf1c"
     if (!new java.io.File(s"$sf1c/embeddings.parquet").exists())
       graft.ScaleData.writeClusteredEmbeddings(sf1c, 10, spark)
+    // the isotropic decade corpora are git-ignored; a fresh checkout
+    // regenerates them here (byte-stable seeded generator — the pinned
+    // floors below stay valid; see ScaleData.write)
+    if (!new java.io.File("/root/repo/testdata-sf1/embeddings.parquet").exists())
+      graft.ScaleData.write("/root/repo/testdata-sf1", "/root/testdata/sf0.1",
+        10, 10, spark)
+    if (!new java.io.File("/root/repo/testdata-sf10/embeddings.parquet").exists())
+      graft.ScaleData.write("/root/repo/testdata-sf10", "/root/testdata/sf0.1",
+        100, 1, spark)
     val results = Seq(
       ("/root/repo/testdata-sf1", Map("s18" -> 0.10, "s22" -> 0.02,
         "s19" -> 0.12, "s23" -> 0.06)),
