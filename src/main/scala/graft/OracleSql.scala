@@ -180,8 +180,8 @@ object OracleSql {
   /** The full s18 IVF-PQ chain — stride-seeded Lloyd-refined coarse
     * cells, the two-round PQ codebook, per-query ADC tables, the
     * probed-cell candidate join — ending in `r`(q_id, c_id, adist,
-    * rank). Shared by s18 (rank ≤ 5) and s24 (rank ≤ RerankDepth
-    * short-list, exact-cosine refined). */
+    * rank). Shared by s18 (rank ≤ 5) and s24/s25 (rank ≤ R short-list,
+    * exact-cosine refined). */
   private lazy val ivfPqAdcCtes: String = {
     val m = Similarity.PqM
     val sd = Similarity.PqSubDim
@@ -264,6 +264,25 @@ object OracleSql {
        |    PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
        |  FROM j)""".stripMargin
   }
+
+  /** The IVFADC-R rerank query at an explicit short-list depth R —
+    * shared by s24 (R = RerankDepth) and s25 (R = DeepRerankDepth):
+    * the s18 chain widened to the top-R ADC candidates, then exact
+    * cosine over ONLY those rows (ranked by the unrounded sim, the s1
+    * discipline). */
+  private def ivfPqRerankSql(depth: Int): String =
+    s"""WITH $ivfPqAdcCtes,
+       |cand AS (SELECT q_id, c_id FROM r WHERE rank <= $depth),
+       |ex AS (SELECT cand.q_id, cand.c_id,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.c_id),
+       |rr AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+       |  FROM ex)
+       |SELECT q_id, rank, c_id, round(sim, 6) AS sim
+       |FROM rr WHERE rank <= 5""".stripMargin
 
   /** Scaled simhash CTE chain (Dedup.simhashScaled): word hash = 60 bits
     * from md5 hex chars 1-15 masked to `bits`, votes/fingerprint as the
@@ -1169,21 +1188,10 @@ object OracleSql {
     // s24 = the s18 chain widened to the top-RerankDepth ADC short-list,
     // then exact cosine over ONLY those candidates (IVFADC-R; ranked by
     // the unrounded sim, the s1 discipline)
-    "s24_ivfpq_rerank" -> {
-      val depth = Similarity.RerankDepth
-      s"""WITH $ivfPqAdcCtes,
-         |cand AS (SELECT q_id, c_id FROM r WHERE rank <= $depth),
-         |ex AS (SELECT cand.q_id, cand.c_id,
-         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
-         |  FROM cand
-         |  JOIN embeddings qe ON qe.vec_id = cand.q_id
-         |  JOIN embeddings ce ON ce.vec_id = cand.c_id),
-         |rr AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
-         |    PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
-         |  FROM ex)
-         |SELECT q_id, rank, c_id, round(sim, 6) AS sim
-         |FROM rr WHERE rank <= 5""".stripMargin
-    },
+    "s24_ivfpq_rerank" -> ivfPqRerankSql(Similarity.RerankDepth),
+    // s25 = the identical chain at the DEEP short-list (R=100) — the
+    // clustered-regime knob setting from BASELINE.md's measured curve
+    "s25_ivfpq_rerank_deep" -> ivfPqRerankSql(Similarity.DeepRerankDepth),
     // filtered IVF-PQ: the s18 chain with the label folded INTO both the
     // query-cell and coded-cell tables and the candidate join keyed on
     // (cell, label) — pre-filter semantics over the code-only scan

@@ -179,6 +179,9 @@ object PlanAudit {
       ("s24_ivfpq_rerank", "IVFADC-R exact rerank: the short-list stage is s18's pruned code-only plan unchanged (ExistingRDD index, probed-cell equality join, WindowGroupLimit at rank ≤ RerankDepth), and the refinement adds exactly the BOUNDED R·Q-row full-vector fetch — a primary-key hash join of the candidate ids against the embeddings table (co-partitionable by vec_id bucketing at 100 TB; the R·queries float reads ARE the refinement's entire I/O) plus the broadcast ≤PqQueries query side — then an exact-cosine WindowGroupLimit top-5; no cartesian anywhere, floats touched only for the short-list",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("CartesianProduct")),
+      ("s25_ivfpq_rerank_deep", "the deep-short-list rerank (R=100, the clustered-regime knob from BASELINE's measured curve) must plan IDENTICALLY to s24 — only the WindowGroupLimit bound changes: same pruned code-only short-list stage, same bounded R·Q full-vector primary-key fetch, same exact-cosine top-5; deepening R may never change the plan's shape, only its candidate row count",
+        Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
+        Seq("CartesianProduct")),
       ("t26_pii_scrub", "PII scrub is one narrow codegen'd projection pipeline over the corpus scan — four regexp counts and the nested redaction chain per row, zero shuffles, zero joins, no UDFs; the per-doc report filter is pushed into the same stage",
         Seq("FileScan parquet"),
         Seq("Exchange hashpartitioning", "Window", "CartesianProduct",

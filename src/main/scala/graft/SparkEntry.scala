@@ -134,6 +134,7 @@ object SparkEntry {
     "s22_ivfpq_residual" -> (Similarity.resIvfPqTopK _),
     "s23_filtered_ivfpq" -> (Similarity.filteredIvfPqTopK _),
     "s24_ivfpq_rerank"  -> (Similarity.ivfPqRerankTopK _),
+    "s25_ivfpq_rerank_deep" -> (Similarity.ivfPqRerankDeepTopK _),
     // text analysis
     "t1_langid"         -> (TextAnalysis.langId _),
     "t2_quality"        -> (TextAnalysis.qualityScore _),

@@ -695,6 +695,21 @@ object Similarity {
   def ivfPqRerankTopK(s: SparkSession, dir: String): DataFrame =
     ivfPqRerankWith(s, dir, NProbe)
 
+  /** The DEEP short-list width (s25) — the clustered-corpus production
+    * setting from the measured knob curve (BASELINE.md: sf1c rerank
+    * 0.10 at R=20 → 0.44 at R=100 → 0.72 at R=200, while nprobe buys
+    * nothing there). 100 keeps the refine join at R·Q rows — still the
+    * bounded-fetch shape — while demonstrating the knob's range. */
+  val DeepRerankDepth = 100
+
+  /** IVF-PQ EXACT RERANK AT THE DEEP SHORT-LIST (s25) — s24's plan at
+    * R=[[DeepRerankDepth]]: the knob the clustered regime wants,
+    * oracle-checked end-to-end rather than private API. Same plan
+    * shape at any R (the PLANS.md s25 check pins it); only the
+    * candidate row count changes. */
+  def ivfPqRerankDeepTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqRerankWith(s, dir, NProbe, DeepRerankDepth)
+
   /** [[ivfPqRerankTopK]] at an explicit probe width and short-list
     * depth — the SimilaritySpec/BASELINE recall-curve knobs. The two
     * knobs buy recall in DIFFERENT regimes (measured, BASELINE.md

@@ -214,13 +214,23 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     * serves `store.get` from the local shard; MetadataService routes
     * the rest) — the single-process [[RestServing]] hot tier was the
     * stand-in, this is the real topology. */
-  private var hotIndex: java.util.HashMap[String, String] = _
+  @volatile private var hotIndex: java.util.HashMap[String, String] = _
 
   /** Owned-shard entry count — the memory-∝-owned-partitions evidence. */
   def hotSize: Int = hotIndex.size
 
-  def start(bindPort: Int = 0): Int = {
-    hotIndex = new java.util.HashMap[String, String]()
+  /** Reload the hot map from the CURRENT store parquet (owned partitions
+    * only — the same `p IN (owned)` PartitionFilter as start()), on a
+    * running instance: what each replica calls after a store rewrite
+    * (daily rebuild, compaction) instead of restarting. One reference
+    * assignment at the end — an in-flight request reads the old map or
+    * the new one, never a half-built one. The COLD tier needs no reload
+    * (it re-reads the store per request by design); this keeps the hot
+    * tier's freshness contract one RPC away from the cold tier's. */
+  def reload(): Unit = loadHot()
+
+  private def loadHot(): Unit = {
+    val fresh = new java.util.HashMap[String, String]()
     val dataCols = spark.read.parquet(storePath).columns
       .filter(_ != "p").toSeq
     shard
@@ -229,9 +239,19 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (k, rows) =>
-        hotIndex.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+        fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
       }
+    hotIndex = fresh
+  }
+
+  def start(bindPort: Int = 0): Int = {
+    loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    // operational reload of the owned hot shard (see reload())
+    server.createContext("/state/reload", handler { path =>
+      if (path != "/state/reload") (404, """{"error":"not found"}""")
+      else { reload(); (200, s"""{"reloaded":true,"keys":$hotSize}""") }
+    })
     // hot tier first (longest-prefix context matching): owned keys answer
     // from the in-process shard map with zero Spark work; non-owned keys
     // 307 to the owner's HOT endpoint — exactly the cold tier's
@@ -460,10 +480,31 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     * scatter-gather, ServingSpec-pinned byte parity with this tier);
     * this single-process form holds all cells because it IS the
     * single-instance deployment. */
-  private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
+  @volatile private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
+  private var savedStride: Int = 0
+  private var savedIters: Int = 1
 
-  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+  /** Rebuild every served structure — the Spark-side checkpoints AND the
+    * in-process hot index — from the CURRENT corpus parquet, on a RUNNING
+    * instance (the server socket and handlers stay up; handlers read the
+    * instance fields per request, so the swap is a reference assignment).
+    *
+    * This is the serving half of the drift lifecycle
+    * ([[graft.ops.Similarity.retrainOnDrift]] closes the batch half): a
+    * tripped drift decision drops the index artifacts and memos, but a
+    * long-lived serving instance would keep answering from the stale
+    * in-process structures forever — the reference's state stores update
+    * continuously, so a serving layer that can only restart to pick up a
+    * rebuilt index is not at parity. ServingSpec's golden: serve → corpus
+    * grows + drift retrain → reload() → bodies byte-identical to a FRESH
+    * instance on the new corpus. Also exposed as `GET /ann/reload` for
+    * operational use. */
+  def reload(): Unit = buildIndex()
+
+  private def buildIndex(): Unit = {
     import graft.ops.Similarity
+    val stride = savedStride
+    val lloydIters = savedIters
     graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
     val raw = spark.read.parquet(embeddingsPath)
     hasLabel = raw.columns.contains("label")
@@ -512,17 +553,26 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
 
     // hot-tier local index: one collect of the cells table, grouped by
     // cell; members sorted by vec_id for deterministic iteration
-    hotCells = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
+    val fresh = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
     (if (hasLabel) cells else cells.withColumn("label", lit(0)))
       .select(col("cell"), col("vec_id"),
         col("embedding").cast("array<double>"), col("norm"), col("label"))
       .collect()
       .groupBy(_.getLong(0))
       .foreach { case (cell, rows) =>
-        hotCells.put(cell, rows.map(r => (r.getLong(1),
+        fresh.put(cell, rows.map(r => (r.getLong(1),
           r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
           .sortBy(_._1))
       }
+    // one assignment at the end: an in-flight request reads either the
+    // old map or the new one, never a half-built one
+    hotCells = fresh
+  }
+
+  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+    savedStride = stride
+    savedIters = lloydIters
+    buildIndex()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     def parseVec(q: Map[String, String]): Array[Double] = {
@@ -626,6 +676,18 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           (200, HotAnn.render(top))
         }
       }).merge
+    })
+    // operational reload: rebuild the index (Spark checkpoints + hot
+    // in-process cells) from the current corpus parquet without dropping
+    // the socket — what an operator calls after retrainOnDrift trips
+    server.createContext("/ann/reload", handlerQ { (path, _) =>
+      if (path != "/ann/reload") (404, """{"error":"not found"}""")
+      else {
+        reload()
+        (200, s"""{"reloaded":true,"cells":${cents.length},"vectors":${
+          scala.jdk.CollectionConverters.CollectionHasAsScala(hotCells.values)
+            .asScala.map(_.length).sum}}""")
+      }
     })
     server.createContext("/ann/topk", handlerQ { (path, q) =>
       if (path != "/ann/topk") (404, """{"error":"not found"}""")

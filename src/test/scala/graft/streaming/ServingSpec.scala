@@ -291,6 +291,117 @@ class ServingSpec extends SparkSpec {
     } finally { a.stop(); b.stop(); single.stop() }
   }
 
+  test("hot-tier RELOAD: a store rewrite reaches a RUNNING instance's hot map " +
+      "through /state/reload — stale before (pinned), byte-equal to the cold " +
+      "tier after, still scoped to owned partitions") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val n = 8
+    val hosts = Seq("instance-a", "instance-b")
+    val path = Files.createTempDirectory("graft-fedreload").toString
+    Serving.writePartitionedStore(
+      (1L to 100L).map(k => (k, k * 10)).toDF("k", "v"), "k", n, path)
+    val sparkB = spark.newSession()
+    val a = new FederatedRestServing(spark, path, "k", n, hosts, "instance-a")
+    val b = new FederatedRestServing(sparkB, path, "k", n, hosts, "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val follow = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL).build()
+      def get(url: String): (Int, String) = {
+        val r = follow.send(HttpRequest.newBuilder(java.net.URI.create(url))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val before = (1L to 100L).map(k =>
+        get(s"${urls("instance-a")}/state/keyvalue/hot/$k"))
+      // the store is REWRITTEN in place (the daily-rebuild shape): every
+      // value changes, and key 101 appears
+      Serving.writePartitionedStore(
+        (1L to 101L).map(k => (k, k * 10 + 7)).toDF("k", "v"), "k", n, path)
+      // staleness is REAL before the reload: the hot map still serves v1
+      // (the cold tier, which re-reads per request, already serves v2)
+      assert(get(s"${urls("instance-a")}/state/keyvalue/hot/1") === before(0),
+        "hot tier must still serve the old value before reload")
+      assert(get(s"${urls("instance-a")}/state/keyvalue/1")._2.contains("17"),
+        "cold tier re-reads per request and must already serve the rewrite")
+      // one RPC per instance brings the hot tier to the new store
+      assert(get(s"${urls("instance-a")}/state/reload")._1 === 200)
+      assert(get(s"${urls("instance-b")}/state/reload")._1 === 200)
+      (1L to 101L).foreach { k =>
+        val hot = get(s"${urls("instance-a")}/state/keyvalue/hot/$k")
+        val cold = get(s"${urls("instance-a")}/state/keyvalue/$k")
+        assert(hot === cold, s"post-reload hot/cold disagreement at key $k")
+      }
+      // the reload kept the partition scope: each map holds only owned keys
+      def ownerOf(k: Long) = Serving.hostFor(Serving.partitionOf(k, n), hosts)
+      val expectA = (1L to 101L).count(ownerOf(_) == "instance-a")
+      assert(a.hotSize === expectA && b.hotSize === 101 - expectA,
+        "reload must preserve memory ∝ owned partitions")
+    } finally { a.stop(); b.stop() }
+  }
+
+  test("ANN RELOAD: /ann/reload rebuilds a running vector instance's index " +
+      "from the rewritten corpus — stale before (pinned), byte-equal to a " +
+      "fresh instance after, across hot/cold/exact tiers") {
+    import spark.implicits._
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    def corpus(extra: Int): Seq[(Long, Seq[Float])] =
+      ((0 until 200).map { id =>
+        val b = base(id % 4)
+        (id.toLong, b.zipWithIndex.map { case (x, i) =>
+          (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq)
+      }) ++ (0 until extra).map { j =>
+        // the new vectors are EXACTLY the cluster-0 direction: after a
+        // reload they must displace the jittered members from the top-k
+        (1000L + j, base(0).map(_.toFloat).toSeq)
+      }
+    val path = Files.createTempDirectory("graft-annreload").toString + "/emb.parquet"
+    corpus(0).toDF("vec_id", "embedding").write.parquet(path)
+    val rest = new VectorRestServing(spark, path)
+    val port = rest.start(0, stride = 14, lloydIters = 1)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: Int, u: String): (Int, String) = {
+        val r = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$p$u")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val q = base(0).mkString(",")
+      val paths = Seq(s"/ann/topk/hot?vec=$q&k=5&nprobe=4",
+        s"/ann/topk?vec=$q&k=5&nprobe=4", s"/ann/topk/exact?vec=$q&k=5")
+      val before = paths.map(get(port, _))
+      // corpus rewrite: 3 exact-direction vectors join cluster 0
+      corpus(3).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      // staleness is REAL: every tier (checkpointed/collected at start)
+      // still serves the old corpus
+      assert(paths.map(get(port, _)) === before,
+        "all tiers must still serve the old index before reload")
+      val (rc, rb) = get(port, "/ann/reload")
+      assert(rc === 200, rb)
+      assert(rb.contains("\"vectors\":203"), s"reload must see the new corpus: $rb")
+      // after: byte-identical to a FRESH instance on the rewritten corpus,
+      // and the new exact-direction vectors rank first
+      val fresh = new VectorRestServing(spark.newSession(), path)
+      val fport = fresh.start(0, stride = 14, lloydIters = 1)
+      try {
+        paths.foreach { u =>
+          assert(get(port, u) === get(fport, u),
+            s"post-reload body must equal a fresh instance: $u")
+        }
+        val ids = "\"vec_id\":(\\d+)".r
+          .findAllMatchIn(get(port, paths.head)._2).map(_.group(1).toInt).toSeq
+        assert(Seq(1000, 1001, 1002).forall(ids.contains),
+          s"reloaded hot tier must surface the new vectors: $ids")
+      } finally fresh.stop()
+    } finally rest.stop()
+  }
+
   test("sharded HOT ANN: two instances hold disjoint cell shards, scatter-gather " +
       "top-k bodies byte-identical to the single-instance hot tier") {
     import spark.implicits._
