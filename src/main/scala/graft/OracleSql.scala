@@ -82,10 +82,13 @@ object OracleSql {
 
   /** t27's bigram-LM CTE chain ending in pplt(doc_id, n_bigrams, ppl) —
     * shared by the t27 gate and the c15 curriculum oracle. */
-  private lazy val lmPplCtes: String = {
+  /** The t27 bigram-LM perplexity chain WITHOUT its leading `tok` CTE —
+    * composable behind any CTE bundle that already defines
+    * tok(doc_id, …, t) (prepFunnelCtes does, for c21). Ends in
+    * pplt(doc_id, n_bigrams, ppl). */
+  private lazy val lmPplBodyCtes: String = {
     val a = graft.ops.TextAnalysis.LmAlpha
-    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
-       |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+    s"""bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
        |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
        |    ELSE [] END) AS bigram FROM tok),
        |tb AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
@@ -105,6 +108,10 @@ object OracleSql {
        |  round(exp(-CAST(s AS DOUBLE) / 1e6 / n_bigrams), 6) AS ppl
        |  FROM aglm)""".stripMargin
   }
+
+  private lazy val lmPplCtes: String =
+    s"""tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |$lmPplBodyCtes""".stripMargin
 
   /** Sequential-double cosine similarity between two 64-dim list columns. */
   private def cosSql(a: String, b: String): String = {
@@ -2551,6 +2558,57 @@ object OracleSql {
          |    AS shard_hash
          |FROM dpk CROSS JOIN maxb LEFT JOIN docids d USING (doc_id)
          |GROUP BY 1""".stripMargin
+    },
+    // c21 = c15's curriculum ordering applied to the real trainer
+    // artifact: survivors ordered by (t27 ppl, doc_id), packed by BPE
+    // length into PackCapacity bins, each bin's exact id bytes hashed in
+    // curriculum order (see Composites.curriculumTrainerShards)
+    "c21_curriculum_shards" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH $prepFunnelCtes,
+         |$lmPplBodyCtes,
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split(s, '||'), x -> len(x) > 0) AS tl
+         |  FROM t$k),
+         |vc AS (SELECT tok2 AS tok, count(*) AS cnt
+         |  FROM (SELECT unnest(tl) AS tok2 FROM toks) GROUP BY tok2),
+         |vocab AS (SELECT tok, CAST(row_number() OVER (
+         |    ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM vc),
+         |tex AS (SELECT doc_id, i AS pos, tl[i] AS tok
+         |  FROM toks, unnest(range(1, len(tl) + 1)) AS u(i)),
+         |docids AS (SELECT doc_id,
+         |    array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS idstr
+         |  FROM tex JOIN vocab USING (tok) GROUP BY doc_id),
+         |csv AS (SELECT surv.doc_id, pplt.ppl, len(toks.tl) AS n
+         |  FROM surv JOIN pplt USING (doc_id) JOIN toks USING (doc_id)),
+         |cpk AS (SELECT doc_id, ppl, n, COALESCE(sum(n) OVER (
+         |    ORDER BY ppl, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM csv)
+         |SELECT CAST(prefix // $cap AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_ids,
+         |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
+         |  md5(string_agg(coalesce(d.idstr, ''), '|' ORDER BY cpk.ppl, cpk.doc_id))
+         |    AS shard_hash
+         |FROM cpk LEFT JOIN docids d USING (doc_id) GROUP BY 1""".stripMargin
     },
     // the drop-reason report: first failing gate in priority order,
     // corpus-relative quantile thresholds (see Composites.qualityReport)

@@ -216,6 +216,9 @@ object PlanAudit {
           "Exchange rangepartitioning")),
       ("c20_delta_shards", "the incremental refresh never re-shuffles the standing corpus: the standing side collapses to ONE broadcast scalar (its max bin, off the same two-level prefix scan c11 runs over the survivor/encode memos — ExistingRDD inputs), the delta pack's prefix scan runs over the ~10% batch alone, d16's verdicts come from the banded signature join (equality keys, never all-pairs), and the only nested-loops are the sanctioned one-row cut/max-bin broadcasts — no cartesian, no global sort",
         Seq("ExistingRDD", "Window"),
+        Seq("CartesianProduct", "Exchange rangepartitioning")),
+      ("c21_curriculum_shards", "curriculum-ordered packing sorts the corpus by perplexity WITHOUT a global sort: the ORDER-BY-(ppl, doc_id) prefix sum is the c15 two-level scan — the row-grain running sum is a Window PARTITIONED by the VALUE-bounded ppl grid cell, only cell summaries cross the single partition — and every input (survivors, ppl, BPE lengths, id arrays) is a memoized materialization (ExistingRDD) joined on the primary key; per-bin rollups are bounded by PackCapacity — no Exchange rangepartitioning anywhere, no cartesian, no corpus re-scan",
+        Seq("ExistingRDD", "Window"),
         Seq("CartesianProduct", "Exchange rangepartitioning"))
     )
 

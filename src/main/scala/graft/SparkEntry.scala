@@ -110,6 +110,7 @@ object SparkEntry {
     "c18_trainer_shards" -> (Composites.trainerShards _),
     "c19_pack_manifest" -> (Composites.packManifest _),
     "c20_delta_shards"  -> (Composites.deltaShards _),
+    "c21_curriculum_shards" -> (Composites.curriculumTrainerShards _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

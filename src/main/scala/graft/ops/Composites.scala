@@ -795,4 +795,56 @@ object Composites {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"),
         min(col("ppl")).as("ppl_min"), max(col("ppl")).as("ppl_max"))
   }
+
+  /** c21: CURRICULUM-ORDERED TRAINER SHARDS — c15's easy-first layout
+    * applied to the REAL trainer artifact: the c10 survivors, ordered
+    * globally by (t27 perplexity, doc_id), packed into
+    * [[graft.ops.TextAnalysis.PackCapacity]]-token bins by their real
+    * BPE lengths, each bin bit-proved by the c18 `shard_hash`
+    * discipline (md5 over the curriculum-ordered concatenation of the
+    * docs' exact id sequences). c15 proved the ordering machinery on a
+    * summary; c18 proved the packed bytes in doc_id order; this is the
+    * layout a curriculum-training run actually loads — predictable text
+    * in the early shards, hard text in the late ones, ppl_min/ppl_max
+    * per shard documenting the difficulty band.
+    *
+    * Scale shape: the global ORDER-BY-ppl prefix sum is the c15
+    * two-level scan — the row-grain running sum is a Window PARTITIONED
+    * by the VALUE-bounded ppl grid cell, only the cell summary crosses
+    * a single partition, and there is NO global sort of the corpus at
+    * any scale (the PLANS.md check forbids Exchange rangepartitioning).
+    * Everything else is memoized composition: survivors, ppl, BPE
+    * lengths and id arrays each materialized once, joined on the
+    * primary key; per-bin rollups are bounded by PackCapacity. */
+  def curriculumTrainerShards(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = prepSurvivorsMemo(s, dir).select(col("doc_id"))
+      .join(TextAnalysis.lmQuality(s, dir) // inner: sub-2-token docs have no LM evidence (t27/c15 contract)
+        .select(col("doc_id"), col("ppl")), Seq("doc_id"))
+      .join(TextAnalysis.bpeEncodedMemo(s, dir)
+        .select(col("doc_id"), col("bpe_tokens").cast(LongType).as("n")),
+        Seq("doc_id"))
+      .withColumn("b", floor(col("ppl") * CurricPplGrid).cast("long"))
+    val prior = d.groupBy(col("b")).agg(sum(col("n")).as("bsum"))
+      .withColumn("prev_sum", coalesce(sum(col("bsum")).over(
+        W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("prev_sum"))
+    val inCell = W.partitionBy(col("b")).orderBy(col("ppl"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    d.withColumn("local_prev", coalesce(sum(col("n")).over(inCell), lit(0L)))
+      .join(prior, Seq("b"))
+      .withColumn("bin",
+        expr(s"(prev_sum + local_prev) div ${TextAnalysis.PackCapacity}"))
+      .join(TextAnalysis.tokenIdArrays(s, dir), Seq("doc_id"))
+      .select(col("bin"), col("doc_id"), col("ppl"),
+        size(col("ids")).cast(LongType).as("n_ids"),
+        concat_ws(",", transform(col("ids"), i => i.cast("string"))).as("idstr"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ids")).as("total_ids"),
+        min(col("ppl")).as("ppl_min"), max(col("ppl")).as("ppl_max"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ppl"), col("doc_id"), col("idstr")))),
+          x => x.getField("idstr")), "|")).as("shard_hash"))
+  }
 }
