@@ -278,6 +278,27 @@ object StreamBench {
             banded, hashes),
           OutputMode.Update())
       }),
+      // streaming LM-quality gate: ingest docs scored against a frozen
+      // 50k-doc corpus bigram LM (vocabulary-bounded count tables
+      // prepared once at build — the Artifacts read path); stream text
+      // reuses the corpus formula so every probe joins real counts, and
+      // a v%7 token substitution exercises the OOV back-off branch
+      "lm_quality_gate" -> (() => {
+        def textOf(id: org.apache.spark.sql.Column) = concat_ws(" ",
+          (0 until 12).map(i =>
+            concat(lit(('a' + i).toChar.toString), (id + i * 37) % 5000)): _*)
+        val lm = graft.ops.TextAnalysis.lmModel(
+          spark.range(50000)
+            .select(col("id").as("doc_id"), textOf(col("id")).as("text")))
+        Pipeline(
+          StreamOps.lmQualityStream(
+            rate().select(v.as("doc_id"), col("timestamp").as("ts"),
+              when(v % 7 === 0, concat(lit("zznovel"), v, lit(" "), textOf(v)))
+                .otherwise(textOf(v)).as("text"))
+              .as(org.apache.spark.sql.Encoders.product[StreamOps.DocStreamEvent]),
+            lm),
+          OutputMode.Update())
+      }),
       "substring_attrib_tws" -> (() => Pipeline(
         StreamOps.substringAttribStream(
           rate().select(v.as("doc_id"), col("timestamp").as("ts"),

@@ -1418,6 +1418,35 @@ object TextAnalysis {
       .withColumn("keep", when(col("ppl") <= LmKeepPpl, 1).otherwise(0))
   }
 
+  /** The frozen corpus bigram LM as three loadable tables — what an
+    * INGEST-TIME quality gate scores arriving documents against
+    * ([[graft.streaming.StreamOps.lmQualityStream]]): `counts`
+    * (w1, w2, cnt), `ctx` (w1, ctx_cnt), `v` (one row — the distinct
+    * continuation count the add-k smoothing divides by). Identical
+    * arithmetic inputs to [[lmQualityFrame]]'s in-corpus scoring; in
+    * production these persist through [[Artifacts]] beside the other
+    * index tables and REFRESH on the same drift cadence. All three are
+    * vocabulary-bounded — the scale contract that lets the stream side
+    * join them as static sides. */
+  case class LmModel(counts: DataFrame, ctx: DataFrame, v: DataFrame)
+
+  def lmModel(documents: DataFrame): LmModel = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val cb = documents
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    LmModel(cb,
+      cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt")),
+      cb.agg(countDistinct(col("w2")).cast("double").as("v")))
+  }
+
   // ---- DSIR-style importance weights (t28) ---------------------------
 
   /** Selection threshold on the total log-ratio, in integer micro-nats:

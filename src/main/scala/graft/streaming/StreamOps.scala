@@ -564,6 +564,58 @@ object StreamOps {
           .otherwise(col("best.e")).as("est_jaccard"))
   }
 
+  /** STREAMING LM-QUALITY GATE — t27's ingest form, completing the
+    * ingest-discipline family (dedup [[deltaDedupStream]] → QUALITY →
+    * index [[invertedIndexStream]]): arriving documents are scored
+    * against the FROZEN corpus bigram LM
+    * ([[graft.ops.TextAnalysis.lmModel]], prepared batch-side — in
+    * production the Artifacts store, refreshed on the drift cadence)
+    * and each gets (n_bigrams, ppl, keep) — the same integer-micro-nat
+    * arithmetic as batch t27, so in-corpus documents score IDENTICALLY
+    * to the batch gate (StreamOpsSpec pins equality per doc).
+    *
+    * OOV handling is the t28 back-off: a bigram (or context word)
+    * unseen in the frozen model coalesces to cnt=0 / ctx_cnt=0, so its
+    * smoothed probability is α/(α·V) = 1/V — novel text gets a finite,
+    * honestly-bad perplexity instead of a drop or a crash.
+    *
+    * Scale shape: the doc explodes to bigram grain STATELESSLY, both
+    * model probes are stream-static LEFT equality joins against
+    * vocabulary-bounded tables (V folds in as a one-row broadcast), and
+    * the only streaming state is the per-doc reduction keyed on
+    * (event-time window, doc_id) — the deltaDedupStream discipline, so
+    * the 10-second watermark genuinely evicts closed windows. */
+  def lmQualityStream(docs: Dataset[DocStreamEvent],
+      lm: graft.ops.TextAnalysis.LmModel,
+      keepPpl: Double = graft.ops.TextAnalysis.LmKeepPpl): DataFrame = {
+    val a = graft.ops.TextAnalysis.LmAlpha
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.toDF()
+      .withWatermark("ts", "10 seconds")
+      .select(col("doc_id"), col("ts"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("ts"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(lm.counts, Seq("w1", "w2"), "left")
+      .join(lm.ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.v))
+      .withColumn("lpm", round(log(
+          (coalesce(col("cnt"), lit(0L)).cast("double") + a) /
+            (coalesce(col("ctx_cnt"), lit(0L)).cast("double") + col("v") * a))
+          * 1e6, 0).cast("long"))
+      .groupBy(window(col("ts"), "10 seconds"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("s").cast("double") / 1e6 / col("n_bigrams")), 6)
+          .as("ppl"))
+      .withColumn("keep", when(col("ppl") <= keepPpl, 1).otherwise(0))
+  }
+
   case class TermPosting(term: String, doc_id: Long, tf: Long)
   case class IndexHead(term: String, df: Long, corpus_tf: Long, rk: Int,
       doc_id: Long, tf: Long)

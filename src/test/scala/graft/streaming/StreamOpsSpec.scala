@@ -1006,6 +1006,50 @@ class StreamOpsSpec extends SparkSpec {
       "corpus must contain at least one real dup so the parity is non-vacuous")
   }
 
+  test("lmQualityStream: streamed corpus docs score IDENTICALLY to batch t27 " +
+      "against the frozen LM; wholly-OOV text backs off to 1/V — finite, not a crash") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val lm = graft.ops.TextAnalysis.lmModel(docs)
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[StreamOps.DocStreamEvent]
+    runQuery(StreamOps.lmQualityStream(in.toDS(), lm), "lm_gate_stream",
+        OutputMode.Update()) {
+      in.addData(all.map { case (id, t) =>
+        StreamOps.DocStreamEvent(id, ts(id * 10), t) }.toIndexedSeq: _*)
+      // one wholly-novel document: every bigram AND every context word
+      // is unseen in the frozen model — the 1/V back-off path
+      in.addData(StreamOps.DocStreamEvent(999999L, ts(9999990L),
+        "zzqx wvut zzqx wvut"))
+    }
+    val got = spark.table("lm_gate_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    val batch = graft.ops.TextAnalysis.lmQualityFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    batch.foreach { case (id, row) =>
+      assert(got(id) === row, s"stream/batch LM-gate divergence at doc $id")
+    }
+    assert(batch.nonEmpty && batch.values.exists(_._3 == 1) &&
+      batch.values.exists(_._3 == 0),
+      "non-vacuous: the corpus must contain both keeps and drops")
+    // the OOV doc: 3 bigrams, each at the α/(α·V) = 1/V floor, so
+    // ppl = round(exp(-round(ln(1/V)·1e6)/1e6), 6) exactly
+    val v = lm.v.head.getDouble(0)
+    val lpm = math.round(math.log(
+      graft.ops.TextAnalysis.LmAlpha / (v * graft.ops.TextAnalysis.LmAlpha)) * 1e6)
+    val expectPpl = BigDecimal(math.exp(-lpm.toDouble / 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (nOov, pplOov, _) = got(999999L)
+    assert(nOov === 3L)
+    assert(pplOov === expectPpl,
+      f"OOV back-off must be the 1/V floor: got $pplOov vs $expectPpl (V=$v)")
+  }
+
   test("secureOptions maps the SecureKafkaStreamsExample client properties to kafka.-prefixed keys") {
     // SecureKafkaStreamsExample.java:166-171 sets security.protocol +
     // the four SSL store/key properties; Spark's connector takes the
