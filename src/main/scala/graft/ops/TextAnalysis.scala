@@ -1430,22 +1430,39 @@ object TextAnalysis {
     * join them as static sides. */
   case class LmModel(counts: DataFrame, ctx: DataFrame, v: DataFrame)
 
-  def lmModel(documents: DataFrame): LmModel = {
+  def lmModel(documents: DataFrame): LmModel =
+    lmModelFromCounts(lmCountsFrame(documents).localCheckpoint())
+
+  /** The corpus-dir form of [[lmModel]] — with the [[Artifacts]] store
+    * on, the bigram count table PERSISTS (name `lm_counts`) and a
+    * second session's ingest gate loads it as a plain FileScan instead
+    * of re-tokenizing the corpus; ctx and V are vocabulary-bounded
+    * rollups of the counts, derived on read. A tripped drift decision
+    * invalidates it like any other index artifact (ArtifactsSpec). */
+  def lmModelOf(s: SparkSession, dir: String): LmModel = {
+    def build = lmCountsFrame(Tables.documents(s, dir)).localCheckpoint()
+    val cb = if (!Artifacts.enabled(s)) build
+      else Artifacts.readOrBuild(s, dir, "lm_counts")(build)
+    lmModelFromCounts(cb)
+  }
+
+  private def lmCountsFrame(documents: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
     val bigrams = when(size(toks) >= 2, zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val cb = documents
+    documents
       .select(explode(bigrams).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+  }
+
+  private def lmModelFromCounts(cb: DataFrame): LmModel =
     LmModel(cb,
       cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt")),
       cb.agg(countDistinct(col("w2")).cast("double").as("v")))
-  }
 
   // ---- DSIR-style importance weights (t28) ---------------------------
 

@@ -1100,8 +1100,8 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   private val owned: Seq[Int] =
     (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
 
-  private var hotStats: java.util.HashMap[String, String] = _
-  private var hotHeads: java.util.HashMap[String, Array[String]] = _
+  @volatile private var hotStats: java.util.HashMap[String, String] = _
+  @volatile private var hotHeads: java.util.HashMap[String, Array[String]] = _
 
   /** Owned-term count — the memory-∝-owned-partitions evidence. */
   def hotSize: Int = hotStats.size
@@ -1110,7 +1110,13 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     Serving.hostFor(Serving.partitionOf(t, numPartitions,
       org.apache.spark.sql.types.StringType), hosts)
 
-  def start(bindPort: Int = 0): Int = {
+  /** Rebuild this instance's owned-term shard from the CURRENT corpus
+    * parquet on a running instance — the per-replica refresh after a
+    * corpus rewrite (a crawl merge, a scrub pass). Also at
+    * `GET /search/reload`. */
+  def reload(): Unit = loadShard()
+
+  private def loadShard(): Unit = {
     val postings = graft.ops.TextAnalysis
       .postingsFrame(spark.read.parquet(documentsPath))
       .localCheckpoint()
@@ -1119,15 +1125,15 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     // routes with, so load and route can never disagree
     val ownedTerms = Serving.statePartition(col("term"), numPartitions)
       .isin(owned: _*)
-    hotStats = new java.util.HashMap[String, String]()
+    val freshStats = new java.util.HashMap[String, String]()
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .where(ownedTerms)
       .select(col("term"),
         to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach(r => hotStats.put(r.getString(0), r.getString(1)))
-    hotHeads = new java.util.HashMap[String, Array[String]]()
+      .collect().foreach(r => freshStats.put(r.getString(0), r.getString(1)))
+    val freshHeads = new java.util.HashMap[String, Array[String]]()
     val headRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
@@ -1139,10 +1145,22 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (t, rows) =>
-        hotHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
+        freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
+    // heads first, stats second: a request between the two assignments
+    // sees (old stats, new heads) at worst — both complete maps, never a
+    // half-built one
+    hotHeads = freshHeads
+    hotStats = freshStats
+  }
 
+  def start(bindPort: Int = 0): Int = {
+    loadShard()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/search/reload", handlerQ { (path, _) =>
+      if (path != "/search/reload") (404, """{"error":"not found"}""")
+      else { reload(); (200, s"""{"reloaded":true,"terms":$hotSize}""") }
+    })
     server.createContext("/search/term/hot", handlerQ { (path, q) =>
       if (path != "/search/term/hot") (404, """{"error":"not found"}""")
       else (for {
@@ -1206,8 +1224,8 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
   private val owned: Seq[Int] =
     (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
 
-  private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
-  private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
+  @volatile private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
+  @volatile private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
   private var querySig: DedupSignature = _
 
   /** Owned-key counts — the memory-∝-owned-partitions evidence. */
@@ -1217,24 +1235,29 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     Serving.hostFor(Serving.partitionOf(key, numPartitions,
       org.apache.spark.sql.types.StringType), hosts)
 
-  def start(bindPort: Int = 0): Int = {
+  /** Rebuild this instance's owned hash/bucket shards from the CURRENT
+    * corpus parquet on a running instance — the per-replica refresh
+    * after the standing corpus absorbs a delta batch (the d16/c20
+    * cadence). Also at `GET /dedup/reload`. */
+  def reload(): Unit = loadShards()
+
+  private def loadShards(): Unit = {
     val docs = spark.read.parquet(documentsPath)
       .select(col("doc_id"), col("text"))
     val sig = Dedup.minhashSigFrameOf(docs)
       .select(col("doc_id").as("c_id"),
         array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
       .localCheckpoint()
-    querySig = new DedupSignature(spark)
     // both shard predicates run cluster-side — the identical murmur3
     // expression the router uses, applied before the collect
     def ownedKeys(c: org.apache.spark.sql.Column) =
       Serving.statePartition(c, numPartitions).isin(owned: _*)
-    hashIndex = new java.util.HashMap[String, java.lang.Long]()
+    val freshHash = new java.util.HashMap[String, java.lang.Long]()
     docs.groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("exact_partner"))
       .where(ownedKeys(col("ch")))
-      .collect().foreach(r => hashIndex.put(r.getString(0), r.getLong(1)))
-    bandIndex = new java.util.HashMap[String, Array[(Long, Array[Long])]]()
+      .collect().foreach(r => freshHash.put(r.getString(0), r.getLong(1)))
+    val freshBand = new java.util.HashMap[String, Array[(Long, Array[Long])]]()
     sig
       .select(col("c_id"), col("c_sig"),
         explode(Dedup.bandBuckets(col("c_sig"))).as("bb"))
@@ -1244,9 +1267,16 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (key, rows) =>
-        bandIndex.put(key,
+        freshBand.put(key,
           rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
       }
+    hashIndex = freshHash
+    bandIndex = freshBand
+  }
+
+  def start(bindPort: Int = 0): Int = {
+    querySig = new DedupSignature(spark)
+    loadShards()
 
     // best local near-candidate for (keys ⊆ owned buckets, query sig):
     // d16 semantics — est ≥ 0.5, ties to the smallest doc_id
@@ -1263,6 +1293,14 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         .sortBy { case (e, id) => (-e, id) }.headOption
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/dedup/reload", handlerQ { (path, _) =>
+      if (path != "/dedup/reload") (404, """{"error":"not found"}""")
+      else {
+        reload()
+        val (h, b) = hotSize
+        (200, s"""{"reloaded":true,"hashes":$h,"buckets":$b}""")
+      }
+    })
     server.createContext("/dedup/probe/exact", handlerQ { (path, q) =>
       if (path != "/dedup/probe/exact") (404, """{"error":"not found"}""")
       else q.get("ch").filter(_.nonEmpty) match {
@@ -1399,7 +1437,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
 
   private var cents: Array[(Long, Array[Double], Double)] = _
   private var hasLabel: Boolean = false
-  private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
+  @volatile private var hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]] = _
 
   /** Owned-shard member count — the memory-∝-owned-cells evidence. */
   def hotSize: Int = {
@@ -1416,7 +1454,18 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     Serving.hostFor(Serving.partitionOf(cell, numPartitions,
       org.apache.spark.sql.types.LongType), hosts)
 
-  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+  private var savedStride: Int = 0
+  private var savedIters: Int = 1
+
+  /** Rebuild this instance's owned-cell shard (and the replicated
+    * centroid metadata) from the CURRENT corpus parquet on a running
+    * instance — the sharded counterpart of [[VectorRestServing.reload]];
+    * each replica calls its own `/ann/reload` after a corpus rewrite or
+    * a tripped drift decision. The ownership predicate still runs
+    * cluster-side, so a reload never pulls more than the owned cells. */
+  def reload(): Unit = buildIndex()
+
+  private def buildIndex(): Unit = {
     import graft.ops.Similarity
     graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
     val raw = spark.read.parquet(embeddingsPath)
@@ -1426,8 +1475,9 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
         Similarity.l2norm(col("embedding")).as("norm"))
       .localCheckpoint()
     val n = emb.count()
-    val st = if (stride > 0) stride else math.max(1, math.sqrt(n.toDouble).toInt)
-    val (cellsDf0, centsDf) = Similarity.ivfIndex(emb, st, lloydIters)
+    val st = if (savedStride > 0) savedStride
+      else math.max(1, math.sqrt(n.toDouble).toInt)
+    val (cellsDf0, centsDf) = Similarity.ivfIndex(emb, st, savedIters)
     val cellsDf = if (hasLabel)
       cellsDf0.join(raw.select(col("vec_id"), col("label")), Seq("vec_id"))
     else cellsDf0.withColumn("label", lit(0))
@@ -1437,7 +1487,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     // the shard load: ONLY owned cells' members ever reach this process —
     // the ownership predicate runs cluster-side, before the collect
-    hotCells = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
+    val fresh = new java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]]()
     cellsDf
       .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
       .select(col("cell"), col("vec_id"),
@@ -1445,12 +1495,24 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       .collect()
       .groupBy(_.getLong(0))
       .foreach { case (cell, rows) =>
-        hotCells.put(cell, rows.map(r => (r.getLong(1),
+        fresh.put(cell, rows.map(r => (r.getLong(1),
           r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
           .sortBy(_._1))
       }
+    hotCells = fresh
+  }
+
+  def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
+    savedStride = stride
+    savedIters = lloydIters
+    buildIndex()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    // per-replica reload of the owned cell shard (see reload())
+    server.createContext("/ann/reload", handlerQ { (path, _) =>
+      if (path != "/ann/reload") (404, """{"error":"not found"}""")
+      else { reload(); (200, s"""{"reloaded":true,"vectors":$hotSize}""") }
+    })
     def parseVec(q: Map[String, String]): Array[Double] =
       q.getOrElse("vec",
         throw new IllegalArgumentException("vec=v1,v2,... is required"))

@@ -354,6 +354,54 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("lm_counts: the frozen ingest-gate LM persists; session 2 scores from a " +
+      "FileScan of the store with no re-tokenize, values equal the honest build") {
+    import graft.ops.TextAnalysis
+    // the honest build (artifacts OFF): score the corpus docs
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val expected = TextAnalysis.lmQualityFrame(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withArtifacts { tmp =>
+      val first = TextAnalysis.lmModelOf(spark, dir) // builds AND persists
+      assert(Artifacts.exists(spark, dir, "lm_counts"), "artifact must be written")
+      // "second session": the store is the only surviving state
+      val second = TextAnalysis.lmModelOf(spark, dir)
+      val plan = second.counts.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") && plan.contains(tmp),
+        s"the model must come from the artifact store:\n$plan")
+      assert(!plan.contains("Generate"),
+        "no bigram explode in the read plan = no re-tokenize")
+      // scoring through the persisted model equals the honest build: the
+      // batch arithmetic re-expressed over the store's three tables
+      val a = TextAnalysis.LmAlpha
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        w => length(w) > 0)
+      val bigrams = when(size(toks) >= 2, zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val got = docs
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .join(second.counts, Seq("w1", "w2"), "left")
+        .join(second.ctx, Seq("w1"), "left")
+        .crossJoin(broadcast(second.v))
+        .withColumn("lpm", round(log(
+            (coalesce(col("cnt"), lit(0L)).cast("double") + a) /
+              (coalesce(col("ctx_cnt"), lit(0L)).cast("double") + col("v") * a))
+            * 1e6, 0).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(-col("s").cast("double") / 1e6 / col("n_bigrams")), 6).as("ppl"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected,
+        "persisted-model scoring must equal the honest batch build")
+      assert(first.v.head.getDouble(0) === second.v.head.getDouble(0))
+    }
+  }
+
   test("drift→rebuild is one call: a tripped decision drops the index artifacts, " +
       "the next readOrBuild rebuilds; an in-distribution corpus keeps them") {
     import spark.implicits._

@@ -669,8 +669,8 @@ class SimilaritySpec extends SparkSpec {
       f"residual code fidelity floor within probed cells: $rResP%.3f")
   }
 
-  test("decade recall floors: s18/s19/s22/s23 recall@5 at sf1/sf10-synth and the " +
-      "clustered decade corpus, pinned under the measured values") {
+  test("decade recall floors: s18/s19/s22/s23/s24/s25 recall@5 at sf1/sf10-synth " +
+      "and the clustered decade corpus, pinned under the measured values") {
     import org.apache.spark.sql.functions.col
     // VERDICT r13 #6 / r14 #3: exact ground truth for the 10 bench
     // queries is tractable at any corpus size (one broadcast-query
@@ -704,13 +704,16 @@ class SimilaritySpec extends SparkSpec {
     if (!new java.io.File("/root/repo/testdata-sf10/embeddings.parquet").exists())
       graft.ScaleData.write("/root/repo/testdata-sf10", "/root/testdata/sf0.1",
         100, 1, spark)
+    // s24/s25 floors = the round-16 RecallSweep measurements − 0.02
+    // (BASELINE.md "recall-vs-knob curves"): s24 = rerank at R=20,
+    // s25 = R=100 — the depth lever's value shows at sf1c (0.44 vs 0.10)
     val results = Seq(
       ("/root/repo/testdata-sf1", Map("s18" -> 0.10, "s22" -> 0.02,
-        "s19" -> 0.12, "s23" -> 0.06)),
+        "s19" -> 0.12, "s23" -> 0.06, "s24" -> 0.16, "s25" -> 0.20)),
       ("/root/repo/testdata-sf10", Map("s18" -> 0.04, "s22" -> 0.04,
-        "s19" -> 0.12, "s23" -> 0.04)),
+        "s19" -> 0.12, "s23" -> 0.04, "s24" -> 0.08, "s25" -> 0.14)),
       (sf1c, Map("s18" -> 0.02, "s22" -> 0.04,
-        "s19" -> 0.96, "s23" -> 0.02))).map {
+        "s19" -> 0.96, "s23" -> 0.02, "s24" -> 0.08, "s25" -> 0.42))).map {
       case (dir, floors) =>
         val emb = graft.Tables.embeddings(spark, dir)
         val truth = pairs(Similarity.bruteForceTopK(spark, dir))
@@ -737,12 +740,20 @@ class SimilaritySpec extends SparkSpec {
         val r22 = (pairs(Similarity.resIvfPqTopK(spark, dir)) & truth).size.toDouble / truth.size
         val r19 = (pairs(Similarity.filteredIvfTopK(spark, dir)) & ltruthP).size.toDouble / ltruthP.size
         val r23 = (pairs(Similarity.filteredIvfPqTopK(spark, dir)) & ltruthP).size.toDouble / ltruthP.size
-        info(f"$dir recall@5: s18=$r18%.3f s22=$r22%.3f (vs exact) " +
+        val r24 = (pairs(Similarity.ivfPqRerankTopK(spark, dir)) & truth).size.toDouble / truth.size
+        val r25 = (pairs(Similarity.ivfPqRerankDeepTopK(spark, dir)) & truth).size.toDouble / truth.size
+        info(f"$dir recall@5: s18=$r18%.3f s22=$r22%.3f s24=$r24%.3f s25=$r25%.3f (vs exact) " +
           f"s19=$r19%.3f s23=$r23%.3f (vs exact same-label)")
         assert(r18 >= floors("s18"), f"$dir s18 recall $r18%.3f < ${floors("s18")}")
         assert(r22 >= floors("s22"), f"$dir s22 recall $r22%.3f < ${floors("s22")}")
         assert(r19 >= floors("s19"), f"$dir s19 recall $r19%.3f < ${floors("s19")}")
         assert(r23 >= floors("s23"), f"$dir s23 recall $r23%.3f < ${floors("s23")}")
+        assert(r24 >= floors("s24"), f"$dir s24 recall $r24%.3f < ${floors("s24")}")
+        assert(r25 >= floors("s25"), f"$dir s25 recall $r25%.3f < ${floors("s25")}")
+        // provable at every corpus: the exact rerank dominates its own
+        // ADC ranking, and the deeper short-list dominates the shallower
+        assert(r24 >= r18, f"$dir rerank lost to its own ADC: $r24%.3f < $r18%.3f")
+        assert(r25 >= r24, f"$dir deep short-list lost to shallow: $r25%.3f < $r24%.3f")
         // the index memos are keyed (session, dir) so the three corpora
         // don't collide — but drop them anyway so this test leaves no
         // decade-sized checkpoints behind for later suites

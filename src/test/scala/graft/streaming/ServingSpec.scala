@@ -523,6 +523,130 @@ class ServingSpec extends SparkSpec {
     } finally { a.stop(); b.stop(); single.stop() }
   }
 
+  test("federated RELOAD: search and dedup replicas refresh their owned shards " +
+      "in place after a corpus rewrite — stale before, correct after, still disjoint") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val follow = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+    def get(url: String): (Int, String) = {
+      val r = follow.send(HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    val hosts = Seq("instance-a", "instance-b")
+    // ---- search tier: a new term appears in the corpus -----------------
+    val spath = Files.createTempDirectory("graft-sreload").toString + "/docs.parquet"
+    Seq((1L, "cat dog cat"), (2L, "dog cat"), (3L, "cat fish"))
+      .toDF("doc_id", "text").write.parquet(spath)
+    val sa = new FederatedSearchServing(spark, spath, 4, hosts, "instance-a")
+    val sb = new FederatedSearchServing(spark.newSession(), spath, 4, hosts, "instance-b")
+    val surls = Map("instance-a" -> s"http://127.0.0.1:${sa.start()}",
+      "instance-b" -> s"http://127.0.0.1:${sb.start()}")
+    sa.peerUrls = surls; sb.peerUrls = surls
+    try {
+      assert(get(s"${surls("instance-a")}/search/term/hot?t=zebra")._1 === 404)
+      Seq((1L, "cat dog cat"), (2L, "dog cat"), (3L, "cat fish"),
+          (4L, "zebra zebra zebra"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(spath)
+      // stale until each replica reloads its owned shard
+      assert(get(s"${surls("instance-a")}/search/term/hot?t=zebra")._1 === 404,
+        "search shard must be stale before reload")
+      assert(get(s"${surls("instance-a")}/search/reload")._1 === 200)
+      assert(get(s"${surls("instance-b")}/search/reload")._1 === 200)
+      // the new term serves through either coordinator, byte-identical to
+      // a fresh single-instance hot tier on the rewritten corpus
+      val fresh = new SearchRestServing(spark.newSession(), spath)
+      val fport = fresh.start(0)
+      try {
+        val ref = get(s"http://127.0.0.1:$fport/search/term/hot?t=zebra&k=5")
+        Seq("instance-a", "instance-b").foreach { via =>
+          assert(get(s"${surls(via)}/search/term/hot?t=zebra&k=5") === ref,
+            s"post-reload zebra via $via")
+        }
+      } finally fresh.stop()
+      // disjoint shards, covering the grown vocabulary
+      assert(sa.hotSize + sb.hotSize === 4, "cat dog fish zebra, once each")
+    } finally { sa.stop(); sb.stop() }
+    // ---- dedup tier: the standing corpus absorbs yesterday's batch -----
+    val dpath = Files.createTempDirectory("graft-dreload").toString + "/docs.parquet"
+    val corpusV1 = (0L until 20L).map(i => (i, s"standing corpus doc $i body"))
+    corpusV1.toDF("doc_id", "text").write.parquet(dpath)
+    val da = new FederatedDedupServing(spark, dpath, 4, hosts, "instance-a")
+    val db = new FederatedDedupServing(spark.newSession(), dpath, 4, hosts, "instance-b")
+    val durls = Map("instance-a" -> s"http://127.0.0.1:${da.start()}",
+      "instance-b" -> s"http://127.0.0.1:${db.start()}")
+    da.peerUrls = durls; db.peerUrls = durls
+    try {
+      val novel = "wholly novel ingest text zq 42"
+      def check(via: String): String =
+        get(s"${durls(via)}/dedup/check?text=" +
+          java.net.URLEncoder.encode(novel, "UTF-8"))._2
+      assert(check("instance-a").contains("\"verdict\":\"new\""),
+        "novel text must verdict new against corpus v1")
+      // the delta batch lands in the standing corpus (the d16/c20 cadence)
+      (corpusV1 :+ (99L, novel)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dpath)
+      assert(check("instance-a").contains("\"verdict\":\"new\""),
+        "shards must be stale before reload")
+      assert(get(s"${durls("instance-a")}/dedup/reload")._1 === 200)
+      assert(get(s"${durls("instance-b")}/dedup/reload")._1 === 200)
+      Seq("instance-a", "instance-b").foreach { via =>
+        val body = check(via)
+        assert(body.contains("\"verdict\":\"exact\"") && body.contains("99"),
+          s"post-reload the absorbed doc must verdict exact via $via: $body")
+      }
+    } finally { da.stop(); db.stop() }
+  }
+
+  test("sharded ANN RELOAD: replicas rebuild owned-cell shards from the rewritten " +
+      "corpus; scatter-gather surfaces the new vectors via either coordinator") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val follow = HttpClient.newHttpClient()
+    def get(url: String): (Int, String) = {
+      val r = follow.send(HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    def corpus(extra: Int): Seq[(Long, Seq[Float])] =
+      ((0 until 200).map { id =>
+        val b = base(id % 4)
+        (id.toLong, b.zipWithIndex.map { case (x, i) =>
+          (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq)
+      }) ++ (0 until extra).map(j => (1000L + j, base(0).map(_.toFloat).toSeq))
+    val path = Files.createTempDirectory("graft-fannreload").toString + "/emb.parquet"
+    corpus(0).toDF("vec_id", "embedding").write.parquet(path)
+    val hosts = Seq("instance-a", "instance-b")
+    val a = new FederatedVectorServing(spark, path, 8, hosts, "instance-a")
+    val b = new FederatedVectorServing(spark.newSession(), path, 8, hosts, "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start(0, stride = 14, lloydIters = 1)}",
+      "instance-b" -> s"http://127.0.0.1:${b.start(0, stride = 14, lloydIters = 1)}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val q = base(0).mkString(",")
+      val before = get(s"${urls("instance-a")}/ann/topk/hot?vec=$q&k=3&nprobe=4")
+      corpus(2).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      assert(get(s"${urls("instance-a")}/ann/topk/hot?vec=$q&k=3&nprobe=4") === before,
+        "shards must be stale before reload")
+      assert(get(s"${urls("instance-a")}/ann/reload")._1 === 200)
+      assert(get(s"${urls("instance-b")}/ann/reload")._1 === 200)
+      assert(a.hotSize + b.hotSize === 202,
+        "reloaded shards must partition the grown corpus")
+      Seq("instance-a", "instance-b").foreach { via =>
+        val (sc, body) = get(s"${urls(via)}/ann/topk/hot?vec=$q&k=2&nprobe=4")
+        assert(sc === 200, body)
+        val ids = "\"vec_id\":(\\d+)".r.findAllMatchIn(body)
+          .map(_.group(1).toInt).toSeq
+        assert(ids === Seq(1000, 1001),
+          s"scatter-gather must surface the new exact-direction vectors via $via: $ids")
+      }
+    } finally { a.stop(); b.stop() }
+  }
+
   test("sharded dedup-check: disjoint hash/bucket shards, scattered near-probe, " +
       "verdicts byte-identical to the single-instance tier for every batch doc") {
     import spark.implicits._
