@@ -278,6 +278,26 @@ object StreamBench {
             banded, hashes),
           OutputMode.Update())
       }),
+      // streaming index assignment: ingest vectors assigned to their
+      // nearest cell of a frozen 256-centroid coarse index (64-dim) —
+      // the honest batch×C scoring shape with the per-vector argmax as
+      // the only state; embeddings synthesized per-row from the id
+      "cell_assign_stream" -> (() => {
+        val cents = spark.range(256)
+          .select(col("id").as("cent_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => sin(col("id") * 0.37 + i * 0.11)).as("c_emb"))
+          .withColumn("c_norm", graft.ops.Similarity.l2norm(col("c_emb")))
+          .localCheckpoint()
+        Pipeline(
+          StreamOps.cellAssignStream(
+            rate().select(v.as("vec_id"), col("timestamp").as("ts"),
+              transform(sequence(lit(0), lit(63)),
+                i => sin(v * 1.7 + i * 0.13)).as("embedding"))
+              .as(org.apache.spark.sql.Encoders.product[StreamOps.VecEvent]),
+            cents),
+          OutputMode.Update())
+      }),
       // streaming LM-quality gate: ingest docs scored against a frozen
       // 50k-doc corpus bigram LM (vocabulary-bounded count tables
       // prepared once at build — the Artifacts read path); stream text

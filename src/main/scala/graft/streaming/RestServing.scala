@@ -1100,11 +1100,16 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   private val owned: Seq[Int] =
     (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
 
-  @volatile private var hotStats: java.util.HashMap[String, String] = _
-  @volatile private var hotHeads: java.util.HashMap[String, Array[String]] = _
+  /** The owned shard as ONE immutable pair swapped atomically: a request
+    * between two separate map assignments could see a term in the old
+    * stats map with no entry in the new heads map (a rewrite that
+    * removed the term) and 500 — one volatile reference removes the
+    * window. */
+  @volatile private var shard:
+    (java.util.HashMap[String, String], java.util.HashMap[String, Array[String]]) = _
 
   /** Owned-term count — the memory-∝-owned-partitions evidence. */
-  def hotSize: Int = hotStats.size
+  def hotSize: Int = shard._1.size
 
   def termOwner(t: String): String =
     Serving.hostFor(Serving.partitionOf(t, numPartitions,
@@ -1147,11 +1152,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       .foreach { case (t, rows) =>
         freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
-    // heads first, stats second: a request between the two assignments
-    // sees (old stats, new heads) at worst — both complete maps, never a
-    // half-built one
-    hotHeads = freshHeads
-    hotStats = freshStats
+    shard = (freshStats, freshHeads)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1169,10 +1170,13 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
         k <- intParam(q, "k", 10, max = SearchRestServing.MaxTermK)
       } yield {
         val host = termOwner(t)
-        if (host == selfHost) Option(hotStats.get(t)) match {
+        // ONE read of the volatile pair per request: stats and heads are
+        // always the same shard generation
+        val (stats, heads) = shard
+        if (host == selfHost) Option(stats.get(t)) match {
           case None => (404, s"""{"error":"term not found"}""")
           case Some(st) =>
-            val head = hotHeads.get(t).take(k)
+            val head = heads.get(t).take(k)
             (200, s"""{"stats":$st,"postings":${head.mkString("[", ",", "]")}}""")
         } else peerUrls.get(host) match {
           case Some(base) => (307, s"$base/search/term/hot?t=" +
@@ -1224,8 +1228,17 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
   private val owned: Seq[Int] =
     (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
 
-  @volatile private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
-  @volatile private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
+  /** The owned shard as ONE immutable pair swapped atomically by
+    * reload(): every map read sees a complete, internally-consistent
+    * snapshot (never a half-built map). A /dedup/check that SPANS a
+    * reload may consult adjacent generations between its exact and near
+    * probes — benign: each probe answers from a complete snapshot, and
+    * the next request sees the new pair everywhere. */
+  @volatile private var shard:
+    (java.util.HashMap[String, java.lang.Long],
+      java.util.HashMap[String, Array[(Long, Array[Long])]]) = _
+  private def hashIndex = shard._1
+  private def bandIndex = shard._2
   private var querySig: DedupSignature = _
 
   /** Owned-key counts — the memory-∝-owned-partitions evidence. */
@@ -1270,8 +1283,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         freshBand.put(key,
           rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
       }
-    hashIndex = freshHash
-    bandIndex = freshBand
+    shard = (freshHash, freshBand)
   }
 
   def start(bindPort: Int = 0): Int = {

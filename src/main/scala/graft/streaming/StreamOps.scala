@@ -564,6 +564,39 @@ object StreamOps {
           .otherwise(col("best.e")).as("est_jaccard"))
   }
 
+  /** STREAMING INDEX ASSIGNMENT — s20's ingest form, completing the
+    * ingest-discipline family on the EMBEDDING side (near-dup drop
+    * [[nearDupDropStream]] → ASSIGNMENT): arriving vectors are assigned
+    * to their nearest cell of the FROZEN coarse index (`cents` =
+    * (cent_id, c_emb, c_norm), prepared batch-side — the s20/r15
+    * incremental-maintenance discipline: assign between retrains, let
+    * [[graft.ops.Similarity.retrainOnDrift]] decide when the index
+    * itself must move). Output (vec_id, cell, sim) matches batch s20's
+    * assignment columns exactly (StreamOpsSpec pins per-vector
+    * equality); occupancy is a corpus-side statistic joined downstream.
+    *
+    * Scale shape: the centroid table broadcasts (C = √n rows — the
+    * committed stride rule keeps it broadcast-sized at any corpus), the
+    * batch×C scoring is stateless column work, and the only streaming
+    * state is the per-vector argmax keyed on (event-time window,
+    * vec_id) — watermark-evicted, the deltaDedupStream discipline. */
+  def cellAssignStream(vecs: Dataset[VecEvent], cents: DataFrame): DataFrame = {
+    import graft.ops.Similarity
+    vecs.toDF()
+      .withWatermark("ts", "10 seconds")
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ts"), col("cent_id"),
+        (Similarity.dot(col("embedding"), col("c_emb")) /
+          (col("norm") * col("c_norm"))).as("csim"))
+      .groupBy(window(col("ts"), "10 seconds"), col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("csim")),
+        struct(coalesce(col("csim"), lit(Double.NegativeInfinity)),
+          (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        round(col("m.csim"), 6).as("sim"))
+  }
+
   /** STREAMING LM-QUALITY GATE — t27's ingest form, completing the
     * ingest-discipline family (dedup [[deltaDedupStream]] → QUALITY →
     * index [[invertedIndexStream]]): arriving documents are scored

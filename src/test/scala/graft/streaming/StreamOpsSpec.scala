@@ -1006,6 +1006,45 @@ class StreamOpsSpec extends SparkSpec {
       "corpus must contain at least one real dup so the parity is non-vacuous")
   }
 
+  test("cellAssignStream: streamed batch vectors get the exact same (cell, sim) " +
+      "assignments as batch s20 against the same frozen coarse index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables.embeddingsRowCount(spark, dir)
+    val cut = math.floor(n * 0.9).toLong
+    val stride = math.max(1, math.sqrt(cut.toDouble).toInt)
+    val embAll = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.l2norm(col("embedding")).as("norm"))
+    val (batchAssigned, _, cents) = graft.ops.Similarity.deltaAssignParts(
+      embAll.filter(col("vec_id") < cut),
+      embAll.filter(col("vec_id") >= cut), stride)
+    val expected = batchAssigned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the frozen index side is checkpointed once (the artifact a serving
+    // or ingest job loads); the batch vectors stream through
+    val centsCk = cents.localCheckpoint()
+    val batchVecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val in = MemoryStream[StreamOps.VecEvent]
+    runQuery(StreamOps.cellAssignStream(in.toDS(), centsCk), "cell_assign",
+        OutputMode.Update()) {
+      in.addData(batchVecs.map { case (id, e) =>
+        StreamOps.VecEvent(id, ts(id * 10), e) }.toIndexedSeq: _*)
+    }
+    val got = spark.table("cell_assign").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, row) =>
+      assert(row === expected(id), s"stream/batch assignment divergence at vec $id")
+    }
+    assert(expected.values.map(_._1).toSet.size > 1,
+      "non-vacuous: the batch must spread across multiple cells")
+  }
+
   test("lmQualityStream: streamed corpus docs score IDENTICALLY to batch t27 " +
       "against the frozen LM; wholly-OOV text backs off to 1/V — finite, not a crash") {
     implicit val sqlCtx = spark.sqlContext
