@@ -59,13 +59,19 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     * tier loads owned partitions only and 307s the rest
     * (ServingSpec-pinned); this single-process form hosts all
     * partitions because it IS the single-instance deployment. Staleness
-    * contract = the reference's: the store IS the materialization; a
-    * rewritten store needs a restart (or a re-start() here) to serve
-    * the new build. */
-  private var hotIndex: java.util.HashMap[String, String] = _
+    * contract: a rewritten store reaches the running map through
+    * reload() / `GET /state/reload` (the federated tier's discipline —
+    * one volatile swap, never a half-built map); the cold tier needs no
+    * reload because it re-reads the store per request. */
+  @volatile private var hotIndex: java.util.HashMap[String, String] = _
 
-  def start(bindPort: Int = 0): Int = {
-    hotIndex = new java.util.HashMap[String, String]()
+  /** Reload the hot map from the CURRENT store parquet on a running
+    * instance — the single-instance form of
+    * [[FederatedRestServing.reload]]. */
+  def reload(): Unit = loadHot()
+
+  private def loadHot(): Unit = {
+    val fresh = new java.util.HashMap[String, String]()
     val store = spark.read.parquet(storePath)
     val dataCols = store.columns.filter(_ != "p").toSeq
     store
@@ -74,9 +80,18 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (k, rows) =>
-        hotIndex.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+        fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
       }
+    hotIndex = fresh
+  }
+
+  def start(bindPort: Int = 0): Int = {
+    loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/state/reload", handler { path =>
+      if (path != "/state/reload") (404, """{"error":"not found"}""")
+      else { reload(); (200, s"""{"reloaded":true,"keys":${hotIndex.size}}""") }
+    })
     // hot tier first (JDK contexts match by longest prefix, so this
     // never shadows the cold /state/keyvalue/ context below)
     server.createContext("/state/keyvalue/hot/", handler { path =>
@@ -761,10 +776,16 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     * engine's actual serving layout (the postings ARE the store, terms
     * shard across replicas at scale); the cold per-request-Spark tier
     * stays beside it. */
-  private var hotStats: java.util.HashMap[String, String] = _
-  private var hotHeads: java.util.HashMap[String, Array[String]] = _
+  @volatile private var hotStats: java.util.HashMap[String, String] = _
+  @volatile private var hotHeads: java.util.HashMap[String, Array[String]] = _
 
-  def start(bindPort: Int = 0): Int = {
+  /** Rebuild every served structure — the Spark-side checkpoints AND
+    * the in-process term maps — from the CURRENT corpus parquet on a
+    * running instance (the single-instance form of
+    * [[FederatedSearchServing.reload]]; also `GET /search/reload`). */
+  def reload(): Unit = buildIndex()
+
+  private def buildIndex(): Unit = {
     // the t19 postings table, from the SHARED definition — the serving
     // tier reads exactly the index the batch build writes
     postings = graft.ops.TextAnalysis
@@ -782,11 +803,11 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     nDocs = dlens.count()
     totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
 
-    hotStats = new java.util.HashMap[String, String]()
+    val freshStats = new java.util.HashMap[String, String]()
     stats
       .select(col("term"),
         to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach(r => hotStats.put(r.getString(0), r.getString(1)))
+      .collect().foreach(r => freshStats.put(r.getString(0), r.getString(1)))
     // the hot heads are CAPPED server-side (ADVICE r15 #2): only the
     // top-[[SearchRestServing.MaxTermK]] postings per term — ranked by
     // the SAME (tf desc, doc_id asc) order the endpoint serves — ever
@@ -795,7 +816,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     // and the class's 'nothing corpus-sized reaches the serving
     // process' invariant holds for the hot tier too. Both term tiers
     // reject k > MaxTermK with the same 400.
-    hotHeads = new java.util.HashMap[String, Array[String]]()
+    val freshHeads = new java.util.HashMap[String, Array[String]]()
     val headRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
@@ -806,10 +827,21 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (t, rows) =>
-        hotHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
+        freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
+    // heads before stats: a hot request reads stats first, so any term
+    // it finds there already has its (same-or-newer) head in place
+    hotHeads = freshHeads
+    hotStats = freshStats
+  }
 
+  def start(bindPort: Int = 0): Int = {
+    buildIndex()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/search/reload", handlerQ { (path, _) =>
+      if (path != "/search/reload") (404, """{"error":"not found"}""")
+      else { reload(); (200, s"""{"reloaded":true,"terms":${hotStats.size}}""") }
+    })
     registerSearchHandlers()
     server.setExecutor(null)
     server.start()
@@ -855,7 +887,10 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
         Option(hotStats.get(t)) match {
           case None => (404, s"""{"error":"term not found"}""")
           case Some(st) =>
-            val head = hotHeads.get(t).take(k)
+            // null-safe: a reload that REMOVED the term can land between
+            // the stats read and this one — serve an empty head rather
+            // than 500; the next request sees the new stats map and 404s
+            val head = Option(hotHeads.get(t)).getOrElse(Array.empty[String]).take(k)
             (200, s"""{"stats":$st,"postings":${head.mkString("[", ",", "]")}}""")
         }
       }).merge
@@ -952,27 +987,37 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
   // murmur3 key range of the SAME tables, the exact tier routes to one
   // owner and the near tier scatters (ServingSpec pins byte-identical
   // verdicts); nothing about the per-request probe path changes.
-  private var hashIndex: java.util.HashMap[String, java.lang.Long] = _
-  private var bandIndex: java.util.HashMap[String, Array[(Long, Array[Long])]] = _
+  /** One volatile pair, swapped atomically by reload() — the
+    * [[FederatedDedupServing]] discipline in the single-instance form. */
+  @volatile private var shard:
+    (java.util.HashMap[String, java.lang.Long],
+      java.util.HashMap[String, Array[(Long, Array[Long])]]) = _
+  private def hashIndex = shard._1
+  private def bandIndex = shard._2
 
   private var querySig: DedupSignature = _
 
   private def signatureOf(text: String): (String, Array[Long], Seq[String]) =
     querySig.of(text)
 
-  def start(bindPort: Int = 0): Int = {
+  /** Rebuild the in-process hash/bucket indexes from the CURRENT corpus
+    * parquet on a running instance — the refresh a replica calls after
+    * the standing corpus absorbs a delta batch (the d16/c20 cadence).
+    * Also `GET /dedup/reload`. */
+  def reload(): Unit = loadIndexes()
+
+  private def loadIndexes(): Unit = {
     val docs = spark.read.parquet(documentsPath)
       .select(col("doc_id"), col("text"))
     val sig = Dedup.minhashSigFrameOf(docs)
       .select(col("doc_id").as("c_id"),
         array((0 until Dedup.NumPerms).map(i => col(s"mh$i")): _*).as("c_sig"))
       .localCheckpoint()
-    querySig = new DedupSignature(spark)
-    hashIndex = new java.util.HashMap[String, java.lang.Long]()
+    val freshHash = new java.util.HashMap[String, java.lang.Long]()
     docs.groupBy(md5(col("text")).as("ch"))
       .agg(min(col("doc_id")).as("exact_partner"))
-      .collect().foreach(r => hashIndex.put(r.getString(0), r.getLong(1)))
-    bandIndex = new java.util.HashMap[String, Array[(Long, Array[Long])]]()
+      .collect().foreach(r => freshHash.put(r.getString(0), r.getLong(1)))
+    val freshBand = new java.util.HashMap[String, Array[(Long, Array[Long])]]()
     sig
       .select(col("c_id"), col("c_sig"),
         explode(Dedup.bandBuckets(col("c_sig"))).as("bb"))
@@ -981,11 +1026,24 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (key, rows) =>
-        bandIndex.put(key,
+        freshBand.put(key,
           rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
       }
+    shard = (freshHash, freshBand)
+  }
+
+  def start(bindPort: Int = 0): Int = {
+    querySig = new DedupSignature(spark)
+    loadIndexes()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/dedup/reload", handlerQ { (path, _) =>
+      if (path != "/dedup/reload") (404, """{"error":"not found"}""")
+      else {
+        reload()
+        (200, s"""{"reloaded":true,"hashes":${hashIndex.size},"buckets":${bandIndex.size}}""")
+      }
+    })
     server.createContext("/dedup/check", handlerQ { (path, q) =>
       if (path != "/dedup/check") (404, """{"error":"not found"}""")
       else q.get("text").filter(_.nonEmpty) match {

@@ -599,6 +599,71 @@ class ServingSpec extends SparkSpec {
     } finally { da.stop(); db.stop() }
   }
 
+  test("single-instance RELOAD: the KV, search and dedup tiers refresh their " +
+      "in-process state through one RPC — stale before, correct after") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newHttpClient()
+    def get(port: Int, u: String): (Int, String) = {
+      val r = client.send(HttpRequest.newBuilder(java.net.URI.create(
+        s"http://127.0.0.1:$port$u")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // KV: hot map catches up to a store rewrite; cold tier is the oracle
+    val kpath = Files.createTempDirectory("graft-skv").toString
+    Serving.writePartitionedStore(
+      (1L to 50L).map(k => (k, k * 10)).toDF("k", "v"), "k", 4, kpath)
+    val kv = new RestServing(spark, kpath, "k", 4, Seq("h0:1"))
+    val kport = kv.start()
+    try {
+      val before = get(kport, "/state/keyvalue/hot/1")
+      Serving.writePartitionedStore(
+        (1L to 50L).map(k => (k, k * 10 + 7)).toDF("k", "v"), "k", 4, kpath)
+      assert(get(kport, "/state/keyvalue/hot/1") === before, "stale before reload")
+      assert(get(kport, "/state/reload")._1 === 200)
+      (1L to 50L).foreach { k =>
+        assert(get(kport, s"/state/keyvalue/hot/$k")
+          === get(kport, s"/state/keyvalue/$k"), s"hot/cold disagreement at $k")
+      }
+    } finally kv.stop()
+    // search: a new term appears after the corpus rewrite + reload
+    val spath = Files.createTempDirectory("graft-ssearch").toString + "/docs.parquet"
+    Seq((1L, "cat dog cat"), (2L, "dog cat")).toDF("doc_id", "text")
+      .write.parquet(spath)
+    val sr = new SearchRestServing(spark, spath)
+    val sport = sr.start()
+    try {
+      assert(get(sport, "/search/term/hot?t=zebra")._1 === 404)
+      Seq((1L, "cat dog cat"), (2L, "dog cat"), (3L, "zebra zebra"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(spath)
+      assert(get(sport, "/search/term/hot?t=zebra")._1 === 404, "stale before reload")
+      assert(get(sport, "/search/reload")._1 === 200)
+      val (hc, hb) = get(sport, "/search/term/hot?t=zebra&k=5")
+      assert(hc === 200 && hb.contains("\"df\":1"), hb)
+      // and the COLD tier reads the same rebuilt checkpoints
+      assert(get(sport, "/search/term?t=zebra&k=5")._1 === 200)
+    } finally sr.stop()
+    // dedup: yesterday's novel text verdicts exact once absorbed + reloaded
+    val dpath = Files.createTempDirectory("graft-sdedup").toString + "/docs.parquet"
+    val v1 = (0L until 15L).map(i => (i, s"standing doc $i body text"))
+    v1.toDF("doc_id", "text").write.parquet(dpath)
+    val dr = new DedupRestServing(spark, dpath)
+    val dport = dr.start()
+    try {
+      val novel = "wholly novel single instance text zq"
+      def check(): String = get(dport, "/dedup/check?text=" +
+        java.net.URLEncoder.encode(novel, "UTF-8"))._2
+      assert(check().contains("\"verdict\":\"new\""))
+      (v1 :+ (99L, novel)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dpath)
+      assert(check().contains("\"verdict\":\"new\""), "stale before reload")
+      assert(get(dport, "/dedup/reload")._1 === 200)
+      val body = check()
+      assert(body.contains("\"verdict\":\"exact\"") && body.contains("99"), body)
+    } finally dr.stop()
+  }
+
   test("sharded ANN RELOAD: replicas rebuild owned-cell shards from the rewritten " +
       "corpus; scatter-gather surfaces the new vectors via either coordinator") {
     import spark.implicits._
