@@ -52,9 +52,18 @@ object Calib {
     * Idle reference on this box is ≈0.7 s; quiet-epoch captures start
     * 0.7–1.4 s; the round-15 SERVBENCH capture whose Spark-tier rows
     * inverted the routing story started at 2.1 s. Default 1.5 s splits
-    * those regimes; override with SPARK_GRAFT_CALIB_MAX. */
+    * those regimes; override with SPARK_GRAFT_CALIB_MAX. A malformed
+    * override must not kill the bench before its JSON is emitted
+    * (ADVICE r16) — warn and fall back to the default instead. */
   def warnThreshold: Double =
-    sys.env.get("SPARK_GRAFT_CALIB_MAX").map(_.toDouble).getOrElse(1.5)
+    sys.env.get("SPARK_GRAFT_CALIB_MAX") match {
+      case None => 1.5
+      case Some(raw) => raw.toDoubleOption.getOrElse {
+        System.err.println(s"[graft] SPARK_GRAFT_CALIB_MAX='$raw' is not " +
+          "a number — using default threshold 1.5 s")
+        1.5
+      }
+    }
 
   /** True when any probe reading exceeds [[warnThreshold]] — emitted as
     * `calib_warning` in every bench JSON beside the raw `calib_sec`. */

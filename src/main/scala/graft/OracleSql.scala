@@ -2423,6 +2423,56 @@ object OracleSql {
          |  md5('$seed:d' || CAST(doc_id AS BIGINT)) AS doc_key
          |FROM pk""".stripMargin
     },
+    // c22 = the loader's traversal of c19's manifest: shards in
+    // shard_key order, docs in doc_key order within each — positions
+    // computed by plain SQL windows here; Spark computes them with the
+    // two-level (bounded per-shard + shard-grain) windows and must land
+    // on the identical permutation (see Composites.loaderOrder)
+    "c22_loader_order" -> {
+      val cap = graft.ops.TextAnalysis.PackCapacity
+      val k = graft.ops.TextAnalysis.MergeRounds
+      val seed = graft.ops.Composites.ShuffleSeed
+      val rounds = (1 to k).map { r =>
+        s"""pr$r AS (SELECT unnest(CASE WHEN len(t) >= 2
+           |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           |    ELSE [] END) AS pair
+           |  FROM (SELECT list_filter(string_split(s, '||'), x -> len(x) > 0) AS t
+           |        FROM t${r - 1})),
+           |top$r AS (SELECT pair FROM pr$r GROUP BY pair
+           |  ORDER BY count(*) DESC, pair ASC LIMIT 1),
+           |t$r AS (SELECT doc_id, replace(s,
+           |    '|' || string_split(pair, ' ')[1] || '||' || string_split(pair, ' ')[2] || '|',
+           |    '|' || replace(pair, ' ', '_') || '|') AS s
+           |  FROM t${r - 1} CROSS JOIN top$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH $prepFunnelCtes,
+         |t0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0
+         |      THEN '||' || array_to_string(t, '||') || '||' ELSE '' END AS s
+         |  FROM tok),
+         |$rounds
+         |enc AS (SELECT doc_id,
+         |    len(list_filter(string_split(s, '||'), x -> len(x) > 0)) AS nb
+         |  FROM t$k),
+         |sv AS (SELECT surv.doc_id, enc.nb AS n
+         |  FROM surv JOIN enc USING (doc_id)),
+         |pk AS (SELECT doc_id, n, COALESCE(sum(n) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prefix FROM sv),
+         |mf AS (SELECT CAST(prefix // $cap AS BIGINT) AS bin, doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(prefix - (prefix // $cap) * $cap AS BIGINT) AS start_offset,
+         |  md5('$seed:b' || CAST(prefix // $cap AS BIGINT)) AS shard_key,
+         |  md5('$seed:d' || CAST(doc_id AS BIGINT)) AS doc_key
+         |FROM pk)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY shard_key, bin, doc_key, doc_id) AS BIGINT) AS seq,
+         |  CAST(dense_rank() OVER (ORDER BY shard_key, bin) AS BIGINT) AS shard_pos,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY bin ORDER BY doc_key, doc_id) AS BIGINT) AS doc_pos,
+         |  bin, doc_id, n_tokens, start_offset
+         |FROM mf""".stripMargin
+    },
     // c18 = c17's bin assignment joined to t29's id sequences, rolled up
     // per shard with the packed-bytes hash (see Composites.trainerShards)
     "c18_trainer_shards" -> {

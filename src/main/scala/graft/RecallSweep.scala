@@ -45,6 +45,20 @@ object RecallSweep {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val calib = Calib.runRounded(spark)
     dirs.foreach { dir =>
+      // the decade corpora are git-ignored; regenerate a missing one the
+      // same way SimilaritySpec does (byte-stable seeded generators, so
+      // the measured curves stay comparable across checkouts) — ADVICE
+      // r16: a fresh checkout must sweep, not fail
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) dir match {
+        case "/root/repo/testdata-sf1" =>
+          ScaleData.write(dir, "/root/testdata/sf0.1", 10, 10, spark)
+        case "/root/repo/testdata-sf1c" =>
+          ScaleData.writeClusteredEmbeddings(dir, 10, spark)
+        case "/root/repo/testdata-sf10" =>
+          ScaleData.write(dir, "/root/testdata/sf0.1", 100, 1, spark)
+        case other => sys.error(
+          s"$other/embeddings.parquet missing and no known generator for it")
+      }
       val truth = pairs(Similarity.bruteForceTopK(spark, dir))
       Similarity.ivfPqIndexOf(spark, dir) // build + memoize once, untimed
       val points = Seq(1, 2, 4, 8, 16).map { np =>

@@ -111,6 +111,7 @@ object SparkEntry {
     "c19_pack_manifest" -> (Composites.packManifest _),
     "c20_delta_shards"  -> (Composites.deltaShards _),
     "c21_curriculum_shards" -> (Composites.curriculumTrainerShards _),
+    "c22_loader_order"  -> (Composites.loaderOrderReport _),
     // similarity search
     "s1_brute_topk"     -> (Similarity.bruteForceTopK _),
     "s14_lsh_topk"       -> (Similarity.lshTopK _),

@@ -501,6 +501,54 @@ object Composites {
     trainerShardTable(s, dir)
       .join(packManifest(s, dir), Seq("bin", "doc_id"))
 
+  /** c22: THE LOADER ITERATION ORDER — the consumer-facing contract
+    * (VERDICT r16 next #6) as a first-class table instead of prose: a
+    * trainer reads SHARDS in `shard_key` order and DOCS within each
+    * shard in `doc_key` order (c19's seeded keys), and this emits that
+    * exact traversal as positions — `seq` (global training position),
+    * `shard_pos` (the shard's place in the rollout) and `doc_pos` (the
+    * doc's place inside its shard) — beside the packed id arrays, so
+    * "the reproducible training order" is an oracle-checkable query,
+    * not a loader convention.
+    *
+    * Scale shape — NO global data-grain sort: the within-shard
+    * position is a Window PARTITIONED by bin (groups bounded by
+    * construction — a bin holds ≤ PackCapacity tokens), and the
+    * cross-shard order runs at SHARD grain only (one row per bin
+    * through the single-partition window — the c11/c15 two-level
+    * discipline: metadata grain, corpus-size-independent), whose
+    * running doc-count prefix turns per-shard positions into the
+    * global `seq` by one broadcast join back. */
+  def loaderOrder(s: SparkSession, dir: String): DataFrame = {
+    val reader = shardReader(s, dir)
+    // within-shard traversal: bounded per-shard groups, seeded doc_key
+    // order with the doc_id tiebreak (md5 keys are unique per doc here,
+    // but the tiebreak keeps the order total under any key collision)
+    val wDoc = Window.partitionBy(col("bin"))
+      .orderBy(col("doc_key"), col("doc_id"))
+    val withDoc = reader
+      .withColumn("doc_pos", row_number().over(wDoc).cast(LongType))
+    // shard traversal + global seq bases: SHARD-grain rows only pass
+    // through the ordered window (metadata grain)
+    val wShard = Window.orderBy(col("shard_key"), col("bin"))
+    val shardMeta = reader.groupBy(col("bin"), col("shard_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("shard_pos", row_number().over(wShard).cast(LongType))
+      .withColumn("seq_base", coalesce(sum(col("n_docs")).over(
+        wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("shard_pos"), col("seq_base"))
+    withDoc.join(broadcast(shardMeta), Seq("bin"))
+      .select((col("seq_base") + col("doc_pos")).as("seq"),
+        col("shard_pos"), col("doc_pos"), col("bin"), col("doc_id"),
+        col("ids"), col("n_tokens"), col("start_offset"))
+  }
+
+  /** The c22 REPORT the oracle compares — [[loaderOrder]] without the
+    * id arrays (c18's shard_hash already bit-proves those); every
+    * position and offset column at the traversal's own grain. */
+  def loaderOrderReport(s: SparkSession, dir: String): DataFrame =
+    loaderOrder(s, dir).drop("ids")
+
   /** c20: INCREMENTAL SHARD REFRESH — the daily pipeline's last meter
     * (VERDICT r15 #5): the delta family (d16) decides which of today's
     * batch documents are NEW against the standing corpus, and this

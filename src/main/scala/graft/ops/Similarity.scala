@@ -744,6 +744,90 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** CORPUS CLUSTEREDNESS — the mean member→assigned-centroid cosine
+    * over the corpus's own IVF partition (the `corpus_mean_sim`
+    * ingredient [[driftDecisionFrames]] already computes batch-vs-
+    * corpus; here it is read absolutely, as a property of the corpus).
+    * This is the signal that separates the two ANN regimes the
+    * measured knob curves expose (BASELINE.md "recall-vs-knob
+    * curves"): a clustered corpus's members hug their centroids
+    * (sf1c measures 0.974) while an isotropic one's cells are
+    * arbitrary partitions of a structureless cloud (sf1-synth
+    * measures 0.343). Cost: one index build (the
+    * memoizable √n-stride [[ivfIndex]]) plus a single corpus-grain
+    * aggregate — at 100 TB a deployment computes it once per corpus
+    * build, beside the index itself. */
+  def clusteredness(s: SparkSession, dir: String): Double = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("norm"))
+    val n = Tables.embeddingsRowCount(s, dir)
+    val stride = math.max(1, math.sqrt(n.toDouble).toInt)
+    val (cells, cents) = ivfIndex(emb, stride, LloydIters)
+    cells.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(when(col("norm") * col("c_norm") > 0,
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+        .as("csim"))
+      .agg(avg(col("csim"))).head.getDouble(0)
+  }
+
+  /** The regime boundary for [[annPlan]]: measured clusteredness is
+    * 0.974 on the planted-cluster decade corpus and 0.343 on the
+    * isotropic one — 0.8 splits the regimes with wide margin on both
+    * sides (SimilaritySpec pins the margins). */
+  val ClusterednessThreshold = 0.8
+
+  /** The MEASURED recall curves (BASELINE.md "recall-vs-knob curves",
+    * round-16 RecallSweep at decade scale), as the lookup [[annPlan]]
+    * selects from. Isotropic regime: rerank recall@5 vs `nprobe` at
+    * R=[[RerankDepth]] (the probe-coverage lever). Clustered regime:
+    * rerank recall@5 vs depth R at nprobe=[[NProbe]] (the code-fidelity
+    * lever). Frozen measurements, not aspirations — update only from a
+    * new RecallSweep capture. */
+  private[graft] val IsotropicNprobeCurve: Seq[(Int, Double)] =
+    Seq(1 -> 0.14, 2 -> 0.18, 4 -> 0.20, 8 -> 0.26, 16 -> 0.30)
+  private[graft] val ClusteredDepthCurve: Seq[(Int, Double)] =
+    Seq(20 -> 0.10, 50 -> 0.24, 100 -> 0.44, 200 -> 0.72)
+
+  /** A recommended (nprobe, rerank depth) pair for a target recall,
+    * with the regime, the measured clusteredness that chose it, and the
+    * expected recall read off the measured curve. */
+  final case class AnnPlan(clusteredness: Double, regime: String,
+      nprobe: Int, rerankDepth: Int, expectedRecall: Double)
+
+  /** RECALL-TARGETED KNOB SELECTION (VERDICT r16 next #2) — the
+    * measured curves as a CHOOSER instead of a table a user must read:
+    * measure the corpus's [[clusteredness]], pick the regime's lever
+    * (BASELINE.md's inversion: isotropic corpora buy recall with
+    * `nprobe` — probe coverage of a structureless partition is the
+    * limiter, R deepening adds little; clustered corpora buy it with
+    * depth R — probing is already near-perfect there, s19 ≈ 0.98, and
+    * ADC code fidelity churning the fixed-R short-list is the limiter,
+    * while nprobe buys nothing), and return the smallest knob whose
+    * measured recall meets the target — or the largest measured knob
+    * when the target exceeds the curve (the caller sees
+    * `expectedRecall < target` and knows the gap). The returned pair
+    * feeds [[ivfPqRerankWith]] directly; expected recall is the
+    * decade-scale measurement (sf1-synth / sf1c rows), indicative not
+    * contractual on other corpora. SimilaritySpec pins the chooser on
+    * the three measured corpora: isotropic targets escalate nprobe at
+    * fixed R, clustered targets escalate R at fixed nprobe. */
+  def annPlan(s: SparkSession, dir: String, targetRecall: Double): AnnPlan =
+    annPlanFor(clusteredness(s, dir), targetRecall)
+
+  /** The pure selection rule, from an already-measured clusteredness —
+    * a deployment measures once per corpus build and selects per
+    * workload. */
+  def annPlanFor(clusteredness: Double, targetRecall: Double): AnnPlan =
+    if (clusteredness >= ClusterednessThreshold) {
+      val (r, exp) = ClusteredDepthCurve.find(_._2 >= targetRecall)
+        .getOrElse(ClusteredDepthCurve.last)
+      AnnPlan(clusteredness, "clustered", NProbe, r, exp)
+    } else {
+      val (np, exp) = IsotropicNprobeCurve.find(_._2 >= targetRecall)
+        .getOrElse(IsotropicNprobeCurve.last)
+      AnnPlan(clusteredness, "isotropic", np, RerankDepth, exp)
+    }
+
   /** FILTERED IVF-PQ SEARCH (s23) — s19's pre-filter discipline
     * composed with s18's ADC scan: the metadata predicate is part of
     * the candidate EQUALITY JOIN KEY ((cell, label) — pre-filter

@@ -302,6 +302,52 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("c22 loader order: the consumer traversal — shards in shard_key order, " +
+      "docs in doc_key order within each — is the spec permutation, carries " +
+      "contiguous positions, and reproduces end-to-end from a second session's " +
+      "artifact read") {
+    import graft.ops.{Composites, TextAnalysis}
+    def collectOrder() = Composites.loaderOrder(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getSeq[Int](5).toSeq)
+    } // (seq, shard_pos, doc_pos, bin, doc_id, ids)
+    val rows = collectOrder()
+    assert(rows.nonEmpty)
+    // the driver-side SPEC of the contract: sort the reader's rows by
+    // (shard_key, doc_key, doc_id) — shard_key is constant per bin, so
+    // shard-major traversal and this global sort are the same order
+    val reader = Composites.shardReader(spark, dir)
+      .select(col("doc_id"), col("shard_key"), col("doc_key")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val specOrder = reader.sortBy { case (d, sk, dk) => (sk, dk, d) }.map(_._1).toSeq
+    assert(rows.sortBy(_._1).map(_._5).toSeq === specOrder,
+      "seq must equal the (shard_key, doc_key, doc_id) traversal")
+    // positions are contiguous at both grains: seq is 1..N, doc_pos
+    // restarts at 1 inside every shard, shard_pos is 1..#shards in
+    // seq-major order (each shard fully consumed before the next)
+    assert(rows.map(_._1).sorted.toSeq === (1L to rows.length).toSeq)
+    rows.groupBy(_._4).foreach { case (bin, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"bin $bin doc_pos not contiguous") }
+    val shardBySeq = rows.sortBy(_._1).map(_._2).toSeq
+    assert(shardBySeq === shardBySeq.sorted,
+      "a shard must be fully consumed before the next begins")
+    assert(shardBySeq.distinct === (1L to shardBySeq.distinct.length).toSeq)
+    // second session: the same traversal (positions AND id payloads)
+    // reproduces from the persisted shard artifact with the corpus-side
+    // memos dropped — the trainer re-run reads the SAME data in the
+    // SAME order, which is what "reproducible training order" means
+    withArtifacts { _ =>
+      Composites.trainerShards(spark, dir).count() // persist trainer_shards
+      Composites.invalidateSurvivors()
+      TextAnalysis.invalidateBpeEncoded()
+      TextAnalysis.invalidateBpeRendered()
+      TextAnalysis.invalidateBpeMerges()
+      assert(collectOrder().sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq,
+        "second-session traversal must be byte-identical")
+    }
+  }
+
   test("c20 delta shards: new docs land only AFTER the standing max bin, every " +
       "delta survivor exactly once, and the persisted standing shards are " +
       "byte-unchanged by the refresh") {

@@ -769,4 +769,50 @@ class SimilaritySpec extends SparkSpec {
     assert(c22r >= c18r,
       f"clustered decade: residual $c22r%.3f must not lose to raw $c18r%.3f")
   }
+
+  test("annPlan: clusteredness separates the regimes and the chooser picks " +
+      "the measured lever — nprobe on isotropic corpora, depth on clustered " +
+      "(the BASELINE inversion as code)") {
+    // the chooser exists so a production user doesn't have to read the
+    // measured curves (VERDICT r16 next #2); this pins that it selects
+    // what the curves say on the corpora they were measured on
+    val iso = "/root/repo/testdata-sf1"
+    val clu = "/root/repo/testdata-sf1c"
+    if (!new java.io.File(s"$iso/embeddings.parquet").exists())
+      graft.ScaleData.write(iso, "/root/testdata/sf0.1", 10, 10, spark)
+    if (!new java.io.File(s"$clu/embeddings.parquet").exists())
+      graft.ScaleData.writeClusteredEmbeddings(clu, 10, spark)
+    val cIso = Similarity.clusteredness(spark, iso)
+    val cClu = Similarity.clusteredness(spark, clu)
+    info(f"clusteredness: isotropic=$cIso%.3f clustered=$cClu%.3f " +
+      f"(threshold ${Similarity.ClusterednessThreshold})")
+    // the regime signal separates with margin on both sides
+    assert(cIso < Similarity.ClusterednessThreshold - 0.1,
+      f"isotropic decade measured $cIso%.3f — not below the threshold with margin")
+    assert(cClu > Similarity.ClusterednessThreshold + 0.1,
+      f"clustered decade measured $cClu%.3f — not above the threshold with margin")
+    // isotropic regime: escalating targets move the NPROBE lever at
+    // fixed R (probe coverage is the limiter there)
+    val pLow = Similarity.annPlanFor(cIso, 0.12)
+    assert(pLow.regime === "isotropic")
+    assert(pLow.nprobe === 1 && pLow.rerankDepth === Similarity.RerankDepth)
+    val pHigh = Similarity.annPlanFor(cIso, 0.30)
+    assert(pHigh.nprobe === 16 && pHigh.rerankDepth === Similarity.RerankDepth)
+    assert(pHigh.expectedRecall === 0.30)
+    // a target beyond the measured curve returns the largest measured
+    // knob with the shortfall visible (expectedRecall < target)
+    val pOver = Similarity.annPlanFor(cIso, 0.9)
+    assert(pOver.nprobe === 16 && pOver.expectedRecall < 0.9)
+    // clustered regime: escalating targets move the DEPTH lever at
+    // fixed nprobe (code fidelity is the limiter; nprobe buys nothing)
+    val qMid = Similarity.annPlanFor(cClu, 0.4)
+    assert(qMid.regime === "clustered")
+    assert(qMid.nprobe === Similarity.NProbe && qMid.rerankDepth === 100)
+    val qHigh = Similarity.annPlanFor(cClu, 0.7)
+    assert(qHigh.nprobe === Similarity.NProbe && qHigh.rerankDepth === 200)
+    assert(qHigh.expectedRecall === 0.72)
+    // and the full entry point composes measurement + selection
+    val full = Similarity.annPlan(spark, clu, 0.7)
+    assert((full.nprobe, full.rerankDepth) === (qHigh.nprobe, qHigh.rerankDepth))
+  }
 }
