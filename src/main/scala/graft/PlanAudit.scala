@@ -219,7 +219,11 @@ object PlanAudit {
         Seq("CartesianProduct", "Exchange rangepartitioning")),
       ("c21_curriculum_shards", "curriculum-ordered packing sorts the corpus by perplexity WITHOUT a global sort: the ORDER-BY-(ppl, doc_id) prefix sum is the c15 two-level scan — the row-grain running sum is a Window PARTITIONED by the VALUE-bounded ppl grid cell, only cell summaries cross the single partition — and every input (survivors, ppl, BPE lengths, id arrays) is a memoized materialization (ExistingRDD) joined on the primary key; per-bin rollups are bounded by PackCapacity — no Exchange rangepartitioning anywhere, no cartesian, no corpus re-scan",
         Seq("ExistingRDD", "Window"),
-        Seq("CartesianProduct", "Exchange rangepartitioning"))
+        Seq("CartesianProduct", "Exchange rangepartitioning")),
+      ("c22_loader_order", "the loader traversal adds NO data-grain global sort to the pack: the within-shard position is a Window PARTITIONED by bin (groups bounded by PackCapacity), the cross-shard order and seq bases run at SHARD grain only (one row per bin through the single-partition window — metadata grain, corpus-size-independent), and both inputs are the c18/c19 memoized materializations (ExistingRDD) joined on the primary key — zero parquet scans, no Exchange rangepartitioning, no cartesian",
+        Seq("ExistingRDD", "Window"),
+        Seq("FileScan parquet", "CartesianProduct",
+          "Exchange rangepartitioning"))
     )
 
   /** Queries whose ANALYZED plans must not carry a forced broadcast hint

@@ -195,9 +195,42 @@ object ServingBench {
         s"/dedup/check?text=${enc(s"wholly novel probe text number $i zxqv")}") == 200)))
     drest.stop()
 
+    // FLEET SCATTER FLATNESS (VERDICT r16 wrong #2): hot-ANN scatter
+    // latency at 2 vs 4 instances. The coordinator now fires all peer
+    // fetches concurrently (HttpJsonServer.fetchAll) — p50 must stay
+    // ~flat in fleet size where the old sequential loop grew linearly.
+    // Small synthetic corpus on purpose: the hot tier's per-request work
+    // is in-process microseconds, so the number isolates exactly the
+    // HTTP fan-out being claimed.
+    import spark.implicits._
+    val fleetTimes: Seq[(Int, Seq[Double])] = Seq(2, 4).map { nInst =>
+      val fpath = Files.createTempDirectory("graft-servbench-fleet").toString +
+        "/emb.parquet"
+      (0L until 2000L).map(i =>
+        (i, (0 until 64).map(d => math.sin(i * 0.31 + d).toFloat)))
+        .toDF("vec_id", "embedding").write.parquet(fpath)
+      val fhosts = (0 until nInst).map(i => s"i$i")
+      val insts = fhosts.map(h => new graft.streaming.FederatedVectorServing(
+        if (h == fhosts.head) spark else spark.newSession(), fpath, 16, fhosts, h))
+      val urls = fhosts.zip(insts).map { case (h, inst) =>
+        h -> s"http://127.0.0.1:${inst.start(0, stride = 45, lloydIters = 1)}" }.toMap
+      insts.foreach(_.peerUrls = urls)
+      val fport = urls(fhosts.head).split(":").last.toInt
+      def hotScatter(): Int =
+        getPath(fport, s"/ann/topk/hot?vec=$qvec&k=5&nprobe=8")
+      hotScatter() // warm
+      val times = (0 until keys.size).map(_ => timeMs(assert(hotScatter() == 200)))
+      insts.foreach(_.stop())
+      nInst -> times
+    }
+    val fleetJson = fleetTimes.map { case (nI, t) =>
+      s""""fleet_hot_scatter_${nI}":${stats(t)}""" }.mkString(",")
+    val fleetFlatness =
+      p50(fleetTimes.last._2) / math.max(p50(fleetTimes.head._2), 0.001)
+
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }
