@@ -118,6 +118,27 @@ object ServingBench {
       java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
     getHot(keys.head) // warm
     val hotHttp = keys.map(k => timeMs(assert(getHot(k) == 200)))
+    // CONCURRENT hot throughput (round 17, pooled executor): the same
+    // point reads from 1 vs 8 parallel clients — requests/s should scale
+    // with client count now that handlers run on a fixed pool instead of
+    // the serial default dispatcher (which would hold c8 ≈ c1)
+    def hotRps(clients: Int, each: Int): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until clients).map { _ =>
+        val c = java.net.http.HttpClient.newHttpClient()
+        new Thread(() => (0 until each).foreach { i =>
+          val k = keys(i % keys.size)
+          assert(c.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      clients * each / ((System.nanoTime() - t0) / 1e9)
+    }
+    hotRps(1, 20) // warm the per-client connections
+    val hotRpsC1 = hotRps(1, 200)
+    val hotRpsC8 = hotRps(8, 200)
     rest.stop()
 
     // the LIVE tier: point reads over a RUNNING stream's memory-sink
@@ -230,7 +251,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

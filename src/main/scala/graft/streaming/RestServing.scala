@@ -180,8 +180,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
         numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -413,8 +412,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
              else Map.empty))
       }
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 
@@ -508,8 +506,7 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
         .toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -573,6 +570,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       codebook: Array[(Int, Int, Array[Double])],
       pqSd: Int, hasLabel: Boolean,
       hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]],
+      clusteredness: Double,
       generation: String)
 
   @volatile private var idx: AnnIndex = _
@@ -664,11 +662,20 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
           .sortBy(_._1))
       }
+    // corpus clusteredness, once per build — the /ann/plan regime
+    // signal (Similarity.clusteredness's aggregate, reusing THIS
+    // index's cells⋈centroids instead of building a second one)
+    val clust = cellsDf
+      .join(broadcast(centsDf), col("cell") === col("cent_id"))
+      .select(when(col("norm") * col("c_norm") > 0,
+        Similarity.dot(col("embedding"), col("c_emb")) /
+          (col("norm") * col("c_norm"))).as("csim"))
+      .agg(avg(col("csim"))).head.getDouble(0)
     // one assignment at the end: an in-flight request reads either the
     // old generation or the new one in FULL — checkpoints, collected
     // metadata, and hot map always from the same build
     idx = AnnIndex(emb, cells, cents, codedCells, codebook, pqSd,
-      hasLabel, fresh, gen)
+      hasLabel, fresh, clust, gen)
   }
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -793,6 +800,30 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         }).merge match { case (sc, body) => (sc, body, stamp) }
       }
     })
+    // RECALL-TARGETED KNOB SELECTION over the SERVED index (the
+    // Similarity.annPlan chooser, one in-process lookup per request):
+    // the regime signal (clusteredness) was measured once at index
+    // build, so a client asks "what knobs for recall ≥ target?" and
+    // gets the measured-curve answer — and can pass the returned pair
+    // straight back to /ann/topk[/hot]'s nprobe (+ a batch rerank at
+    // the returned depth)
+    server.createContext("/ann/plan", handlerQH { (path, q) =>
+      if (path != "/ann/plan") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val ix = idx
+        val stamp = Map(HttpJsonServer.GenerationHeader -> ix.generation)
+        q.get("target").flatMap(_.toDoubleOption) match {
+          case None =>
+            (400, """{"error":"target=<recall in (0,1]> is required"}""", stamp)
+          case Some(t) =>
+            val p = graft.ops.Similarity.annPlanFor(ix.clusteredness, t)
+            (200, f"""{"clusteredness":${p.clusteredness}%.3f,"regime":"${
+              p.regime}","nprobe":${p.nprobe},"rerank_depth":${p.rerankDepth
+              },"expected_recall":${p.expectedRecall}%.2f,"target":$t%.2f}""",
+              stamp)
+        }
+      }
+    })
     // operational reload: rebuild the index (Spark checkpoints + hot
     // in-process cells) from the current corpus parquet without dropping
     // the socket — what an operator calls after retrainOnDrift trips
@@ -835,8 +866,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         }).merge match { case (sc, body) => (sc, body, stamp) }
       }
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -966,9 +996,8 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       }
     })
     registerSearchHandlers()
-    server.setExecutor(null)
-    server.start()
-    server.getAddress.getPort
+    startPooled()
+    port
   }
 
   /** Highest-df terms in the built index — the guaranteed-present probes
@@ -1227,9 +1256,8 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
         }
       }
     })
-    server.setExecutor(null)
-    server.start()
-    server.getAddress.getPort
+    startPooled()
+    port
   }
 }
 
@@ -1431,8 +1459,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
         org.apache.spark.sql.types.StringType)
       (200, s"""{"partition":$p,"host":"${Serving.hostFor(p, hosts)}"}""")
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -1676,8 +1703,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
                else Map.empty))
       }
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -1931,8 +1957,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       val cell = path.stripPrefix("/ann/instance/").toLong
       (200, s"""{"cell":$cell,"host":"${cellOwner(cell)}"}""")
     })
-    server.setExecutor(null)
-    server.start()
+    startPooled()
     port
   }
 }
@@ -2005,11 +2030,34 @@ private[streaming] object HttpJsonServer {
 private[streaming] trait HttpJsonServer {
   HttpJsonServer.ensureNoDelay
   protected var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Start the server on a FIXED REQUEST POOL instead of the JDK's
+    * serial default dispatcher. Safe by construction since round 17:
+    * every tier reads its per-generation state through ONE volatile
+    * holder per request (the ADVICE r16 discipline), so concurrent
+    * handlers can never observe torn cross-field state — and a slow
+    * request (a cold-tier Spark read, a cross-instance scatter) no
+    * longer serializes the ~2 ms hot point reads queued behind it,
+    * which is what a real serving replica needs under concurrent load
+    * (measured: ServingBench `hot_rps_c1` vs `hot_rps_c8`). Reload
+    * concurrency is the same story — a reload builds aside and swaps
+    * one reference; in-flight requests read the old generation or the
+    * new one, never a mix (ServingSpec's concurrent golden pins
+    * body↔stamp consistency under a mid-flight reload). */
+  protected def startPooled(): Unit = {
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+  }
 
   /** Bound port after `start` (pass port 0 for an ephemeral one). */
   def port: Int = server.getAddress.getPort
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   protected def handler(f: String => (Int, String)): com.sun.net.httpserver.HttpHandler =
     handlerQ { (path, _) => f(path) }

@@ -399,6 +399,17 @@ class ServingSpec extends SparkSpec {
         assert(Seq(1000, 1001, 1002).forall(ids.contains),
           s"reloaded hot tier must surface the new vectors: $ids")
       } finally fresh.stop()
+      // the served knob chooser (/ann/plan): this corpus is
+      // cluster-planted (members hug their centroids), so the plan must
+      // report the clustered regime and move the DEPTH lever at the
+      // default probe width — the annPlan rule served in-process
+      val (pc, pb) = get(port, "/ann/plan?target=0.4")
+      assert(pc === 200, pb)
+      assert(pb.contains("\"regime\":\"clustered\""), pb)
+      assert(pb.contains(s""""nprobe":${graft.ops.Similarity.NProbe}""") &&
+        pb.contains("\"rerank_depth\":100"), pb)
+      assert(get(port, "/ann/plan")._1 === 400, "target is required")
+      assert(get(port, "/ann/plan?target=junk")._1 === 400)
     } finally rest.stop()
   }
 
@@ -1446,6 +1457,69 @@ class ServingSpec extends SparkSpec {
       assert(mixed(post) === "", "a completed rollout must not flag mixing")
       assert(gen(post) === g2)
     } finally { a.stop(); b.stop() }
+  }
+
+  test("CONCURRENT serving: parallel hot reads through a mid-flight reload — " +
+      "every response is one complete generation (body matches its stamp), " +
+      "zero errors; the pooled executor makes the holder discipline live") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val n = 8
+    val path = Files.createTempDirectory("graft-conc").toString
+    def writeV(off: Long): Unit = Serving.writePartitionedStore(
+      (1L to 50L).map(k => (k, k * 10 + off)).toDF("k", "v"), "k", n, path)
+    writeV(0)
+    val rest = new RestServing(spark, path, "k", n, Seq("h0:1"))
+    val port = rest.start()
+    try {
+      val g1 = graft.ops.Artifacts.fingerprint(spark, path)
+      writeV(7) // the rewrite; the reload below lands MID-TRAFFIC
+      val g2 = graft.ops.Artifacts.fingerprint(spark, path)
+      assert(g1 !== g2)
+      // collected (key, status, body, generation) across 4 client threads
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String, String)]()
+      val clients = (0 until 4).map(_ => HttpClient.newHttpClient())
+      val threads = clients.map { c =>
+        new Thread(() => (0 until 30).foreach { i =>
+          val k = (i % 50) + 1L
+          val r = c.send(HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          results.add((k, r.statusCode(), r.body(),
+            r.headers().firstValue("X-Graft-Generation").orElse("")))
+        })
+      }
+      threads.foreach(_.start())
+      // the reload fires while the 120 reads are in flight
+      val ack = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/state/reload")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ack.statusCode() === 200)
+      threads.foreach(_.join(30000))
+      assert(threads.forall(!_.isAlive), "client threads must finish")
+      val rs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        results.iterator()).asScala.toSeq
+      assert(rs.size === 120)
+      rs.foreach { case (k, sc, body, g) =>
+        assert(sc === 200, s"key $k: $sc $body")
+        // the response is ONE complete generation: the body's value
+        // matches exactly the store build the stamp names — a torn
+        // old-body/new-stamp (or vice versa) pairing fails here
+        val expected =
+          if (g == g1) s"""[{"k":$k,"v":${k * 10}}]"""
+          else if (g == g2) s"""[{"k":$k,"v":${k * 10 + 7}}]"""
+          else fail(s"key $k: unknown generation '$g'")
+        assert(body === expected, s"key $k stamped $g")
+      }
+      // the reload really landed mid-traffic or after: post-reload reads
+      // serve v2 (the final state is the new generation)
+      val post = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/state/keyvalue/hot/1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.body() === """[{"k":1,"v":17}]""")
+    } finally rest.stop()
   }
 
   test("KV fleet reload: /state/reload/all reloads every instance in one RPC " +
