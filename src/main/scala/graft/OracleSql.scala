@@ -1725,6 +1725,29 @@ object OracleSql {
          |FROM d JOIN tot USING (source) CROSS JOIN mn
          |WHERE bucket * t_s < t_min * 65536
          |GROUP BY source""".stripMargin),
+    // t30 = t18's sampler under the α-temperature rule: rate_s =
+    // (T_min/T_s)^(1−α) rounded ONCE to integer ppm, integer keep
+    // predicate (see TextAnalysis.alphaMixtureFrame)
+    "t30_alpha_mixture" -> {
+      val a = graft.ops.TextAnalysis.MixtureAlpha
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n,
+         |  CAST(list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
+         |    << ((4 - i) * 4) for i in range(1, 5)]) AS BIGINT) AS bucket
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t_s FROM d GROUP BY source),
+         |pwt AS (SELECT source, t_s, pow(CAST(t_s AS DOUBLE), $a) AS pw FROM tot),
+         |sc AS (SELECT min(t_s) AS t_min, sum(pw) AS pw_sum FROM pwt),
+         |rated AS (SELECT d.doc_id, d.source, d.n, d.bucket,
+         |    CAST(round(pow(CAST(sc.t_min AS DOUBLE) / pwt.t_s, 1 - $a) * 1000000, 0) AS BIGINT) AS rate_ppm,
+         |    CAST(round(pwt.pw / sc.pw_sum * 1000000, 0) AS BIGINT) AS share_ppm
+         |  FROM d JOIN pwt USING (source) CROSS JOIN sc)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n) AS BIGINT) AS kept_tokens,
+         |  max(rate_ppm) AS rate_ppm, max(share_ppm) AS share_ppm
+         |FROM rated
+         |WHERE bucket * 1000000 < rate_ppm * 65536
+         |GROUP BY source""".stripMargin
+    },
     "t19_inverted_index" -> {
       val top = graft.ops.TextAnalysis.IndexTopDocs
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),

@@ -123,6 +123,9 @@ object PlanAudit {
       ("t18_domain_balance", "domain reweighting is one aggregation for source totals (map-side partial_sum), a one-row broadcast minimum on the non-foldable zero key (BroadcastHashJoin, never a nested-loop), and one corpus pass for the integer keep predicate — no all-pairs",
         Seq("partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t30_alpha_mixture", "the α-temperature sampler keeps t18's plan shape exactly: one map-side-combined totals aggregate, ONE one-row broadcast carrying BOTH scalars (min and the Σ T^α normalizer) on the zero key, and one corpus pass for the ppm-integer keep predicate — the temperature knob adds per-source column arithmetic, never a new shuffle or pairing",
+        Seq("partial_sum", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c11_prep_packed", "the packing phase reads the MATERIALIZED survivor set (ExistingRDD — the funnel's gates ran once, in c10/the memo, not again here; production persists the cleaned corpus) and applies t17's two-level prefix scan: bucket-partitioned Window, map-side partial_sum, UN-hinted bucket-offset join keyed on the bucket the rows are already partitioned by (AQE owns broadcast-vs-shuffle) — no gate re-execution, no corpus-grain global sort",
         Seq("ExistingRDD", "Window", "partial_sum"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "LeftAnti")),

@@ -162,6 +162,7 @@ object SparkEntry {
     "t27_lm_quality"    -> (TextAnalysis.lmQuality _),
     "t28_dsir_weights"  -> (TextAnalysis.dsirWeights _),
     "t29_token_ids"     -> (TextAnalysis.tokenIds _),
+    "t30_alpha_mixture" -> (TextAnalysis.alphaMixture _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),

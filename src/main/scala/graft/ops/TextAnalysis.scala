@@ -604,6 +604,66 @@ object TextAnalysis {
         round(max(col("t_min")).cast("double") / max(col("t_s")), 6).as("rate"))
   }
 
+  /** The α-temperature of [[alphaMixture]] — 0.3 is the mT5/XLM-R
+    * production setting; α = 0 degenerates to t18's equalize-to-min
+    * (rate = T_min/T_s) and α = 1 to the natural mixture (rate = 1). */
+  val MixtureAlpha = 0.3
+
+  /** TEMPERATURE-SMOOTHED MIXTURE SAMPLING (t30) — the α-sampling rule
+    * multilingual pretraining actually ships (XLM-R §3.1 / mT5:
+    * p_s ∝ (T_s/ΣT)^α): t18 equalizes every source to the smallest
+    * one's budget, which over-suppresses mid-sized sources; the
+    * temperature knob interpolates. Per-source sampling rate, derived:
+    * the target mixture wants source mass ∝ T_s^α, the largest
+    * realizable epoch caps the most-upsampled source (the smallest) at
+    * rate 1, so rate_s = (T_min/T_s)^(1−α) — a one-knob family with
+    * t18 (α=0) and pass-through (α=1) as endpoints.
+    *
+    * Applied with the SAME deterministic md5-bucket sampler as
+    * t6/t18 — but the keep predicate cannot be the pure-integer t18
+    * form (the rate is now a pow(), not a ratio of corpus longs), so
+    * the rule is: round the rate ONCE to integer parts-per-million
+    * (`rate_ppm` — both engines round the same double within one
+    * micro-unit), then compare in integers: keep iff
+    * `bucket·10⁶ < rate_ppm·65536` (max ≈ 6.6·10¹⁰, safely in 63
+    * bits). The reported `share_ppm` is the target mixture weight
+    * p_s ∝ T_s^α, same ppm rounding.
+    *
+    * Scale shape = t18's exactly: one map-side-combined totals
+    * aggregate, TWO one-row broadcasts on the zero key (min and
+    * Σ T_s^α — both scalars at any corpus size), one corpus pass for
+    * the gate, source-grain output. */
+  def alphaMixture(s: SparkSession, dir: String): DataFrame =
+    alphaMixtureFrame(Tables.documents(s, dir), MixtureAlpha)
+
+  /** Frame-level form of [[alphaMixture]] — any (doc_id, source, text). */
+  def alphaMixtureFrame(documents: DataFrame, alpha: Double): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val d = documents
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"),
+        bucket.as("bucket"))
+    val totals = d.groupBy(col("source")).agg(sum(col("n")).as("t_s"))
+      .withColumn("pw", pow(col("t_s").cast("double"), alpha))
+    val scalars = totals
+      .agg(min(col("t_s")).as("t_min"), sum(col("pw")).as("pw_sum"))
+      .withColumn("jk", (col("t_min") * 0).cast("long"))
+    d.join(totals, Seq("source"))
+      .withColumn("jk", col("doc_id") * 0)
+      .join(broadcast(scalars), Seq("jk"))
+      .withColumn("rate_ppm", round(pow(
+        col("t_min").cast("double") / col("t_s"), 1.0 - alpha) * 1e6, 0)
+        .cast("long"))
+      .withColumn("share_ppm", round(col("pw") / col("pw_sum") * 1e6, 0)
+        .cast("long"))
+      .filter(col("bucket") * 1000000L < col("rate_ppm") * 65536L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n")).cast("long").as("kept_tokens"),
+        max(col("rate_ppm")).as("rate_ppm"),
+        max(col("share_ppm")).as("share_ppm"))
+  }
+
   /** Structured-field scrubbing — the PII-masking shape over a
     * semi-structured column: every digit run in `events.props` (a JSON
     * payload) is masked to `#`, with the run count kept as an audit

@@ -123,6 +123,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: alphaMixture endpoints — α=0 reproduces domainBalance's " +
+      "equalize-to-min rates, α=1 keeps everything; kept counts are " +
+      "monotone in α per source") {
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val rows = corpus(700 + k, 24)
+        .map { case (id, t) => (id, s"src${id % 3}", t) }
+      val df = rows.toDF("doc_id", "source", "text")
+      val totals = rows.groupBy(_._2).view
+        .mapValues(_.map(r => tokens(r._3).size.toLong).sum).toMap
+      if (totals.values.forall(_ > 0)) {
+        def kept(alpha: Double): Map[String, (Long, Long)] =
+          TextAnalysis.alphaMixtureFrame(df, alpha)
+            .as[(String, Long, Long, Long, Long)].collect()
+            .map(r => r._1 -> ((r._2, r._4))).toMap // (n_kept, rate_ppm)
+        // α=0: rate = T_min/T_s — domainBalance's rule to ppm rounding,
+        // so the kept documents are the same set when the two rounded
+        // thresholds agree at bucket grain (they do on these corpora:
+        // assert kept counts equal)
+        val a0 = kept(0.0)
+        val t18 = TextAnalysis.domainBalanceFrame(df)
+          .as[(String, Long, Long, Double)].collect()
+          .map(r => r._1 -> r._2).toMap
+        assert(a0.map { case (s, v) => s -> v._1 } === t18,
+          s"seed ${700 + k}: α=0 must equal the equalize-to-min sampler")
+        // α=1: the natural mixture — rate 1, every document kept
+        val a1 = kept(1.0)
+        rows.groupBy(_._2).foreach { case (src, rs) =>
+          assert(a1(src)._1 === rs.size.toLong, s"α=1 must keep all of $src")
+          assert(a1(src)._2 === 1000000L)
+        }
+        // monotone: a larger α keeps at least as much of every source
+        // (rate_s = (T_min/T_s)^(1−α) is non-decreasing in α), and the
+        // smallest source is whole at EVERY α
+        val curve = Seq(0.0, 0.3, 0.7, 1.0).map(a => a -> kept(a))
+        curve.sliding(2).foreach { case Seq((aLo, lo), (aHi, hi)) =>
+          lo.keySet.foreach { src =>
+            assert(lo(src)._1 <= hi.getOrElse(src, (0L, 0L))._1,
+              s"seed ${700 + k}: $src kept count must be monotone in α ($aLo→$aHi)")
+          }
+        }
+        val smallest = totals.minBy(v => (v._2, v._1))._1
+        curve.foreach { case (a, m) =>
+          assert(m(smallest)._2 === 1000000L,
+            s"smallest source must sample at rate 1 at α=$a") }
+      }
+    }
+  }
+
   test("property: substringDup equals an in-memory anchor/diagonal/island reference " +
       "on template-built corpora") {
     import spark.implicits._
