@@ -1738,8 +1738,8 @@ object OracleSql {
          |pwt AS (SELECT source, t_s, pow(CAST(t_s AS DOUBLE), $a) AS pw FROM tot),
          |sc AS (SELECT min(t_s) AS t_min, sum(pw) AS pw_sum FROM pwt),
          |rated AS (SELECT d.doc_id, d.source, d.n, d.bucket,
-         |    CAST(round(pow(CAST(sc.t_min AS DOUBLE) / pwt.t_s, 1 - $a) * 1000000, 0) AS BIGINT) AS rate_ppm,
-         |    CAST(round(pwt.pw / sc.pw_sum * 1000000, 0) AS BIGINT) AS share_ppm
+         |    CASE WHEN pwt.t_s > 0 THEN CAST(round(pow(CAST(sc.t_min AS DOUBLE) / pwt.t_s, 1 - $a) * 1000000, 0) AS BIGINT) ELSE 0 END AS rate_ppm,
+         |    CASE WHEN sc.pw_sum > 0 THEN CAST(round(pwt.pw / sc.pw_sum * 1000000, 0) AS BIGINT) ELSE 0 END AS share_ppm
          |  FROM d JOIN pwt USING (source) CROSS JOIN sc)
          |SELECT source, count(*) AS n_kept,
          |  CAST(sum(n) AS BIGINT) AS kept_tokens,

@@ -651,11 +651,18 @@ object TextAnalysis {
     d.join(totals, Seq("source"))
       .withColumn("jk", col("doc_id") * 0)
       .join(broadcast(scalars), Seq("jk"))
-      .withColumn("rate_ppm", round(pow(
-        col("t_min").cast("double") / col("t_s"), 1.0 - alpha) * 1e6, 0)
-        .cast("long"))
-      .withColumn("share_ppm", round(col("pw") / col("pw_sum") * 1e6, 0)
-        .cast("long"))
+      // degenerate-source guards: a source whose documents all tokenize
+      // empty makes t_s = 0 (and possibly t_min = 0, pw_sum = 0) — the
+      // divisions would produce NaN and the long cast would THROW under
+      // ANSI where t18's pure-integer predicate just returns; rate 0
+      // (drop the token-less source) is the defined behavior instead
+      .withColumn("rate_ppm", when(col("t_s") > 0,
+          round(pow(col("t_min").cast("double") / col("t_s"), 1.0 - alpha)
+            * 1e6, 0))
+        .otherwise(lit(0.0)).cast("long"))
+      .withColumn("share_ppm", when(col("pw_sum") > 0,
+          round(col("pw") / col("pw_sum") * 1e6, 0))
+        .otherwise(lit(0.0)).cast("long"))
       .filter(col("bucket") * 1000000L < col("rate_ppm") * 65536L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),

@@ -302,17 +302,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       if (path != "/state/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
-        val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
-        val peerGens = HttpJsonServer
-          .fetchAll(peers.map(_._2 + "/state/reload"))
-          .map(HttpJsonServer.generationOf)
-        val all = ((selfHost, generation) +: peers.map(_._1).zip(peerGens))
-          .sortBy(_._1)
-        val uniform = all.map(_._2).distinct.size == 1
-        (200, s"""{"reloaded":true,"uniform":$uniform,"instances":${
-          all.map { case (h, g) => s"""{"host":"$h","generation":"$g"}""" }
-            .mkString("[", ",", "]")}}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        fleetReload(selfHost, generation, peerUrls, "/state/reload")
       }
     })
     // hot tier first (longest-prefix context matching): owned keys answer
@@ -812,7 +802,8 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       else {
         val ix = idx
         val stamp = Map(HttpJsonServer.GenerationHeader -> ix.generation)
-        q.get("target").flatMap(_.toDoubleOption) match {
+        q.get("target").flatMap(_.toDoubleOption)
+          .filter(t => t > 0.0 && t <= 1.0) match {
           case None =>
             (400, """{"error":"target=<recall in (0,1]> is required"}""", stamp)
           case Some(t) =>
@@ -1415,16 +1406,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       if (path != "/search/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
-        val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
-        val peerGens = HttpJsonServer
-          .fetchAll(peers.map(_._2 + "/search/reload"))
-          .map(HttpJsonServer.generationOf)
-        val all = ((selfHost, generation) +: peers.map(_._1).zip(peerGens))
-          .sortBy(_._1)
-        (200, s"""{"reloaded":true,"uniform":${all.map(_._2).distinct.size == 1
-          },"instances":${all.map { case (h, g) =>
-            s"""{"host":"$h","generation":"$g"}""" }.mkString("[", ",", "]")}}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        fleetReload(selfHost, generation, peerUrls, "/search/reload")
       }
     })
     server.createContext("/search/term/hot", handlerQH { (path, q) =>
@@ -1593,16 +1575,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
       if (path != "/dedup/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
-        val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
-        val peerGens = HttpJsonServer
-          .fetchAll(peers.map(_._2 + "/dedup/reload"))
-          .map(HttpJsonServer.generationOf)
-        val all = ((selfHost, generation) +: peers.map(_._1).zip(peerGens))
-          .sortBy(_._1)
-        (200, s"""{"reloaded":true,"uniform":${all.map(_._2).distinct.size == 1
-          },"instances":${all.map { case (h, g) =>
-            s"""{"host":"$h","generation":"$g"}""" }.mkString("[", ",", "]")}}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        fleetReload(selfHost, generation, peerUrls, "/dedup/reload")
       }
     })
     server.createContext("/dedup/probe/exact", handlerQH { (path, q) =>
@@ -1863,16 +1836,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       if (path != "/ann/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
-        val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
-        val peerGens = HttpJsonServer
-          .fetchAll(peers.map(_._2 + "/ann/reload"))
-          .map(HttpJsonServer.generationOf)
-        val all = ((selfHost, generation) +: peers.map(_._1).zip(peerGens))
-          .sortBy(_._1)
-        (200, s"""{"reloaded":true,"uniform":${all.map(_._2).distinct.size == 1
-          },"instances":${all.map { case (h, g) =>
-            s"""{"host":"$h","generation":"$g"}""" }.mkString("[", ",", "]")}}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        fleetReload(selfHost, generation, peerUrls, "/ann/reload")
       }
     })
     def parseVec(q: Map[String, String]): Array[Double] =
@@ -1977,17 +1941,34 @@ private[streaming] object HttpJsonServer {
     * first and last instance's reload, previously silent. */
   val MixedHeader = "X-Graft-Mixed-Generation"
 
+  /** ONE shared peer client for every scatter/fleet path: fetchAll runs
+    * once per request on the hot scatter endpoints, and a per-call
+    * HttpClient would spin up (and leak until GC) a selector thread +
+    * connection pool each time — at the throughput the pooled executor
+    * serves, that churns threads and file descriptors for nothing.
+    * Bounded connect timeout so a dead peer fails fast. */
+  private lazy val peerClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  /** Per-request ceiling on a peer fetch: a hung peer must not wedge a
+    * handler thread forever — 8 hung scatters would otherwise exhaust
+    * the fixed request pool and stop even the hot point reads. The
+    * timeout surfaces as the join's CompletionException → a 500 on the
+    * coordinator, the same contract as a refused connection. */
+  private val PeerTimeout = java.time.Duration.ofSeconds(30)
+
   /** Fire all requests CONCURRENTLY, then join (VERDICT r16 "what's
     * wrong #2": the sequential peer loop made scatter latency linear in
     * instance count; the reference queries each host independently —
-    * MusicPlaysRestService.java:77-115). A failed peer surfaces as the
-    * CompletionException the join throws — same 500 contract as the
-    * old sequential `send`. */
+    * MusicPlaysRestService.java:77-115). A failed or timed-out peer
+    * surfaces as the CompletionException the join throws — same 500
+    * contract as the old sequential `send`. */
   def fetchAll(urls: Seq[String]): Seq[java.net.http.HttpResponse[String]] = {
-    val client = java.net.http.HttpClient.newHttpClient()
     val futs = urls.map { u =>
-      client.sendAsync(
-        java.net.http.HttpRequest.newBuilder(java.net.URI.create(u)).GET().build(),
+      peerClient.sendAsync(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+          .timeout(PeerTimeout).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
     }
     futs.map(_.join())
@@ -2054,6 +2035,34 @@ private[streaming] trait HttpJsonServer {
   /** Bound port after `start` (pass port 0 for an ephemeral one). */
   def port: Int = server.getAddress.getPort
 
+  /** The fleet-reload coordinator body shared by every federated family
+    * (the caller reloads ITSELF first, then calls this): every peer's
+    * reload endpoint fetched concurrently, and a non-200 peer makes the
+    * whole ACK a **502 naming the failed hosts** — a partial rollout
+    * must never answer `"reloaded":true` (an automation keying on the
+    * ACK would otherwise treat a half-reloaded fleet as done). On
+    * success: per-host generations plus the `uniform` flag. */
+  protected def fleetReload(selfHost: String, selfGen: String,
+      peerUrls: Map[String, String], reloadPath: String)
+      : (Int, String, Map[String, String]) = {
+    val stamp = Map(HttpJsonServer.GenerationHeader -> selfGen)
+    val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
+    val resps = HttpJsonServer.fetchAll(peers.map(_._2 + reloadPath))
+    val failed = peers.map(_._1).zip(resps).filter(_._2.statusCode() != 200)
+    if (failed.nonEmpty)
+      (502, s"""{"reloaded":false,"failed":${failed.map { case (h, r) =>
+        s"""{"host":"$h","status":${r.statusCode()}}""" }
+        .mkString("[", ",", "]")}}""", stamp)
+    else {
+      val all = ((selfHost, selfGen) +: peers.map(_._1)
+        .zip(resps.map(HttpJsonServer.generationOf))).sortBy(_._1)
+      (200, s"""{"reloaded":true,"uniform":${
+        all.map(_._2).distinct.size == 1},"instances":${
+        all.map { case (h, g) => s"""{"host":"$h","generation":"$g"}""" }
+          .mkString("[", ",", "]")}}""", stamp)
+    }
+  }
+
   def stop(): Unit = {
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdown()
@@ -2106,24 +2115,7 @@ private[streaming] trait HttpJsonServer {
 
   protected def handlerQ(
       f: (String, Map[String, String]) => (Int, String)): com.sun.net.httpserver.HttpHandler =
-    (exchange: HttpExchange) => {
-      val (status, body) =
-        try {
-          val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
-            .split("&").filter(_.contains("=")).map { kv =>
-              val Array(k, v) = kv.split("=", 2)
-              k -> java.net.URLDecoder.decode(v, "UTF-8")
-            }.toMap
-          f(exchange.getRequestURI.getPath, q)
-        } catch {
-          case e: Exception =>
-            // quotes/backslashes AND control chars (<0x20: newlines, tabs in
-            // exception messages) would break the JSON body — blank them all
-            (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
-              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
-        }
-      respond(exchange, status, body)
-    }
+    handlerQH { (path, q) => val (s, b) = f(path, q); (s, b, Map.empty) }
 
   /** Write one JSON response. A 307's "body" is the redirect TARGET —
     * every federated tier (KV, term, dedup) routes with it — so the

@@ -170,6 +170,19 @@ class PropertySpec extends SparkSpec {
             s"smallest source must sample at rate 1 at α=$a") }
       }
     }
+    // degenerate source: documents that tokenize to ZERO tokens (all
+    // punctuation) make t_s = 0 — the rate is DEFINED (0, the source
+    // drops; and t_min = 0 drops every source, t18's semantics under
+    // the same corpus) instead of a NaN→long ANSI cast crash
+    val degen = (Seq((1L, "srcA", "real words here"),
+      (2L, "srcA", "more real words"),
+      (3L, "srcX", "!!! ??? ..."))).toDF("doc_id", "source", "text")
+    val gotDegen = TextAnalysis.alphaMixtureFrame(degen, 0.3).collect()
+    val t18Degen = TextAnalysis.domainBalanceFrame(degen).collect()
+    assert(gotDegen.isEmpty === t18Degen.isEmpty,
+      "α-sampler must match t18's behavior on a zero-token source")
+    assert(gotDegen.isEmpty,
+      "t_min = 0 drops every source in both samplers — defined, not a crash")
   }
 
   test("property: substringDup equals an in-memory anchor/diagonal/island reference " +

@@ -410,6 +410,11 @@ class ServingSpec extends SparkSpec {
         pb.contains("\"rerank_depth\":100"), pb)
       assert(get(port, "/ann/plan")._1 === 400, "target is required")
       assert(get(port, "/ann/plan?target=junk")._1 === 400)
+      // the promised (0,1] range is ENFORCED, not just documented
+      assert(get(port, "/ann/plan?target=0")._1 === 400)
+      assert(get(port, "/ann/plan?target=-0.5")._1 === 400)
+      assert(get(port, "/ann/plan?target=1.5")._1 === 400)
+      assert(get(port, "/ann/plan?target=NaN")._1 === 400)
     } finally rest.stop()
   }
 
@@ -1562,6 +1567,13 @@ class ServingSpec extends SparkSpec {
       val r = getR(s"${urls("instance-a")}/state/keyvalue/hot/$keyOnA")
       assert(r.statusCode() === 200)
       assert(r.headers().firstValue("X-Graft-Generation").orElse("") === g2)
+      // a PARTIAL rollout must not ACK as reloaded: with instance-b
+      // down, the coordinator answers 5xx — never {"reloaded":true}
+      b.stop()
+      val partial = getR(s"${urls("instance-a")}/state/reload/all")
+      assert(partial.statusCode() >= 500,
+        s"half-reloaded fleet must not ACK: ${partial.statusCode()} ${partial.body()}")
+      assert(!partial.body().contains("\"reloaded\":true"), partial.body())
     } finally { a.stop(); b.stop() }
   }
 }
