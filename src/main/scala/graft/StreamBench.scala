@@ -319,6 +319,26 @@ object StreamBench {
             lm),
           OutputMode.Update())
       }),
+      // streaming mixture gate: t30's keep decision at ingest — one
+      // in-row md5 projection + a stream-static broadcast join against
+      // the frozen source-grain rates (built once from a 50k-doc batch)
+      "mixture_gate" -> (() => {
+        def textOf(id: org.apache.spark.sql.Column) = concat_ws(" ",
+          (0 until 12).map(i =>
+            concat(lit(('a' + i).toChar.toString), (id + i * 37) % 5000)): _*)
+        val rates = graft.ops.TextAnalysis.alphaMixtureFrame(
+          spark.range(50000).select(col("id").as("doc_id"),
+            concat(lit("s"), col("id") % 20).as("source"),
+            textOf(col("id")).as("text")),
+          graft.ops.TextAnalysis.MixtureAlpha).localCheckpoint()
+        Pipeline(
+          StreamOps.mixtureGateStream(
+            rate().select(v.as("doc_id"), col("timestamp").as("ts"),
+              concat(lit("s"), v % 20).as("source"), textOf(v).as("text"))
+              .as(org.apache.spark.sql.Encoders.product[StreamOps.SourcedDocEvent]),
+            rates),
+          OutputMode.Append())
+      }),
       "substring_attrib_tws" -> (() => Pipeline(
         StreamOps.substringAttribStream(
           rate().select(v.as("doc_id"), col("timestamp").as("ts"),

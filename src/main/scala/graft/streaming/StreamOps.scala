@@ -649,6 +649,39 @@ object StreamOps {
       .withColumn("keep", when(col("ppl") <= keepPpl, 1).otherwise(0))
   }
 
+  case class SourcedDocEvent(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+
+  /** STREAMING MIXTURE GATE — t30's α-temperature sampling decision at
+    * ingest time, completing the ingest-gate family (dedup gate → LM
+    * quality gate → mixture gate → index assignment): each arriving
+    * document is kept or dropped by the SAME deterministic rule the
+    * batch sampler applies — md5 bucket of the text vs the source's
+    * frozen `rate_ppm` — so a document admitted by the stream is
+    * exactly a document the batch pass would have kept (StreamOpsSpec
+    * pins per-source count AND per-doc parity). The rates table is the
+    * batch [[graft.ops.TextAnalysis.alphaMixture]] output (in
+    * production: the persisted artifact of the last corpus build) —
+    * the frozen-artifact discipline every other gate uses. A source
+    * the frozen table has never seen gets `keep = false` (ingest-safe:
+    * admit nothing un-budgeted until the next rates rebuild — the same
+    * drop-by-default posture as the dedup gate's 'exact' verdict).
+    *
+    * Scale shape: STATELESS — one in-row md5 projection plus a
+    * stream-static broadcast join against the source-grain rates table
+    * (bounded by source count at any corpus size); no watermark, no
+    * state store, append semantics. */
+  def mixtureGateStream(docs: Dataset[SourcedDocEvent],
+      rates: DataFrame): DataFrame =
+    docs.toDF()
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("bucket") * 1000000L < col("rate_ppm") * 65536L,
+          lit(false)).as("keep"))
+
   case class TermPosting(term: String, doc_id: Long, tf: Long)
   case class IndexHead(term: String, df: Long, corpus_tf: Long, rk: Int,
       doc_id: Long, tf: Long)

@@ -1111,4 +1111,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(sasl.keySet === Set("kafka.security.protocol",
       "kafka.sasl.jaas.config", "kafka.sasl.mechanism"))
   }
+
+  test("mixtureGateStream: streamed docs get the exact t30 keep decisions " +
+      "against the frozen rates artifact — per-source counts equal the batch " +
+      "sampler's, per-doc flags equal the md5-bucket rule, unknown source drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the frozen artifact: the batch t30 rollup (source → rate_ppm)
+    val rates = graft.ops.TextAnalysis.alphaMixture(spark, dir).localCheckpoint()
+    val ratePpm = rates.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val batchKept = rates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[StreamOps.SourcedDocEvent]
+    runQuery(StreamOps.mixtureGateStream(in.toDS(), rates), "mixture_gate",
+        OutputMode.Append()) {
+      in.addData(all.map { case (id, src, t) =>
+        StreamOps.SourcedDocEvent(id, ts(id * 10), src, t) }.toIndexedSeq: _*)
+      // a source the frozen rates have never seen: ingest-safe drop
+      in.addData(StreamOps.SourcedDocEvent(999999L, ts(9999990L),
+        "brand-new-source", "some text"))
+    }
+    val got = spark.table("mixture_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.length === all.length + 1, "every event decided exactly once")
+    // per-doc parity with the md5-bucket rule, computed independently
+    val textOf = all.map(r => r._1 -> r._3).toMap
+    got.filter(_._1 != 999999L).foreach { case (id, src, keep) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(textOf(id).getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex, 16)
+      val expected = ratePpm.get(src)
+        .exists(r => bucket * 1000000L < r * 65536L)
+      assert(keep === expected, s"doc $id ($src): bucket $bucket")
+    }
+    // per-source kept counts equal the batch sampler's n_kept
+    val streamKept = got.filter(_._3).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(streamKept === batchKept.filter(_._2 > 0),
+      "stream keep counts must equal batch t30 per source")
+    // the unseen source is dropped, not crashed and not admitted
+    assert(got.find(_._1 == 999999L).exists(_._3 === false))
+  }
 }
