@@ -184,6 +184,11 @@ object ServingBench {
     getPath(vport, s"/ann/topk/hot?vec=$qvec&k=5") // warm
     val annHotHttp = (0 until keys.size).map(_ =>
       timeMs(assert(getPath(vport, s"/ann/topk/hot?vec=$qvec&k=5&nprobe=4") == 200)))
+    // the hot ADC tier (round 17): same probe, code-shard scoring —
+    // the replica-memory-optimal hot path (M ints per vector)
+    getPath(vport, s"/ann/topk/pq/hot?vec=$qvec&k=5") // warm
+    val annPqHotHttp = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(vport, s"/ann/topk/pq/hot?vec=$qvec&k=5&nprobe=4") == 200)))
     val annExact = (0 until math.max(5, keys.size / 10)).map(_ =>
       timeMs(assert(getPath(vport, s"/ann/topk/exact?vec=$qvec&k=5") == 200)))
     vrest.stop()
@@ -260,7 +265,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

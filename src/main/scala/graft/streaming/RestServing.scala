@@ -560,6 +560,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
       codebook: Array[(Int, Int, Array[Double])],
       pqSd: Int, hasLabel: Boolean,
       hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]],
+      hotCodes: java.util.HashMap[Long, Array[(Long, Array[Int])]],
       clusteredness: Double,
       generation: String)
 
@@ -652,6 +653,19 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
           .sortBy(_._1))
       }
+    // hot ADC tier's local index: cell → members' PQ CODES only —
+    // M ints per vector (the 100-TB memory story: a hot ANN replica
+    // holding codes instead of floats is 64× smaller at dim 64)
+    val freshCodes = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    codedCells
+      .select(col("cell"), col("vec_id"),
+        array((0 until Similarity.PqM).map(k => col(s"c$k")): _*).as("codes"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (cell, rows) =>
+        freshCodes.put(cell, rows.map(r =>
+          (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1))
+      }
     // corpus clusteredness, once per build — the /ann/plan regime
     // signal (Similarity.clusteredness's aggregate, reusing THIS
     // index's cells⋈centroids instead of building a second one)
@@ -665,7 +679,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     // old generation or the new one in FULL — checkpoints, collected
     // metadata, and hot map always from the same build
     idx = AnnIndex(emb, cells, cents, codedCells, codebook, pqSd,
-      hasLabel, fresh, clust, gen)
+      hasLabel, fresh, freshCodes, clust, gen)
   }
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -750,6 +764,36 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
               .limit(k)
               .toJSON.collect()
             (200, rows.mkString("[", ",", "]"))
+          }
+        }).merge match { case (sc, body) => (sc, body, stamp) }
+      }
+    })
+    // HOT ADC tier (the 100-TB hot path): the same IVF probe and the
+    // same asymmetric-distance arithmetic as the cold /ann/topk/pq,
+    // served entirely from the in-process CODE index — the replica
+    // holds M ints per vector, never a float, and a request is K·M
+    // table entries + 4 lookups per candidate (HotAdc — one scorer for
+    // this tier AND the sharded FederatedVectorServing, byte-parity
+    // with the cold tier pinned in ServingSpec)
+    server.createContext("/ann/topk/pq/hot", handlerQH { (path, q) =>
+      if (path != "/ann/topk/pq/hot") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val ix = idx
+        val stamp = Map(HttpJsonServer.GenerationHeader -> ix.generation)
+        (for {
+          k <- intParam(q, "k", 5)
+          nprobe <- intParam(q, "nprobe", 4)
+        } yield {
+          val qv = parseVec(q)
+          if (qv.forall(_ == 0.0)) (400, """{"error":"zero-norm query vector"}""")
+          else {
+            val probed = probeCells(ix, qv, nprobe)
+            val dtab = HotAdc.dtabFor(qv, ix.codebook, ix.pqSd,
+              graft.ops.Similarity.PqM)
+            val top = HotAdc.score(
+              probed.iterator.flatMap(c => Option(ix.hotCodes.get(c)).iterator.flatten),
+              dtab, k)
+            (200, HotAdc.render(top))
           }
         }).merge match { case (sc, body) => (sc, body, stamp) }
       }
@@ -1705,6 +1749,49 @@ private[streaming] object HotAnn {
       .mkString("[", ",", "]")
 }
 
+/** The hot ADC (IVF-PQ) scorer, in ONE place so the single-instance
+  * tier ([[VectorRestServing]]'s `/ann/topk/pq/hot`) and the sharded
+  * one ([[FederatedVectorServing]]) can never drift — and so both stay
+  * ARITHMETICALLY IDENTICAL to the cold `/ann/topk/pq` tier: the
+  * distance tables come from the same sequential double loop the cold
+  * tier computes in-process, the per-member distance is the same
+  * fixed ascending-subspace sum (qd0+qd1+…) the cold tier's column
+  * expression evaluates, and the 6-dp round is the HALF_UP rule
+  * Spark's round() applies. ServingSpec pins byte-identical bodies. */
+private[streaming] object HotAdc {
+  /** The query's per-subspace ADC distance tables from the collected
+    * codebook — K·M doubles, one Map per subspace keyed by centroid id
+    * (codebook cent ids can be sparse after an empty-cluster drop, so
+    * a map, not an array). */
+  def dtabFor(qv: Array[Double], codebook: Array[(Int, Int, Array[Double])],
+      pqSd: Int, pqM: Int): Array[Map[Int, Double]] =
+    (0 until pqM).map { mm =>
+      val qs = qv.slice(mm * pqSd, (mm + 1) * pqSd)
+      codebook.collect { case (m, cent, cv) if m == mm =>
+        var acc = 0.0
+        var i = 0
+        while (i < pqSd) { val d = qs(i) - cv(i); acc += d * d; i += 1 }
+        cent -> acc
+      }.toMap
+    }.toArray
+
+  /** Score coded members against the tables: 4 map lookups + the fixed
+    * ascending-m sum per member (a few ns — the 100-TB hot path reads
+    * ints, never floats), 6-dp HALF_UP, (adist asc, vec_id asc). */
+  def score(members: Iterator[(Long, Array[Int])],
+      dtab: Array[Map[Int, Double]], k: Int): Array[(Double, Long)] =
+    members.map { case (id, codes) =>
+      var d = 0.0
+      var m = 0
+      while (m < codes.length) { d += dtab(m)(codes(m)); m += 1 }
+      (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+    }.toArray.sortBy { case (s, id) => (s, id) }.take(k)
+
+  def render(top: Array[(Double, Long)]): String =
+    top.map { case (d, id) => s"""{"vec_id":$id,"adist":$d}""" }
+      .mkString("[", ",", "]")
+}
+
 /** SHARDED HOT ANN — the partition-scoped form of
   * [[VectorRestServing]]'s hot tier (VERDICT r15 #1): every instance
   * holds the full CENTROID table (C ≈ √n rows — coarse metadata, the
@@ -1741,8 +1828,11 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     * cold-tier discipline applied here too). */
   private final case class VecShard(
       cents: Array[(Long, Array[Double], Double)],
+      codebook: Array[(Int, Int, Array[Double])],
+      pqSd: Int,
       hasLabel: Boolean,
       hotCells: java.util.HashMap[Long, Array[(Long, Array[Double], Double, Int)]],
+      hotCodes: java.util.HashMap[Long, Array[(Long, Array[Int])]],
       generation: String)
 
   @volatile private var vshard: VecShard = _
@@ -1811,7 +1901,35 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
           r.getSeq[Double](2).toArray, r.getDouble(3), r.getInt(4)))
           .sortBy(_._1))
       }
-    vshard = VecShard(cents, hasLabel, fresh, gen)
+    // the PQ side of the shard: codebook REPLICATED (K·M rows — coarse
+    // metadata like the centroids), codes for OWNED cells only (M ints
+    // per vector — at 100 TB this is the shard a hot ADC replica holds)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % Similarity.PqM == 0,
+      s"embedding dim $dim is not divisible by PqM=${Similarity.PqM}")
+    val pqSd = dim / Similarity.PqM
+    val pq = Similarity.pqBuildFrame(
+      emb.select(col("vec_id"), col("embedding")),
+      Similarity.PqM, pqSd, Similarity.PqK)
+    val codebook = pq.codebook
+      .select(col("m"), col("cent"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val freshCodes = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+    pq.codes
+      .select(col("vec_id") +:
+        (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
+      .join(cellsDf0.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
+      .select(col("cell"), col("vec_id"),
+        array((0 until Similarity.PqM).map(k => col(s"c$k")): _*).as("codes"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (cell, rows) =>
+        freshCodes.put(cell, rows.map(r =>
+          (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1))
+      }
+    vshard = VecShard(cents, codebook, pqSd, hasLabel, fresh, freshCodes, gen)
   }
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -1886,6 +2004,50 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
         (200, HotAnn.render(localPartial(sh, qv, qn, labelOpt = labelOpt,
           probed = probeCells(sh, qv, nprobe), k = k)),
           Map(HttpJsonServer.GenerationHeader -> sh.generation))
+      }
+    })
+    // the sharded hot ADC: each instance scores its OWNED ∩ probed
+    // cells' code shard against the query's distance tables (every
+    // instance computes the identical dtab from the replicated
+    // codebook — deterministic, so no tables travel over the wire);
+    // the coordinator merges by (adist asc, vec_id asc) and the result
+    // is byte-identical to the single-instance hot ADC (same HotAdc)
+    def localPq(sh: VecShard, qv: Array[Double], probed: Array[Long],
+        k: Int): Array[(Double, Long)] =
+      HotAdc.score(
+        probed.iterator.filter(cellOwner(_) == selfHost)
+          .flatMap(c => Option(sh.hotCodes.get(c)).iterator.flatten),
+        HotAdc.dtabFor(qv, sh.codebook, sh.pqSd, graft.ops.Similarity.PqM), k)
+    server.createContext("/ann/topk/pq/hot/local", handlerQH { (path, q) =>
+      if (path != "/ann/topk/pq/hot/local") (404, """{"error":"not found"}""", Map.empty)
+      else validated(q) { (sh, qv, _, _, k, nprobe) =>
+        (200, HotAdc.render(localPq(sh, qv, probeCells(sh, qv, nprobe), k)),
+          Map(HttpJsonServer.GenerationHeader -> sh.generation))
+      }
+    })
+    server.createContext("/ann/topk/pq/hot", handlerQH { (path, q) =>
+      if (path != "/ann/topk/pq/hot") (404, """{"error":"not found"}""", Map.empty)
+      else validated(q) { (sh, qv, _, _, k, nprobe) =>
+        val probed = probeCells(sh, qv, nprobe)
+        val local = localPq(sh, qv, probed, k)
+        val qs = s"vec=${qv.mkString(",")}&k=$k&nprobe=$nprobe"
+        val resps = HttpJsonServer.fetchAll(
+          (peerUrls - selfHost).values.toSeq.map(base =>
+            s"$base/ann/topk/pq/hot/local?$qs"))
+        val peers = resps.flatMap { resp =>
+          require(resp.statusCode() == 200,
+            s"peer ${resp.uri()}: ${resp.statusCode()}")
+          """\{"vec_id":(\d+),"adist":([^}]+)\}""".r.findAllMatchIn(resp.body())
+            .map(m => (m.group(2).toDouble, m.group(1).toLong))
+        }
+        val gens = (sh.generation +: resps.map(HttpJsonServer.generationOf))
+          .filter(_.nonEmpty).distinct
+        val merged = (local ++ peers)
+          .sortBy { case (d, id) => (d, id) }.take(k)
+        (200, HotAdc.render(merged),
+          Map(HttpJsonServer.GenerationHeader -> sh.generation) ++
+            (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
+             else Map.empty))
       }
     })
     server.createContext("/ann/topk/hot", handlerQH { (path, q) =>

@@ -814,5 +814,19 @@ class SimilaritySpec extends SparkSpec {
     // and the full entry point composes measurement + selection
     val full = Similarity.annPlan(spark, clu, 0.7)
     assert((full.nprobe, full.rerankDepth) === (qHigh.nprobe, qHigh.rerankDepth))
+    // the promise is MEASURED, not just looked up: run the chooser's
+    // recommended knobs on the clustered decade corpus and check the
+    // DELIVERED recall clears the target (− the decade tests' 0.02 pin
+    // slack — corpora and builds are deterministic)
+    val truth = pairs(Similarity.bruteForceTopK(spark, clu))
+    val got = pairs(Similarity.ivfPqRerankWith(spark, clu,
+      full.nprobe, full.rerankDepth))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"chooser-recommended (np=${full.nprobe}, R=${full.rerankDepth}) " +
+      f"delivers recall@5 $recall%.3f for target 0.70")
+    assert(recall >= 0.7 - 0.02,
+      f"the chooser's knobs must deliver the target on the measured corpus: $recall%.3f")
+    Similarity.invalidatePqIndex(); Similarity.invalidateIvfPqIndex()
+    Similarity.invalidateResIvfPqIndex()
   }
 }

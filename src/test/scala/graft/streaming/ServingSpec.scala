@@ -476,6 +476,35 @@ class ServingSpec extends SparkSpec {
       // cell→host metadata matches the ownership rule
       assert(get(s"${urls("instance-a")}/ann/instance/14")._2
         .contains(s""""host":"${a.cellOwner(14L)}""""))
+      // ---- the hot ADC (IVF-PQ) tier, round 17: the replica-side CODE
+      // shard. THREE-way byte parity per query: the single-instance
+      // COLD /ann/topk/pq (Spark over the coded-cells checkpoint), the
+      // single-instance HOT /ann/topk/pq/hot (in-process codes), and
+      // the FEDERATED scatter over owned-cell code shards — one HotAdc
+      // arithmetic end-to-end, so all three must render identical bytes
+      for (c <- 0 until 4) {
+        val qs = s"vec=${base(c).mkString(",")}&k=5&nprobe=4"
+        val cold = get(s"http://127.0.0.1:$singlePort/ann/topk/pq?$qs")
+        val hot = get(s"http://127.0.0.1:$singlePort/ann/topk/pq/hot?$qs")
+        assert(cold._1 === 200, cold._2)
+        assert(hot === cold, s"hot ADC must be byte-identical to cold: $qs")
+        Seq("instance-a", "instance-b").foreach { via =>
+          assert(get(s"${urls(via)}/ann/topk/pq/hot?$qs") === cold,
+            s"sharded ADC scatter must equal the cold tier: via $via, $qs")
+        }
+      }
+      // the code shards are REAL partials too
+      val pq0 = s"vec=${base(0).mkString(",")}&k=5&nprobe=4"
+      val pqLocals = Seq("instance-a", "instance-b")
+        .map(h => get(s"${urls(h)}/ann/topk/pq/hot/local?$pq0")._2)
+      val pqMerged = get(s"${urls("instance-a")}/ann/topk/pq/hot?$pq0")._2
+      assert(pqLocals.exists(_ !== pqMerged),
+        "degenerate code-shard layout: one instance owns the whole answer")
+      // zero-norm query: the cold tier's 400 contract holds on every form
+      Seq(s"http://127.0.0.1:$singlePort/ann/topk/pq/hot",
+          s"${urls("instance-a")}/ann/topk/pq/hot").foreach { base =>
+        assert(get(s"$base?vec=${Seq.fill(8)(0.0).mkString(",")}&k=5")._1 === 400)
+      }
     } finally { a.stop(); b.stop(); single.stop() }
   }
 
