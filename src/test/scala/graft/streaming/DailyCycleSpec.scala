@@ -324,6 +324,19 @@ class DailyCycleSpec extends SparkSpec {
         assert(mixedFlag(r) === "", "completed rollout must be uniform")
         assert(gen(r) === gEmb2)
       }
+      // the hot ADC tier rolled out with the same generation: the code
+      // shards answer identically through either coordinator and carry
+      // the uniform post-rollout stamp (rank content is the PQ tier's
+      // own approximation — parity and generation are the contract here)
+      val pqBodies = hosts.map { via =>
+        val r = getR(s"${vUrls(via)}/ann/topk/pq/hot?vec=${
+          queryVec.mkString(",")}&k=3&nprobe=4")
+        assert(r.statusCode() === 200, r.body())
+        assert(mixedFlag(r) === "" && gen(r) === gEmb2, s"ADC stamp via $via")
+        r.body()
+      }
+      assert(pqBodies.distinct.size === 1,
+        "ADC scatter must be byte-identical across coordinators")
 
       // ================= DAY 2: the streams never stopped ================
       assert(queries.forall(_.isActive), "ingest must run through the rollout")
