@@ -123,26 +123,24 @@ object ServingBench {
     // with client count now that handlers run on a fixed pool instead of
     // the serial default dispatcher (which would hold c8 ≈ c1)
     def hotRps(clients: Int, each: Int): Double = {
-      // failures are COUNTED, not swallowed: an assert inside a worker
-      // thread would kill only that thread, shrink elapsed, and commit
-      // an inflated req/s with exit 0 — the metric must fail instead
-      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      // SUCCESSES are counted (not failures): any thread death — even an
+      // Error a catch-Exception would miss — leaves successes short of
+      // the expected total, so an inflated req/s can never print
+      val successes = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()
       val threads = (0 until clients).map { _ =>
         val c = java.net.http.HttpClient.newHttpClient()
         new Thread(() => (0 until each).foreach { i =>
           val k = keys(i % keys.size)
-          try {
-            if (c.send(java.net.http.HttpRequest.newBuilder(
-                java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
-                java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() != 200)
-              failures.incrementAndGet()
-          } catch { case _: Exception => failures.incrementAndGet() }
+          if (c.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+            successes.incrementAndGet()
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      require(failures.get() == 0,
-        s"hotRps(c=$clients): ${failures.get()} of ${clients * each} requests failed")
+      require(successes.get() == clients * each,
+        s"hotRps(c=$clients): only ${successes.get()} of ${clients * each} requests succeeded")
       clients * each / ((System.nanoTime() - t0) / 1e9)
     }
     hotRps(1, 20) // warm the per-client connections

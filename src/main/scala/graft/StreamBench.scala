@@ -326,7 +326,7 @@ object StreamBench {
         def textOf(id: org.apache.spark.sql.Column) = concat_ws(" ",
           (0 until 12).map(i =>
             concat(lit(('a' + i).toChar.toString), (id + i * 37) % 5000)): _*)
-        val rates = graft.ops.TextAnalysis.alphaMixtureFrame(
+        val rates = graft.ops.TextAnalysis.alphaRatesFrame(
           spark.range(50000).select(col("id").as("doc_id"),
             concat(lit("s"), col("id") % 20).as("source"),
             textOf(col("id")).as("text")),

@@ -779,6 +779,10 @@ object Similarity {
           .agg(avg(col("csim"))).head.getDouble(0)
       })
 
+  // unlike the sibling DataFrame memos this cache holds plain Doubles —
+  // nothing here binds a stopped SparkContext, so the evictStopped sweep
+  // (which exists to release session-bound checkpoints) is deliberately
+  // not applied; entries are ~100 bytes keyed by (context, dir)
   private val clusterednessCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Double]()
 

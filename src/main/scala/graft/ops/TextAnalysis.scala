@@ -636,20 +636,24 @@ object TextAnalysis {
   def alphaMixture(s: SparkSession, dir: String): DataFrame =
     alphaMixtureFrame(Tables.documents(s, dir), MixtureAlpha)
 
-  /** Frame-level form of [[alphaMixture]] — any (doc_id, source, text). */
-  def alphaMixtureFrame(documents: DataFrame, alpha: Double): DataFrame = {
+  /** The per-source RATES table at totals grain — ONE ROW PER SOURCE,
+    * including sources whose sampled keep-set happens to be empty
+    * (t30's rollup only reports kept sources, so it is NOT the table a
+    * gate should join: a budgeted-but-unluckily-sampled source would be
+    * indistinguishable from an unseen one and every future document
+    * from it would drop). This is the frozen artifact
+    * [[graft.streaming.StreamOps.mixtureGateStream]] joins. */
+  def alphaRatesFrame(documents: DataFrame, alpha: Double): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
-    val d = documents
-      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"),
-        bucket.as("bucket"))
-    val totals = d.groupBy(col("source")).agg(sum(col("n")).as("t_s"))
+    val totals = documents
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("t_s"))
       .withColumn("pw", pow(col("t_s").cast("double"), alpha))
     val scalars = totals
       .agg(min(col("t_s")).as("t_min"), sum(col("pw")).as("pw_sum"))
       .withColumn("jk", (col("t_min") * 0).cast("long"))
-    d.join(totals, Seq("source"))
-      .withColumn("jk", col("doc_id") * 0)
+    totals
+      .withColumn("jk", (col("t_s") * 0).cast("long"))
       .join(broadcast(scalars), Seq("jk"))
       // degenerate-source guards: a source whose documents all tokenize
       // empty makes t_s = 0 (and possibly t_min = 0, pw_sum = 0) — the
@@ -663,6 +667,17 @@ object TextAnalysis {
       .withColumn("share_ppm", when(col("pw_sum") > 0,
           round(col("pw") / col("pw_sum") * 1e6, 0))
         .otherwise(lit(0.0)).cast("long"))
+      .select(col("source"), col("t_s"), col("rate_ppm"), col("share_ppm"))
+  }
+
+  /** Frame-level form of [[alphaMixture]] — any (doc_id, source, text). */
+  def alphaMixtureFrame(documents: DataFrame, alpha: Double): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val d = documents
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n"),
+        bucket.as("bucket"))
+    d.join(broadcast(alphaRatesFrame(documents, alpha)), Seq("source"))
       .filter(col("bucket") * 1000000L < col("rate_ppm") * 65536L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),

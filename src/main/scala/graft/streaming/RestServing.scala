@@ -379,7 +379,8 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
           (peerUrls - selfHost).values.toSeq.map(base =>
             s"$base/state/topk/local?value=$valueCol&k=$k"))
         resps.foreach(r =>
-          require(r.statusCode() == 200, s"peer ${r.uri()}: ${r.statusCode()}"))
+          if (r.statusCode() != 200) throw new IllegalStateException(
+            s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500, not 400
         val peerRows = resps.flatMap { resp =>
           // one JSON object per row (strip the array frame)
           resp.body().stripPrefix("[").stripSuffix("]")
@@ -691,7 +692,13 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     def parseVec(q: Map[String, String]): Array[Double] = {
       val v = q.getOrElse("vec",
         throw new IllegalArgumentException("vec=v1,v2,... is required"))
-      v.split(",").filter(_.nonEmpty).map(_.toDouble)
+      val qv = v.split(",").filter(_.nonEmpty).map(_.toDouble)
+      // NaN/Inf components would 200 on the Spark tiers (NaN sorts) but
+      // 500 on the in-process ones (BigDecimal(NaN) throws) — a
+      // non-finite QUERY is a client error on every tier, uniformly
+      require(qv.forall(java.lang.Double.isFinite),
+        "vec components must be finite numbers")
+      qv
     }
     def answer(df: DataFrame, qv: Array[Double], k: Int): (Int, String) = {
       val qn = math.sqrt(qv.map(x => x * x).sum)
@@ -741,20 +748,12 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           if (qv.forall(_ == 0.0)) (400, """{"error":"zero-norm query vector"}""")
           else {
             val probed = probeCells(ix, qv, nprobe)
-            // the query's ADC distance tables, in-process: K distances per
-            // subspace against the collected codebook (K·M doubles total)
-            val dtab: Array[Map[Int, Double]] =
-              (0 until graft.ops.Similarity.PqM).map { mm =>
-                val qs = qv.slice(mm * ix.pqSd, (mm + 1) * ix.pqSd)
-                ix.codebook.collect { case (m, cent, cv) if m == mm =>
-                  var acc = 0.0
-                  var i = 0
-                  while (i < ix.pqSd) {
-                    val d = qs(i) - cv(i); acc += d * d; i += 1
-                  }
-                  cent -> acc
-                }.toMap
-              }.toArray
+            // the query's ADC distance tables, in-process: K distances
+            // per subspace against the collected codebook (K·M doubles)
+            // — the SHARED HotAdc loop, so the cold and hot ADC tiers
+            // can never drift arithmetically
+            val dtab = HotAdc.dtabFor(qv, ix.codebook, ix.pqSd,
+              graft.ops.Similarity.PqM)
             val adist = (0 until graft.ops.Similarity.PqM)
               .map(mm => element_at(typedlit(dtab(mm)), col(s"c$mm")))
               .reduce(_ + _)
@@ -1697,8 +1696,8 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
                     qsig.mkString(",")}"
               })
               val peerBests = resps.flatMap { resp =>
-                require(resp.statusCode() == 200,
-                  s"peer ${resp.uri()}: ${resp.statusCode()}")
+                if (resp.statusCode() != 200) throw new IllegalStateException(
+                  s"peer ${resp.uri()}: ${resp.statusCode()}") // peer fault = 500
                 seenGens += HttpJsonServer.generationOf(resp)
                 for {
                   id <- "\"partner\":(\\d+)".r.findFirstMatchIn(resp.body())
@@ -1903,31 +1902,44 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       }
     // the PQ side of the shard: codebook REPLICATED (K·M rows — coarse
     // metadata like the centroids), codes for OWNED cells only (M ints
-    // per vector — at 100 TB this is the shard a hot ADC replica holds)
+    // per vector — at 100 TB this is the shard a hot ADC replica
+    // holds). CONDITIONAL: a corpus whose dimension does not split into
+    // PqM subspaces serves the float tiers as before and 400s the PQ
+    // endpoints (pqSd = 0 sentinel) — the PQ capability must not take
+    // down a deployment that never calls it. NOTE each instance
+    // rebuilds the (deterministically seeded, identical) codebook
+    // itself at reload; a production fleet reads the persisted
+    // pq_codes/pq_codebook artifacts instead (the Artifacts store path
+    // ivfPqIndexOf uses) — one build, H readers.
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    require(dim % Similarity.PqM == 0,
-      s"embedding dim $dim is not divisible by PqM=${Similarity.PqM}")
-    val pqSd = dim / Similarity.PqM
-    val pq = Similarity.pqBuildFrame(
-      emb.select(col("vec_id"), col("embedding")),
-      Similarity.PqM, pqSd, Similarity.PqK)
-    val codebook = pq.codebook
-      .select(col("m"), col("cent"), col("cv").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val freshCodes = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
-    pq.codes
-      .select(col("vec_id") +:
-        (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
-      .join(cellsDf0.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
-      .select(col("cell"), col("vec_id"),
-        array((0 until Similarity.PqM).map(k => col(s"c$k")): _*).as("codes"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .foreach { case (cell, rows) =>
-        freshCodes.put(cell, rows.map(r =>
-          (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1))
+    val (codebook, pqSd, freshCodes) =
+      if (dim % Similarity.PqM != 0)
+        (Array.empty[(Int, Int, Array[Double])], 0,
+          new java.util.HashMap[Long, Array[(Long, Array[Int])]]())
+      else {
+        val sd = dim / Similarity.PqM
+        val pq = Similarity.pqBuildFrame(
+          emb.select(col("vec_id"), col("embedding")),
+          Similarity.PqM, sd, Similarity.PqK)
+        val cb = pq.codebook
+          .select(col("m"), col("cent"), col("cv").cast("array<double>"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val codes = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
+        pq.codes
+          .select(col("vec_id") +:
+            (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
+          .join(cellsDf0.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
+          .select(col("cell"), col("vec_id"),
+            array((0 until Similarity.PqM).map(k => col(s"c$k")): _*).as("codes"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .foreach { case (cell, rows) =>
+            codes.put(cell, rows.map(r =>
+              (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1))
+          }
+        (cb, sd, codes)
       }
     vshard = VecShard(cents, codebook, pqSd, hasLabel, fresh, freshCodes, gen)
   }
@@ -1957,10 +1969,14 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
         fleetReload(selfHost, generation, peerUrls, "/ann/reload")
       }
     })
-    def parseVec(q: Map[String, String]): Array[Double] =
-      q.getOrElse("vec",
+    def parseVec(q: Map[String, String]): Array[Double] = {
+      val qv = q.getOrElse("vec",
         throw new IllegalArgumentException("vec=v1,v2,... is required"))
         .split(",").filter(_.nonEmpty).map(_.toDouble)
+      require(qv.forall(java.lang.Double.isFinite),
+        "vec components must be finite numbers")
+      qv
+    }
     def probeCells(sh: VecShard, qv: Array[Double], nprobe: Int): Array[Long] = {
       val qn = math.sqrt(qv.map(x => x * x).sum)
       sh.cents.map { case (id, ce, cn) =>
@@ -2018,16 +2034,41 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
         probed.iterator.filter(cellOwner(_) == selfHost)
           .flatMap(c => Option(sh.hotCodes.get(c)).iterator.flatten),
         HotAdc.dtabFor(qv, sh.codebook, sh.pqSd, graft.ops.Similarity.PqM), k)
+    // the PQ endpoints' validation: same k/nprobe/zero-norm contract as
+    // the float tiers, but NO label semantics (the cold /ann/topk/pq
+    // ignores label — the federated form must not 400 where the
+    // single-instance form answers), plus the PQ-availability guard for
+    // corpora whose dimension does not split into subspaces
+    def validatedPq(q: Map[String, String])(
+        f: (VecShard, Array[Double], Int, Int) => (Int, String, Map[String, String]))
+        : (Int, String, Map[String, String]) = {
+      val sh = vshard
+      val stamp = Map(HttpJsonServer.GenerationHeader -> sh.generation)
+      (for {
+        k <- intParam(q, "k", 5)
+        nprobe <- intParam(q, "nprobe", 4)
+      } yield {
+        val qv = parseVec(q)
+        if (sh.pqSd == 0)
+          (400, """{"error":"corpus dimension is not PQ-compatible"}""", stamp)
+        else if (qv.forall(_ == 0.0))
+          (400, """{"error":"zero-norm query vector"}""", stamp)
+        else f(sh, qv, k, nprobe)
+      }) match {
+        case Right(r) => r
+        case Left((sc, body)) => (sc, body, stamp)
+      }
+    }
     server.createContext("/ann/topk/pq/hot/local", handlerQH { (path, q) =>
       if (path != "/ann/topk/pq/hot/local") (404, """{"error":"not found"}""", Map.empty)
-      else validated(q) { (sh, qv, _, _, k, nprobe) =>
+      else validatedPq(q) { (sh, qv, k, nprobe) =>
         (200, HotAdc.render(localPq(sh, qv, probeCells(sh, qv, nprobe), k)),
           Map(HttpJsonServer.GenerationHeader -> sh.generation))
       }
     })
     server.createContext("/ann/topk/pq/hot", handlerQH { (path, q) =>
       if (path != "/ann/topk/pq/hot") (404, """{"error":"not found"}""", Map.empty)
-      else validated(q) { (sh, qv, _, _, k, nprobe) =>
+      else validatedPq(q) { (sh, qv, k, nprobe) =>
         val probed = probeCells(sh, qv, nprobe)
         val local = localPq(sh, qv, probed, k)
         val qs = s"vec=${qv.mkString(",")}&k=$k&nprobe=$nprobe"
@@ -2035,8 +2076,8 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
           (peerUrls - selfHost).values.toSeq.map(base =>
             s"$base/ann/topk/pq/hot/local?$qs"))
         val peers = resps.flatMap { resp =>
-          require(resp.statusCode() == 200,
-            s"peer ${resp.uri()}: ${resp.statusCode()}")
+          if (resp.statusCode() != 200) throw new IllegalStateException(
+            s"peer ${resp.uri()}: ${resp.statusCode()}") // peer fault = 500
           """\{"vec_id":(\d+),"adist":([^}]+)\}""".r.findAllMatchIn(resp.body())
             .map(m => (m.group(2).toDouble, m.group(1).toLong))
         }
@@ -2064,8 +2105,8 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
           (peerUrls - selfHost).values.toSeq.map(base =>
             s"$base/ann/topk/hot/local?$qs"))
         val peers = resps.flatMap { resp =>
-          require(resp.statusCode() == 200,
-            s"peer ${resp.uri()}: ${resp.statusCode()}")
+          if (resp.statusCode() != 200) throw new IllegalStateException(
+            s"peer ${resp.uri()}: ${resp.statusCode()}") // peer fault = 500
           """\{"vec_id":(\d+),"sim":([^}]+)\}""".r.findAllMatchIn(resp.body())
             .map(m => (m.group(2).toDouble, m.group(1).toLong))
         }
@@ -2113,12 +2154,19 @@ private[streaming] object HttpJsonServer {
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(5)).build()
 
-  /** Per-request ceiling on a peer fetch: a hung peer must not wedge a
-    * handler thread forever — 8 hung scatters would otherwise exhaust
-    * the fixed request pool and stop even the hot point reads. The
-    * timeout surfaces as the join's CompletionException → a 500 on the
-    * coordinator, the same contract as a refused connection. */
+  /** Per-request ceiling on a READ-path peer fetch: a hung peer must
+    * not wedge a handler thread forever — 8 hung scatters would
+    * otherwise exhaust the fixed request pool and stop even the hot
+    * point reads. The timeout surfaces as the join's
+    * CompletionException → a 500 on the coordinator, the same contract
+    * as a refused connection. */
   private val PeerTimeout = java.time.Duration.ofSeconds(30)
+
+  /** Ceiling on a peer RELOAD: a reload is a full index rebuild (Spark
+    * jobs — minutes on a real corpus), not a hot read; holding it to
+    * the 30 s read timeout would fail fleet rollouts that are in fact
+    * succeeding. */
+  private val ReloadTimeout = java.time.Duration.ofMinutes(15)
 
   /** Fire all requests CONCURRENTLY, then join (VERDICT r16 "what's
     * wrong #2": the sequential peer loop made scatter latency linear in
@@ -2126,15 +2174,27 @@ private[streaming] object HttpJsonServer {
     * MusicPlaysRestService.java:77-115). A failed or timed-out peer
     * surfaces as the CompletionException the join throws — same 500
     * contract as the old sequential `send`. */
-  def fetchAll(urls: Seq[String]): Seq[java.net.http.HttpResponse[String]] = {
+  def fetchAll(urls: Seq[String]): Seq[java.net.http.HttpResponse[String]] =
+    fetchAllSafe(urls, PeerTimeout).map(_.fold(e => throw e, identity))
+
+  /** The fault-ATTRIBUTING form: one Either per url, a failed peer as
+    * Left instead of an exception that hides which host (and every
+    * other host's outcome) — the fleet-reload coordinator reports
+    * per-host results from this. */
+  def fetchAllSafe(urls: Seq[String], timeout: java.time.Duration)
+      : Seq[Either[Throwable, java.net.http.HttpResponse[String]]] = {
     val futs = urls.map { u =>
       peerClient.sendAsync(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
-          .timeout(PeerTimeout).GET().build(),
+          .timeout(timeout).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
     }
-    futs.map(_.join())
+    futs.map(f => try Right(f.join()) catch { case e: Throwable => Left(e) })
   }
+
+  private[streaming] def reloadFetch(urls: Seq[String])
+      : Seq[Either[Throwable, java.net.http.HttpResponse[String]]] =
+    fetchAllSafe(urls, ReloadTimeout)
 
   /** The generation a response was stamped with ("" when unstamped). */
   def generationOf(resp: java.net.http.HttpResponse[String]): String =
@@ -2209,15 +2269,26 @@ private[streaming] trait HttpJsonServer {
       : (Int, String, Map[String, String]) = {
     val stamp = Map(HttpJsonServer.GenerationHeader -> selfGen)
     val peers = (peerUrls - selfHost).toSeq.sortBy(_._1)
-    val resps = HttpJsonServer.fetchAll(peers.map(_._2 + reloadPath))
-    val failed = peers.map(_._1).zip(resps).filter(_._2.statusCode() != 200)
+    // the RELOAD timeout (a rebuild runs Spark jobs — minutes), and the
+    // attributing fetch: a DOWN peer must surface as ITS host in the
+    // 502 body, never as an anonymous 500 that also hides every other
+    // peer's outcome
+    val resps = HttpJsonServer.reloadFetch(peers.map(_._2 + reloadPath))
+    val failed = peers.map(_._1).zip(resps).flatMap {
+      case (h, Left(e)) => Some(
+        s"""{"host":"$h","error":"${String.valueOf(e.getMessage).take(80)
+          .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
+      case (h, Right(r)) if r.statusCode() != 200 =>
+        Some(s"""{"host":"$h","status":${r.statusCode()}}""")
+      case _ => None
+    }
     if (failed.nonEmpty)
-      (502, s"""{"reloaded":false,"failed":${failed.map { case (h, r) =>
-        s"""{"host":"$h","status":${r.statusCode()}}""" }
-        .mkString("[", ",", "]")}}""", stamp)
+      (502, s"""{"reloaded":false,"failed":${
+        failed.mkString("[", ",", "]")}}""", stamp)
     else {
       val all = ((selfHost, selfGen) +: peers.map(_._1)
-        .zip(resps.map(HttpJsonServer.generationOf))).sortBy(_._1)
+        .zip(resps.map(r => HttpJsonServer.generationOf(
+          r.toOption.get)))).sortBy(_._1)
       (200, s"""{"reloaded":true,"uniform":${
         all.map(_._2).distinct.size == 1},"instances":${
         all.map { case (h, g) => s"""{"host":"$h","generation":"$g"}""" }
@@ -2250,6 +2321,14 @@ private[streaming] trait HttpJsonServer {
             }.toMap
           f(exchange.getRequestURI.getPath, q)
         } catch {
+          // an IllegalArgumentException is a CLIENT error everywhere in
+          // this layer (missing/junk/non-finite params — parseVec,
+          // boundLit, require-validations): 400, never a 500 that reads
+          // as a server fault
+          case e: IllegalArgumentException =>
+            (400, s"""{"error":"${String.valueOf(e.getMessage).take(100)
+              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",
+              Map.empty[String, String])
           case e: Exception =>
             (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
               .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",

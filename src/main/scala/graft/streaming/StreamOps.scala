@@ -659,12 +659,15 @@ object StreamOps {
     * batch sampler applies — md5 bucket of the text vs the source's
     * frozen `rate_ppm` — so a document admitted by the stream is
     * exactly a document the batch pass would have kept (StreamOpsSpec
-    * pins per-source count AND per-doc parity). The rates table is the
-    * batch [[graft.ops.TextAnalysis.alphaMixture]] output (in
-    * production: the persisted artifact of the last corpus build) —
-    * the frozen-artifact discipline every other gate uses. A source
-    * the frozen table has never seen gets `keep = false` (ingest-safe:
-    * admit nothing un-budgeted until the next rates rebuild — the same
+    * pins per-source count AND per-doc parity). The rates table is
+    * [[graft.ops.TextAnalysis.alphaRatesFrame]]'s TOTALS-GRAIN output
+    * (in production: the persisted artifact of the last corpus build)
+    * — one row per budgeted source, INCLUDING a source whose sampled
+    * keep-set happened to be empty; joining t30's kept-rollup instead
+    * would silently drop every future document of such a source (the
+    * review-caught contract break). A source the frozen table has
+    * never seen gets `keep = false` (ingest-safe: admit nothing
+    * un-budgeted until the next rates rebuild — the same
     * drop-by-default posture as the dedup gate's 'exact' verdict).
     *
     * Scale shape: STATELESS — one in-row md5 projection plus a

@@ -1596,13 +1596,16 @@ class ServingSpec extends SparkSpec {
       val r = getR(s"${urls("instance-a")}/state/keyvalue/hot/$keyOnA")
       assert(r.statusCode() === 200)
       assert(r.headers().firstValue("X-Graft-Generation").orElse("") === g2)
-      // a PARTIAL rollout must not ACK as reloaded: with instance-b
-      // down, the coordinator answers 5xx — never {"reloaded":true}
+      // a PARTIAL rollout must not ACK as reloaded — and the 502 must
+      // NAME the failed host (a down peer is the common failure; an
+      // anonymous 500 would hide which instance and mask the others)
       b.stop()
       val partial = getR(s"${urls("instance-a")}/state/reload/all")
-      assert(partial.statusCode() >= 500,
-        s"half-reloaded fleet must not ACK: ${partial.statusCode()} ${partial.body()}")
+      assert(partial.statusCode() === 502,
+        s"half-reloaded fleet must 502: ${partial.statusCode()} ${partial.body()}")
       assert(!partial.body().contains("\"reloaded\":true"), partial.body())
+      assert(partial.body().contains("\"host\":\"instance-b\""),
+        s"the failed host must be named: ${partial.body()}")
     } finally { a.stop(); b.stop() }
   }
 }

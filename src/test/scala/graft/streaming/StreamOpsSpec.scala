@@ -1118,11 +1118,19 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    // the frozen artifact: the batch t30 rollup (source → rate_ppm)
-    val rates = graft.ops.TextAnalysis.alphaMixture(spark, dir).localCheckpoint()
+    // the frozen artifact: the TOTALS-grain rates (one row per source —
+    // a source with an empty sampled keep-set still has its budget
+    // here, which the kept-rollup would lose)
+    val docsDf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val rates = graft.ops.TextAnalysis.alphaRatesFrame(
+      docsDf, graft.ops.TextAnalysis.MixtureAlpha).localCheckpoint()
+    assert(rates.count() ===
+      docsDf.select(col("source")).distinct().count(),
+      "the rates artifact must cover EVERY source, kept or not")
     val ratePpm = rates.collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
-    val batchKept = rates.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val batchKept = graft.ops.TextAnalysis.alphaMixture(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val all = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")).collect()
