@@ -122,26 +122,35 @@ object ServingBench {
     // point reads from 1 vs 8 parallel clients — requests/s should scale
     // with client count now that handlers run on a fixed pool instead of
     // the serial default dispatcher (which would hold c8 ≈ c1)
+    val hotRpsFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     def hotRps(clients: Int, each: Int): Double = {
-      // SUCCESSES are counted (not failures): any thread death — even an
-      // Error a catch-Exception would miss — leaves successes short of
-      // the expected total, so an inflated req/s can never print
+      // SUCCESSES are counted, and per-request failures are CAUGHT
+      // inside the worker loop (ADVICE r17 #5: an uncaught transient
+      // failure killed the thread, the success-count require threw, and
+      // the bench died before emitting its JSON line). A failure counts
+      // toward hot_rps_failures and the rate is computed over successes
+      // only — a degraded number with a visible warning field, never an
+      // inflated one and never a fail-before-JSON abort.
       val successes = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()
       val threads = (0 until clients).map { _ =>
         val c = java.net.http.HttpClient.newHttpClient()
         new Thread(() => (0 until each).foreach { i =>
           val k = keys(i % keys.size)
-          if (c.send(java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
-            successes.incrementAndGet()
+          try {
+            if (c.send(java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(s"http://127.0.0.1:$port/state/keyvalue/hot/$k")).build(),
+                java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+              successes.incrementAndGet()
+            else hotRpsFailures.incrementAndGet()
+          } catch { case _: Exception => hotRpsFailures.incrementAndGet() }
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      require(successes.get() == clients * each,
-        s"hotRps(c=$clients): only ${successes.get()} of ${clients * each} requests succeeded")
-      clients * each / ((System.nanoTime() - t0) / 1e9)
+      if (successes.get() < clients * each)
+        System.err.println(s"[graft] WARNING hotRps(c=$clients): only ${
+          successes.get()} of ${clients * each} requests succeeded")
+      successes.get() / ((System.nanoTime() - t0) / 1e9)
     }
     hotRps(1, 20) // warm the per-client connections
     val hotRpsC1 = hotRps(1, 200)
@@ -263,7 +272,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

@@ -77,21 +77,25 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     * [[FederatedRestServing.reload]]. */
   def reload(): Unit = loadHot()
 
-  private def loadHot(): Unit = {
-    val fresh = new java.util.HashMap[String, String]()
-    val gen = graft.ops.Artifacts.fingerprint(spark, storePath)
-    val store = spark.read.parquet(storePath)
-    val dataCols = store.columns.filter(_ != "p").toSeq
-    store
-      .select(col(keyCol).cast("string").as("__k"),
-        to_json(struct(dataCols.map(col): _*)).as("__j"))
-      .collect()
-      .groupBy(_.getString(0))
-      .foreach { case (k, rows) =>
-        fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
-      }
-    hot = (gen, fresh)
-  }
+  private def loadHot(): Unit =
+    // generation-consistent (ADVICE r17 #4): fingerprint re-checked AFTER
+    // the read; a rewrite landing mid-load triggers a retry, so the stamp
+    // always names the data actually loaded
+    hot = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, storePath)) {
+      val fresh = new java.util.HashMap[String, String]()
+      val store = spark.read.parquet(storePath)
+      val dataCols = store.columns.filter(_ != "p").toSeq
+      store
+        .select(col(keyCol).cast("string").as("__k"),
+          to_json(struct(dataCols.map(col): _*)).as("__j"))
+        .collect()
+        .groupBy(_.getString(0))
+        .foreach { case (k, rows) =>
+          fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+        }
+      fresh
+    }
 
   def start(bindPort: Int = 0): Int = {
     loadHot()
@@ -175,7 +179,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     })
     server.createContext("/state/topk", handlerQ { (_, q) =>
       val valueCol = q.getOrElse("value", "value")
-      val k = q.getOrElse("k", "5").toInt
+      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
       val rows = Serving.scatterGatherTopK(spark, storePath, hosts,
         numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
@@ -265,21 +269,23 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     * tier's freshness contract one RPC away from the cold tier's. */
   def reload(): Unit = loadHot()
 
-  private def loadHot(): Unit = {
-    val fresh = new java.util.HashMap[String, String]()
-    val gen = graft.ops.Artifacts.fingerprint(spark, storePath)
-    val dataCols = spark.read.parquet(storePath).columns
-      .filter(_ != "p").toSeq
-    shard
-      .select(col(keyCol).cast("string").as("__k"),
-        to_json(struct(dataCols.map(col): _*)).as("__j"))
-      .collect()
-      .groupBy(_.getString(0))
-      .foreach { case (k, rows) =>
-        fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
-      }
-    hot = (gen, fresh)
-  }
+  private def loadHot(): Unit =
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    hot = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, storePath)) {
+      val fresh = new java.util.HashMap[String, String]()
+      val dataCols = spark.read.parquet(storePath).columns
+        .filter(_ != "p").toSeq
+      shard
+        .select(col(keyCol).cast("string").as("__k"),
+          to_json(struct(dataCols.map(col): _*)).as("__j"))
+        .collect()
+        .groupBy(_.getString(0))
+        .foreach { case (k, rows) =>
+          fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+        }
+      fresh
+    }
 
   def start(bindPort: Int = 0): Int = {
     loadHot()
@@ -356,7 +362,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       else {
         val gen = graft.ops.Artifacts.fingerprint(spark, storePath)
         val rows = localTopK(q.getOrElse("value", "value"),
-          q.getOrElse("k", "5").toInt).drop("p").toJSON.collect()
+          HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")).drop("p").toJSON.collect()
         (200, rows.mkString("[", ",", "]"),
           Map(HttpJsonServer.GenerationHeader -> gen))
       }
@@ -373,7 +379,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       if (path != "/state/topk") (404, """{"error":"not found"}""", Map.empty)
       else {
         val valueCol = q.getOrElse("value", "value")
-        val k = q.getOrElse("k", "5").toInt
+        val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
         val localGen = graft.ops.Artifacts.fingerprint(spark, storePath)
         val resps = HttpJsonServer.fetchAll(
           (peerUrls - selfHost).values.toSeq.map(base =>
@@ -446,7 +452,7 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     })
     server.createContext("/state/topk", handlerQ { (_, q) =>
       val valueCol = q.getOrElse("value", "value")
-      val k = q.getOrElse("k", "5").toInt
+      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
       val rows = spark.table(tableName)
         .orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
         .toJSON.collect()
@@ -470,7 +476,7 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     // reference's unknown-genre path.
     server.createContext("/state/chart/", handlerQ { (path, q) =>
       val group = path.stripPrefix("/state/chart/")
-      val k = q.getOrElse("k", "5").toInt
+      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
       val rows = spark.table(tableName)
         .where(col(keyCol) === group)
         .orderBy(col("pos")).limit(k)
@@ -485,8 +491,8 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     // `window` struct column (Spark's window() aggregation shape).
     server.createContext("/state/windowed/", handlerQ { (path, q) =>
       val key = path.stripPrefix("/state/windowed/")
-      val from = q.getOrElse("from", Long.MinValue.toString).toLong
-      val to = q.getOrElse("to", Long.MaxValue.toString).toLong
+      val from = HttpJsonServer.clientLong(q.getOrElse("from", Long.MinValue.toString), "from")
+      val to = HttpJsonServer.clientLong(q.getOrElse("to", Long.MaxValue.toString), "to")
       val rows = spark.table(tableName)
         .where(col(keyCol) === key &&
           unix_millis(col("window.start")) >= from &&
@@ -595,7 +601,11 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     val stride = savedStride
     val lloydIters = savedIters
     graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
-    val gen = graft.ops.Artifacts.fingerprint(spark, embeddingsPath)
+    // generation-consistent (ADVICE r17 #4): the fingerprint is re-checked
+    // after the build reads the corpus; a rewrite landing mid-build
+    // triggers a retry so the stamp matches the data actually served
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
     val raw = spark.read.parquet(embeddingsPath)
     val hasLabel = raw.columns.contains("label")
     val emb = raw
@@ -668,19 +678,31 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
           (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1))
       }
     // corpus clusteredness, once per build — the /ann/plan regime
-    // signal (Similarity.clusteredness's aggregate, reusing THIS
-    // index's cells⋈centroids instead of building a second one)
-    val clust = cellsDf
-      .join(broadcast(centsDf), col("cell") === col("cent_id"))
+    // signal. Measured with the CALIBRATION convention (√n stride,
+    // Similarity.LloydIters) regardless of the serving knobs (ADVICE
+    // r17 #3: ClusterednessThreshold=0.8 and the annPlanFor recall
+    // curves were calibrated on the √n-stride batch index — a coarse
+    // or fine serving stride shifts the measured value and can flip
+    // the regime split). When the served index already uses the
+    // calibration convention, its own cells⋈centroids is reused.
+    val calibStride = math.max(1, math.sqrt(n.toDouble).toInt)
+    val (mCells, mCents) =
+      if (st == calibStride && lloydIters == Similarity.LloydIters)
+        (cellsDf, centsDf)
+      else Similarity.ivfIndex(emb, calibStride, Similarity.LloydIters)
+    val clust = mCells
+      .join(broadcast(mCents), col("cell") === col("cent_id"))
       .select(when(col("norm") * col("c_norm") > 0,
         Similarity.dot(col("embedding"), col("c_emb")) /
           (col("norm") * col("c_norm"))).as("csim"))
       .agg(avg(col("csim"))).head.getDouble(0)
+    AnnIndex(emb, cells, cents, codedCells, codebook, pqSd,
+      hasLabel, fresh, freshCodes, clust, "")
+    }
     // one assignment at the end: an in-flight request reads either the
     // old generation or the new one in FULL — checkpoints, collected
     // metadata, and hot map always from the same build
-    idx = AnnIndex(emb, cells, cents, codedCells, codebook, pqSd,
-      hasLabel, fresh, freshCodes, clust, gen)
+    idx = built.copy(generation = gen)
   }
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -691,13 +713,14 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     def parseVec(q: Map[String, String]): Array[Double] = {
       val v = q.getOrElse("vec",
-        throw new IllegalArgumentException("vec=v1,v2,... is required"))
-      val qv = v.split(",").filter(_.nonEmpty).map(_.toDouble)
+        HttpJsonServer.clientError("vec=v1,v2,... is required"))
+      val qv = v.split(",").filter(_.nonEmpty).map(c => c.toDoubleOption
+        .getOrElse(HttpJsonServer.clientError("vec components must be numbers")))
       // NaN/Inf components would 200 on the Spark tiers (NaN sorts) but
       // 500 on the in-process ones (BigDecimal(NaN) throws) — a
       // non-finite QUERY is a client error on every tier, uniformly
-      require(qv.forall(java.lang.Double.isFinite),
-        "vec components must be finite numbers")
+      if (!qv.forall(java.lang.Double.isFinite))
+        HttpJsonServer.clientError("vec components must be finite numbers")
       qv
     }
     def answer(df: DataFrame, qv: Array[Double], k: Int): (Int, String) = {
@@ -815,7 +838,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         } yield {
           val qv = parseVec(q)
           val qn = math.sqrt(qv.map(x => x * x).sum)
-          val labelOpt = q.get("label").map(_.toInt)
+          val labelOpt = q.get("label").map(v => HttpJsonServer.clientInt(v, "label"))
           if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
           else if (labelOpt.isDefined && !ix.hasLabel)
             (400, """{"error":"corpus has no label attribute"}""")
@@ -883,7 +906,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         } yield {
           val qv = parseVec(q)
           val qn = math.sqrt(qv.map(x => x * x).sum)
-          val labelOpt = q.get("label").map(_.toInt)
+          val labelOpt = q.get("label").map(v => HttpJsonServer.clientInt(v, "label"))
           if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""")
           else if (labelOpt.isDefined && !ix.hasLabel)
             (400, """{"error":"corpus has no label attribute"}""")
@@ -966,7 +989,9 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   def reload(): Unit = buildIndex()
 
   private def buildIndex(): Unit = {
-    val gen = graft.ops.Artifacts.fingerprint(spark, documentsPath)
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     // the t19 postings table, from the SHARED definition — the serving
     // tier reads exactly the index the batch build writes
     val postings = graft.ops.TextAnalysis
@@ -1010,10 +1035,12 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       .foreach { case (t, rows) =>
         freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
+    SearchIndex(postings, stats, dlens, nDocs, totalLen,
+      freshStats, freshHeads, "")
+    }
     // one assignment: stats and heads (and the cold-tier checkpoints)
     // are always the same generation — no interleaving window
-    idx = SearchIndex(postings, stats, dlens, nDocs, totalLen,
-      freshStats, freshHeads, gen)
+    idx = built.copy(generation = gen)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1209,7 +1236,9 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
   def reload(): Unit = loadIndexes()
 
   private def loadIndexes(): Unit = {
-    val gen = graft.ops.Artifacts.fingerprint(spark, documentsPath)
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     val docs = spark.read.parquet(documentsPath)
       .select(col("doc_id"), col("text"))
     val sig = Dedup.minhashSigFrameOf(docs)
@@ -1232,7 +1261,9 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
         freshBand.put(key,
           rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
       }
-    shard = (gen, freshHash, freshBand)
+    (freshHash, freshBand)
+    }
+    shard = (gen, built._1, built._2)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1397,7 +1428,9 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   def reload(): Unit = loadShard()
 
   private def loadShard(): Unit = {
-    val gen = graft.ops.Artifacts.fingerprint(spark, documentsPath)
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     val postings = graft.ops.TextAnalysis
       .postingsFrame(spark.read.parquet(documentsPath))
       .localCheckpoint()
@@ -1428,7 +1461,9 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       .foreach { case (t, rows) =>
         freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
       }
-    shard = (gen, freshStats, freshHeads)
+    (freshStats, freshHeads)
+    }
+    shard = (gen, built._1, built._2)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1550,7 +1585,9 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
   def reload(): Unit = loadShards()
 
   private def loadShards(): Unit = {
-    val gen = graft.ops.Artifacts.fingerprint(spark, documentsPath)
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     val docs = spark.read.parquet(documentsPath)
       .select(col("doc_id"), col("text"))
     val sig = Dedup.minhashSigFrameOf(docs)
@@ -1579,7 +1616,9 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         freshBand.put(key,
           rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)))
       }
-    shard = (gen, freshHash, freshBand)
+    (freshHash, freshBand)
+    }
+    shard = (gen, built._1, built._2)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1642,7 +1681,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
         (q.get("keys").filter(_.nonEmpty), q.get("sig").filter(_.nonEmpty)) match {
           case (Some(ks), Some(sg)) =>
-            val qsig = sg.split(",").map(_.toLong)
+            val qsig = sg.split(",").map(v => HttpJsonServer.clientLong(v, "sig"))
             bestNear(bands, ks.split(",").toSeq, qsig) match {
               case Some((e, id)) => (200, s"""{"partner":$id,"est":$e}""", stamp)
               case None => (200, """{"partner":null}""", stamp)
@@ -1868,7 +1907,9 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
     graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
-    val gen = graft.ops.Artifacts.fingerprint(spark, embeddingsPath)
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    val (gen, built) = HttpJsonServer.generationConsistent(
+        () => graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
     val raw = spark.read.parquet(embeddingsPath)
     val hasLabel = raw.columns.contains("label")
     val emb = raw
@@ -1941,7 +1982,9 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
           }
         (cb, sd, codes)
       }
-    vshard = VecShard(cents, codebook, pqSd, hasLabel, fresh, freshCodes, gen)
+    VecShard(cents, codebook, pqSd, hasLabel, fresh, freshCodes, "")
+    }
+    vshard = built.copy(generation = gen)
   }
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -1971,10 +2014,11 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     })
     def parseVec(q: Map[String, String]): Array[Double] = {
       val qv = q.getOrElse("vec",
-        throw new IllegalArgumentException("vec=v1,v2,... is required"))
-        .split(",").filter(_.nonEmpty).map(_.toDouble)
-      require(qv.forall(java.lang.Double.isFinite),
-        "vec components must be finite numbers")
+        HttpJsonServer.clientError("vec=v1,v2,... is required"))
+        .split(",").filter(_.nonEmpty).map(c => c.toDoubleOption
+          .getOrElse(HttpJsonServer.clientError("vec components must be numbers")))
+      if (!qv.forall(java.lang.Double.isFinite))
+        HttpJsonServer.clientError("vec components must be finite numbers")
       qv
     }
     def probeCells(sh: VecShard, qv: Array[Double], nprobe: Int): Array[Long] = {
@@ -2004,7 +2048,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       } yield {
         val qv = parseVec(q)
         val qn = math.sqrt(qv.map(x => x * x).sum)
-        val labelOpt = q.get("label").map(_.toInt)
+        val labelOpt = q.get("label").map(v => HttpJsonServer.clientInt(v, "label"))
         if (qn == 0.0) (400, """{"error":"zero-norm query vector"}""", stamp)
         else if (labelOpt.isDefined && !sh.hasLabel)
           (400, """{"error":"corpus has no label attribute"}""", stamp)
@@ -2121,7 +2165,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       }
     })
     server.createContext("/ann/instance/", handler { path =>
-      val cell = path.stripPrefix("/ann/instance/").toLong
+      val cell = HttpJsonServer.clientLong(path.stripPrefix("/ann/instance/"), "cell")
       (200, s"""{"cell":$cell,"host":"${cellOwner(cell)}"}""")
     })
     startPooled()
@@ -2129,9 +2173,61 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
   }
 }
 
+/** A CLIENT-fault request error (missing/junk/non-finite params) — the
+  * ONLY exception type [[HttpJsonServer.handlerQH]] maps to 400 (ADVICE
+  * r17 #2: a bare IllegalArgumentException also arises from genuine
+  * server-side faults — buildIndex's dim%PqM require reached through
+  * /ann/reload after a corpus rewrite, Spark-internal requires during a
+  * cold-tier read — and those must report as 500, not as the caller's
+  * mistake). Extends IAE so existing catch sites and tests that treat
+  * bad params as IAE keep working. */
+private[streaming] final class ClientError(msg: String)
+    extends IllegalArgumentException(msg)
+
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
 private[streaming] object HttpJsonServer {
+
+  /** Raise a [[ClientError]] — handler code marks "this is the caller's
+    * fault, answer 400" with this, and nothing else. */
+  def clientError(msg: String): Nothing = throw new ClientError(msg)
+
+  /** Parse helpers that 400 (never 500) on junk client input. */
+  def clientInt(v: String, what: String): Int =
+    v.toIntOption.getOrElse(clientError(s"$what must be an integer"))
+  def clientLong(v: String, what: String): Long =
+    v.toLongOption.getOrElse(clientError(s"$what must be an integer"))
+
+  /** Run a hot-structure load with a GENERATION-CONSISTENT stamp (ADVICE
+    * r17 #4): the previous pattern fingerprinted the store BEFORE reading
+    * it, so a rewrite landing between the fingerprint and the read
+    * stamped responses with a generation that did not match the loaded
+    * data — silently defeating the mixed-generation rollout detection.
+    * Here: fingerprint, build, fingerprint AGAIN; a mismatch means a
+    * rewrite landed mid-read, so the load retries (the next attempt reads
+    * the settled store). After `attempts` moving reads it gives up with a
+    * LOUD warning and stamps the last pre-read fingerprint — the
+    * conservative choice: the stamp then names a generation no NEWER than
+    * any row served, so a rollout comparison sees "stale", never a false
+    * "fresh". */
+  def generationConsistent[A](fp: () => String, attempts: Int = 3)
+      (build: => A): (String, A) = {
+    var before = fp()
+    var built = build
+    var after = fp()
+    var tries = 1
+    while (after != before && tries < attempts) {
+      before = after
+      built = build
+      after = fp()
+      tries += 1
+    }
+    if (after != before)
+      System.err.println(s"[graft] WARNING: store fingerprint moved during " +
+        s"$tries consecutive hot loads ($before -> $after): stamping the " +
+        "pre-read generation; reload again once the rewrite settles")
+    (before, built)
+  }
   /** Generation-stamp header every hot tier sets (VERDICT r16 missing
     * #3): the corpus [[graft.ops.Artifacts.fingerprint]] the answering
     * structures were loaded from — the same staleness key the artifact
@@ -2321,11 +2417,13 @@ private[streaming] trait HttpJsonServer {
             }.toMap
           f(exchange.getRequestURI.getPath, q)
         } catch {
-          // an IllegalArgumentException is a CLIENT error everywhere in
-          // this layer (missing/junk/non-finite params — parseVec,
-          // boundLit, require-validations): 400, never a 500 that reads
-          // as a server fault
-          case e: IllegalArgumentException =>
+          // ONLY the dedicated client-error type maps to 400 (ADVICE r17
+          // #2): param validation raises ClientError explicitly; a bare
+          // IllegalArgumentException can come from server-side code (a
+          // reload hitting buildIndex's dim%PqM require after a corpus
+          // rewrite, Spark-internal requires mid-query) and must report
+          // as the 500 it is, not as the caller's mistake
+          case e: ClientError =>
             (400, s"""{"error":"${String.valueOf(e.getMessage).take(100)
               .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",
               Map.empty[String, String])

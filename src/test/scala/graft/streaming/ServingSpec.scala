@@ -1608,4 +1608,128 @@ class ServingSpec extends SparkSpec {
         s"the failed host must be named: ${partial.body()}")
     } finally { a.stop(); b.stop() }
   }
+
+  test("generationConsistent load (ADVICE r17 #4): a rewrite landing mid-read " +
+      "retries; a stable read builds once; a never-settling store gives up " +
+      "after `attempts` and stamps the last PRE-read fingerprint") {
+    // stable store: one build, stamped with the (unchanged) fingerprint
+    var builds = 0
+    val fps = Iterator("g1", "g1")
+    val (g, v) = HttpJsonServer.generationConsistent(() => fps.next()) {
+      builds += 1; builds }
+    assert(g === "g1" && v === 1 && builds === 1)
+    // one rewrite mid-read: the first build's data spans two generations,
+    // so it is DISCARDED and the load retries on the settled store — the
+    // stamp names the build that actually survived
+    var builds2 = 0
+    val fps2 = Iterator("a", "b", "b")
+    val (g2, v2) = HttpJsonServer.generationConsistent(() => fps2.next()) {
+      builds2 += 1; builds2 }
+    assert(g2 === "b" && v2 === 2 && builds2 === 2)
+    // never settling: bounded retries, then the CONSERVATIVE stamp (the
+    // last pre-read value — never newer than any row served)
+    var builds3 = 0
+    val fps3 = Iterator.from(1).map(i => s"g$i")
+    val (g3, v3) = HttpJsonServer.generationConsistent(() => fps3.next(),
+      attempts = 3) { builds3 += 1; builds3 }
+    assert(builds3 === 3 && v3 === 3 && g3 === "g3",
+      s"give-up must stamp the last pre-read fingerprint: got $g3")
+  }
+
+  test("client-error split (ADVICE r17 #2): junk request params answer 400 " +
+      "via ClientError, but a bare IllegalArgumentException from server-side " +
+      "code (a reload require, a Spark-internal require) answers 500") {
+    // a minimal tier with one endpoint per fault class
+    class FaultServer extends HttpJsonServer {
+      def start(): Int = {
+        server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        // server-side fault: the shape of buildIndex's dim%PqM require
+        // reached through /ann/reload — an operator error, NOT the caller's
+        server.createContext("/boom", handlerQ { (_, _) =>
+          throw new IllegalArgumentException("requirement failed: dim % PqM") })
+        // client fault: what param validation raises
+        server.createContext("/bad", handlerQ { (_, _) =>
+          HttpJsonServer.clientError("k must be a positive integer") })
+        startPooled()
+        port
+      }
+    }
+    val srv = new FaultServer
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(get("/boom") === 500,
+        "a server-side IllegalArgumentException must report as a server fault")
+      assert(get("/bad") === 400,
+        "a ClientError must report as the caller's mistake")
+    } finally srv.stop()
+  }
+
+  test("/ann/plan stride parity (ADVICE r17 #3): the regime signal is measured " +
+      "with the √n-stride calibration convention regardless of the serving " +
+      "stride — and junk params on the vector tiers answer 400, never 500") {
+    import spark.implicits._
+    def base(c: Int): Array[Double] = Array.tabulate(8)(i =>
+      if (i == c * 2) 10.0 else 0.0)
+    val vecs = (0 until 200).map { id =>
+      val c = id % 4
+      (id.toLong, base(c).zipWithIndex.map { case (x, i) =>
+        (x + math.sin(id * 1.7 + i) * 0.4).toFloat }.toSeq)
+    }
+    val path = Files.createTempDirectory("graft-annplan").toString + "/emb.parquet"
+    vecs.toDF("vec_id", "embedding").write.parquet(path)
+    // the calibration-convention measurement (√200 = 14, LloydIters),
+    // computed independently of any server
+    import graft.ops.Similarity
+    graft.functions.GraftExtensions.register(spark)
+    val emb = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+    val (mCells, mCents) = Similarity.ivfIndex(emb, 14, Similarity.LloydIters)
+    val expected = mCells
+      .join(broadcast(mCents), col("cell") === col("cent_id"))
+      .select(when(col("norm") * col("c_norm") > 0,
+        Similarity.dot(col("embedding"), col("c_emb")) /
+          (col("norm") * col("c_norm"))).as("csim"))
+      .agg(avg(col("csim"))).head.getDouble(0)
+    val client = java.net.http.HttpClient.newHttpClient()
+    def planClust(port: Int): Double = {
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/ann/plan?target=0.9")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      "\"clusteredness\":([0-9.]+)".r.findFirstMatchIn(body).get.group(1).toDouble
+    }
+    // a COARSE serving stride (few big cells) and a FINE one (stride 3)
+    // must both report the calibration-convention clusteredness — the
+    // value annPlanFor's curves and threshold were measured against
+    Seq(3, 60).foreach { servingStride =>
+      val rest = new VectorRestServing(spark, path)
+      val port = rest.start(0, stride = servingStride, lloydIters = 1)
+      try assert(math.abs(planClust(port) - expected) < 5e-4,
+        s"serving stride $servingStride shifted the regime signal: " +
+          s"${planClust(port)} vs calibration $expected")
+      finally rest.stop()
+    }
+    // junk params are CLIENT errors on the vector tiers (the ClientError
+    // path end-to-end): junk vec component, junk label, junk cell id
+    val rest = new VectorRestServing(spark, path)
+    val port = rest.start(0, stride = 14, lloydIters = 1)
+    try {
+      def get(p: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      val q = base(0).mkString(",")
+      assert(get("/ann/topk?vec=a,b,c&k=5") === 400)
+      assert(get(s"/ann/topk?vec=$q&k=5&label=x") === 400)
+      assert(get(s"/ann/topk/hot?vec=$q&k=abc") === 400)
+      assert(get("/ann/plan?target=junk") === 400)
+    } finally rest.stop()
+  }
 }
