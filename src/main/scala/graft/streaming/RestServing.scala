@@ -100,7 +100,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   def start(bindPort: Int = 0): Int = {
     loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/state/reload", handlerQH { (path, _) =>
+    server.createContext("/state/reload", handlerQHAsync { (path, _) =>
       if (path != "/state/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -291,7 +291,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     // operational reload of the owned hot shard (see reload())
-    server.createContext("/state/reload", handlerQH { (path, _) =>
+    server.createContext("/state/reload", handlerQHAsync { (path, _) =>
       if (path != "/state/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -304,7 +304,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     // THIS instance and every peer (concurrently), then reports each
     // instance's post-reload generation — a completed rollout shows one
     // uniform fingerprint, a partial failure is visible per host.
-    server.createContext("/state/reload/all", handlerQH { (path, _) =>
+    server.createContext("/state/reload/all", handlerQHAsync { (path, _) =>
       if (path != "/state/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -375,7 +375,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     // generation in X-Graft-Generation, plus X-Graft-Mixed-Generation
     // when any partial answered from a different store build (the
     // mid-rollout window, previously silent — VERDICT r16 missing #3).
-    server.createContext("/state/topk", handlerQH { (path, q) =>
+    server.createContext("/state/topk", handlerQHAsync { (path, q) =>
       if (path != "/state/topk") (404, """{"error":"not found"}""", Map.empty)
       else {
         val valueCol = q.getOrElse("value", "value")
@@ -884,7 +884,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     // operational reload: rebuild the index (Spark checkpoints + hot
     // in-process cells) from the current corpus parquet without dropping
     // the socket — what an operator calls after retrainOnDrift trips
-    server.createContext("/ann/reload", handlerQH { (path, _) =>
+    server.createContext("/ann/reload", handlerQHAsync { (path, _) =>
       if (path != "/ann/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1046,7 +1046,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   def start(bindPort: Int = 0): Int = {
     buildIndex()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/search/reload", handlerQH { (path, _) =>
+    server.createContext("/search/reload", handlerQHAsync { (path, _) =>
       if (path != "/search/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1271,7 +1271,7 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     loadIndexes()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/dedup/reload", handlerQH { (path, _) =>
+    server.createContext("/dedup/reload", handlerQHAsync { (path, _) =>
       if (path != "/dedup/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1469,7 +1469,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   def start(bindPort: Int = 0): Int = {
     loadShard()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/search/reload", handlerQH { (path, _) =>
+    server.createContext("/search/reload", handlerQHAsync { (path, _) =>
       if (path != "/search/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1480,7 +1480,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/search/reload/all", handlerQH { (path, _) =>
+    server.createContext("/search/reload/all", handlerQHAsync { (path, _) =>
       if (path != "/search/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1641,7 +1641,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         .sortBy { case (e, id) => (-e, id) }.headOption
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/dedup/reload", handlerQH { (path, _) =>
+    server.createContext("/dedup/reload", handlerQHAsync { (path, _) =>
       if (path != "/dedup/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1653,7 +1653,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/dedup/reload/all", handlerQH { (path, _) =>
+    server.createContext("/dedup/reload/all", handlerQHAsync { (path, _) =>
       if (path != "/dedup/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -1690,7 +1690,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         }
       }
     })
-    server.createContext("/dedup/check", handlerQH { (path, q) =>
+    server.createContext("/dedup/check", handlerQHAsync { (path, q) =>
       if (path != "/dedup/check") (404, """{"error":"not found"}""", Map.empty)
       else q.get("text").filter(_.nonEmpty) match {
         case None => (400, """{"error":"text=... is required"}""", Map.empty)
@@ -1994,7 +1994,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     // per-replica reload of the owned cell shard (see reload())
-    server.createContext("/ann/reload", handlerQH { (path, _) =>
+    server.createContext("/ann/reload", handlerQHAsync { (path, _) =>
       if (path != "/ann/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -2005,7 +2005,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/ann/reload/all", handlerQH { (path, _) =>
+    server.createContext("/ann/reload/all", handlerQHAsync { (path, _) =>
       if (path != "/ann/reload/all") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
@@ -2110,7 +2110,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
           Map(HttpJsonServer.GenerationHeader -> sh.generation))
       }
     })
-    server.createContext("/ann/topk/pq/hot", handlerQH { (path, q) =>
+    server.createContext("/ann/topk/pq/hot", handlerQHAsync { (path, q) =>
       if (path != "/ann/topk/pq/hot") (404, """{"error":"not found"}""", Map.empty)
       else validatedPq(q) { (sh, qv, k, nprobe) =>
         val probed = probeCells(sh, qv, nprobe)
@@ -2135,7 +2135,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
              else Map.empty))
       }
     })
-    server.createContext("/ann/topk/hot", handlerQH { (path, q) =>
+    server.createContext("/ann/topk/hot", handlerQHAsync { (path, q) =>
       if (path != "/ann/topk/hot") (404, """{"error":"not found"}""", Map.empty)
       else validated(q) { (sh, qv, qn, labelOpt, k, nprobe) =>
         val probed = probeCells(sh, qv, nprobe)
@@ -2197,6 +2197,28 @@ private[streaming] object HttpJsonServer {
     v.toIntOption.getOrElse(clientError(s"$what must be an integer"))
   def clientLong(v: String, what: String): Long =
     v.toLongOption.getOrElse(clientError(s"$what must be an integer"))
+
+  /** The SCATTER/OPS executor every [[HttpJsonServer.handlerQHAsync]]
+    * endpoint runs on (ADVICE r17 #1): coordinator fan-outs block
+    * synchronously on peer HTTP (fetchAll joins — 30 s read / 15 min
+    * reload ceilings) and reload endpoints block on Spark index
+    * rebuilds (minutes). On the FIXED 8-thread request pool, ≥8
+    * concurrent coordinator requests per instance could park every
+    * pool thread on peer endpoints that no free thread remains to
+    * serve — a DISTRIBUTED pool-exhaustion stall that also blocked the
+    * ~ms hot point reads until the timeout fired. Running the blocking
+    * bodies here (unbounded cached pool, daemon threads) keeps the
+    * request pool free by construction: a hot read is always
+    * dispatchable no matter how many scatters or reloads are in
+    * flight, on every instance of the fleet. Shared across tiers — the
+    * thread count is bounded by in-flight blocking requests, which the
+    * peer timeouts already cap in time. */
+  private[streaming] val scatterPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-serving-ops")
+      t.setDaemon(true)
+      t
+    })
 
   /** Run a hot-structure load with a GENERATION-CONSISTENT stamp (ADVICE
     * r17 #4): the previous pattern fingerprinted the store BEFORE reading
@@ -2407,7 +2429,30 @@ private[streaming] trait HttpJsonServer {
   protected def handlerQH(
       f: (String, Map[String, String]) => (Int, String, Map[String, String]))
       : com.sun.net.httpserver.HttpHandler =
-    (exchange: HttpExchange) => {
+    (exchange: HttpExchange) => runQH(f, exchange)
+
+  /** [[handlerQH]] dispatched to the shared [[HttpJsonServer.scatterPool]]
+    * (ADVICE r17 #1): for endpoints whose body BLOCKS — on peer HTTP
+    * (scatter-gather, fleet reload, federated probes) or on Spark index
+    * rebuilds (reloads). The request-pool thread hands the exchange off
+    * and returns immediately, so the fixed pool only ever runs fast
+    * local reads; the response is written from the ops thread (the JDK
+    * server supports responding after handle() returns — the exchange
+    * stays open until closed). Local-serving capacity is therefore
+    * independent of in-flight blocking work on EVERY instance, which
+    * breaks the fleet-wide stall cycle (instance A's pool waiting on
+    * instance B's pool waiting on A's). */
+  protected def handlerQHAsync(
+      f: (String, Map[String, String]) => (Int, String, Map[String, String]))
+      : com.sun.net.httpserver.HttpHandler =
+    (exchange: HttpExchange) =>
+      HttpJsonServer.scatterPool.execute(() =>
+        try runQH(f, exchange)
+        catch { case _: Throwable => exchange.close() })
+
+  private def runQH(
+      f: (String, Map[String, String]) => (Int, String, Map[String, String]),
+      exchange: HttpExchange): Unit = {
       val (status, body, hdrs) =
         try {
           val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
@@ -2434,7 +2479,7 @@ private[streaming] trait HttpJsonServer {
         }
       hdrs.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
       respond(exchange, status, body)
-    }
+  }
 
   /** Parse a positive int param (optionally bounded); Left(400) on junk
     * — shared so every tier pair (hot/cold) enforces the SAME contract

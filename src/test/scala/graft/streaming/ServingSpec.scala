@@ -1609,6 +1609,55 @@ class ServingSpec extends SparkSpec {
     } finally { a.stop(); b.stop() }
   }
 
+  test("blocking endpoints never exhaust the request pool (ADVICE r17 #1): " +
+      "16 parked scatter/reload bodies on the ops executor leave every " +
+      "fixed-pool thread free — hot reads answer immediately") {
+    // a tier with one BLOCKING endpoint (the shape of a fleet reload or
+    // scatter waiting on peers — dispatched async to the ops pool) and
+    // one hot endpoint (fixed request pool). 16 blocked requests is 2×
+    // the pool size: under the old dispatch they would park every pool
+    // thread and the hot read would hang until a peer timeout.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val parked = new java.util.concurrent.atomic.AtomicInteger(0)
+    class BlockingServer extends HttpJsonServer {
+      def start(): Int = {
+        server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/slow", handlerQHAsync { (_, _) =>
+          parked.incrementAndGet()
+          latch.await()
+          (200, """{"done":true}""", Map.empty)
+        })
+        server.createContext("/fast", handlerQH { (_, _) =>
+          (200, """{"hot":true}""", Map.empty) })
+        startPooled()
+        port
+      }
+    }
+    val srv = new BlockingServer
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def req(p: String) = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build()
+      val slow = (0 until 16).map(_ => client.sendAsync(req("/slow"),
+        java.net.http.HttpResponse.BodyHandlers.ofString()))
+      // wait until all 16 bodies are genuinely PARKED server-side
+      val t0 = System.nanoTime()
+      while (parked.get() < 16 && (System.nanoTime() - t0) < 10e9)
+        Thread.sleep(5)
+      assert(parked.get() === 16, "all blocking bodies must be in flight")
+      // the hot read answers while 2× the pool size is blocked
+      val fast = client.send(req("/fast"),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(fast.statusCode() === 200,
+        "a hot read must never queue behind blocked fan-outs")
+      latch.countDown()
+      slow.foreach(f => assert(f.join().statusCode() === 200,
+        "released blocking bodies must complete"))
+    } finally { latch.countDown(); srv.stop() }
+  }
+
   test("generationConsistent load (ADVICE r17 #4): a rewrite landing mid-read " +
       "retries; a stable read builds once; a never-settling store gives up " +
       "after `attempts` and stamps the last PRE-read fingerprint") {
