@@ -217,6 +217,14 @@ object ServingBench {
       timeMs(assert(getPath(sport, s"/search/term/hot?t=$probe1&k=10") == 200)))
     val searchHttp = (0 until keys.size).map(_ =>
       timeMs(assert(getPath(sport, s"/search?q=$probeQ&k=10") == 200)))
+    // the HOT champion-list multi-term tier (round 18): the same query
+    // scored over the in-process capped posting heads — zero Spark work
+    // per request; measured beside the cold Spark-side /search it audits
+    getPath(sport, s"/search/hot?q=$probeQ&k=10") // warm
+    val searchHotHttp = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(sport, s"/search/hot?q=$probeQ&k=10") == 200)))
+    val searchHotBm25 = (0 until keys.size).map(_ =>
+      timeMs(assert(getPath(sport, s"/search/hot?q=$probeQ&k=10&rank=bm25") == 200)))
     srest.stop()
 
     // the DEDUP tier: ingest-time membership checks against the corpus's
@@ -272,7 +280,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

@@ -949,7 +949,13 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
   *  - `/search?q=…&rank=bm25&k=10` — the same candidate set ranked by
   *    BM25 (t25's scoring: k1=1.2, b=0.75, the Lucene-style positive
   *    idf), reading the doclen table built once at `start()` — length
-  *    normalization without touching the corpus at query time. */
+  *    normalization without touching the corpus at query time.
+  *  - `/search/hot?q=…&k=10[&rank=bm25]` — the champion-list HOT form
+  *    of `/search`: the same tf-idf/BM25 scoring over the in-process
+  *    MaxTermK-capped posting heads ([[HotSearch]]) — zero Spark work
+  *    per request; exact when every query term's df ≤ MaxTermK, a
+  *    lower-bound approximation (cold `/search` as the audit tier)
+  *    otherwise. */
 class SearchRestServing(spark: SparkSession, documentsPath: String)
     extends HttpJsonServer {
   import org.apache.spark.sql.DataFrame
@@ -975,6 +981,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       nDocs: Long, totalLen: Long,
       hotStats: java.util.HashMap[String, String],
       hotHeads: java.util.HashMap[String, Array[String]],
+      hotTerm: java.util.HashMap[String, HotSearch.TermHead],
       generation: String)
 
   @volatile private var idx: SearchIndex = _
@@ -1010,10 +1017,14 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     val totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
 
     val freshStats = new java.util.HashMap[String, String]()
+    val dfOf = new java.util.HashMap[String, java.lang.Long]()
     stats
-      .select(col("term"),
+      .select(col("term"), col("df"),
         to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach(r => freshStats.put(r.getString(0), r.getString(1)))
+      .collect().foreach { r =>
+        freshStats.put(r.getString(0), r.getString(2))
+        dfOf.put(r.getString(0), r.getLong(1))
+      }
     // the hot heads are CAPPED server-side (ADVICE r15 #2): only the
     // top-[[SearchRestServing.MaxTermK]] postings per term — ranked by
     // the SAME (tf desc, doc_id asc) order the endpoint serves — ever
@@ -1023,20 +1034,28 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     // process' invariant holds for the hot tier too. Both term tiers
     // reject k > MaxTermK with the same 400.
     val freshHeads = new java.util.HashMap[String, Array[String]]()
+    val freshTerm = new java.util.HashMap[String, HotSearch.TermHead]()
     val headRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
       .withColumn("rn", row_number().over(headRank))
       .filter(col("rn") <= SearchRestServing.MaxTermK)
-      .select(col("term"), col("rn"),
+      // dl joins AFTER the cap: the join is vocab·MaxTermK rows against
+      // the doc-grain length table — the hot scorer's BM25 normalizer
+      // rides along without changing the head's memory bound
+      .join(dlens, Seq("doc_id"))
+      .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
         to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (t, rows) =>
-        freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
+        val sorted = rows.sortBy(_.getInt(1))
+        freshHeads.put(t, sorted.map(_.getString(5)))
+        freshTerm.put(t, HotSearch.TermHead(t, dfOf.get(t),
+          sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
       }
     SearchIndex(postings, stats, dlens, nDocs, totalLen,
-      freshStats, freshHeads, "")
+      freshStats, freshHeads, freshTerm, "")
     }
     // one assignment: stats and heads (and the cold-tier checkpoints)
     // are always the same generation — no interleaving window
@@ -1157,6 +1176,31 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
             .orderBy(col("score").desc, col("doc_id").asc).limit(k)
             .toJSON.collect()
           (200, rows.mkString("[", ",", "]"))
+        }).merge match { case (sc, body) => (sc, body, stamp) }
+      }
+    })
+    // HOT champion-list multi-term search (VERDICT r17 next #1): the
+    // same query contract as the cold /search — q, k, rank=bm25 —
+    // answered entirely from the in-process capped posting heads (zero
+    // Spark work per request). Exact when every query term's df ≤
+    // MaxTermK (byte-parity golden); otherwise a documented lower-bound
+    // approximation with the cold tier as the audit path — see
+    // [[HotSearch]].
+    server.createContext("/search/hot", handlerQH { (path, q) =>
+      if (path != "/search/hot") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val ix = idx
+        val stamp = Map(HttpJsonServer.GenerationHeader -> ix.generation)
+        (for {
+          raw <- q.get("q")
+            .toRight((400, """{"error":"q=t1+t2+... is required"}"""))
+          terms <- Some(raw.split("[ +]+").filter(_.nonEmpty).distinct.toSeq)
+            .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
+          k <- intParam(q, "k", 10)
+        } yield {
+          val heads = terms.flatMap(t => Option(ix.hotTerm.get(t)))
+          (200, HotSearch.render(HotSearch.score(heads, ix.nDocs,
+            ix.totalLen, q.get("rank").contains("bm25"), k)))
         }).merge match { case (sc, body) => (sc, body, stamp) }
       }
     })
@@ -1391,7 +1435,16 @@ private[streaming] final class DedupSignature(spark: SparkSession) {
   * and a request for a non-owned term 307s to the owner's hot endpoint
   * exactly like the KV tier — a term lookup has ONE owner, so routing
   * (not scatter-gather) is the right composition, the
-  * `metadataForStoreAndKey` shape verbatim. */
+  * `metadataForStoreAndKey` shape verbatim.
+  *
+  * Multi-term SEARCH (`/search/hot`, VERDICT r17 next #1) is the
+  * opposite composition: a doc's score sums contributions from EVERY
+  * query term and terms spread across owners, so the coordinator
+  * GATHERS each owner's champion lists (`/search/hot/local` — owned
+  * terms only, MaxTermK-capped rows on the wire) and scores the union
+  * centrally with the SAME [[HotSearch]] scorer the single-instance
+  * tier runs — the MusicPlaysRestService.java:77-115 scatter at term
+  * grain, byte-parity across deployments pinned in ServingSpec. */
 class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     numPartitions: Int, hosts: Seq[String], selfHost: String)
     extends HttpJsonServer {
@@ -1401,21 +1454,28 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   private val owned: Seq[Int] =
     (0 until numPartitions).filter(p => Serving.hostFor(p, hosts) == selfHost)
 
-  /** The owned shard as ONE immutable (generation, stats, heads) triple
-    * swapped atomically: a request between two separate map assignments
-    * could see a term in the old stats map with no entry in the new
-    * heads map (a rewrite that removed the term) and 500 — one volatile
-    * reference removes the window. The generation (corpus fingerprint
-    * at load) stamps every answer. */
-  @volatile private var shard:
-    (String, java.util.HashMap[String, String],
-      java.util.HashMap[String, Array[String]]) = _
+  /** The owned shard as ONE immutable holder swapped atomically: a
+    * request between two separate map assignments could see a term in
+    * the old stats map with no entry in the new heads map (a rewrite
+    * that removed the term) and 500 — one volatile reference removes
+    * the window. The generation (corpus fingerprint at load) stamps
+    * every answer. `terms` is the owned subset of [[HotSearch]]
+    * champion lists; nDocs/totalLen are the corpus-level constants the
+    * multi-term scorer needs (replicated — two longs). */
+  private final case class SearchShard(
+      gen: String,
+      stats: java.util.HashMap[String, String],
+      heads: java.util.HashMap[String, Array[String]],
+      terms: java.util.HashMap[String, HotSearch.TermHead],
+      nDocs: Long, totalLen: Long)
+
+  @volatile private var shard: SearchShard = _
 
   /** Owned-term count — the memory-∝-owned-partitions evidence. */
-  def hotSize: Int = shard._2.size
+  def hotSize: Int = shard.stats.size
 
   /** The owned shard's generation — the corpus fingerprint at load. */
-  def generation: String = shard._1
+  def generation: String = shard.gen
 
   def termOwner(t: String): String =
     Serving.hostFor(Serving.partitionOf(t, numPartitions,
@@ -1434,36 +1494,52 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     val postings = graft.ops.TextAnalysis
       .postingsFrame(spark.read.parquet(documentsPath))
       .localCheckpoint()
+    // the BM25 corpus constants — corpus-level, replicated (two longs);
+    // the doclen table feeds the owned heads' dl column below
+    val dlens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+      .localCheckpoint()
+    val nDocs = dlens.count()
+    val totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
     // the shard predicate: statePartition(term) IN (owned) — evaluated
     // cluster-side by the identical murmur3 expression partitionOf
     // routes with, so load and route can never disagree
     val ownedTerms = Serving.statePartition(col("term"), numPartitions)
       .isin(owned: _*)
     val freshStats = new java.util.HashMap[String, String]()
+    val dfOf = new java.util.HashMap[String, java.lang.Long]()
     postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .where(ownedTerms)
-      .select(col("term"),
+      .select(col("term"), col("df"),
         to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach(r => freshStats.put(r.getString(0), r.getString(1)))
+      .collect().foreach { r =>
+        freshStats.put(r.getString(0), r.getString(2))
+        dfOf.put(r.getString(0), r.getLong(1))
+      }
     val freshHeads = new java.util.HashMap[String, Array[String]]()
+    val freshTerm = new java.util.HashMap[String, HotSearch.TermHead]()
     val headRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
       .where(ownedTerms)
       .withColumn("rn", row_number().over(headRank))
       .filter(col("rn") <= SearchRestServing.MaxTermK)
-      .select(col("term"), col("rn"),
+      .join(dlens, Seq("doc_id")) // dl AFTER the cap — vocab·K join rows
+      .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
         to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (t, rows) =>
-        freshHeads.put(t, rows.sortBy(_.getInt(1)).map(_.getString(2)))
+        val sorted = rows.sortBy(_.getInt(1))
+        freshHeads.put(t, sorted.map(_.getString(5)))
+        freshTerm.put(t, HotSearch.TermHead(t, dfOf.get(t),
+          sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
       }
-    (freshStats, freshHeads)
+    SearchShard("", freshStats, freshHeads, freshTerm, nDocs, totalLen)
     }
-    shard = (gen, built._1, built._2)
+    shard = built.copy(gen = gen)
   }
 
   def start(bindPort: Int = 0): Int = {
@@ -1490,20 +1566,20 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     server.createContext("/search/term/hot", handlerQH { (path, q) =>
       if (path != "/search/term/hot") (404, """{"error":"not found"}""", Map.empty)
       else {
-        // ONE read of the volatile triple per request: stats, heads, and
+        // ONE read of the volatile holder per request: stats, heads, and
         // the stamp are always the same shard generation
-        val (gen, stats, heads) = shard
-        val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
+        val sh = shard
+        val stamp = Map(HttpJsonServer.GenerationHeader -> sh.gen)
         (for {
           t <- q.get("t").filter(_.nonEmpty)
             .toRight((400, """{"error":"t=<term> is required"}"""))
           k <- intParam(q, "k", 10, max = SearchRestServing.MaxTermK)
         } yield {
           val host = termOwner(t)
-          if (host == selfHost) Option(stats.get(t)) match {
+          if (host == selfHost) Option(sh.stats.get(t)) match {
             case None => (404, s"""{"error":"term not found"}""")
             case Some(st) =>
-              val head = heads.get(t).take(k)
+              val head = sh.heads.get(t).take(k)
               (200, s"""{"stats":$st,"postings":${head.mkString("[", ",", "]")}}""")
           } else peerUrls.get(host) match {
             case Some(base) => (307, s"$base/search/term/hot?t=" +
@@ -1518,6 +1594,73 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       val p = Serving.partitionOf(t, numPartitions,
         org.apache.spark.sql.types.StringType)
       (200, s"""{"partition":$p,"host":"${Serving.hostFor(p, hosts)}"}""")
+    })
+    // fan-out target for the multi-term scatter: the OWNED subset of the
+    // requested terms' champion lists, on the wire (HotSearch's compact
+    // form) — non-owned terms are silently absent, the coordinator asked
+    // the wrong owner (exactly like /dedup/probe/near serving only owned
+    // buckets)
+    server.createContext("/search/hot/local", handlerQH { (path, q) =>
+      if (path != "/search/hot/local") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val sh = shard
+        val stamp = Map(HttpJsonServer.GenerationHeader -> sh.gen)
+        q.get("terms").filter(_.nonEmpty) match {
+          case None => (400, """{"error":"terms=t1,t2,... is required"}""", stamp)
+          case Some(ts) =>
+            val heads = ts.split(",").toSeq.filter(_.nonEmpty).distinct
+              .flatMap(t => Option(sh.terms.get(t)))
+            (200, HotSearch.renderHeads(heads), stamp)
+        }
+      }
+    })
+    // HOT champion-list multi-term search, TERM-SHARDED (VERDICT r17
+    // next #1): a doc's score needs contributions from EVERY query term,
+    // and terms shard across owners — so the composition is the
+    // MusicPlays scatter-GATHER-then-score, not a per-owner top-k merge
+    // (a per-owner partial top-k would mis-rank docs whose terms span
+    // owners). Any instance coordinates: owned terms answer from the
+    // local shard, the rest are fetched concurrently from their owners'
+    // /search/hot/local, and ONE shared scorer (HotSearch — the
+    // single-instance tier's, byte-parity pinned) ranks the union.
+    // Generation stamps compared across partials: a mid-rollout merge is
+    // flagged, never silent.
+    server.createContext("/search/hot", handlerQHAsync { (path, q) =>
+      if (path != "/search/hot") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val sh = shard
+        val stamp = Map(HttpJsonServer.GenerationHeader -> sh.gen)
+        (for {
+          raw <- q.get("q")
+            .toRight((400, """{"error":"q=t1+t2+... is required"}"""))
+          terms <- Some(raw.split("[ +]+").filter(_.nonEmpty).distinct.toSeq)
+            .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
+          k <- intParam(q, "k", 10)
+        } yield {
+          val byOwner = terms.groupBy(termOwner)
+          val localHeads = byOwner.getOrElse(selfHost, Nil)
+            .flatMap(t => Option(sh.terms.get(t)))
+          val peerOwners = (byOwner - selfHost).toSeq
+            .flatMap { case (host, ts) => peerUrls.get(host).map(b => (b, ts)) }
+          val resps = HttpJsonServer.fetchAll(peerOwners.map { case (b, ts) =>
+            s"$b/search/hot/local?terms=${ts.mkString(",")}" })
+          resps.foreach(r =>
+            if (r.statusCode() != 200) throw new IllegalStateException(
+              s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500
+          val peerHeads = resps.flatMap(r => HotSearch.parseHeads(r.body()))
+          val gens = (sh.gen +: resps.map(HttpJsonServer.generationOf))
+            .filter(_.nonEmpty).distinct
+          val body = HotSearch.render(HotSearch.score(
+            localHeads ++ peerHeads, sh.nDocs, sh.totalLen,
+            q.get("rank").contains("bm25"), k))
+          (200, body, stamp ++
+            (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
+             else Map.empty))
+        }) match {
+          case Right(r) => r
+          case Left((sc, body)) => (sc, body, stamp)
+        }
+      }
     })
     startPooled()
     port
@@ -1761,6 +1904,80 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     startPooled()
     port
   }
+}
+
+/** The hot CHAMPION-LIST multi-term search scorer (VERDICT r17 next #1),
+  * in ONE place so the single-instance tier ([[SearchRestServing]]'s
+  * `/search/hot`) and the term-sharded one ([[FederatedSearchServing]])
+  * can never drift — and so both stay ARITHMETICALLY IDENTICAL to the
+  * cold `/search` tier: same smoothed tf-idf (ln((N+1)/(df+1))+1) and
+  * BM25 (t25's k1/b, Lucene-style positive idf) expressions in the same
+  * evaluation order, 6-dp HALF_UP on the per-doc sum (the rule Spark's
+  * round() applies), (score desc, doc_id asc) order, and the cold
+  * tier's exact toJSON field shape.
+  *
+  * Champion-list semantics (Brown/impact-ordered pruning): candidates
+  * come from the MaxTermK-capped per-term posting heads the hot tier
+  * already holds — vocabulary-grain memory, zero Spark work per
+  * request. The approximation contract, pinned in ServingSpec:
+  *  - a doc's hot score NEVER exceeds its cold score (heads only ever
+  *    omit contributions), and
+  *  - when every query term's df ≤ MaxTermK the heads ARE the postings,
+  *    so hot and cold answers are byte-identical — the cold exact
+  *    `/search` stays the audit tier for queries over heavier terms. */
+private[streaming] object HotSearch {
+  /** One query term's champion list: df (for idf) + capped head rows
+    * (doc_id, tf, doc length — the BM25 normalizer). */
+  final case class TermHead(term: String, df: Long, rows: Array[(Long, Long, Long)])
+
+  /** Score the union of the heads' docs; returns (score, doc_id,
+    * n_terms) rows, top-k. Heads are processed in term order so the
+    * per-doc double sum is deterministic regardless of which owner
+    * shipped which term. */
+  def score(heads: Seq[TermHead], nDocs: Long, totalLen: Long,
+      bm25: Boolean, k: Int): Array[(Double, Long, Int)] = {
+    import graft.ops.TextAnalysis.{Bm25K1, Bm25B}
+    val byDoc = scala.collection.mutable.HashMap[Long, (Double, Int)]()
+    heads.sortBy(_.term).foreach { h =>
+      val idf =
+        if (bm25) math.log(1.0 + (nDocs - h.df + 0.5) / (h.df + 0.5))
+        else math.log((nDocs + 1.0) / (h.df + 1.0)) + 1.0
+      h.rows.foreach { case (doc, tf, dl) =>
+        val s =
+          if (bm25) idf * (tf * (Bm25K1 + 1)) /
+            (tf + Bm25K1 * ((1.0 - Bm25B) + Bm25B * dl.toDouble * nDocs / totalLen))
+          else tf * idf
+        val (acc, n) = byDoc.getOrElse(doc, (0.0, 0))
+        byDoc.put(doc, (acc + s, n + 1))
+      }
+    }
+    byDoc.iterator.map { case (doc, (s, n)) =>
+      (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, doc, n)
+    }.toArray.sortBy { case (s, doc, _) => (-s, doc) }.take(k)
+  }
+
+  /** The cold tier's exact row shape: {"doc_id":…,"score":…,"n_terms":…}. */
+  def render(top: Array[(Double, Long, Int)]): String =
+    top.map { case (s, d, n) => s"""{"doc_id":$d,"score":$s,"n_terms":$n}""" }
+      .mkString("[", ",", "]")
+
+  /** Wire form for the federated fan-out: the owned terms' heads as
+    * compact JSON (terms are [a-z0-9]+ tokens — no escaping needed). */
+  def renderHeads(heads: Seq[TermHead]): String =
+    heads.map(h => s"""{"term":"${h.term}","df":${h.df},"rows":${
+      h.rows.map { case (d, tf, dl) => s"[$d,$tf,$dl]" }.mkString("[", ",", "]")}}""")
+      .mkString("[", ",", "]")
+
+  private val HeadRe =
+    """\{"term":"([a-z0-9]+)","df":(\d+),"rows":\[((?:\[\d+,\d+,\d+\],?)*)\]\}""".r
+  private val RowRe = """\[(\d+),(\d+),(\d+)\]""".r
+
+  def parseHeads(body: String): Seq[TermHead] =
+    HeadRe.findAllMatchIn(body).map { m =>
+      TermHead(m.group(1), m.group(2).toLong,
+        RowRe.findAllMatchIn(m.group(3)).map(r =>
+          (r.group(1).toLong, r.group(2).toLong, r.group(3).toLong)).toArray)
+    }.toSeq
 }
 
 /** The hot-ANN member scorer, in ONE place so the single-instance tier

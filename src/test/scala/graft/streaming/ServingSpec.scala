@@ -1781,4 +1781,170 @@ class ServingSpec extends SparkSpec {
       assert(get("/ann/plan?target=junk") === 400)
     } finally rest.stop()
   }
+
+  test("HOT multi-term search (/search/hot): byte-identical to the cold " +
+      "/search — tf-idf and BM25, every k — when query-term dfs fit the " +
+      "champion lists; same 400 contract") {
+    import spark.implicits._
+    // overlapping vocabulary so multi-term scores genuinely join terms
+    // across docs; every df ≤ MaxTermK, so heads ARE the postings
+    val docs = (0L until 40L).map { i =>
+      val words = Seq.fill((i % 4 + 1).toInt)("cat") ++
+        Seq.fill((i % 3 + 1).toInt)("dog") ++
+        (if (i % 5 == 0) Seq("fish", "fish") else Nil) ++
+        Seq(s"only${i}")
+      (i, words.mkString(" "))
+    }
+    val path = Files.createTempDirectory("graft-hotsearch").toString + "/docs.parquet"
+    docs.toDF("doc_id", "text").write.parquet(path)
+    val rest = new SearchRestServing(spark, path)
+    val port = rest.start(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // byte parity across queries, rankers, and k — the exactness
+      // guarantee when every query term's df ≤ MaxTermK
+      for {
+        q <- Seq("cat", "cat+fish", "cat+dog+fish", "fish+only7", "zzz+cat")
+        rank <- Seq("", "&rank=bm25")
+        k <- Seq(3, 10, 100)
+      } {
+        val hot = get(s"/search/hot?q=$q&k=$k$rank")
+        val cold = get(s"/search?q=$q&k=$k$rank")
+        assert(hot === cold, s"hot/cold disagreement for q=$q k=$k rank=$rank")
+        assert(hot._1 === 200, hot._2)
+      }
+      // a query of only-absent terms: both tiers answer the empty list
+      assert(get("/search/hot?q=zzz")._2 === "[]")
+      assert(get("/search/hot?q=zzz") === get("/search?q=zzz"))
+      // same client-error contract as the cold tier
+      assert(get("/search/hot?k=3")._1 === 400)
+      assert(get("/search/hot?q=cat&k=abc")._1 === 400)
+      assert(get("/search/hot?q=++")._1 === 400)
+    } finally rest.stop()
+  }
+
+  test("HOT search approximation bound: over-MaxTermK terms serve a LOWER-BOUND " +
+      "score — never above cold — and every hot candidate came from a head; " +
+      "cold /search stays the audit tier") {
+    import spark.implicits._
+    val maxK = SearchRestServing.MaxTermK
+    // 150 docs all containing 'common' (df=150 > MaxTermK): docs 0-99
+    // carry tf=2 inside LONG documents (dl=100), docs 100-149 are the
+    // single word (tf=1, dl=1). The head (tf desc, doc_id asc) is
+    // exactly the 100 long docs — but under BM25's length normalization
+    // a short doc outscores them (tf/(tf+K): 1/1.31 > 2/3.64), so the
+    // true winner is OUTSIDE the raw-tf champion head: the classic
+    // champion-list miss the cold audit tier exists for
+    val docs = (0L until 150L).map { i =>
+      if (i < 100L)
+        (i, (Seq.fill(2)("common") ++ Seq.fill(98)(s"pad$i")).mkString(" "))
+      else (i, "common")
+    }
+    val path = Files.createTempDirectory("graft-hotbound").toString + "/docs.parquet"
+    docs.toDF("doc_id", "text").write.parquet(path)
+    val rest = new SearchRestServing(spark, path)
+    val port = rest.start(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): String = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      def scores(body: String): Map[Long, Double] =
+        """\{"doc_id":(\d+),"score":([0-9.E-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
+      // full cold truth (every candidate), hot answer over the head
+      val cold = scores(get("/search?q=common&rank=bm25&k=200"))
+      val hot = scores(get("/search/hot?q=common&rank=bm25&k=200"))
+      assert(cold.size === 150 && hot.size === maxK,
+        s"head must cap hot candidates: cold=${cold.size} hot=${hot.size}")
+      // the bound: a hot score never exceeds the cold score for the doc
+      hot.foreach { case (d, s) =>
+        assert(s <= cold(d) + 1e-9, s"hot over-scored doc $d: $s > ${cold(d)}") }
+      // and for a single-term query the head rows carry their FULL tf,
+      // so hot scores are exactly cold's on every served candidate
+      hot.foreach { case (d, s) =>
+        assert(math.abs(s - cold(d)) < 1e-9, s"doc $d: hot $s vs cold ${cold(d)}") }
+      // the documented miss: BM25's short-doc winner is outside the head
+      // — the cold audit tier finds it, the hot tier's k best are all
+      // head members (the approximation is visible, bounded, and audited)
+      val coldTop = get("/search?q=common&rank=bm25&k=1")
+      assert(scores(coldTop).keySet === Set(100L),
+        s"a short doc must win under BM25 (ties to smallest id): $coldTop")
+      assert(hot.keySet === (0L until 100L).toSet,
+        "the hot candidates must be exactly the raw-tf champion head")
+    } finally rest.stop()
+  }
+
+  test("TERM-SHARDED hot search: the federated /search/hot scatter is " +
+      "byte-identical to the single-instance hot tier via every coordinator; " +
+      "a mid-rollout scatter spanning generations is flagged") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val docs = (0L until 40L).map { i =>
+      (i, (Seq.fill((i % 4 + 1).toInt)("cat") ++ Seq.fill((i % 3 + 1).toInt)("dog") ++
+        (if (i % 5 == 0) Seq("fish", "fish") else Nil)).mkString(" "))
+    }
+    val dir = Files.createTempDirectory("graft-fedsearch").toString
+    val path = s"$dir/docs.parquet"
+    docs.toDF("doc_id", "text").write.parquet(path)
+    val hosts = Seq("instance-a", "instance-b")
+    val single = new SearchRestServing(spark, path)
+    val a = new FederatedSearchServing(spark, path, 8, hosts, "instance-a")
+    val b = new FederatedSearchServing(spark.newSession(), path, 8, hosts, "instance-b")
+    val sport = single.start()
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val client = HttpClient.newHttpClient()
+      def getR(url: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // the query terms must genuinely SPAN owners or the scatter is a
+      // no-op — assert the premise, then the parity
+      val owners = Seq("cat", "dog", "fish").map(a.termOwner).distinct
+      assert(owners.size === 2, s"test terms must span both owners: $owners")
+      for {
+        q <- Seq("cat+dog+fish", "cat+fish", "dog")
+        rank <- Seq("", "&rank=bm25")
+      } {
+        val ref = getR(s"http://127.0.0.1:$sport/search/hot?q=$q&k=10$rank").body()
+        hosts.foreach { via =>
+          val r = getR(s"${urls(via)}/search/hot?q=$q&k=10$rank")
+          assert(r.statusCode() === 200, r.body())
+          assert(r.body() === ref,
+            s"federated hot search must equal single-instance via $via: q=$q")
+          assert(r.headers().firstValue("X-Graft-Mixed-Generation").orElse("") === "",
+            "uniform fleet must not flag mixed generations")
+        }
+      }
+      // rollout: corpus rewritten, instance-a reloads first — a scatter
+      // through a now merges two generations and SAYS so; completing the
+      // rollout clears the flag and lands on the new-corpus answer
+      (docs :+ (99L, "cat cat cat cat cat cat dog fish fish fish"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+      assert(getR(s"${urls("instance-a")}/search/reload").statusCode() === 200)
+      val mid = getR(s"${urls("instance-a")}/search/hot?q=cat+dog+fish&k=10")
+      assert(mid.statusCode() === 200)
+      assert(mid.headers().firstValue("X-Graft-Mixed-Generation").orElse("") === "true",
+        "a scatter spanning a rollout must be flagged")
+      assert(getR(s"${urls("instance-b")}/search/reload").statusCode() === 200)
+      single.reload()
+      val ref2 = getR(s"http://127.0.0.1:$sport/search/hot?q=cat+dog+fish&k=10").body()
+      assert(ref2.contains("\"doc_id\":99"), s"the new doc must surface: $ref2")
+      hosts.foreach { via =>
+        val r = getR(s"${urls(via)}/search/hot?q=cat+dog+fish&k=10")
+        assert(r.body() === ref2, s"post-rollout parity via $via")
+        assert(r.headers().firstValue("X-Graft-Mixed-Generation").orElse("") === "")
+      }
+    } finally { single.stop(); a.stop(); b.stop() }
+  }
 }
