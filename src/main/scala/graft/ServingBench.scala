@@ -200,6 +200,23 @@ object ServingBench {
       timeMs(assert(getPath(vport, s"/ann/topk/exact?vec=$qvec&k=5") == 200)))
     vrest.stop()
 
+    // PQ-reload cost, learn vs artifact (round 18): with the artifact
+    // store enabled the first /ann/reload learns + persists pq_codes/
+    // pq_codebook and the second reads them back — the measured delta is
+    // what a fleet rollout saves per instance (one build, H readers)
+    val astore = Files.createTempDirectory("graft-servbench-art").toString
+    spark.conf.set("spark.graft.artifacts.dir", astore)
+    spark.conf.set("spark.graft.artifacts.enabled", "true")
+    val vrestA = new graft.streaming.VectorRestServing(spark, s"$sfDir/embeddings.parquet")
+    val vportA = vrestA.start()
+    graft.ops.Artifacts.invalidate(spark, s"$sfDir/embeddings.parquet",
+      graft.ops.Similarity.VectorArtifacts.PqCodes,
+      graft.ops.Similarity.VectorArtifacts.PqCodebook)
+    val annReloadBuildMs = timeMs(assert(getPath(vportA, "/ann/reload") == 200))
+    val annReloadArtifactMs = timeMs(assert(getPath(vportA, "/ann/reload") == 200))
+    vrestA.stop()
+    spark.conf.set("spark.graft.artifacts.enabled", "false")
+
     // the SEARCH tier: term lookup + multi-term tf-idf over the t19
     // postings (round-12 addition)
     val srest = new graft.streaming.SearchRestServing(spark, s"$sfDir/documents.parquet")
@@ -280,7 +297,7 @@ object ServingBench {
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"ann_reload_build_ms":$annReloadBuildMs%.1f,"ann_reload_artifact_ms":$annReloadArtifactMs%.1f,"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

@@ -638,15 +638,24 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
         "the PQ tier would silently truncate the trailing dimensions — " +
         "pad the corpus or choose a compatible subspace count")
     val pqSd = dim / Similarity.PqM
-    val pq = Similarity.pqBuildFrame(
+    // artifact-first like the fleet form (VERDICT r17 next #2): with the
+    // store enabled the PQ tables are read from pq_codes/pq_codebook —
+    // a reload after another instance (or a batch job) built them is a
+    // FileScan, never a second k-means learn
+    lazy val pq = Similarity.pqBuildFrame(
       emb.select(col("vec_id"), col("embedding")),
       Similarity.PqM, pqSd, Similarity.PqK)
-    val codedCells = pq.codes
-      .select(col("vec_id") +:
-        (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
+    val codesDf = graft.ops.Artifacts.readOrBuild(
+      spark, embeddingsPath, Similarity.VectorArtifacts.PqCodes)(
+      pq.codes.select(col("vec_id") +:
+        (0 until Similarity.PqM).map(k => col(s"c$k")): _*))
+    val cbDf = graft.ops.Artifacts.readOrBuild(
+      spark, embeddingsPath, Similarity.VectorArtifacts.PqCodebook)(
+      pq.codebook.select(col("m"), col("cent"), col("cv")))
+    val codedCells = codesDf
       .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .localCheckpoint()
-    val codebook = pq.codebook
+    val codebook = cbDf
       .select(col("m"), col("cent"), col("cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -2164,29 +2173,51 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     // holds). CONDITIONAL: a corpus whose dimension does not split into
     // PqM subspaces serves the float tiers as before and 400s the PQ
     // endpoints (pqSd = 0 sentinel) — the PQ capability must not take
-    // down a deployment that never calls it. NOTE each instance
-    // rebuilds the (deterministically seeded, identical) codebook
-    // itself at reload; a production fleet reads the persisted
-    // pq_codes/pq_codebook artifacts instead (the Artifacts store path
-    // ivfPqIndexOf uses) — one build, H readers.
+    // down a deployment that never calls it.
+    //
+    // ONE build, H readers (VERDICT r17 next #2): with the artifact
+    // store enabled, the code/codebook tables route through the
+    // persisted pq_codes/pq_codebook artifacts (the ivfPqIndexOf
+    // discipline) — the FIRST instance to build persists them, every
+    // other instance's reload reads plain parquet (FileScan, zero
+    // k-means jobs), so a fleet rollout pays the codebook learn once
+    // instead of H times. pqBuildFrame is deterministically seeded, so
+    // a mixed artifact/rebuild fleet stays byte-identical (ServingSpec
+    // pins it) — the artifact saves the build, never changes the
+    // answer. Staleness is fingerprint-automatic: a rewritten corpus
+    // reads as an artifact miss and the next reload rebuilds.
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val (codebook, pqSd, freshCodes) =
-      if (dim % Similarity.PqM != 0)
+      if (dim % Similarity.PqM != 0) {
+        lastPqSource = "none"
         (Array.empty[(Int, Int, Array[Double])], 0,
           new java.util.HashMap[Long, Array[(Long, Array[Int])]]())
-      else {
-        val sd = dim / Similarity.PqM
-        val pq = Similarity.pqBuildFrame(
+      } else {
+        import graft.ops.{Artifacts, Similarity => Sim}
+        val sd = dim / Sim.PqM
+        val hadArtifacts = Artifacts.enabled(spark) &&
+          Artifacts.exists(spark, embeddingsPath, Sim.VectorArtifacts.PqCodes) &&
+          Artifacts.exists(spark, embeddingsPath, Sim.VectorArtifacts.PqCodebook)
+        // at most one learn per reload even when BOTH artifacts miss
+        lazy val pq = Sim.pqBuildFrame(
           emb.select(col("vec_id"), col("embedding")),
-          Similarity.PqM, sd, Similarity.PqK)
-        val cb = pq.codebook
+          Sim.PqM, sd, Sim.PqK)
+        val codesDf = Artifacts.readOrBuild(
+          spark, embeddingsPath, Sim.VectorArtifacts.PqCodes)(
+          pq.codes.select(col("vec_id") +:
+            (0 until Sim.PqM).map(k => col(s"c$k")): _*))
+        val cbDf = Artifacts.readOrBuild(
+          spark, embeddingsPath, Sim.VectorArtifacts.PqCodebook)(
+          pq.codebook.select(col("m"), col("cent"), col("cv")))
+        lastPqSource =
+          if (!Artifacts.enabled(spark)) "inline"
+          else if (hadArtifacts) "artifact" else "built"
+        val cb = cbDf
           .select(col("m"), col("cent"), col("cv").cast("array<double>"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
         val codes = new java.util.HashMap[Long, Array[(Long, Array[Int])]]()
-        pq.codes
-          .select(col("vec_id") +:
-            (0 until Similarity.PqM).map(k => col(s"c$k")): _*)
+        codesDf
           .join(cellsDf0.select(col("vec_id"), col("cell")), Seq("vec_id"))
           .where(Serving.statePartition(col("cell"), numPartitions).isin(owned: _*))
           .select(col("cell"), col("vec_id"),
@@ -2203,6 +2234,14 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     }
     vshard = built.copy(generation = gen)
   }
+
+  /** Where the last reload's PQ tables came from — `"artifact"` (read
+    * from the persisted store: the one-build-H-readers fleet path),
+    * `"built"` (this instance learned and persisted them), `"inline"`
+    * (artifact store disabled — per-instance rebuild), or `"none"`
+    * (corpus not PQ-compatible). ServingSpec's rollout golden keys on
+    * it. */
+  @volatile var lastPqSource: String = ""
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
     savedStride = stride
