@@ -16,14 +16,18 @@ import java.sql.Timestamp
   *
   *   day 0  — standing corpus serves: trainer shards persisted, a
   *            2-instance federated serving fleet (dedup-check + hot
-  *            ANN) answers from it, and THREE streaming ingest
-  *            pipelines (delta-dedup gate, LM quality gate, index
-  *            cell assignment) run against its frozen artifacts;
+  *            ANN) answers from it, and FOUR streaming ingest
+  *            pipelines (delta-dedup gate, LM quality gate, mixture
+  *            gate, index cell assignment) run against its frozen
+  *            artifacts;
   *   day 1  — a delta batch arrives THROUGH the running streams, the
   *            corpus absorbs it (the daily merge), the incremental
   *            shard refresh (c20) packs only the delta — standing
   *            shard files byte-unchanged — and the drift decision
-  *            trips on the shifted embedding batch;
+  *            trips on the shifted embedding batch; the mixture gate
+  *            admits/drops every delta doc by the FROZEN day-0 rates
+  *            (an unseen source drops by default), and the rates
+  *            rebuilt at the refresh flip that source to admitted;
   *   rollout— instances reload one at a time: the mid-rollout scatter
   *            is DETECTABLY mixed-generation (the r16 stamp), the
   *            fleet endpoints complete it to one uniform generation,
@@ -183,6 +187,14 @@ class DailyCycleSpec extends SparkSpec {
         .agg(min(col("doc_id")).as("exact_partner"))
         .localCheckpoint()
       val lm = TextAnalysis.lmModel(corpusDocsDf)
+      // the FROZEN day-0 mixture rates (t30's totals-grain artifact):
+      // rebuilt only at the refresh — until then every ingest decision
+      // is against THIS table
+      val rates0 = TextAnalysis.alphaRatesFrame(
+        spark.read.parquet(docPath).select(col("source"), col("text")),
+        TextAnalysis.MixtureAlpha).localCheckpoint()
+      val ratePpm0 = rates0.collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
       val standingEmb = body.toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding"),
           Similarity.l2norm(col("embedding")).as("norm"))
@@ -192,6 +204,7 @@ class DailyCycleSpec extends SparkSpec {
       val inDocs = MemoryStream[StreamOps.DocStreamEvent]
       val inLm = MemoryStream[StreamOps.DocStreamEvent]
       val inVecs = MemoryStream[StreamOps.VecEvent]
+      val inMix = MemoryStream[StreamOps.SourcedDocEvent]
       val qDelta = StreamOps.deltaDedupStream(inDocs.toDS(), banded, hashes)
         .writeStream.format("memory").queryName("cycle_delta")
         .outputMode(OutputMode.Update()).start()
@@ -201,16 +214,30 @@ class DailyCycleSpec extends SparkSpec {
       val qCells = StreamOps.cellAssignStream(inVecs.toDS(), centsCk)
         .writeStream.format("memory").queryName("cycle_cells")
         .outputMode(OutputMode.Update()).start()
-      queries = Seq(qDelta, qLm, qCells)
+      // the FOURTH ingest gate (VERDICT r17 next #3): t30's sampling
+      // decision at ingest, against the frozen day-0 rates
+      val qMix = StreamOps.mixtureGateStream(inMix.toDS(), rates0)
+        .writeStream.format("memory").queryName("cycle_mix")
+        .outputMode(OutputMode.Append()).start()
+      queries = Seq(qDelta, qLm, qCells, qMix)
 
       // ================= DAY 1: the delta arrives THROUGH the streams =====
       val delta = allDocs.filter(_._1 >= cut)
+      val deltaSrc = Tables.documents(spark, sf001).filter(col("doc_id") >= cut)
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       inDocs.addData(delta.map { case (id, t) =>
         StreamOps.DocStreamEvent(id, ts(id * 10), t) }.toIndexedSeq: _*)
       inLm.addData(delta.map { case (id, t) =>
         StreamOps.DocStreamEvent(id, ts(id * 10), t) }.toIndexedSeq: _*)
       inVecs.addData(driftTail.map { case (id, e) =>
         StreamOps.VecEvent(id, ts(id * 10), e.map(_.toDouble)) }.toIndexedSeq: _*)
+      inMix.addData(deltaSrc.map { case (id, src, t) =>
+        StreamOps.SourcedDocEvent(id, ts(id * 10), src, t) }.toIndexedSeq: _*)
+      // a source the frozen day-0 rates have never budgeted: the gate's
+      // ingest-safe default is DROP — until the refresh rebuilds rates
+      inMix.addData(StreamOps.SourcedDocEvent(910001L, ts(9100010L),
+        "crawl-zz", "zz wholly novel crawl feed document"))
       queries.foreach(_.processAllAvailable())
       // the ingest gate's verdicts EQUAL the batch d16's (the parity the
       // StreamOps golden pins per-query; here it holds inside the cycle)
@@ -220,6 +247,25 @@ class DailyCycleSpec extends SparkSpec {
         "streaming gate must agree with batch d16 on the whole delta")
       assert(spark.table("cycle_lm").count() === delta.length.toLong)
       assert(spark.table("cycle_cells").count() === driftTail.length.toLong)
+      // the mixture gate decided every delta doc by the FROZEN rates —
+      // per-doc parity with the t30 md5-bucket rule, recomputed
+      // independently here — and dropped the unbudgeted source
+      val mixGot = spark.table("cycle_mix").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      assert(mixGot.length === deltaSrc.length + 1,
+        "every mixture event decided exactly once")
+      val textOf = deltaSrc.map(r => r._1 -> r._3).toMap
+      mixGot.filter(_._1 != 910001L).foreach { case (id, src, keep) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(textOf(id).getBytes("UTF-8")).take(2)
+          .map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex, 16)
+        val expected = ratePpm0.get(src)
+          .exists(r => bucket * 1000000L < r * 65536L)
+        assert(keep === expected, s"mixture gate doc $id ($src)")
+      }
+      assert(mixGot.find(_._1 == 910001L).exists(_._3 === false),
+        "an unbudgeted source must drop against the frozen rates")
 
       // the corpus ABSORBS the delta (the daily merge): docs + embeddings
       // rewritten in place; session memos for the mutated dir dropped
@@ -355,6 +401,36 @@ class DailyCycleSpec extends SparkSpec {
         .exists(r => r.getLong(0) == 900001L))
       assert(spark.table("cycle_cells").collect()
         .exists(r => r.getLong(0) == 900001L))
+
+      // ================= RATES REFRESH: the drop-to-admit flip ==========
+      // the crawl-zz feed is absorbed into the corpus (full schema —
+      // template rows re-sourced, unique gibberish text) and the mixture
+      // rates are REBUILT; the refreshed gate admits the source the
+      // frozen day-0 rates dropped. As the corpus's smallest source its
+      // rate is exactly 1 (rate = (T_min/T_s)^(1-α) with T_s = T_min),
+      // so the flip is deterministic, not a bucket coincidence.
+      Tables.documents(spark, sf001).filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + lit(920000L))
+        .withColumn("source", lit("crawl-zz"))
+        .withColumn("text",
+          concat(lit("zz novel crawl feed entry "), col("doc_id")))
+        .write.mode("append").parquet(docPath)
+      val rates1 = TextAnalysis.alphaRatesFrame(
+        spark.read.parquet(docPath).select(col("source"), col("text")),
+        TextAnalysis.MixtureAlpha).localCheckpoint()
+      assert(rates1.filter(col("source") === "crawl-zz").count() === 1L,
+        "the rebuilt rates must budget the absorbed source")
+      val inMix2 = MemoryStream[StreamOps.SourcedDocEvent]
+      val qMix2 = StreamOps.mixtureGateStream(inMix2.toDS(), rates1)
+        .writeStream.format("memory").queryName("cycle_mix2")
+        .outputMode(OutputMode.Append()).start()
+      queries = queries :+ qMix2
+      inMix2.addData(StreamOps.SourcedDocEvent(910002L, ts(9100020L),
+        "crawl-zz", "zz wholly novel crawl feed document"))
+      qMix2.processAllAvailable()
+      assert(spark.table("cycle_mix2").collect()
+        .find(_.getLong(0) == 910002L).exists(_.getBoolean(2)),
+        "the refreshed rates must flip the absorbed source to admitted")
 
       // ================= the ledger =================
       assert(requests > 20, s"the capstone must exercise real traffic: $requests")
