@@ -153,6 +153,7 @@ object ServingBench {
       successes.get() / ((System.nanoTime() - t0) / 1e9)
     }
     hotRps(1, 20) // warm the per-client connections
+    hotRpsFailures.set(0) // warm-up failures must not taint the measured field
     val hotRpsC1 = hotRps(1, 200)
     val hotRpsC8 = hotRps(8, 200)
     rest.stop()
@@ -262,15 +263,18 @@ object ServingBench {
         s"/dedup/check?text=${enc(s"wholly novel probe text number $i zxqv")}") == 200)))
     drest.stop()
 
-    // FLEET SCATTER FLATNESS (VERDICT r16 wrong #2): hot-ANN scatter
-    // latency at 2 vs 4 instances. The coordinator now fires all peer
-    // fetches concurrently (HttpJsonServer.fetchAll) — p50 must stay
-    // ~flat in fleet size where the old sequential loop grew linearly.
-    // Small synthetic corpus on purpose: the hot tier's per-request work
-    // is in-process microseconds, so the number isolates exactly the
-    // HTTP fan-out being claimed.
+    // FLEET SCATTER FLATNESS (VERDICT r16 wrong #2; r17 next #4 widens
+    // the sweep to 8 instances and two more families): scatter latency
+    // at 2 / 4 / 8 instances for the hot-ANN top-k, plus 2 / 8 points
+    // for the KV top-k gather and the dedup near-probe scatter. The
+    // coordinator fires all peer fetches concurrently
+    // (HttpJsonServer.fetchAll) — p50 must stay ~flat in fleet size
+    // where a sequential loop would grow linearly. Small synthetic
+    // stores on purpose: per-request work is in-process microseconds
+    // (ANN/dedup) or one pruned shard read (KV), so the numbers isolate
+    // exactly the HTTP fan-out being claimed.
     import spark.implicits._
-    val fleetTimes: Seq[(Int, Seq[Double])] = Seq(2, 4).map { nInst =>
+    val fleetTimes: Seq[(Int, Seq[Double])] = Seq(2, 4, 8).map { nInst =>
       val fpath = Files.createTempDirectory("graft-servbench-fleet").toString +
         "/emb.parquet"
       (0L until 2000L).map(i =>
@@ -292,12 +296,72 @@ object ServingBench {
     }
     val fleetJson = fleetTimes.map { case (nI, t) =>
       s""""fleet_hot_scatter_${nI}":${stats(t)}""" }.mkString(",")
+    val fleetByN = fleetTimes.toMap
     val fleetFlatness =
-      p50(fleetTimes.last._2) / math.max(p50(fleetTimes.head._2), 0.001)
+      p50(fleetByN(4)) / math.max(p50(fleetByN(2)), 0.001)
+    val fleetFlatness8 =
+      p50(fleetByN(8)) / math.max(p50(fleetByN(2)), 0.001)
+
+    // KV top-k gather at 2 vs 8: each partial is the owner's pruned
+    // shard read (cold tier, per-request fingerprint + scan), the
+    // coordinator merges over HTTP
+    val kvStore = Files.createTempDirectory("graft-servbench-kvfleet")
+      .toString + "/store"
+    Serving.writePartitionedStore(
+      (0L until 20000L).map(k => (k, k * 3 % 7919)).toDF("k", "v"),
+      "k", 16, kvStore)
+    val kvFleet: Seq[(Int, Seq[Double])] = Seq(2, 8).map { nInst =>
+      val fhosts = (0 until nInst).map(i => s"k$i")
+      val insts = fhosts.map(h => new graft.streaming.FederatedRestServing(
+        if (h == fhosts.head) spark else spark.newSession(),
+        kvStore, "k", 16, fhosts, h))
+      val urls = fhosts.zip(insts).map { case (h, inst) =>
+        h -> s"http://127.0.0.1:${inst.start()}" }.toMap
+      insts.foreach(_.peerUrls = urls)
+      val fport = urls(fhosts.head).split(":").last.toInt
+      def gather(): Int = getPath(fport, "/state/topk?value=v&k=5")
+      gather() // warm
+      val times = (0 until keys.size).map(_ => timeMs(assert(gather() == 200)))
+      insts.foreach(_.stop())
+      nInst -> times
+    }
+    val kvFleetJson = kvFleet.map { case (nI, t) =>
+      s""""fleet_kv_topk_${nI}":${stats(t)}""" }.mkString(",")
+    val kvFlatness8 =
+      p50(kvFleet.last._2) / math.max(p50(kvFleet.head._2), 0.001)
+
+    // dedup near-probe scatter at 2 vs 8: a novel text's band keys fan
+    // out to their owners, each answers from its in-process bucket shard
+    val dedupCorpus = Files.createTempDirectory("graft-servbench-ddfleet")
+      .toString + "/docs.parquet"
+    (0L until 2000L).map(i =>
+      (i, s"synthetic corpus document number $i with shared filler words " +
+        s"alpha beta gamma delta ${i % 97}"))
+      .toDF("doc_id", "text").write.parquet(dedupCorpus)
+    val dedupFleet: Seq[(Int, Seq[Double])] = Seq(2, 8).map { nInst =>
+      val fhosts = (0 until nInst).map(i => s"d$i")
+      val insts = fhosts.map(h => new graft.streaming.FederatedDedupServing(
+        if (h == fhosts.head) spark else spark.newSession(),
+        dedupCorpus, 16, fhosts, h))
+      val urls = fhosts.zip(insts).map { case (h, inst) =>
+        h -> s"http://127.0.0.1:${inst.start()}" }.toMap
+      insts.foreach(_.peerUrls = urls)
+      val fport = urls(fhosts.head).split(":").last.toInt
+      def nearProbe(i: Int): Int = getPath(fport,
+        s"/dedup/check?text=${enc(s"wholly novel fleet probe text number $i zxqv")}")
+      nearProbe(-1) // warm
+      val times = (0 until keys.size).map(i => timeMs(assert(nearProbe(i) == 200)))
+      insts.foreach(_.stop())
+      nInst -> times
+    }
+    val dedupFleetJson = dedupFleet.map { case (nI, t) =>
+      s""""fleet_dedup_near_${nI}":${stats(t)}""" }.mkString(",")
+    val dedupFlatness8 =
+      p50(dedupFleet.last._2) / math.max(p50(dedupFleet.head._2), 0.001)
 
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"ann_reload_build_ms":$annReloadBuildMs%.1f,"ann_reload_artifact_ms":$annReloadArtifactMs%.1f,"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"ann_reload_build_ms":$annReloadBuildMs%.1f,"ann_reload_artifact_ms":$annReloadArtifactMs%.1f,"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,$kvFleetJson,$dedupFleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"fleet_p50_ratio_8v2":$fleetFlatness8%.2f,"fleet_kv_p50_ratio_8v2":$kvFlatness8%.2f,"fleet_dedup_p50_ratio_8v2":$dedupFlatness8%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
     spark.stop()
     Calib.enforce(calibStart)
   }

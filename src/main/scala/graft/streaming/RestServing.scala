@@ -75,7 +75,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   /** Reload the hot map from the CURRENT store parquet on a running
     * instance — the single-instance form of
     * [[FederatedRestServing.reload]]. */
-  def reload(): Unit = loadHot()
+  def reload(): Unit = reloadSerial { loadHot() }
 
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): fingerprint re-checked AFTER
@@ -179,7 +179,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     })
     server.createContext("/state/topk", handlerQ { (_, q) =>
       val valueCol = q.getOrElse("value", "value")
-      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
+      val k = HttpJsonServer.positiveInt(q, "k", 5)
       val rows = Serving.scatterGatherTopK(spark, storePath, hosts,
         numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
       (200, rows.mkString("[", ",", "]"))
@@ -267,7 +267,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     * the new one, never a half-built one. The COLD tier needs no reload
     * (it re-reads the store per request by design); this keeps the hot
     * tier's freshness contract one RPC away from the cold tier's. */
-  def reload(): Unit = loadHot()
+  def reload(): Unit = reloadSerial { loadHot() }
 
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -362,7 +362,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       else {
         val gen = graft.ops.Artifacts.fingerprint(spark, storePath)
         val rows = localTopK(q.getOrElse("value", "value"),
-          HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")).drop("p").toJSON.collect()
+          HttpJsonServer.positiveInt(q, "k", 5)).drop("p").toJSON.collect()
         (200, rows.mkString("[", ",", "]"),
           Map(HttpJsonServer.GenerationHeader -> gen))
       }
@@ -379,7 +379,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       if (path != "/state/topk") (404, """{"error":"not found"}""", Map.empty)
       else {
         val valueCol = q.getOrElse("value", "value")
-        val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
+        val k = HttpJsonServer.positiveInt(q, "k", 5)
         val localGen = graft.ops.Artifacts.fingerprint(spark, storePath)
         val resps = HttpJsonServer.fetchAll(
           (peerUrls - selfHost).values.toSeq.map(base =>
@@ -452,7 +452,7 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     })
     server.createContext("/state/topk", handlerQ { (_, q) =>
       val valueCol = q.getOrElse("value", "value")
-      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
+      val k = HttpJsonServer.positiveInt(q, "k", 5)
       val rows = spark.table(tableName)
         .orderBy(col(valueCol).desc, col(keyCol).asc).limit(k)
         .toJSON.collect()
@@ -476,7 +476,7 @@ class LiveRestServing(spark: SparkSession, tableName: String, keyCol: String)
     // reference's unknown-genre path.
     server.createContext("/state/chart/", handlerQ { (path, q) =>
       val group = path.stripPrefix("/state/chart/")
-      val k = HttpJsonServer.clientInt(q.getOrElse("k", "5"), "k")
+      val k = HttpJsonServer.positiveInt(q, "k", 5)
       val rows = spark.table(tableName)
         .where(col(keyCol) === group)
         .orderBy(col("pos")).limit(k)
@@ -594,7 +594,7 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     * grows + drift retrain → reload() → bodies byte-identical to a FRESH
     * instance on the new corpus. Also exposed as `GET /ann/reload` for
     * operational use. */
-  def reload(): Unit = buildIndex()
+  def reload(): Unit = reloadSerial { buildIndex() }
 
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
@@ -1002,7 +1002,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     * the in-process term maps — from the CURRENT corpus parquet on a
     * running instance (the single-instance form of
     * [[FederatedSearchServing.reload]]; also `GET /search/reload`). */
-  def reload(): Unit = buildIndex()
+  def reload(): Unit = reloadSerial { buildIndex() }
 
   private def buildIndex(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1286,7 +1286,7 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     * parquet on a running instance — the refresh a replica calls after
     * the standing corpus absorbs a delta batch (the d16/c20 cadence).
     * Also `GET /dedup/reload`. */
-  def reload(): Unit = loadIndexes()
+  def reload(): Unit = reloadSerial { loadIndexes() }
 
   private def loadIndexes(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1494,7 +1494,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     * parquet on a running instance — the per-replica refresh after a
     * corpus rewrite (a crawl merge, a scrub pass). Also at
     * `GET /search/reload`. */
-  def reload(): Unit = loadShard()
+  def reload(): Unit = reloadSerial { loadShard() }
 
   private def loadShard(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1646,25 +1646,40 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
             .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
           k <- intParam(q, "k", 10)
         } yield {
-          val byOwner = terms.groupBy(termOwner)
-          val localHeads = byOwner.getOrElse(selfHost, Nil)
-            .flatMap(t => Option(sh.terms.get(t)))
-          val peerOwners = (byOwner - selfHost).toSeq
-            .flatMap { case (host, ts) => peerUrls.get(host).map(b => (b, ts)) }
-          val resps = HttpJsonServer.fetchAll(peerOwners.map { case (b, ts) =>
-            s"$b/search/hot/local?terms=${ts.mkString(",")}" })
-          resps.foreach(r =>
-            if (r.statusCode() != 200) throw new IllegalStateException(
-              s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500
-          val peerHeads = resps.flatMap(r => HotSearch.parseHeads(r.body()))
-          val gens = (sh.gen +: resps.map(HttpJsonServer.generationOf))
-            .filter(_.nonEmpty).distinct
-          val body = HotSearch.render(HotSearch.score(
-            localHeads ++ peerHeads, sh.nDocs, sh.totalLen,
-            q.get("rank").contains("bm25"), k))
-          (200, body, stamp ++
-            (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
-             else Map.empty))
+          // only tokenizer-alphabet terms can exist in the index (the
+          // postings tokenizer is [a-z0-9]+), so anything else scores
+          // zero on every tier — dropping them here PRESERVES parity
+          // with cold /search and keeps the comma-separated wire format
+          // and the peer URI unambiguous (review r18 #1)
+          val indexable = terms.filter(_.matches("[a-z0-9]+"))
+          val byOwner = indexable.groupBy(termOwner)
+          // an owner with no URL must be a visible 502, never a 200
+          // scored from a subset of the query's terms (review r18 #3 —
+          // the /search/term/hot contract, applied to the scatter)
+          val unreachable = (byOwner - selfHost).keys
+            .filterNot(peerUrls.contains).toSeq.sorted
+          if (unreachable.nonEmpty)
+            (502, s"""{"error":"no url for host ${unreachable.head}"}""", stamp)
+          else {
+            val localHeads = byOwner.getOrElse(selfHost, Nil)
+              .flatMap(t => Option(sh.terms.get(t)))
+            val peerOwners = (byOwner - selfHost).toSeq
+              .flatMap { case (host, ts) => peerUrls.get(host).map(b => (b, ts)) }
+            val resps = HttpJsonServer.fetchAll(peerOwners.map { case (b, ts) =>
+              s"$b/search/hot/local?terms=${ts.mkString(",")}" })
+            resps.foreach(r =>
+              if (r.statusCode() != 200) throw new IllegalStateException(
+                s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500
+            val peerHeads = resps.flatMap(r => HotSearch.parseHeads(r.body()))
+            val gens = (sh.gen +: resps.map(HttpJsonServer.generationOf))
+              .filter(_.nonEmpty).distinct
+            val body = HotSearch.render(HotSearch.score(
+              localHeads ++ peerHeads, sh.nDocs, sh.totalLen,
+              q.get("rank").contains("bm25"), k))
+            (200, body, stamp ++
+              (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
+               else Map.empty))
+          }
         }) match {
           case Right(r) => r
           case Left((sc, body)) => (sc, body, stamp)
@@ -1734,7 +1749,7 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     * corpus parquet on a running instance — the per-replica refresh
     * after the standing corpus absorbs a delta batch (the d16/c20
     * cadence). Also at `GET /dedup/reload`. */
-  def reload(): Unit = loadShards()
+  def reload(): Unit = reloadSerial { loadShards() }
 
   private def loadShards(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -2128,7 +2143,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     * each replica calls its own `/ann/reload` after a corpus rewrite or
     * a tripped drift decision. The ownership predicate still runs
     * cluster-side, so a reload never pulls more than the owned cells. */
-  def reload(): Unit = buildIndex()
+  def reload(): Unit = reloadSerial { buildIndex() }
 
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
@@ -2454,6 +2469,17 @@ private[streaming] object HttpJsonServer {
   def clientLong(v: String, what: String): Long =
     v.toLongOption.getOrElse(clientError(s"$what must be an integer"))
 
+  /** [[ClientError]]-raising twin of the trait's `intParam` — the SAME
+    * positivity contract and message (review r18 #5: a bare toIntOption
+    * here let k=-5 through to Spark's limit() as a 500), for handler
+    * sites structured around straight-line parses rather than Either. */
+  def positiveInt(q: Map[String, String], name: String, default: Int): Int =
+    q.get(name) match {
+      case None => default
+      case Some(v) => v.toIntOption.filter(_ > 0).getOrElse(
+        clientError(s"$name must be a positive integer"))
+    }
+
   /** The SCATTER/OPS executor every [[HttpJsonServer.handlerQHAsync]]
     * endpoint runs on (ADVICE r17 #1): coordinator fan-outs block
     * synchronously on peer HTTP (fetchAll joins — 30 s read / 15 min
@@ -2609,6 +2635,18 @@ private[streaming] trait HttpJsonServer {
   protected var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
+  /** Serialize index rebuilds per instance: reload bodies run on the
+    * UNBOUNDED ops executor (so they can never starve the request
+    * pool), which means N concurrent reload requests would otherwise
+    * run N full Spark rebuilds at once on one driver (review r18 #4 —
+    * the fixed pool's accidental cap of 8 went away with the async
+    * dispatch). One rebuild at a time per instance; queued reload
+    * requests wait their turn and each still answers with fresh data
+    * (the zero-dropped-requests contract — a 503 here would fail
+    * mid-rollout retries). */
+  private val reloadGate = new Object
+  protected def reloadSerial(f: => Unit): Unit = reloadGate.synchronized(f)
+
   /** Start the server on a FIXED REQUEST POOL instead of the JDK's
     * serial default dispatcher. Safe by construction since round 17:
     * every tier reads its per-generation state through ONE volatile
@@ -2704,7 +2742,16 @@ private[streaming] trait HttpJsonServer {
     (exchange: HttpExchange) =>
       HttpJsonServer.scatterPool.execute(() =>
         try runQH(f, exchange)
-        catch { case _: Throwable => exchange.close() })
+        catch { case t: Throwable =>
+          // runQH catches Exception itself; what reaches here is a write
+          // failure or an Error (OOM, stack overflow). The synchronous
+          // path surfaced these through the JDK server's logging — the
+          // async wrapper must not swallow them silently (review r18 #6)
+          System.err.println(s"[graft] async handler failure: $t")
+          try respond(exchange, 500, """{"error":"internal error"}""")
+          catch { case _: Throwable => () }
+          finally exchange.close()
+        })
 
   private def runQH(
       f: (String, Map[String, String]) => (Int, String, Map[String, String]),
@@ -2714,7 +2761,13 @@ private[streaming] trait HttpJsonServer {
           val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
             .split("&").filter(_.contains("=")).map { kv =>
               val Array(k, v) = kv.split("=", 2)
-              k -> java.net.URLDecoder.decode(v, "UTF-8")
+              // a malformed %-escape is the CALLER's fault: decode's bare
+              // IllegalArgumentException must map to 400, not ride the
+              // server-fault arm to a 500 (review r18 #2)
+              k -> (try java.net.URLDecoder.decode(v, "UTF-8")
+                catch { case e: IllegalArgumentException =>
+                  throw new ClientError("malformed percent-encoding in " +
+                    s"query parameter $k") })
             }.toMap
           f(exchange.getRequestURI.getPath, q)
         } catch {

@@ -125,6 +125,25 @@ class ServingSpec extends SparkSpec {
       // byKey: 200 with the row; 404 on an absent key (reference byKey:86-99)
       assert(get("/state/keyvalue/42") === (200, """[{"k":42,"v":420}]"""))
       assert(get("/state/keyvalue/9999")._1 === 404)
+      // k must honor intParam's positivity contract on every tier
+      // (review r18 #5: a raw toInt let k=-5 reach Spark's limit as a
+      // 500); and a malformed %-escape is the caller's 400 (review #2)
+      assert(get("/state/topk?value=v&k=-5")._1 === 400)
+      assert(get("/state/topk?value=v&k=abc")._1 === 400)
+      // a malformed %-escape never parses client-side (URI.create throws),
+      // so send the raw bytes: the server must answer 400, not 500
+      locally {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          sock.getOutputStream.write(
+            ("GET /state/topk?value=v&k=5%zz HTTP/1.1\r\n" +
+              "Host: localhost\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
+          val status = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream)).readLine()
+          assert(status != null && status.contains(" 400 "),
+            s"malformed escape must be the caller's 400: $status")
+        } finally sock.close()
+      }
       // the HOT tier (in-process local store, the reference's actual
       // store.get mechanics): byte-identical body to the cold tier on
       // every probed key, same 404 contract
@@ -2023,6 +2042,26 @@ class ServingSpec extends SparkSpec {
             "uniform fleet must not flag mixed generations")
         }
       }
+      // a non-tokenizer term ("cat,dog") can never exist in the index:
+      // the scatter filters it, the other tiers miss it in the map —
+      // every deployment answers identically (review r18 #1: unfiltered
+      // it corrupted the comma-separated fan-out wire format)
+      val refComma =
+        getR(s"http://127.0.0.1:$sport/search/hot?q=cat,dog+cat&k=10").body()
+      hosts.foreach { via =>
+        assert(getR(s"${urls(via)}/search/hot?q=cat,dog+cat&k=10").body()
+          === refComma, s"non-tokenizer-term parity via $via")
+      }
+      // an owner with query terms but no URL is a VISIBLE 502 — never a
+      // 200 scored from a subset of the terms (review r18 #3, the
+      // /search/term/hot contract applied to the scatter)
+      val savedUrls = a.peerUrls
+      a.peerUrls = savedUrls - "instance-b"
+      val bTerm = Seq("cat", "dog", "fish")
+        .find(t => a.termOwner(t) == "instance-b").get
+      val r502 = getR(s"${urls("instance-a")}/search/hot?q=$bTerm&k=5")
+      assert(r502.statusCode() === 502, s"${r502.statusCode()} ${r502.body()}")
+      a.peerUrls = savedUrls
       // rollout: corpus rewritten, instance-a reloads first — a scatter
       // through a now merges two generations and SAYS so; completing the
       // rollout clears the flag and lands on the new-corpus answer
