@@ -75,7 +75,9 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   /** Reload the hot map from the CURRENT store parquet on a running
     * instance — the single-instance form of
     * [[FederatedRestServing.reload]]. */
-  def reload(): Unit = reloadSerial { loadHot() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
+    loadHot() }
 
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): fingerprint re-checked AFTER
@@ -152,14 +154,13 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     // all partitions (data filters push, directory pruning cannot).
     server.createContext("/state/keyvalues/range", handlerQ { (path, q) =>
       if (path != "/state/keyvalues/range") (404, """{"error":"not found"}""")
-      else try {
+      else {
+        // unparseable bounds raise ClientError from Serving.boundLit →
+        // handlerQH's 400 arm; a Spark-internal fault mid-scan stays the
+        // 500 it is (the blanket IAE catch here used to misfile those)
         val rows = Serving.range(spark, storePath, keyCol,
           q.get("from"), q.get("to")).drop("p").toJSON.collect()
         (200, rows.mkString("[", ",", "]"))
-      } catch {
-        case e: IllegalArgumentException =>
-          (400, s"""{"error":"${String.valueOf(e.getMessage).take(100)
-            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""")
       }
     })
     server.createContext("/state/instance/", handler { path =>
@@ -267,7 +268,9 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     * the new one, never a half-built one. The COLD tier needs no reload
     * (it re-reads the store per request by design); this keeps the hot
     * tier's freshness contract one RPC away from the cold tier's. */
-  def reload(): Unit = reloadSerial { loadHot() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
+    loadHot() }
 
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -594,7 +597,9 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     * grows + drift retrain → reload() → bodies byte-identical to a FRESH
     * instance on the new corpus. Also exposed as `GET /ann/reload` for
     * operational use. */
-  def reload(): Unit = reloadSerial { buildIndex() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
+    buildIndex() }
 
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
@@ -1002,7 +1007,9 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     * the in-process term maps — from the CURRENT corpus parquet on a
     * running instance (the single-instance form of
     * [[FederatedSearchServing.reload]]; also `GET /search/reload`). */
-  def reload(): Unit = reloadSerial { buildIndex() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+    buildIndex() }
 
   private def buildIndex(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1025,15 +1032,6 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     val nDocs = dlens.count()
     val totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
 
-    val freshStats = new java.util.HashMap[String, String]()
-    val dfOf = new java.util.HashMap[String, java.lang.Long]()
-    stats
-      .select(col("term"), col("df"),
-        to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach { r =>
-        freshStats.put(r.getString(0), r.getString(2))
-        dfOf.put(r.getString(0), r.getLong(1))
-      }
     // the hot heads are CAPPED server-side (ADVICE r15 #2): only the
     // top-[[SearchRestServing.MaxTermK]] postings per term — ranked by
     // the SAME (tf desc, doc_id asc) order the endpoint serves — ever
@@ -1041,28 +1039,12 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     // collect is vocabulary·MaxTermK-bounded, never corpus-token-grain,
     // and the class's 'nothing corpus-sized reaches the serving
     // process' invariant holds for the hot tier too. Both term tiers
-    // reject k > MaxTermK with the same 400.
-    val freshHeads = new java.util.HashMap[String, Array[String]]()
-    val freshTerm = new java.util.HashMap[String, HotSearch.TermHead]()
-    val headRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
-    postings
-      .withColumn("rn", row_number().over(headRank))
-      .filter(col("rn") <= SearchRestServing.MaxTermK)
-      // dl joins AFTER the cap: the join is vocab·MaxTermK rows against
-      // the doc-grain length table — the hot scorer's BM25 normalizer
-      // rides along without changing the head's memory bound
-      .join(dlens, Seq("doc_id"))
-      .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
-        to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
-      .collect()
-      .groupBy(_.getString(0))
-      .foreach { case (t, rows) =>
-        val sorted = rows.sortBy(_.getInt(1))
-        freshHeads.put(t, sorted.map(_.getString(5)))
-        freshTerm.put(t, HotSearch.TermHead(t, dfOf.get(t),
-          sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
-      }
+    // reject k > MaxTermK with the same 400. The build itself is the
+    // SHARED [[HotSearch.buildTermShard]] — one implementation for this
+    // tier and the federated shard.
+    val (freshStats, freshHeads, freshTerm) =
+      HotSearch.buildTermShard(stats, postings, dlens,
+        SearchRestServing.MaxTermK)
     SearchIndex(postings, stats, dlens, nDocs, totalLen,
       freshStats, freshHeads, freshTerm, "")
     }
@@ -1286,7 +1268,9 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     * parquet on a running instance — the refresh a replica calls after
     * the standing corpus absorbs a delta batch (the d16/c20 cadence).
     * Also `GET /dedup/reload`. */
-  def reload(): Unit = reloadSerial { loadIndexes() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+    loadIndexes() }
 
   private def loadIndexes(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1494,7 +1478,9 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     * parquet on a running instance — the per-replica refresh after a
     * corpus rewrite (a crawl merge, a scrub pass). Also at
     * `GET /search/reload`. */
-  def reload(): Unit = reloadSerial { loadShard() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+    loadShard() }
 
   private def loadShard(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1512,40 +1498,18 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     val totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
     // the shard predicate: statePartition(term) IN (owned) — evaluated
     // cluster-side by the identical murmur3 expression partitionOf
-    // routes with, so load and route can never disagree
+    // routes with, so load and route can never disagree; the shared
+    // builder then sees only owned rows — per-instance memory ∝ owned
+    // terms by construction
     val ownedTerms = Serving.statePartition(col("term"), numPartitions)
       .isin(owned: _*)
-    val freshStats = new java.util.HashMap[String, String]()
-    val dfOf = new java.util.HashMap[String, java.lang.Long]()
-    postings.groupBy(col("term"))
+    val ownedStats = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .where(ownedTerms)
-      .select(col("term"), col("df"),
-        to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
-      .collect().foreach { r =>
-        freshStats.put(r.getString(0), r.getString(2))
-        dfOf.put(r.getString(0), r.getLong(1))
-      }
-    val freshHeads = new java.util.HashMap[String, Array[String]]()
-    val freshTerm = new java.util.HashMap[String, HotSearch.TermHead]()
-    val headRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
-    postings
-      .where(ownedTerms)
-      .withColumn("rn", row_number().over(headRank))
-      .filter(col("rn") <= SearchRestServing.MaxTermK)
-      .join(dlens, Seq("doc_id")) // dl AFTER the cap — vocab·K join rows
-      .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
-        to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
-      .collect()
-      .groupBy(_.getString(0))
-      .foreach { case (t, rows) =>
-        val sorted = rows.sortBy(_.getInt(1))
-        freshHeads.put(t, sorted.map(_.getString(5)))
-        freshTerm.put(t, HotSearch.TermHead(t, dfOf.get(t),
-          sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
-      }
+    val (freshStats, freshHeads, freshTerm) =
+      HotSearch.buildTermShard(ownedStats, postings.where(ownedTerms),
+        dlens, SearchRestServing.MaxTermK)
     SearchShard("", freshStats, freshHeads, freshTerm, nDocs, totalLen)
     }
     shard = built.copy(gen = gen)
@@ -1653,18 +1617,22 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
           // and the peer URI unambiguous (review r18 #1)
           val indexable = terms.filter(_.matches("[a-z0-9]+"))
           val byOwner = indexable.groupBy(termOwner)
+          // ONE read of the volatile peer map per request (review pass 2:
+          // the guard and the URL resolution reading it twice let a
+          // membership update between them drop an owner silently)
+          val urls = peerUrls
           // an owner with no URL must be a visible 502, never a 200
           // scored from a subset of the query's terms (review r18 #3 —
           // the /search/term/hot contract, applied to the scatter)
           val unreachable = (byOwner - selfHost).keys
-            .filterNot(peerUrls.contains).toSeq.sorted
+            .filterNot(urls.contains).toSeq.sorted
           if (unreachable.nonEmpty)
             (502, s"""{"error":"no url for host ${unreachable.head}"}""", stamp)
           else {
             val localHeads = byOwner.getOrElse(selfHost, Nil)
               .flatMap(t => Option(sh.terms.get(t)))
             val peerOwners = (byOwner - selfHost).toSeq
-              .flatMap { case (host, ts) => peerUrls.get(host).map(b => (b, ts)) }
+              .flatMap { case (host, ts) => urls.get(host).map(b => (b, ts)) }
             val resps = HttpJsonServer.fetchAll(peerOwners.map { case (b, ts) =>
               s"$b/search/hot/local?terms=${ts.mkString(",")}" })
             resps.foreach(r =>
@@ -1749,7 +1717,9 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     * corpus parquet on a running instance — the per-replica refresh
     * after the standing corpus absorbs a delta batch (the d16/c20
     * cadence). Also at `GET /dedup/reload`. */
-  def reload(): Unit = reloadSerial { loadShards() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+    loadShards() }
 
   private def loadShards(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
@@ -1943,7 +1913,14 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
   * Champion-list semantics (Brown/impact-ordered pruning): candidates
   * come from the MaxTermK-capped per-term posting heads the hot tier
   * already holds — vocabulary-grain memory, zero Spark work per
-  * request. The approximation contract, pinned in ServingSpec:
+  * request. One documented caveat on "byte-identical": this scorer
+  * sums a doc's per-term contributions in term order while Spark's
+  * sum() order is partition-nondeterministic, so a multi-term score
+  * sitting within 1 ulp of a 6th-decimal rounding boundary could
+  * round differently between the tiers — a ~1-in-10¹⁰ knife-edge per
+  * value that the 6-dp round otherwise absorbs; the cold audit tier
+  * is authoritative when it matters. The approximation contract,
+  * pinned in ServingSpec:
   *  - a doc's hot score NEVER exceeds its cold score (heads only ever
   *    omit contributions), and
   *  - when every query term's df ≤ MaxTermK the heads ARE the postings,
@@ -2002,6 +1979,50 @@ private[streaming] object HotSearch {
         RowRe.findAllMatchIn(m.group(3)).map(r =>
           (r.group(1).toLong, r.group(2).toLong, r.group(3).toLong)).toArray)
     }.toSeq
+
+  /** Build the hot term structures — stats JSON, head JSON arrays, and
+    * the champion lists — from (already ownership-scoped) stats/postings
+    * frames. ONE implementation for the single-instance tier and the
+    * federated shard (review pass 2: the ~35-line block lived in both,
+    * and a drift in either copy would break the single-vs-federated
+    * byte parity this file pins). Memory bound: the dl join runs AFTER
+    * the per-term cap, so the collect stays vocab·maxTermK rows. */
+  private[streaming] def buildTermShard(
+      stats: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      dlens: org.apache.spark.sql.DataFrame, maxTermK: Int)
+      : (java.util.HashMap[String, String],
+         java.util.HashMap[String, Array[String]],
+         java.util.HashMap[String, TermHead]) = {
+    val freshStats = new java.util.HashMap[String, String]()
+    val dfOf = new java.util.HashMap[String, java.lang.Long]()
+    stats
+      .select(col("term"), col("df"),
+        to_json(struct(col("term"), col("df"), col("corpus_tf"))).as("j"))
+      .collect().foreach { r =>
+        freshStats.put(r.getString(0), r.getString(2))
+        dfOf.put(r.getString(0), r.getLong(1))
+      }
+    val freshHeads = new java.util.HashMap[String, Array[String]]()
+    val freshTerm = new java.util.HashMap[String, TermHead]()
+    val headRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
+    postings
+      .withColumn("rn", row_number().over(headRank))
+      .filter(col("rn") <= maxTermK)
+      .join(dlens, Seq("doc_id"))
+      .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
+        to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        freshHeads.put(t, sorted.map(_.getString(5)))
+        freshTerm.put(t, TermHead(t, dfOf.get(t),
+          sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
+      }
+    (freshStats, freshHeads, freshTerm)
+  }
 }
 
 /** The hot-ANN member scorer, in ONE place so the single-instance tier
@@ -2143,7 +2164,9 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     * each replica calls its own `/ann/reload` after a corpus rewrite or
     * a tripped drift decision. The ownership predicate still runs
     * cluster-side, so a reload never pulls more than the owned cells. */
-  def reload(): Unit = reloadSerial { buildIndex() }
+  def reload(): Unit = reloadSerial(
+    generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
+    buildIndex() }
 
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
@@ -2255,7 +2278,12 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     * `"built"` (this instance learned and persisted them), `"inline"`
     * (artifact store disabled — per-instance rebuild), or `"none"`
     * (corpus not PQ-compatible). ServingSpec's rollout golden keys on
-    * it. */
+    * it. Diagnostic precision note: when two instances START
+    * concurrently against an empty store, the write-race loser adopts
+    * the winner's persisted tables (Artifacts.write semantics) yet
+    * labels itself `"built"` — the label records what this instance
+    * ATTEMPTED, not who won the persist race; serialized reloads (the
+    * operational path) label exactly. */
   @volatile var lastPqSource: String = ""
 
   def start(bindPort: Int = 0, stride: Int = 0, lloydIters: Int = 1): Int = {
@@ -2635,17 +2663,32 @@ private[streaming] trait HttpJsonServer {
   protected var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
-  /** Serialize index rebuilds per instance: reload bodies run on the
-    * UNBOUNDED ops executor (so they can never starve the request
-    * pool), which means N concurrent reload requests would otherwise
-    * run N full Spark rebuilds at once on one driver (review r18 #4 —
-    * the fixed pool's accidental cap of 8 went away with the async
-    * dispatch). One rebuild at a time per instance; queued reload
-    * requests wait their turn and each still answers with fresh data
-    * (the zero-dropped-requests contract — a 503 here would fail
-    * mid-rollout retries). */
+  /** Serialize index rebuilds per instance AND coalesce retry storms:
+    * reload bodies run on the UNBOUNDED ops executor (so they can never
+    * starve the request pool), which means N concurrent reload requests
+    * would otherwise run N full Spark rebuilds at once on one driver
+    * (review r18 #4 — the fixed pool's accidental cap of 8 went away
+    * with the async dispatch). One rebuild at a time per instance;
+    * queued requests wait their turn (the zero-dropped-requests
+    * contract — a 503 here would fail mid-rollout retries), and a
+    * waiter whose wait OVERLAPPED a completed rebuild skips its own
+    * identical rebuild when `alreadyFresh` says the served generation
+    * already matches the store (review pass 2: a 30-s retry loop
+    * against a 3-minute rebuild otherwise stacks M duplicate rebuilds
+    * and blows fleet reload timeouts for rollouts that succeeded). An
+    * un-queued caller always rebuilds — a FORCED reload on an unchanged
+    * corpus (artifact invalidation, config flip) still works. */
   private val reloadGate = new Object
-  protected def reloadSerial(f: => Unit): Unit = reloadGate.synchronized(f)
+  private val reloadDone = new java.util.concurrent.atomic.AtomicLong(0)
+  protected def reloadSerial(alreadyFresh: => Boolean)(f: => Unit): Unit = {
+    val seen = reloadDone.get()
+    reloadGate.synchronized {
+      if (reloadDone.get() == seen || !alreadyFresh) {
+        f
+        reloadDone.incrementAndGet()
+      }
+    }
+  }
 
   /** Start the server on a FIXED REQUEST POOL instead of the JDK's
     * serial default dispatcher. Safe by construction since round 17:

@@ -128,14 +128,16 @@ object Serving {
   }
 
   /** A textual range bound parsed as the stored key type, DRIVER-side —
-    * an unparseable bound throws IllegalArgumentException immediately
-    * (the REST layer maps it to 400, matching the reference's
-    * client-error contract) instead of either throwing mid-query under
-    * ANSI cast semantics (a 500) or null-filtering everything to `[]`
-    * with ANSI off — both of which misreport a malformed REQUEST. */
+    * an unparseable bound throws [[ClientError]] immediately (the REST
+    * layer maps exactly that type to 400, matching the reference's
+    * client-error contract — review r18 pass 2: a bare IAE would let
+    * Spark-internal requires mid-scan misreport as the caller's 400)
+    * instead of either throwing mid-query under ANSI cast semantics
+    * (a 500) or null-filtering everything to `[]` with ANSI off — both
+    * of which misreport a malformed REQUEST. */
   private[streaming] def boundLit(v: String, kt: DataType): Column = {
-    def bad(cause: Throwable) = throw new IllegalArgumentException(
-      s"range bound '$v' is not a valid ${kt.simpleString}", cause)
+    def bad(cause: Throwable) = throw new ClientError(
+      s"range bound '$v' is not a valid ${kt.simpleString}")
     kt match {
       case ByteType | ShortType | IntegerType | LongType =>
         val p = try v.trim.toLong catch { case e: NumberFormatException => bad(e) }

@@ -1677,6 +1677,50 @@ class ServingSpec extends SparkSpec {
     } finally { latch.countDown(); srv.stop() }
   }
 
+  test("reload coalescing (review pass 2): requests queued behind a running " +
+      "rebuild of an UNCHANGED store coalesce onto it; a stale store or an " +
+      "un-queued caller always rebuilds (forced reloads still work)") {
+    class Gate extends HttpJsonServer {
+      def run(fresh: => Boolean)(f: => Unit): Unit = reloadSerial(fresh)(f)
+    }
+    def storm(fresh: Boolean): Int = {
+      val g = new Gate
+      val count = new java.util.concurrent.atomic.AtomicInteger(0)
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val first = new Thread(() => g.run(fresh) {
+        count.incrementAndGet(); entered.countDown(); release.await() })
+      first.start()
+      entered.await()
+      val retries = (0 until 5).map(_ =>
+        new Thread(() => g.run(fresh) { count.incrementAndGet() }))
+      retries.foreach(_.start())
+      // deterministic: wait until every retry is parked ON the gate
+      // (ticket already read) before the first rebuild completes
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (!retries.forall(_.getState == Thread.State.BLOCKED)
+          && System.nanoTime < deadline) Thread.sleep(5)
+      assert(retries.forall(_.getState == Thread.State.BLOCKED))
+      release.countDown()
+      first.join(); retries.foreach(_.join())
+      count.get()
+    }
+    // unchanged store: the 5 queued retries coalesce onto the running
+    // rebuild — ONE rebuild total, every request still answered
+    assert(storm(fresh = true) === 1,
+      "queued duplicate reloads of a fresh store must coalesce")
+    // a store that moved (or whose artifacts were invalidated): every
+    // queued request rebuilds — staleness always wins over coalescing
+    assert(storm(fresh = false) === 6)
+    // un-queued sequential reloads are never skipped (the forced-reload
+    // path: artifact invalidation or a config flip on an unchanged dir)
+    val g = new Gate
+    var n = 0
+    g.run(true) { n += 1 }
+    g.run(true) { n += 1 }
+    assert(n === 2, "a sequential forced reload must always run")
+  }
+
   test("generationConsistent load (ADVICE r17 #4): a rewrite landing mid-read " +
       "retries; a stable read builds once; a never-settling store gives up " +
       "after `attempts` and stamps the last PRE-read fingerprint") {
