@@ -996,6 +996,7 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
       hotStats: java.util.HashMap[String, String],
       hotHeads: java.util.HashMap[String, Array[String]],
       hotTerm: java.util.HashMap[String, HotSearch.TermHead],
+      hotTermBm25: java.util.HashMap[String, HotSearch.TermHead],
       generation: String)
 
   @volatile private var idx: SearchIndex = _
@@ -1042,11 +1043,11 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     // reject k > MaxTermK with the same 400. The build itself is the
     // SHARED [[HotSearch.buildTermShard]] — one implementation for this
     // tier and the federated shard.
-    val (freshStats, freshHeads, freshTerm) =
+    val (freshStats, freshHeads, freshTerm, freshBm25) =
       HotSearch.buildTermShard(stats, postings, dlens,
-        SearchRestServing.MaxTermK)
+        SearchRestServing.MaxTermK, nDocs, totalLen)
     SearchIndex(postings, stats, dlens, nDocs, totalLen,
-      freshStats, freshHeads, freshTerm, "")
+      freshStats, freshHeads, freshTerm, freshBm25, "")
     }
     // one assignment: stats and heads (and the cold-tier checkpoints)
     // are always the same generation — no interleaving window
@@ -1189,9 +1190,14 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
             .filter(_.nonEmpty).toRight((400, """{"error":"empty query"}"""))
           k <- intParam(q, "k", 10)
         } yield {
-          val heads = terms.flatMap(t => Option(ix.hotTerm.get(t)))
+          // the ranker picks its IMPACT-ORDERED champion list (raw-tf
+          // selection measured recall@10 0.158 for BM25 at cap 100 —
+          // SearchSweep; the impact head restores the classic guarantee)
+          val bm25 = q.get("rank").contains("bm25")
+          val lists = if (bm25) ix.hotTermBm25 else ix.hotTerm
+          val heads = terms.flatMap(t => Option(lists.get(t)))
           (200, HotSearch.render(HotSearch.score(heads, ix.nDocs,
-            ix.totalLen, q.get("rank").contains("bm25"), k)))
+            ix.totalLen, bm25, k)))
         }).merge match { case (sc, body) => (sc, body, stamp) }
       }
     })
@@ -1460,6 +1466,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       stats: java.util.HashMap[String, String],
       heads: java.util.HashMap[String, Array[String]],
       terms: java.util.HashMap[String, HotSearch.TermHead],
+      termsBm25: java.util.HashMap[String, HotSearch.TermHead],
       nDocs: Long, totalLen: Long)
 
   @volatile private var shard: SearchShard = _
@@ -1507,10 +1514,11 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("corpus_tf"))
       .where(ownedTerms)
-    val (freshStats, freshHeads, freshTerm) =
+    val (freshStats, freshHeads, freshTerm, freshBm25) =
       HotSearch.buildTermShard(ownedStats, postings.where(ownedTerms),
-        dlens, SearchRestServing.MaxTermK)
-    SearchShard("", freshStats, freshHeads, freshTerm, nDocs, totalLen)
+        dlens, SearchRestServing.MaxTermK, nDocs, totalLen)
+    SearchShard("", freshStats, freshHeads, freshTerm, freshBm25,
+      nDocs, totalLen)
     }
     shard = built.copy(gen = gen)
   }
@@ -1581,8 +1589,12 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
         q.get("terms").filter(_.nonEmpty) match {
           case None => (400, """{"error":"terms=t1,t2,... is required"}""", stamp)
           case Some(ts) =>
+            // the coordinator names the ranker so each owner ships the
+            // matching impact-ordered champion list
+            val lists = if (q.get("rank").contains("bm25")) sh.termsBm25
+              else sh.terms
             val heads = ts.split(",").toSeq.filter(_.nonEmpty).distinct
-              .flatMap(t => Option(sh.terms.get(t)))
+              .flatMap(t => Option(lists.get(t)))
             (200, HotSearch.renderHeads(heads), stamp)
         }
       }
@@ -1629,12 +1641,15 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
           if (unreachable.nonEmpty)
             (502, s"""{"error":"no url for host ${unreachable.head}"}""", stamp)
           else {
+            val bm25 = q.get("rank").contains("bm25")
+            val lists = if (bm25) sh.termsBm25 else sh.terms
             val localHeads = byOwner.getOrElse(selfHost, Nil)
-              .flatMap(t => Option(sh.terms.get(t)))
+              .flatMap(t => Option(lists.get(t)))
             val peerOwners = (byOwner - selfHost).toSeq
               .flatMap { case (host, ts) => urls.get(host).map(b => (b, ts)) }
             val resps = HttpJsonServer.fetchAll(peerOwners.map { case (b, ts) =>
-              s"$b/search/hot/local?terms=${ts.mkString(",")}" })
+              s"$b/search/hot/local?terms=${ts.mkString(",")}" +
+                (if (bm25) "&rank=bm25" else "") })
             resps.foreach(r =>
               if (r.statusCode() != 200) throw new IllegalStateException(
                 s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500
@@ -1642,8 +1657,7 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
             val gens = (sh.gen +: resps.map(HttpJsonServer.generationOf))
               .filter(_.nonEmpty).distinct
             val body = HotSearch.render(HotSearch.score(
-              localHeads ++ peerHeads, sh.nDocs, sh.totalLen,
-              q.get("rank").contains("bm25"), k))
+              localHeads ++ peerHeads, sh.nDocs, sh.totalLen, bm25, k))
             (200, body, stamp ++
               (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
                else Map.empty))
@@ -1922,10 +1936,16 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
   * is authoritative when it matters. The approximation contract,
   * pinned in ServingSpec:
   *  - a doc's hot score NEVER exceeds its cold score (heads only ever
-  *    omit contributions), and
+  *    omit contributions),
   *  - when every query term's df ≤ MaxTermK the heads ARE the postings,
   *    so hot and cold answers are byte-identical — the cold exact
-  *    `/search` stays the audit tier for queries over heavier terms. */
+  *    `/search` stays the audit tier for queries over heavier terms, and
+  *  - each ranker's champion list is selected by ITS OWN per-term
+  *    impact (tf-desc is already impact order for tf-idf; BM25 gets a
+  *    length-normalized impact head), so a SINGLE-term query's top-k is
+  *    exact for k ≤ MaxTermK under either ranker even when df > MaxTermK
+  *    — the classic champion-list guarantee; multi-term recall vs the
+  *    cap is the measured [[SearchSweep]] curve in BASELINE.md. */
 private[streaming] object HotSearch {
   /** One query term's champion list: df (for idf) + capped head rows
     * (doc_id, tf, doc length — the BM25 normalizer). */
@@ -1981,19 +2001,32 @@ private[streaming] object HotSearch {
     }.toSeq
 
   /** Build the hot term structures — stats JSON, head JSON arrays, and
-    * the champion lists — from (already ownership-scoped) stats/postings
-    * frames. ONE implementation for the single-instance tier and the
-    * federated shard (review pass 2: the ~35-line block lived in both,
-    * and a drift in either copy would break the single-vs-federated
-    * byte parity this file pins). Memory bound: the dl join runs AFTER
-    * the per-term cap, so the collect stays vocab·maxTermK rows. */
+    * TWO champion lists per term — from (already ownership-scoped)
+    * stats/postings frames. ONE implementation for the single-instance
+    * tier and the federated shard (review pass 2: the block lived in
+    * both, and a drift in either copy would break the
+    * single-vs-federated byte parity this file pins).
+    *
+    * Champion selection is IMPACT-ORDERED per ranker (Strohman/Turtle):
+    * for tf-idf the within-term idf is constant, so the tf-desc head IS
+    * the impact head; for BM25 the length normalization reorders docs —
+    * a raw-tf head measured recall@10 0.158 at cap 100 on adversarial
+    * heavy-term queries (SearchSweep) because short high-impact docs
+    * fall outside it, so the BM25 list selects its cap by the per-term
+    * BM25 impact (tf·(k1+1)/(tf+k1·(1−b+b·dl·N/L)) — idf dropped, it is
+    * constant within a term). Memory stays vocab·cap·2; the tf list's
+    * dl join runs AFTER the cap, the impact list needs dl BEFORE its
+    * window (cluster-side join, never collected at corpus grain). */
   private[streaming] def buildTermShard(
       stats: org.apache.spark.sql.DataFrame,
       postings: org.apache.spark.sql.DataFrame,
-      dlens: org.apache.spark.sql.DataFrame, maxTermK: Int)
+      dlens: org.apache.spark.sql.DataFrame, maxTermK: Int,
+      nDocs: Long, totalLen: Long)
       : (java.util.HashMap[String, String],
          java.util.HashMap[String, Array[String]],
+         java.util.HashMap[String, TermHead],
          java.util.HashMap[String, TermHead]) = {
+    import graft.ops.TextAnalysis.{Bm25K1, Bm25B}
     val freshStats = new java.util.HashMap[String, String]()
     val dfOf = new java.util.HashMap[String, java.lang.Long]()
     stats
@@ -2021,7 +2054,26 @@ private[streaming] object HotSearch {
         freshTerm.put(t, TermHead(t, dfOf.get(t),
           sorted.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))))
       }
-    (freshStats, freshHeads, freshTerm)
+    val freshBm25 = new java.util.HashMap[String, TermHead]()
+    val impact = (col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+        + lit(Bm25B) * col("dl").cast("double") * lit(nDocs) / lit(totalLen)))
+    val impactRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("imp").desc, col("doc_id").asc)
+    postings
+      .join(dlens, Seq("doc_id"))
+      .withColumn("imp", impact)
+      .withColumn("rn", row_number().over(impactRank))
+      .filter(col("rn") <= maxTermK)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        freshBm25.put(t, TermHead(t, dfOf.get(t),
+          rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1)))
+      }
+    (freshStats, freshHeads, freshTerm, freshBm25)
   }
 }
 

@@ -1991,17 +1991,17 @@ class ServingSpec extends SparkSpec {
   }
 
   test("HOT search approximation bound: over-MaxTermK terms serve a LOWER-BOUND " +
-      "score — never above cold — and every hot candidate came from a head; " +
-      "cold /search stays the audit tier") {
+      "score — never above cold — and IMPACT-ORDERED champion lists make a " +
+      "single-term top-k exact under either ranker; cold /search audits") {
     import spark.implicits._
     val maxK = SearchRestServing.MaxTermK
     // 150 docs all containing 'common' (df=150 > MaxTermK): docs 0-99
     // carry tf=2 inside LONG documents (dl=100), docs 100-149 are the
-    // single word (tf=1, dl=1). The head (tf desc, doc_id asc) is
-    // exactly the 100 long docs — but under BM25's length normalization
-    // a short doc outscores them (tf/(tf+K): 1/1.31 > 2/3.64), so the
-    // true winner is OUTSIDE the raw-tf champion head: the classic
-    // champion-list miss the cold audit tier exists for
+    // single word (tf=1, dl=1). A raw-tf head would be exactly the 100
+    // long docs — but under BM25's length normalization a short doc
+    // outscores them (tf/(tf+K): 1/1.31 > 2/3.64): the classic
+    // champion-list miss. The BM25 list is selected by PER-TERM BM25
+    // IMPACT, so the short docs lead it and the winner is served hot.
     val docs = (0L until 150L).map { i =>
       if (i < 100L)
         (i, (Seq.fill(2)("common") ++ Seq.fill(98)(s"pad$i")).mkString(" "))
@@ -2020,26 +2020,34 @@ class ServingSpec extends SparkSpec {
       def scores(body: String): Map[Long, Double] =
         """\{"doc_id":(\d+),"score":([0-9.E-]+)""".r.findAllMatchIn(body)
           .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
-      // full cold truth (every candidate), hot answer over the head
+      // BM25: full cold truth vs the capped hot answer
       val cold = scores(get("/search?q=common&rank=bm25&k=200"))
       val hot = scores(get("/search/hot?q=common&rank=bm25&k=200"))
       assert(cold.size === 150 && hot.size === maxK,
         s"head must cap hot candidates: cold=${cold.size} hot=${hot.size}")
-      // the bound: a hot score never exceeds the cold score for the doc
-      hot.foreach { case (d, s) =>
-        assert(s <= cold(d) + 1e-9, s"hot over-scored doc $d: $s > ${cold(d)}") }
-      // and for a single-term query the head rows carry their FULL tf,
-      // so hot scores are exactly cold's on every served candidate
+      // the bound: a hot score never exceeds the cold score for the doc,
+      // and a single-term head row carries its full tf — served
+      // candidates score exactly cold's value
       hot.foreach { case (d, s) =>
         assert(math.abs(s - cold(d)) < 1e-9, s"doc $d: hot $s vs cold ${cold(d)}") }
-      // the documented miss: BM25's short-doc winner is outside the head
-      // — the cold audit tier finds it, the hot tier's k best are all
-      // head members (the approximation is visible, bounded, and audited)
-      val coldTop = get("/search?q=common&rank=bm25&k=1")
-      assert(scores(coldTop).keySet === Set(100L),
-        s"a short doc must win under BM25 (ties to smallest id): $coldTop")
-      assert(hot.keySet === (0L until 100L).toSet,
-        "the hot candidates must be exactly the raw-tf champion head")
+      // IMPACT ordering (review of the raw-tf curve — SearchSweep read
+      // recall@10 0.158 at cap 100): the BM25 champion list leads with
+      // the short high-impact docs, so hot top-10 EQUALS cold top-10 —
+      // the single-term exactness guarantee even at df > MaxTermK
+      val coldTop10 = scores(get("/search?q=common&rank=bm25&k=10")).keySet
+      val hotTop10 = scores(get("/search/hot?q=common&rank=bm25&k=10")).keySet
+      assert(coldTop10.contains(100L), "the short doc must win under BM25")
+      assert(hotTop10 === coldTop10,
+        s"impact-ordered head must make single-term BM25 top-k exact: " +
+          s"hot=$hotTop10 cold=$coldTop10")
+      // all 50 short docs + the first 50 long docs form the BM25 head
+      assert(hot.keySet.intersect((100L until 150L).toSet).size === 50,
+        "every short high-impact doc must be in the BM25 champion list")
+      // tf-idf: tf-desc IS impact order — single-term top-k exact there
+      // too, and the tf head is unchanged (the long high-tf docs)
+      val coldTf = scores(get("/search?q=common&k=10")).keySet
+      val hotTf = scores(get("/search/hot?q=common&k=10")).keySet
+      assert(hotTf === coldTf, "tf-idf single-term top-k must be exact")
     } finally rest.stop()
   }
 
