@@ -162,13 +162,18 @@ object Bench {
     // STARTED on a busy box (load1 > 4 of 32 cpus) carries the warning in
     // the artifact itself instead of relying on the reader to check load
     // fields.
-    val loadWarn = loadStart > 4.0
+    // BOTH windows (VERDICT r18 wrong #1): r18's committed "cleanest"
+    // member read load1_end 15.55 with load_warning:false because the
+    // flag only looked at the start probe — contention that arrives
+    // mid-run must flag the artifact too, exactly like calib_sec_end.
     val calibEnd = Calib.runRounded(spark)
+    val loadEnd = load1
+    val loadWarn = loadStart > 4.0 || loadEnd > 4.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_best":$totalBest,"reps":$reps,""" +
       s""""calib_sec":$calibStart,"calib_sec_end":$calibEnd,""" +
       s""""calib_warning":${Calib.warning(calibStart, calibEnd)},""" +
-      s""""load1_start":$loadStart,"load1_end":$load1,""" +
+      s""""load1_start":$loadStart,"load1_end":$loadEnd,""" +
       s""""load_warning":$loadWarn,"n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"errors":$errs,"queries":$qs,""" +
       s""""queries_best":$qsBest,"sf":"$sfDir"}"""
@@ -178,7 +183,7 @@ object Bench {
     // this one — either direction retains the headline.
     val headline = s"""{"total":$total,"total_best":$totalBest,""" +
       s""""n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"load1_end":$load1,"load_warning":$loadWarn}"""
+      s""""n_errors":${errors.size},"load1_end":$loadEnd,"load_warning":$loadWarn}"""
     println(headline)
     System.err.println(json)
     System.err.println(headline)

@@ -429,15 +429,18 @@ object StreamBench {
 
     val totalRows = results.values.map(_._1).sum
     val totalSec = results.values.map(_._2).sum
+    // closing-window discipline (VERDICT r18 wrong #1, applied fleet-wide):
+    // both probes in the JSON, both gate the warning and the exit
+    val calibEnd = Calib.runRounded(spark)
     val loadEnd = load1
     val pipeJson = results.map { case (n, (rows, sec)) =>
       f""""$n":{"rows":$rows,"sec":$sec%.3f,"rps":${rows / math.max(sec, 1e-9)}%.0f}"""
     }.mkString(",")
     val errJson = errors.map { case (n, m) => s""""$n":"$m"""" }.mkString(",")
     println(
-      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"rocksdb":$useRocksDb,"shuffle_partitions":${shufflePartitions.getOrElse(cpus)},"pipelines":{$pipeJson},"errors":{$errJson},"calib_sec":$calibStart,"calib_warning":${Calib.warning(calibStart)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"rocksdb":$useRocksDb,"shuffle_partitions":${shufflePartitions.getOrElse(cpus)},"pipelines":{$pipeJson},"errors":{$errJson},"calib_sec":$calibStart,"calib_sec_end":$calibEnd,"calib_warning":${Calib.warning(calibStart, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
-    Calib.enforce(calibStart)
+    Calib.enforce(calibStart, calibEnd)
   }
 }

@@ -50,24 +50,52 @@ object SearchSweep {
     val totalLen = dlens.agg(sum(col("dl")).cast("long")).head.getLong(0)
 
     // the cap bites only on heavy terms: query over the 24 highest-df
-    // (ties by term asc — deterministic on any corpus)
-    val top = stats.orderBy(col("df").desc, col("term").asc)
-      .select(col("term"), col("df")).limit(24).collect()
-    val terms = top.map(_.getString(0))
-    val maxDf = top.map(_.getLong(1)).max
-    // three query classes: singles (the exactness guarantee should read
+    // (ties by term asc — deterministic on any corpus). The ranked
+    // vocabulary is collected once, wide enough for the realistic class
+    // below (vocab·0 bytes of postings — terms only).
+    val vocab = stats.orderBy(col("df").desc, col("term").asc)
+      .select(col("term"), col("df")).limit(2000).collect()
+    val terms = vocab.take(24).map(_.getString(0))
+    val maxDf = vocab.take(24).map(_.getLong(1)).max
+    // four query classes: singles (the exactness guarantee should read
     // 1.000 at every cap), pairs, and triples (the adversarial
     // all-heavy-term case — a doc's rank depends on the SUM of
-    // contributions, which no per-term impact order can fully capture)
+    // contributions, which no per-term impact order can fully capture),
+    // plus the REALISTIC mixed-df class (VERDICT r18 next #6): the fixed
+    // index arithmetic can collide onto the same term set (ADVICE r18
+    // #4 — a duplicated query double-weights the mean), so every class
+    // is deduplicated BY TERM SET before averaging.
+    def byTermSet(qs: Seq[Seq[String]]): Seq[Seq[String]] =
+      qs.map(_.sorted).distinct
     val singles = terms.take(12).map(Seq(_)).toSeq
-    val pairs = (0 until 12).map(i => Seq(
-      terms(i % terms.length), terms((i * 5 + 3) % terms.length)).distinct)
-    val triples = (0 until 12).map(i => Seq(
+    val pairs = byTermSet((0 until 12).map(i => Seq(
+      terms(i % terms.length), terms((i * 5 + 3) % terms.length)).distinct))
+    val triples = byTermSet((0 until 12).map(i => Seq(
       terms(i % terms.length),
       terms((i * 5 + 3) % terms.length),
-      terms((i * 7 + 11) % terms.length)).distinct)
-    val classes = Seq("q1" -> singles, "q2" -> pairs, "q3" -> triples)
-    val queries = classes.flatMap(_._2)
+      terms((i * 7 + 11) % terms.length)).distinct))
+    // realistic operational queries draw terms roughly ∝ corpus usage —
+    // a Zipf rank profile over the vocabulary, NOT the adversarial
+    // all-top-df regime q2/q3 probe. Rank is sampled LOG-UNIFORMLY over
+    // the ranked vocab (density ∝ 1/rank, the Zipf usage curve) by a
+    // golden-ratio low-discrepancy sequence: deterministic on any
+    // corpus, no RNG, and the resulting 3-term queries mix one heavy
+    // head term with mid/tail terms the way real query logs do.
+    val phi = 0.6180339887498949
+    def zrank(i: Int): Int = {
+      val u = (i * phi) % 1.0
+      math.min(vocab.length - 1,
+        math.exp(u * math.log(vocab.length.toDouble)).toInt)
+    }
+    val zipf = byTermSet((0 until 12).map(i => Seq(
+      vocab(zrank(3 * i)).getString(0),
+      vocab(zrank(3 * i + 1)).getString(0),
+      vocab(zrank(3 * i + 2)).getString(0)).distinct))
+    val classes = Seq("q1" -> singles, "q2" -> pairs, "q3" -> triples,
+      "qz" -> zipf)
+    // the headline mean is over the deduplicated union — a query landing
+    // in two classes must not be double-weighted there either
+    val queries = byTermSet(classes.flatMap(_._2))
 
     // truth: cap = corpus size ⇒ heads are the postings ⇒ HotSearch.score
     // equals the cold /search (the pinned equivalence)
@@ -86,18 +114,10 @@ object SearchSweep {
       val built = HotSearch.buildTermShard(stats, postings, dlens, cap,
         nDocs, totalLen)
       val (tfShard, bmShard) = (built._3, built._4)
-      def mean(shard: java.util.HashMap[String, HotSearch.TermHead],
-          bm25: Boolean): Double = {
-        val rs = queries.map { q =>
-          val t = truth((q, bm25))
-          if (t.isEmpty) 1.0
-          else top10(shard, q, bm25).intersect(t).size.toDouble / t.size
-        }
-        rs.sum / rs.size
-      }
       // bm25 is scored from its IMPACT-ordered list (the serving path);
       // the raw-tf-list bm25 number is kept as the before/after evidence
-      // for the impact-ordering decision
+      // for the impact-ordering decision. ONE mean implementation
+      // (ADVICE r18 #4: the headline mean was a duplicated copy of this).
       def meanOf(qs: Seq[Seq[String]],
           shard: java.util.HashMap[String, HotSearch.TermHead],
           bm25: Boolean): Double = {
@@ -111,12 +131,15 @@ object SearchSweep {
       val perClass = classes.map { case (name, qs) =>
         f""""${name}_tfidf":${meanOf(qs, tfShard, false)}%.3f,"${name}_bm25":${meanOf(qs, bmShard, true)}%.3f"""
       }.mkString(",")
-      f""""cap_$cap":{"recall10_tfidf":${mean(tfShard, false)}%.3f,"recall10_bm25":${mean(bmShard, true)}%.3f,"recall10_bm25_tfhead":${mean(tfShard, true)}%.3f,$perClass}"""
+      f""""cap_$cap":{"recall10_tfidf":${meanOf(queries, tfShard, false)}%.3f,"recall10_bm25":${meanOf(queries, bmShard, true)}%.3f,"recall10_bm25_tfhead":${meanOf(queries, tfShard, true)}%.3f,$perClass}"""
     }
 
+    // closing-window probes (the Bench/ServingBench discipline): both
+    // calib probes gate the exit, both load windows set the warning
+    val calibEnd = graft.Calib.runRounded(spark)
     val loadEnd = load1
-    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},"calib_sec":$calib,"calib_warning":${graft.Calib.warning(calib)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4}}""")
+    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},"calib_sec":$calib,"calib_sec_end":$calibEnd,"calib_warning":${graft.Calib.warning(calib, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
     spark.stop()
-    graft.Calib.enforce(calib)
+    graft.Calib.enforce(calib, calibEnd)
   }
 }
