@@ -118,6 +118,16 @@ object ServingBench {
       java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
     getHot(keys.head) // warm
     val hotHttp = keys.map(k => timeMs(assert(getHot(k) == 200)))
+    // the HOT top-k chart (round 19): ranked from the in-process shard
+    // (bounded-heap selection over the same rows the point map holds) —
+    // measured beside scatter_topk_ms, the cold Spark-side scatter it
+    // replaces on the hot path
+    def getHotTopk(): Int = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"http://127.0.0.1:$port/state/topk/hot?value=total_value&k=5")).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    getHotTopk() // warm
+    val hotTopkHttp = keys.map(_ => timeMs(assert(getHotTopk() == 200)))
     // CONCURRENT hot throughput (round 17, pooled executor): the same
     // point reads from 1 vs 8 parallel clients — requests/s should scale
     // with client count now that handlers run on a fixed pool instead of
@@ -310,7 +320,7 @@ object ServingBench {
     Serving.writePartitionedStore(
       (0L until 20000L).map(k => (k, k * 3 % 7919)).toDF("k", "v"),
       "k", 16, kvStore)
-    val kvFleet: Seq[(Int, Seq[Double])] = Seq(2, 8).map { nInst =>
+    val kvFleet: Seq[(Int, Seq[Double], Seq[Double])] = Seq(2, 8).map { nInst =>
       val fhosts = (0 until nInst).map(i => s"k$i")
       val insts = fhosts.map(h => new graft.streaming.FederatedRestServing(
         if (h == fhosts.head) spark else spark.newSession(),
@@ -322,13 +332,23 @@ object ServingBench {
       def gather(): Int = getPath(fport, "/state/topk?value=v&k=5")
       gather() // warm
       val times = (0 until keys.size).map(_ => timeMs(assert(gather() == 200)))
+      // the HOT gather (VERDICT r18 next #1): per-owner in-process
+      // partial top-k merged by the coordinator — the same chart from
+      // the hot shard maps, no per-request Spark reads anywhere
+      def gatherHot(): Int = getPath(fport, "/state/topk/hot?value=v&k=5")
+      gatherHot() // warm
+      val hotTimes = (0 until keys.size).map(_ =>
+        timeMs(assert(gatherHot() == 200)))
       insts.foreach(_.stop())
-      nInst -> times
+      (nInst, times, hotTimes)
     }
-    val kvFleetJson = kvFleet.map { case (nI, t) =>
-      s""""fleet_kv_topk_${nI}":${stats(t)}""" }.mkString(",")
+    val kvFleetJson = kvFleet.map { case (nI, t, ht) =>
+      s""""fleet_kv_topk_${nI}":${stats(t)},"fleet_kv_topk_hot_${nI}":${stats(ht)}"""
+    }.mkString(",")
     val kvFlatness8 =
       p50(kvFleet.last._2) / math.max(p50(kvFleet.head._2), 0.001)
+    val kvHotFlatness8 =
+      p50(kvFleet.last._3) / math.max(p50(kvFleet.head._3), 0.001)
 
     // dedup near-probe scatter at 2 vs 8: a novel text's band keys fan
     // out to their owners, each answers from its in-process bucket shard
@@ -367,7 +387,7 @@ object ServingBench {
     val calibEnd = Calib.runRounded(spark)
     val loadEnd = load1
     println(
-      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"ann_reload_build_ms":$annReloadBuildMs%.1f,"ann_reload_artifact_ms":$annReloadArtifactMs%.1f,"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,$kvFleetJson,$dedupFleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"fleet_p50_ratio_8v2":$fleetFlatness8%.2f,"fleet_kv_p50_ratio_8v2":$kvFlatness8%.2f,"fleet_dedup_p50_ratio_8v2":$dedupFlatness8%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_sec_end":$calibEnd,"calib_warning":${Calib.warning(calibStart) || Calib.warning(calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
+      f"""{"metric":"serving_latency","unit":"ms","store_rows":$nRows,"partitions":$parts,"routed":${stats(routed)},"unrouted":${stats(unrouted)},"http":${stats(http)},"hot_http":${stats(hotHttp)},"hot_topk_http":${stats(hotTopkHttp)},"hot_rps_c1":$hotRpsC1%.0f,"hot_rps_c8":$hotRpsC8%.0f,"hot_rps_failures":${hotRpsFailures.get()},"live_http":${stats(liveHttp)},"ann_http":${stats(annHttp)},"ann_hot_http":${stats(annHotHttp)},"ann_pq_hot_http":${stats(annPqHotHttp)},"ann_exact_http":${stats(annExact)},"ann_reload_build_ms":$annReloadBuildMs%.1f,"ann_reload_artifact_ms":$annReloadArtifactMs%.1f,"search_term_http":${stats(termHttp)},"search_term_hot_http":${stats(termHotHttp)},"search_tfidf_http":${stats(searchHttp)},"search_hot_http":${stats(searchHotHttp)},"search_hot_bm25_http":${stats(searchHotBm25)},"dedup_exact_http":${stats(dedupExact)},"dedup_novel_http":${stats(dedupNovel)},$fleetJson,$kvFleetJson,$dedupFleetJson,"fleet_p50_ratio_4v2":$fleetFlatness%.2f,"fleet_p50_ratio_8v2":$fleetFlatness8%.2f,"fleet_kv_p50_ratio_8v2":$kvFlatness8%.2f,"fleet_kv_hot_p50_ratio_8v2":$kvHotFlatness8%.2f,"fleet_dedup_p50_ratio_8v2":$dedupFlatness8%.2f,"batched_all_${keys.size}_ms":$batched%.1f,"scatter_topk_ms":$topk%.1f,"routing_speedup_p50":${p50(unrouted) / math.max(p50(routed), 0.001)}%.2f,"calib_sec":$calibStart,"calib_sec_end":$calibEnd,"calib_warning":${Calib.warning(calibStart) || Calib.warning(calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
     spark.stop()
     // BOTH probes gate the exit (ADVICE r18 #1): calib_sec_end already
     // rode in the JSON, but the exit path only enforced the start probe —

@@ -66,8 +66,10 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     * is loaded as ONE (generation, entries) pair — the generation is the
     * store's [[graft.ops.Artifacts.fingerprint]] at load, returned on
     * every hot answer as `X-Graft-Generation` (VERDICT r16 missing #3:
-    * a response now says which store build answered it). */
-  @volatile private var hot: (String, java.util.HashMap[String, String]) = _
+    * a response now says which store build answered it). Since round 19
+    * the holder is a [[HotKv.Shard]]: the same point map plus the
+    * per-row sortable form `/state/topk/hot` ranks. */
+  @volatile private var hot: (String, HotKv.Shard) = _
 
   /** The hot map's generation — the store fingerprint it was loaded from. */
   def generation: String = hot._1
@@ -85,18 +87,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     // always names the data actually loaded
     hot = HttpJsonServer.generationConsistent(
         () => graft.ops.Artifacts.fingerprint(spark, storePath)) {
-      val fresh = new java.util.HashMap[String, String]()
-      val store = spark.read.parquet(storePath)
-      val dataCols = store.columns.filter(_ != "p").toSeq
-      store
-        .select(col(keyCol).cast("string").as("__k"),
-          to_json(struct(dataCols.map(col): _*)).as("__j"))
-        .collect()
-        .groupBy(_.getString(0))
-        .foreach { case (k, rows) =>
-          fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
-        }
-      fresh
+      HotKv.load(spark.read.parquet(storePath), keyCol)
     }
 
   def start(bindPort: Int = 0): Int = {
@@ -106,8 +97,8 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
       if (path != "/state/reload") (404, """{"error":"not found"}""", Map.empty)
       else {
         reload()
-        val (gen, map) = hot
-        (200, s"""{"reloaded":true,"keys":${map.size},"generation":"$gen"}""",
+        val (gen, sh) = hot
+        (200, s"""{"reloaded":true,"keys":${sh.map.size},"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
       }
     })
@@ -115,9 +106,9 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     // never shadows the cold /state/keyvalue/ context below)
     server.createContext("/state/keyvalue/hot/", handlerQH { (path, _) =>
       val key = path.stripPrefix("/state/keyvalue/hot/")
-      val (gen, map) = hot // one read: answer and stamp from one generation
+      val (gen, sh) = hot // one read: answer and stamp from one generation
       val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
-      Option(map.get(key)) match {
+      Option(sh.map.get(key)) match {
         case Some(j) => (200, j, stamp)
         case None => (404, """{"error":"key not found"}""", stamp)
       }
@@ -178,12 +169,29 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
         (200, byHost.mkString("[", ",", "]"))
       }
     })
-    server.createContext("/state/topk", handlerQ { (_, q) =>
-      val valueCol = q.getOrElse("value", "value")
-      val k = HttpJsonServer.positiveInt(q, "k", 5)
-      val rows = Serving.scatterGatherTopK(spark, storePath, hosts,
-        numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
-      (200, rows.mkString("[", ",", "]"))
+    // HOT top-k (VERDICT r18 next #1): the chart ranked entirely from the
+    // in-process shard — zero Spark work per request; byte-parity with
+    // the cold scatter below (same rendering, same rank rule — see
+    // [[HotKv]]). Registered before /state/topk (longest-prefix).
+    server.createContext("/state/topk/hot", handlerQH { (path, q) =>
+      if (path != "/state/topk/hot") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val (gen, sh) = hot
+        val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
+        val valueCol = q.getOrElse("value", "value")
+        val k = HttpJsonServer.positiveInt(q, "k", 5)
+        (200, HotKv.render(HotKv.topK(sh, valueCol, keyCol, k), k), stamp)
+      }
+    })
+    server.createContext("/state/topk", handlerQ { (path, q) =>
+      if (path != "/state/topk") (404, """{"error":"not found"}""")
+      else {
+        val valueCol = q.getOrElse("value", "value")
+        val k = HttpJsonServer.positiveInt(q, "k", 5)
+        val rows = Serving.scatterGatherTopK(spark, storePath, hosts,
+          numPartitions, valueCol, keyCol, k).drop("p").toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      }
     })
     startPooled()
     port
@@ -250,11 +258,13 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     * stand-in, this is the real topology. Loaded as ONE (generation,
     * entries) pair — the generation (the store fingerprint at load)
     * stamps every hot answer, so a fleet rollout's old/new instances
-    * are distinguishable (VERDICT r16 missing #3). */
-  @volatile private var hot: (String, java.util.HashMap[String, String]) = _
+    * are distinguishable (VERDICT r16 missing #3). Since round 19 the
+    * holder is a [[HotKv.Shard]]: the owned point map plus the owned
+    * rows' sortable form behind the hot top-k partials. */
+  @volatile private var hot: (String, HotKv.Shard) = _
 
   /** Owned-shard entry count — the memory-∝-owned-partitions evidence. */
-  def hotSize: Int = hot._2.size
+  def hotSize: Int = hot._2.map.size
 
   /** The hot shard's generation — the store fingerprint it was loaded
     * from. */
@@ -273,21 +283,12 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     loadHot() }
 
   private def loadHot(): Unit =
-    // generation-consistent (ADVICE r17 #4): see HttpJsonServer
+    // generation-consistent (ADVICE r17 #4): see HttpJsonServer. The
+    // ownership predicate is already inside `shard`, so the loaded rows
+    // (point map AND sortable form) stay ∝ owned partitions.
     hot = HttpJsonServer.generationConsistent(
         () => graft.ops.Artifacts.fingerprint(spark, storePath)) {
-      val fresh = new java.util.HashMap[String, String]()
-      val dataCols = spark.read.parquet(storePath).columns
-        .filter(_ != "p").toSeq
-      shard
-        .select(col(keyCol).cast("string").as("__k"),
-          to_json(struct(dataCols.map(col): _*)).as("__j"))
-        .collect()
-        .groupBy(_.getString(0))
-        .foreach { case (k, rows) =>
-          fresh.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
-        }
-      fresh
+      HotKv.load(shard, keyCol)
     }
 
   def start(bindPort: Int = 0): Int = {
@@ -324,9 +325,9 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       val host = Serving.hostFor(p, hosts)
       // one read of the volatile pair: the stamp names the generation
       // that actually answered, even mid-reload
-      val (gen, map) = hot
+      val (gen, sh) = hot
       val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
-      if (host == selfHost) Option(map.get(key)) match {
+      if (host == selfHost) Option(sh.map.get(key)) match {
         case Some(j) => (200, j, stamp)
         case None => (404, """{"error":"key not found"}""", stamp)
       } else peerUrls.get(host) match {
@@ -355,6 +356,56 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       val key = path.stripPrefix("/state/instance/")
       val p = Serving.partitionOf(key, numPartitions, keyType)
       (200, s"""{"partition":$p,"host":"${Serving.hostFor(p, hosts)}"}""")
+    })
+    // HOT top-k partial (VERDICT r18 next #1): this instance's owned
+    // rows ranked ENTIRELY from the in-process shard — the fan-out
+    // target of the hot gather below. Zero Spark work per request,
+    // which is what moves the fleet top-k family from the cold tier's
+    // per-request pruned-scan class (~640-900 ms p50 in SERVBENCH r18)
+    // to the ~ms class the point reads live in.
+    server.createContext("/state/topk/hot/local", handlerQH { (path, q) =>
+      if (path != "/state/topk/hot/local")
+        (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val (gen, sh) = hot
+        val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
+        val valueCol = q.getOrElse("value", "value")
+        val k = HttpJsonServer.positiveInt(q, "k", 5)
+        (200, HotKv.render(HotKv.topK(sh, valueCol, keyCol, k), k), stamp)
+      }
+    })
+    // HOT top-k gather: any instance coordinates — its own in-process
+    // partial plus every peer's /state/topk/hot/local fetched
+    // concurrently, re-ranked by the same (value desc, key asc) rule.
+    // Per-owner partial top-k IS correct here (unlike /search/hot's
+    // term-sharded scoring): a row's rank key is complete within its
+    // owner's shard — exactly the reference's chart scatter over local
+    // state stores (MusicPlaysRestService.java:77-115). Byte-parity
+    // with the cold /state/topk below (ServingSpec pins it); mixed
+    // generations across partials are flagged, never silent.
+    server.createContext("/state/topk/hot", handlerQHAsync { (path, q) =>
+      if (path != "/state/topk/hot") (404, """{"error":"not found"}""", Map.empty)
+      else {
+        val (gen, sh) = hot
+        val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
+        val valueCol = q.getOrElse("value", "value")
+        val k = HttpJsonServer.positiveInt(q, "k", 5)
+        val local = HotKv.topK(sh, valueCol, keyCol, k) // validates the column
+        val resps = HttpJsonServer.fetchAll(
+          (peerUrls - selfHost).values.toSeq.map(base =>
+            s"$base/state/topk/hot/local?value=" +
+              java.net.URLEncoder.encode(valueCol, "UTF-8") + s"&k=$k"))
+        resps.foreach(r =>
+          if (r.statusCode() != 200) throw new IllegalStateException(
+            s"peer ${r.uri()}: ${r.statusCode()}")) // peer fault = 500, not 400
+        val peerRows = resps.flatMap(r =>
+          HotKv.parsePartial(r.body(), sh, valueCol, keyCol))
+        val gens = (gen +: resps.map(HttpJsonServer.generationOf))
+          .filter(_.nonEmpty).distinct
+        (200, HotKv.render(local ++ peerRows, k), stamp ++
+          (if (gens.size > 1) Map(HttpJsonServer.MixedHeader -> "true")
+           else Map.empty))
+      }
     })
     // this instance's partial top-k — the scatter-gather fan-out target.
     // The shard read is per-request (cold tier), so the stamp is the
@@ -2077,6 +2128,211 @@ private[streaming] object HotSearch {
   }
 }
 
+/** The hot KV STORE structures shared by the single-instance tier
+  * ([[RestServing]]) and the partition-scoped fleet ([[FederatedRestServing]])
+  * — the point-read map the hot tier has always held, PLUS the per-row
+  * sortable form behind the hot TOP-K (VERDICT r18 next #1: the fleet
+  * top-k gather was the last serving family outside the ~ms class
+  * because its per-owner partials were per-request Spark shard reads).
+  *
+  * Unlike the term-sharded `/search/hot` — where a doc's score needs
+  * contributions from EVERY query term and only a central
+  * gather-then-score is correct — KV top-k IS per-owner mergeable: a
+  * row's rank key is complete within its owner's shard, so each owner
+  * ranks its in-process rows and ships k of them; the coordinator
+  * re-ranks the union. That is exactly the reference's chart scatter
+  * over local state stores (MusicPlaysRestService.java:77-115 — each
+  * instance's `topFive` from its own store, merged by the caller), with
+  * zero Spark work anywhere on the path.
+  *
+  * Byte parity by construction: each row's rendering is the SAME
+  * `to_json(struct(...))` string the point map holds (pinned byte-equal
+  * to the cold tier's `toJSON` rows), ranked by the SAME
+  * (value desc NULLS LAST, key asc NULLS FIRST) rule as the cold
+  * `orderBy(col(v).desc, col(k).asc)`. */
+private[streaming] object HotKv {
+  import org.apache.spark.sql.types._
+
+  /** One loaded store shard: the key→JSON-array point map, and the
+    * parallel per-ROW arrays the top-k ranks — canonical sort values
+    * per orderable column and the row's rendered JSON. Memory is
+    * state-store-grain (the same rows the point map already holds). */
+  final case class Shard(
+      map: java.util.HashMap[String, String],
+      names: Array[String],
+      types: Array[DataType],
+      vals: Array[Array[Any]],
+      jsons: Array[String])
+
+  /** Hot-tier-orderable column types: the canonical in-process sort
+    * forms cover scalar comparables (integral → Long, fractional →
+    * Double, decimal → BigDecimal, string, boolean). Timestamps,
+    * arrays, structs and binary stay the cold `/state/topk`'s business
+    * — Spark can sort anything, an in-process comparator should not
+    * half-reimplement that. (String order note: java.lang.String
+    * compares UTF-16 code units where Spark's UTF8String compares
+    * bytes — they agree on all of ISO-8859-1 and diverge only past
+    * the BMP, the same caveat the key routing already documents.) */
+  def orderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def canon(v: Any): Any = v match {
+    case null => null
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+    case l: java.lang.Long => l
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+    case d: java.lang.Double => d
+    case d: java.math.BigDecimal => d
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case s: String => s
+    case b: java.lang.Boolean => b
+    case _ => null
+  }
+
+  /** Load a shard in ONE collect: the grouped point map and the per-row
+    * sortable form come from the same pass over the same rows (the
+    * store — or the ownership-pruned subset the caller passes — is read
+    * once, never once per structure). */
+  def load(store: org.apache.spark.sql.DataFrame, keyCol: String): Shard = {
+    val dataCols = store.columns.filter(_ != "p").toSeq
+    val types = dataCols.map(c => store.schema(c).dataType).toArray
+    val collected = store
+      .select(col(keyCol).cast("string").as("__k") +:
+        to_json(struct(dataCols.map(col): _*)).as("__j") +:
+        dataCols.map(col): _*)
+      .collect()
+    val map = new java.util.HashMap[String, String]()
+    collected.groupBy(_.getString(0)).foreach { case (k, rows) =>
+      map.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+    }
+    val vals = collected.map { r =>
+      Array.tabulate[Any](dataCols.size)(i =>
+        if (orderable(types(i))) canon(r.get(i + 2)) else null)
+    }
+    Shard(map, dataCols.toArray, types, vals, collected.map(_.getString(1)))
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => 0
+  }
+
+  /** (value desc NULLS LAST, key asc NULLS FIRST) — exactly the cold
+    * tier's `orderBy(col(value).desc, col(key).asc)` defaults. */
+  val rankOrdering: Ordering[(Any, Any)] = new Ordering[(Any, Any)] {
+    def compare(x: (Any, Any), y: (Any, Any)): Int = {
+      val c = (x._1, y._1) match {
+        case (null, null) => 0
+        case (null, _) => 1
+        case (_, null) => -1
+        case (a, b) => -cmp(a, b)
+      }
+      if (c != 0) c
+      else (x._2, y._2) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (a, b) => cmp(a, b)
+      }
+    }
+  }
+
+  /** This shard's partial top-k as (value, key, rowJson) triples — the
+    * fan-out unit a coordinator merges. [[graft.streaming.ClientError]]
+    * (a 400, never a 500) on an unknown or hot-unorderable value column
+    * — the error names the cold tier as the path that CAN serve it.
+    *
+    * BOUNDED-HEAP selection, not a full sort: a state store holds up to
+    * millions of rows per shard, and O(n log n) of boxed comparisons per
+    * request would push the hot tier back toward the cold tier's cost —
+    * a k-sized heap (worst-kept at the head, evicted on better rows) is
+    * O(n log k) with one early-out compare per non-qualifying row. */
+  def topK(sh: Shard, valueCol: String, keyCol: String, k: Int)
+      : Seq[(Any, Any, String)] = {
+    val vi = sh.names.indexOf(valueCol)
+    val ki = sh.names.indexOf(keyCol)
+    if (vi < 0) HttpJsonServer.clientError(s"unknown column $valueCol")
+    if (!orderable(sh.types(vi)))
+      HttpJsonServer.clientError(s"column $valueCol (${sh.types(vi).simpleString}) " +
+        "is not hot-tier orderable; use /state/topk")
+    // heap head = the WORST kept row (reverse rank order), so poll()
+    // evicts it when a better row arrives
+    val reversed: java.util.Comparator[(Any, Any, String)] =
+      (a, b) => rankOrdering.compare((b._1, b._2), (a._1, a._2))
+    val heap = new java.util.PriorityQueue[(Any, Any, String)](k + 1, reversed)
+    var i = 0
+    while (i < sh.vals.length) {
+      val v = sh.vals(i)(vi)
+      val key = sh.vals(i)(ki)
+      if (heap.size < k) heap.offer((v, key, sh.jsons(i)))
+      else {
+        val worst = heap.peek()
+        if (rankOrdering.compare((v, key), (worst._1, worst._2)) < 0) {
+          heap.poll()
+          heap.offer((v, key, sh.jsons(i)))
+        }
+      }
+      i += 1
+    }
+    val out = new Array[(Any, Any, String)](heap.size)
+    var j = out.length - 1
+    while (j >= 0) { out(j) = heap.poll(); j -= 1 } // drain worst-first
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Merge partials and render the final chart: re-rank by the same
+    * rule, emit the rows' ORIGINAL JSON strings. */
+  def render(partials: Seq[(Any, Any, String)], k: Int): String =
+    partials.sortBy(t => (t._1, t._2))(rankOrdering).take(k)
+      .map(_._3).mkString("[", ",", "]")
+
+  private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a peer's partial — a JSON array of row objects — back into
+    * sort triples, typed by THIS instance's store schema (every
+    * instance reads the same store, so the schemas agree by
+    * construction). Jackson is Spark's own JSON library: the sort
+    * values round-trip exactly, and the re-rendered row (object nodes
+    * preserve field order; Spark's `to_json` writes through the same
+    * generator) stays byte-identical to the owner's rendering —
+    * ServingSpec pins the end-to-end parity against the cold scatter. */
+  def parsePartial(body: String, sh: Shard, valueCol: String, keyCol: String)
+      : Seq[(Any, Any, String)] = {
+    val root = jackson.readTree(body)
+    if (!root.isArray)
+      throw new IllegalStateException("peer partial is not a JSON array")
+    val vi = sh.names.indexOf(valueCol)
+    val ki = sh.names.indexOf(keyCol)
+    (0 until root.size).map { i =>
+      val nd = root.get(i)
+      (nodeCanon(nd.get(valueCol), sh.types(vi)),
+        nodeCanon(nd.get(keyCol), sh.types(ki)), nd.toString)
+    }
+  }
+
+  private def nodeCanon(n: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Any =
+    if (n == null || n.isNull) null // toJSON omits null fields
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.valueOf(n.longValue)
+      case FloatType | DoubleType => java.lang.Double.valueOf(n.doubleValue)
+      case _: DecimalType => n.decimalValue()
+      case StringType => n.asText()
+      case BooleanType => java.lang.Boolean.valueOf(n.booleanValue)
+      case _ => null
+    }
+}
+
 /** The hot-ANN member scorer, in ONE place so the single-instance tier
   * ([[VectorRestServing]]) and the sharded one
   * ([[FederatedVectorServing]]) can never drift: same sequential double
@@ -2533,7 +2789,13 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
   * mistake). Extends IAE so existing catch sites and tests that treat
   * bad params as IAE keep working. */
 private[streaming] final class ClientError(msg: String)
-    extends IllegalArgumentException(msg)
+    extends IllegalArgumentException(msg) {
+  /** Cause-chaining form (ADVICE r18 #3): validation sites that CAUGHT a
+    * parse exception must keep it on the chain — the 400 body stays the
+    * curated message, but a log/stack review still sees the underlying
+    * NumberFormatException/DateTimeParseException diagnostics. */
+  def this(msg: String, cause: Throwable) = { this(msg); initCause(cause) }
+}
 
 /** Shared JDK-HttpServer plumbing: JSON responses, query parsing, error
   * mapping. */
@@ -2862,7 +3124,7 @@ private[streaming] trait HttpJsonServer {
               k -> (try java.net.URLDecoder.decode(v, "UTF-8")
                 catch { case e: IllegalArgumentException =>
                   throw new ClientError("malformed percent-encoding in " +
-                    s"query parameter $k") })
+                    s"query parameter $k", e) })
             }.toMap
           f(exchange.getRequestURI.getPath, q)
         } catch {

@@ -137,7 +137,7 @@ object Serving {
     * of which misreport a malformed REQUEST. */
   private[streaming] def boundLit(v: String, kt: DataType): Column = {
     def bad(cause: Throwable) = throw new ClientError(
-      s"range bound '$v' is not a valid ${kt.simpleString}")
+      s"range bound '$v' is not a valid ${kt.simpleString}", cause)
     kt match {
       case ByteType | ShortType | IntegerType | LongType =>
         val p = try v.trim.toLong catch { case e: NumberFormatException => bad(e) }

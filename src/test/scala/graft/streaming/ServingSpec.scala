@@ -167,6 +167,20 @@ class ServingSpec extends SparkSpec {
       // scatter-gather top-3 by value = global max keys 300, 299, 298
       assert(get("/state/topk?value=v&k=3") ===
         (200, """[{"k":300,"v":3000},{"k":299,"v":2990},{"k":298,"v":2980}]"""))
+      // HOT top-k (VERDICT r18 next #1): ranked entirely from the
+      // in-process shard, byte-identical to the cold scatter; k beyond
+      // the store returns every row in the same order; junk k and an
+      // unknown column are the caller's 400 (never a 500), and the
+      // trailing-garbage path guard holds
+      assert(get("/state/topk/hot?value=v&k=3") ===
+        (200, """[{"k":300,"v":3000},{"k":299,"v":2990},{"k":298,"v":2980}]"""))
+      assert(get("/state/topk/hot?value=v&k=400").toString()
+        === get("/state/topk?value=v&k=400").toString(),
+        "hot/cold top-k disagreement at k > store size")
+      assert(get("/state/topk/hot?value=v&k=-5")._1 === 400)
+      assert(get("/state/topk/hot?value=v&k=abc")._1 === 400)
+      assert(get("/state/topk/hot?value=nope&k=3")._1 === 400)
+      assert(get("/state/topk/hotxyz")._1 === 404)
       // all-entries scan (reference allForStore): every key, key-ordered
       val (ac, ab) = get("/state/keyvalues/all")
       assert(ac === 200)
@@ -190,6 +204,49 @@ class ServingSpec extends SparkSpec {
       // not an ANSI 500 or a silent empty scan
       assert(get("/state/keyvalues/range?from=abc")._1 === 400)
       assert(get("/state/keyvalues/range?from=42&to=xyz")._1 === 400)
+    } finally rest.stop()
+  }
+
+  test("hot top-k canonical ordering matches Spark's orderBy for doubles, " +
+      "strings, ties, and nulls (desc NULLS LAST, key asc tie-break)") {
+    import spark.implicits._
+    val n = 8
+    val path = Files.createTempDirectory("graft-store-hottopk").toString
+    // doubles with a tie (keys 3/4 share 2.5 — key asc breaks it), a
+    // negative, and a NULL (desc_nulls_last ⇒ sorts after every value);
+    // strings including empty and a lexicographic trap ("10" < "2")
+    val store = Seq(
+      (1L, Some(7.25), "beta"),
+      (2L, Some(-3.5), "2"),
+      (3L, Some(2.5), "10"),
+      (4L, Some(2.5), ""),
+      (5L, None, "alpha"),
+      (6L, Some(11.0), "Alpha"))
+      .toDF("k", "d", "s")
+    Serving.writePartitionedStore(store, "k", n, path)
+    val rest = new RestServing(spark, path, "k", n, Seq("h0", "h1"))
+    val port = rest.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      // every prefix depth, both sortable columns: the hot in-process
+      // comparator must match Spark's orderBy byte-for-byte
+      (1 to 6).foreach { k =>
+        assert(get(s"/state/topk/hot?value=d&k=$k")
+          === get(s"/state/topk?value=d&k=$k"), s"double ordering at k=$k")
+        assert(get(s"/state/topk/hot?value=s&k=$k")
+          === get(s"/state/topk?value=s&k=$k"), s"string ordering at k=$k")
+      }
+      // the null-valued row ranks LAST under desc (Spark desc_nulls_last)
+      val (_, full) = get("/state/topk/hot?value=d&k=6")
+      assert(full.endsWith("""{"k":5,"s":"alpha"}]"""),
+        s"null double must sort last: $full")
     } finally rest.stop()
   }
 
@@ -249,6 +306,26 @@ class ServingSpec extends SparkSpec {
         get(noFollow, s"${urls(h)}/state/topk/local?value=v&k=3").body())
       assert(locals.exists(_ !== expected),
         s"test store degenerate: one shard holds the whole global top-3 ($locals)")
+      // HOT top-k gather (VERDICT r18 next #1): each owner ranks its
+      // OWNED rows in-process and the coordinator re-ranks the union —
+      // byte-parity with the cold scatter from either coordinator, and
+      // each hot LOCAL partial byte-matches its cold Spark-ranked twin
+      // (so the per-owner merge can never drift from the cold merge)
+      assert(get(follow, s"${urls("instance-a")}/state/topk/hot?value=v&k=3")
+        .body() === expected)
+      assert(get(follow, s"${urls("instance-b")}/state/topk/hot?value=v&k=3")
+        .body() === expected)
+      Seq("instance-a", "instance-b").foreach { h =>
+        assert(
+          get(noFollow, s"${urls(h)}/state/topk/hot/local?value=v&k=3").body()
+            === get(noFollow, s"${urls(h)}/state/topk/local?value=v&k=3").body(),
+          s"hot/cold local partial disagreement on $h")
+      }
+      // unknown column through the hot gather: the coordinator's own
+      // validation answers 400 before any peer fetch
+      val badCol = get(noFollow,
+        s"${urls("instance-a")}/state/topk/hot?value=nope&k=3")
+      assert(badCol.statusCode() === 400)
     } finally { a.stop(); b.stop() }
   }
 
