@@ -223,6 +223,14 @@ object ServingBench {
     graft.ops.Artifacts.invalidate(spark, s"$sfDir/embeddings.parquet",
       graft.ops.Similarity.VectorArtifacts.PqCodes,
       graft.ops.Similarity.VectorArtifacts.PqCodebook)
+    // the coarse index too (round 19): its knob-versioned artifacts are
+    // swept by prefix, so the BUILD reload below pays the full k-means +
+    // codebook learn and the ARTIFACT reload reads both families back —
+    // the measured delta is now the whole per-instance rebuild
+    graft.ops.Artifacts.invalidateByPrefix(spark, s"$sfDir/embeddings.parquet",
+      graft.ops.Similarity.VectorArtifacts.IvfCellsPrefix, "")
+    graft.ops.Artifacts.invalidateByPrefix(spark, s"$sfDir/embeddings.parquet",
+      graft.ops.Similarity.VectorArtifacts.IvfCentsPrefix, "")
     val annReloadBuildMs = timeMs(assert(getPath(vportA, "/ann/reload") == 200))
     val annReloadArtifactMs = timeMs(assert(getPath(vportA, "/ann/reload") == 200))
     vrestA.stop()

@@ -1220,8 +1220,56 @@ object Similarity {
     val ResCells = "res_cells"
     val ResCents = "res_cents"
     val ResCodebook = "res_codebook"
+    /** KNOB-VERSIONED serving coarse-index artifacts (VERDICT r18 next
+      * #3): the IVF assignment/centroid tables a serving instance's
+      * buildIndex consumes, named by the build knobs (stride, Lloyd
+      * iterations — the `bpe_vocab_*` name-versioning rule) so an
+      * instance started with different knobs can never adopt another's
+      * geometry. Invalidation is PREFIX-based (superseded knob versions
+      * and drift drops sweep every version). */
+    val IvfCellsPrefix = "ivf_cells_"
+    val IvfCentsPrefix = "ivf_cents_"
+    def ivfCells(stride: Int, iters: Int): String =
+      s"${IvfCellsPrefix}s${stride}_i$iters"
+    def ivfCents(stride: Int, iters: Int): String =
+      s"${IvfCentsPrefix}s${stride}_i$iters"
     val all: Seq[String] = Seq(PqCodes, PqCodebook, IvfPqCells, IvfPqCents,
       ResCells, ResCents, ResCodebook)
+  }
+
+  /** Artifact-backed coarse IVF for the SERVING tiers (VERDICT r18 next
+    * #3): the cells assignment is corpus-grain and deterministic (stride
+    * seeding + vec_id-ordered sequential recenter), so a fleet should
+    * build it ONCE — the first instance persists the knob-named
+    * cells/cents artifacts, every other instance's reload reads plain
+    * parquet (FileScan, zero k-means jobs; the pq_codes/pq_codebook
+    * discipline applied to the coarse quantizer). Returns
+    * (cells(vec_id, cell), cents(cent_id, c_emb, c_norm), source) with
+    * source ∈ artifact | built | inline — the serving tiers expose it
+    * as `lastIvfSource` for the rollout goldens. Staleness is
+    * fingerprint-automatic; superseded knob versions are swept on
+    * persist like `bpe_vocab_*`. */
+  def ivfIndexArtifact(s: SparkSession, dir: String, emb: DataFrame,
+      stride: Int, iters: Int): (DataFrame, DataFrame, String) = {
+    val cellsName = VectorArtifacts.ivfCells(stride, iters)
+    val centsName = VectorArtifacts.ivfCents(stride, iters)
+    if (!Artifacts.enabled(s)) {
+      val (cells, cents) = ivfIndex(emb, stride, iters)
+      (cells.select(col("vec_id"), col("cell")), cents, "inline")
+    } else if (Artifacts.exists(s, dir, cellsName)
+        && Artifacts.exists(s, dir, centsName)) {
+      (Artifacts.read(s, dir, cellsName), Artifacts.read(s, dir, centsName),
+        "artifact")
+    } else {
+      val (cells, cents) = ivfIndex(emb, stride, iters)
+      Artifacts.write(s, dir, cellsName, cells.select(col("vec_id"), col("cell")))
+      Artifacts.write(s, dir, centsName,
+        cents.select(col("cent_id"), col("c_emb"), col("c_norm")))
+      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCellsPrefix, cellsName)
+      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCentsPrefix, centsName)
+      (Artifacts.read(s, dir, cellsName), Artifacts.read(s, dir, centsName),
+        "built")
+    }
   }
 
   /** Artifact names the vector-index lifecycle persists — the set a
@@ -1243,6 +1291,11 @@ object Similarity {
     val tripped = driftDecision(s, dir).collect().head.getBoolean(5)
     if (tripped) {
       Artifacts.invalidate(s, dir, VectorIndexArtifacts: _*)
+      // the knob-versioned serving coarse-index artifacts are swept by
+      // prefix (their names carry the stride/iters, so the fixed
+      // registry cannot list them)
+      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCellsPrefix, "")
+      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCentsPrefix, "")
       invalidatePqIndex(); invalidateIvfPqIndex(); invalidateResIvfPqIndex()
     }
     tripped

