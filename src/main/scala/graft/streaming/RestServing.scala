@@ -81,6 +81,12 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
     generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
     loadHot() }
 
+  /** Non-parking form the reload endpoint composes on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
+      loadHot() }
+
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): fingerprint re-checked AFTER
     // the read; a rewrite landing mid-load triggers a retry, so the stamp
@@ -93,10 +99,14 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
   def start(bindPort: Int = 0): Int = {
     loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/state/reload", handlerQHAsync { (path, _) =>
-      if (path != "/state/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    // reload requests COMPOSE on the per-instance rebuild future — a
+    // burst of N requests parks zero threads (ADVICE r18 #2); at most
+    // one ops thread runs the rebuild, and every waiter's response is
+    // written from the completing thread
+    server.createContext("/state/reload", handlerQHFuture { (path, _) =>
+      if (path != "/state/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val (gen, sh) = hot
         (200, s"""{"reloaded":true,"keys":${sh.map.size},"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
@@ -282,6 +292,12 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
     loadHot() }
 
+  /** Non-parking form the reload endpoints compose on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, storePath)) {
+      loadHot() }
+
   private def loadHot(): Unit =
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer. The
     // ownership predicate is already inside `shard`, so the loaded rows
@@ -294,11 +310,12 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
   def start(bindPort: Int = 0): Int = {
     loadHot()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    // operational reload of the owned hot shard (see reload())
-    server.createContext("/state/reload", handlerQHAsync { (path, _) =>
-      if (path != "/state/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    // operational reload of the owned hot shard — composes on the
+    // rebuild future, parking no thread per request (ADVICE r18 #2)
+    server.createContext("/state/reload", handlerQHFuture { (path, _) =>
+      if (path != "/state/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val gen = generation
         (200, s"""{"reloaded":true,"keys":$hotSize,"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
@@ -307,13 +324,16 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
     // FLEET reload (VERDICT r16 missing #3): one coordinator RPC reloads
     // THIS instance and every peer (concurrently), then reports each
     // instance's post-reload generation — a completed rollout shows one
-    // uniform fingerprint, a partial failure is visible per host.
-    server.createContext("/state/reload/all", handlerQHAsync { (path, _) =>
-      if (path != "/state/reload/all") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
-        fleetReload(selfHost, generation, peerUrls, "/state/reload")
-      }
+    // uniform fingerprint, a partial failure is visible per host. The
+    // peer fan-out is blocking work, so it continues ON the ops pool
+    // (one actively-coordinating thread — never on the request pool a
+    // collapsed/fresh reload future would otherwise complete on).
+    server.createContext("/state/reload/all", handlerQHFuture { (path, _) =>
+      if (path != "/state/reload/all")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApplyAsync(
+        _ => fleetReload(selfHost, generation, peerUrls, "/state/reload"),
+        HttpJsonServer.scatterPool)
     })
     // hot tier first (longest-prefix context matching): owned keys answer
     // from the in-process shard map with zero Spark work; non-owned keys
@@ -658,6 +678,12 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
     buildIndex() }
 
+  /** Non-parking form the reload endpoint composes on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
+      buildIndex() }
+
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
     val stride = savedStride
@@ -965,10 +991,10 @@ class VectorRestServing(spark: SparkSession, embeddingsPath: String)
     // operational reload: rebuild the index (Spark checkpoints + hot
     // in-process cells) from the current corpus parquet without dropping
     // the socket — what an operator calls after retrainOnDrift trips
-    server.createContext("/ann/reload", handlerQHAsync { (path, _) =>
-      if (path != "/ann/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/ann/reload", handlerQHFuture { (path, _) =>
+      if (path != "/ann/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val ix = idx
         (200, s"""{"reloaded":true,"cells":${ix.cents.length},"vectors":${
           scala.jdk.CollectionConverters.CollectionHasAsScala(ix.hotCells.values)
@@ -1079,6 +1105,12 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
     generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     buildIndex() }
 
+  /** Non-parking form the reload endpoint composes on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+      buildIndex() }
+
   private def buildIndex(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
     val (gen, built) = HttpJsonServer.generationConsistent(
@@ -1124,10 +1156,10 @@ class SearchRestServing(spark: SparkSession, documentsPath: String)
   def start(bindPort: Int = 0): Int = {
     buildIndex()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/search/reload", handlerQHAsync { (path, _) =>
-      if (path != "/search/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/search/reload", handlerQHFuture { (path, _) =>
+      if (path != "/search/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val ix = idx
         (200, s"""{"reloaded":true,"terms":${ix.hotStats.size},"generation":"${
           ix.generation}"}""",
@@ -1353,6 +1385,12 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     loadIndexes() }
 
+  /** Non-parking form the reload endpoint composes on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+      loadIndexes() }
+
   private def loadIndexes(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
     val (gen, built) = HttpJsonServer.generationConsistent(
@@ -1389,10 +1427,10 @@ class DedupRestServing(spark: SparkSession, documentsPath: String)
     loadIndexes()
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/dedup/reload", handlerQHAsync { (path, _) =>
-      if (path != "/dedup/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/dedup/reload", handlerQHFuture { (path, _) =>
+      if (path != "/dedup/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val (gen, h, b) = shard
         (200, s"""{"reloaded":true,"hashes":${h.size},"buckets":${
           b.size},"generation":"$gen"}""",
@@ -1564,6 +1602,12 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     loadShard() }
 
+  /** Non-parking form the reload endpoints compose on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+      loadShard() }
+
   private def loadShard(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
     val (gen, built) = HttpJsonServer.generationConsistent(
@@ -1601,10 +1645,10 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
   def start(bindPort: Int = 0): Int = {
     loadShard()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/search/reload", handlerQHAsync { (path, _) =>
-      if (path != "/search/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/search/reload", handlerQHFuture { (path, _) =>
+      if (path != "/search/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val gen = generation
         (200, s"""{"reloaded":true,"terms":$hotSize,"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
@@ -1612,12 +1656,12 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/search/reload/all", handlerQHAsync { (path, _) =>
-      if (path != "/search/reload/all") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
-        fleetReload(selfHost, generation, peerUrls, "/search/reload")
-      }
+    server.createContext("/search/reload/all", handlerQHFuture { (path, _) =>
+      if (path != "/search/reload/all")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApplyAsync(
+        _ => fleetReload(selfHost, generation, peerUrls, "/search/reload"),
+        HttpJsonServer.scatterPool)
     })
     server.createContext("/search/term/hot", handlerQH { (path, q) =>
       if (path != "/search/term/hot") (404, """{"error":"not found"}""", Map.empty)
@@ -1817,6 +1861,12 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
     loadShards() }
 
+  /** Non-parking form the reload endpoints compose on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, documentsPath)) {
+      loadShards() }
+
   private def loadShards(): Unit = {
     // generation-consistent (ADVICE r17 #4): see HttpJsonServer
     val (gen, built) = HttpJsonServer.generationConsistent(
@@ -1874,10 +1924,10 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
         .sortBy { case (e, id) => (-e, id) }.headOption
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-    server.createContext("/dedup/reload", handlerQHAsync { (path, _) =>
-      if (path != "/dedup/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/dedup/reload", handlerQHFuture { (path, _) =>
+      if (path != "/dedup/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         val (h, b) = hotSize
         (200, s"""{"reloaded":true,"hashes":$h,"buckets":$b,"generation":"${
           generation}"}""",
@@ -1886,12 +1936,12 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/dedup/reload/all", handlerQHAsync { (path, _) =>
-      if (path != "/dedup/reload/all") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
-        fleetReload(selfHost, generation, peerUrls, "/dedup/reload")
-      }
+    server.createContext("/dedup/reload/all", handlerQHFuture { (path, _) =>
+      if (path != "/dedup/reload/all")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApplyAsync(
+        _ => fleetReload(selfHost, generation, peerUrls, "/dedup/reload"),
+        HttpJsonServer.scatterPool)
     })
     server.createContext("/dedup/probe/exact", handlerQH { (path, q) =>
       if (path != "/dedup/probe/exact") (404, """{"error":"not found"}""", Map.empty)
@@ -2520,6 +2570,12 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
     buildIndex() }
 
+  /** Non-parking form the reload endpoints compose on (ADVICE r18 #2). */
+  private def reloadFuture(): java.util.concurrent.CompletableFuture[Void] =
+    reloadAsync(
+      generation == graft.ops.Artifacts.fingerprint(spark, embeddingsPath)) {
+      buildIndex() }
+
   private def buildIndex(): Unit = {
     import graft.ops.Similarity
     graft.functions.GraftExtensions.register(spark) // idempotent: graft_dot
@@ -2655,10 +2711,10 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     // per-replica reload of the owned cell shard (see reload())
-    server.createContext("/ann/reload", handlerQHAsync { (path, _) =>
-      if (path != "/ann/reload") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
+    server.createContext("/ann/reload", handlerQHFuture { (path, _) =>
+      if (path != "/ann/reload")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApply { _ =>
         (200, s"""{"reloaded":true,"vectors":$hotSize,"generation":"${
           generation}"}""",
           Map(HttpJsonServer.GenerationHeader -> generation))
@@ -2666,12 +2722,12 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
     })
     // fleet reload: this instance + every peer concurrently, per-host
     // generations reported (see FederatedRestServing's /state/reload/all)
-    server.createContext("/ann/reload/all", handlerQHAsync { (path, _) =>
-      if (path != "/ann/reload/all") (404, """{"error":"not found"}""", Map.empty)
-      else {
-        reload()
-        fleetReload(selfHost, generation, peerUrls, "/ann/reload")
-      }
+    server.createContext("/ann/reload/all", handlerQHFuture { (path, _) =>
+      if (path != "/ann/reload/all")
+        HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
+      else reloadFuture().thenApplyAsync(
+        _ => fleetReload(selfHost, generation, peerUrls, "/ann/reload"),
+        HttpJsonServer.scatterPool)
     })
     def parseVec(q: Map[String, String]): Array[Double] = {
       val qv = q.getOrElse("vec",
@@ -2888,9 +2944,13 @@ private[streaming] object HttpJsonServer {
     * bodies here (unbounded cached pool, daemon threads) keeps the
     * request pool free by construction: a hot read is always
     * dispatchable no matter how many scatters or reloads are in
-    * flight, on every instance of the fleet. Shared across tiers — the
-    * thread count is bounded by in-flight blocking requests, which the
-    * peer timeouts already cap in time. */
+    * flight, on every instance of the fleet. Shared across tiers.
+    * Thread growth (ADVICE r18 #2): scatter bodies hold a thread only
+    * for the 30 s peer-timeout window; the multi-MINUTE class — reload
+    * waiters — holds none at all since round 19 (reload endpoints
+    * COMPOSE on the per-instance rebuild future via handlerQHFuture:
+    * at most one rebuild thread per instance, zero parked waiters,
+    * however large the retry burst). */
   private[streaming] val scatterPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-serving-ops")
@@ -3003,6 +3063,12 @@ private[streaming] object HttpJsonServer {
   /** The generation a response was stamped with ("" when unstamped). */
   def generationOf(resp: java.net.http.HttpResponse[String]): String =
     resp.headers().firstValue(GenerationHeader).orElse("")
+
+  /** A completed response future — the guard/404 arm of a
+    * `handlerQHFuture` endpoint. */
+  def done(r: (Int, String, Map[String, String]))
+      : java.util.concurrent.CompletableFuture[(Int, String, Map[String, String])] =
+    java.util.concurrent.CompletableFuture.completedFuture(r)
   /** TCP_NODELAY for every JDK HttpServer in this JVM. Must be set
     * before the server class's static config init (trait construction
     * precedes the first HttpServer.create): without it the two-write
@@ -3039,32 +3105,74 @@ private[streaming] trait HttpJsonServer {
   protected var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
-  /** Serialize index rebuilds per instance AND coalesce retry storms:
-    * reload bodies run on the UNBOUNDED ops executor (so they can never
-    * starve the request pool), which means N concurrent reload requests
-    * would otherwise run N full Spark rebuilds at once on one driver
-    * (review r18 #4 — the fixed pool's accidental cap of 8 went away
-    * with the async dispatch). One rebuild at a time per instance;
-    * queued requests wait their turn (the zero-dropped-requests
-    * contract — a 503 here would fail mid-rollout retries), and a
-    * waiter whose wait OVERLAPPED a completed rebuild skips its own
-    * identical rebuild when `alreadyFresh` says the served generation
-    * already matches the store (review pass 2: a 30-s retry loop
-    * against a 3-minute rebuild otherwise stacks M duplicate rebuilds
-    * and blows fleet reload timeouts for rollouts that succeeded). An
-    * un-queued caller always rebuilds — a FORCED reload on an unchanged
-    * corpus (artifact invalidation, config flip) still works. */
-  private val reloadGate = new Object
-  private val reloadDone = new java.util.concurrent.atomic.AtomicLong(0)
-  protected def reloadSerial(alreadyFresh: => Boolean)(f: => Unit): Unit = {
-    val seen = reloadDone.get()
-    reloadGate.synchronized {
-      if (reloadDone.get() == seen || !alreadyFresh) {
-        f
-        reloadDone.incrementAndGet()
+  /** Serialize index rebuilds per instance, coalesce retry storms, AND
+    * park no thread per waiter (ADVICE r18 #2): reload bodies run on
+    * the UNBOUNDED ops executor (so they can never starve the request
+    * pool), which means N concurrent reload requests would otherwise
+    * run N full Spark rebuilds at once on one driver (review r18 #4) —
+    * and, with a monitor queue, park N ops threads for the full
+    * multi-minute rebuild (the ADVICE r18 thread-growth hole:
+    * coalescing collapsed the REBUILDS but not the waiters). Here the
+    * in-flight rebuild is ONE CompletableFuture: at most one ops thread
+    * runs a rebuild per instance, every concurrent caller COMPOSES on
+    * that future instead of blocking on a lock — zero parked threads
+    * however large the burst (the HTTP reload endpoints ride it through
+    * [[handlerQHFuture]] and hold no thread at all; only a direct
+    * in-process [[reloadSerial]] caller joins).
+    *
+    * Semantics preserved from the monitor form: a rider whose ridden
+    * rebuild SUCCEEDED re-checks `alreadyFresh` when it lands and skips
+    * its own identical rebuild (the zero-dropped-requests contract — a
+    * 503 would fail mid-rollout retries); a stale store — or a ridden
+    * rebuild that FAILED — always rebuilds; an un-queued caller always
+    * rebuilds (forced reloads on an unchanged corpus still work). */
+  private val reloadLock = new Object
+  private var reloadInFlight: java.util.concurrent.CompletableFuture[Void] = _
+
+  protected def reloadAsync(alreadyFresh: => Boolean)(f: => Unit)
+      : java.util.concurrent.CompletableFuture[Void] =
+    reloadLock.synchronized {
+      val inFlight = reloadInFlight
+      if (inFlight != null)
+        // COLLAPSE onto the running rebuild: when it lands, re-check
+        // freshness and either finish (fresh, predecessor succeeded) or
+        // run our own turn — no thread parks anywhere in this chain
+        inFlight.handle[java.lang.Boolean]((_, err) => err == null)
+          .thenCompose[Void](ok =>
+            if (ok.booleanValue && alreadyFresh)
+              java.util.concurrent.CompletableFuture.completedFuture(null)
+            else reloadAsync(alreadyFresh)(f))
+      else {
+        val fut = new java.util.concurrent.CompletableFuture[Void]()
+        reloadInFlight = fut
+        HttpJsonServer.scatterPool.execute { () =>
+          // clear BEFORE completing: a continuation that re-enters
+          // reloadAsync must see the slot free, and the next burst's
+          // first caller must start a fresh rebuild
+          try { f; clearInFlight(fut); fut.complete(null) }
+          catch { case t: Throwable =>
+            clearInFlight(fut); fut.completeExceptionally(t) }
+        }
+        fut
       }
     }
-  }
+
+  private def clearInFlight(
+      fut: java.util.concurrent.CompletableFuture[Void]): Unit =
+    reloadLock.synchronized {
+      if (reloadInFlight eq fut) reloadInFlight = null
+    }
+
+  /** Blocking form for direct in-process callers (tests, batch jobs):
+    * joins the future, rethrowing the ORIGINAL failure — the
+    * CompletionException wrapper would misfile a ClientError as the
+    * 500 arm. */
+  protected def reloadSerial(alreadyFresh: => Boolean)(f: => Unit): Unit =
+    try reloadAsync(alreadyFresh)(f).join()
+    catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
 
   /** Start the server on a FIXED REQUEST POOL instead of the JDK's
     * serial default dispatcher. Safe by construction since round 17:
@@ -3172,42 +3280,89 @@ private[streaming] trait HttpJsonServer {
           finally exchange.close()
         })
 
+  private def parsedQuery(exchange: HttpExchange): Map[String, String] =
+    Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        // a malformed %-escape is the CALLER's fault: decode's bare
+        // IllegalArgumentException must map to 400, not ride the
+        // server-fault arm to a 500 (review r18 #2)
+        k -> (try java.net.URLDecoder.decode(v, "UTF-8")
+          catch { case e: IllegalArgumentException =>
+            throw new ClientError("malformed percent-encoding in " +
+              s"query parameter $k", e) })
+      }.toMap
+
+  // ONLY the dedicated client-error type maps to 400 (ADVICE r17 #2):
+  // param validation raises ClientError explicitly; a bare
+  // IllegalArgumentException can come from server-side code (a reload
+  // hitting buildIndex's dim%PqM require after a corpus rewrite,
+  // Spark-internal requires mid-query) and must report as the 500 it
+  // is, not as the caller's mistake
+  private def errorResponse(e: Exception): (Int, String, Map[String, String]) = {
+    val status = e match { case _: ClientError => 400; case _ => 500 }
+    (status, s"""{"error":"${String.valueOf(e.getMessage).take(100)
+      .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",
+      Map.empty[String, String])
+  }
+
   private def runQH(
       f: (String, Map[String, String]) => (Int, String, Map[String, String]),
       exchange: HttpExchange): Unit = {
       val (status, body, hdrs) =
-        try {
-          val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
-            .split("&").filter(_.contains("=")).map { kv =>
-              val Array(k, v) = kv.split("=", 2)
-              // a malformed %-escape is the CALLER's fault: decode's bare
-              // IllegalArgumentException must map to 400, not ride the
-              // server-fault arm to a 500 (review r18 #2)
-              k -> (try java.net.URLDecoder.decode(v, "UTF-8")
-                catch { case e: IllegalArgumentException =>
-                  throw new ClientError("malformed percent-encoding in " +
-                    s"query parameter $k", e) })
-            }.toMap
-          f(exchange.getRequestURI.getPath, q)
-        } catch {
-          // ONLY the dedicated client-error type maps to 400 (ADVICE r17
-          // #2): param validation raises ClientError explicitly; a bare
-          // IllegalArgumentException can come from server-side code (a
-          // reload hitting buildIndex's dim%PqM require after a corpus
-          // rewrite, Spark-internal requires mid-query) and must report
-          // as the 500 it is, not as the caller's mistake
-          case e: ClientError =>
-            (400, s"""{"error":"${String.valueOf(e.getMessage).take(100)
-              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",
-              Map.empty[String, String])
-          case e: Exception =>
-            (500, s"""{"error":"${String.valueOf(e.getMessage).take(100)
-              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)}"}""",
-              Map.empty[String, String])
-        }
+        try f(exchange.getRequestURI.getPath, parsedQuery(exchange))
+        catch { case e: Exception => errorResponse(e) }
       hdrs.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
       respond(exchange, status, body)
   }
+
+  /** FUTURE-composing handler (ADVICE r18 #2): for endpoints whose
+    * answer is a continuation of async work (a reload riding the
+    * per-instance rebuild future) — the request-pool thread registers
+    * the completion callback and returns, so the request HOLDS NO
+    * THREAD while the work runs: a burst of N reload requests parks
+    * zero waiters (the rebuild itself is the one ops thread). The
+    * response — or the same 400/500 error mapping every synchronous
+    * handler gets — is written by whichever thread completes the
+    * future. */
+  protected def handlerQHFuture(
+      f: (String, Map[String, String]) => java.util.concurrent.CompletableFuture[
+        (Int, String, Map[String, String])])
+      : com.sun.net.httpserver.HttpHandler =
+    (exchange: HttpExchange) => {
+      val fut =
+        try f(exchange.getRequestURI.getPath, parsedQuery(exchange))
+        catch { case e: Exception =>
+          java.util.concurrent.CompletableFuture
+            .failedFuture[(Int, String, Map[String, String])](e) }
+      fut.whenComplete { (res, err) =>
+        try {
+          val (status, body, hdrs) =
+            if (err == null) res
+            else {
+              val cause = err match {
+                case e: java.util.concurrent.CompletionException
+                  if e.getCause != null => e.getCause
+                case e => e
+              }
+              cause match {
+                case e: Exception => errorResponse(e)
+                case t => // an Error (OOM, stack overflow): log loudly,
+                  // answer the generic 500 (the async-dispatch rule)
+                  System.err.println(s"[graft] future handler failure: $t")
+                  (500, """{"error":"internal error"}""",
+                    Map.empty[String, String])
+              }
+            }
+          hdrs.foreach { case (k, v) => exchange.getResponseHeaders.set(k, v) }
+          respond(exchange, status, body)
+        } catch { case t: Throwable =>
+          System.err.println(s"[graft] future response write failure: $t")
+          try exchange.close() catch { case _: Throwable => () }
+        }
+      }
+      ()
+    }
 
   /** Parse a positive int param (optionally bounded); Left(400) on junk
     * — shared so every tier pair (hot/cold) enforces the SAME contract

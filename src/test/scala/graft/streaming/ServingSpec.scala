@@ -1754,11 +1754,13 @@ class ServingSpec extends SparkSpec {
     } finally { latch.countDown(); srv.stop() }
   }
 
-  test("reload coalescing (review pass 2): requests queued behind a running " +
-      "rebuild of an UNCHANGED store coalesce onto it; a stale store or an " +
-      "un-queued caller always rebuilds (forced reloads still work)") {
+  test("reload coalescing (review pass 2; future-composed since r19 — ADVICE " +
+      "r18 #2): callers riding a running rebuild of an UNCHANGED store " +
+      "coalesce onto it; a stale store or an un-queued caller always " +
+      "rebuilds; FUTURE callers park zero threads per waiter") {
     class Gate extends HttpJsonServer {
       def run(fresh: => Boolean)(f: => Unit): Unit = reloadSerial(fresh)(f)
+      def runF(fresh: => Boolean)(f: => Unit) = reloadAsync(fresh)(f)
     }
     def storm(fresh: Boolean): Int = {
       val g = new Gate
@@ -1772,12 +1774,16 @@ class ServingSpec extends SparkSpec {
       val retries = (0 until 5).map(_ =>
         new Thread(() => g.run(fresh) { count.incrementAndGet() }))
       retries.foreach(_.start())
-      // deterministic: wait until every retry is parked ON the gate
-      // (ticket already read) before the first rebuild completes
+      // deterministic: wait until every BLOCKING-form retry is parked on
+      // the shared rebuild future (join → WAITING) before the first
+      // rebuild completes. The monitor form parked them BLOCKED on a
+      // lock; the future form parks only these deliberate .join callers.
+      def parked(t: Thread) = t.getState == Thread.State.WAITING ||
+        t.getState == Thread.State.TIMED_WAITING
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-      while (!retries.forall(_.getState == Thread.State.BLOCKED)
-          && System.nanoTime < deadline) Thread.sleep(5)
-      assert(retries.forall(_.getState == Thread.State.BLOCKED))
+      while (!retries.forall(parked) && System.nanoTime < deadline)
+        Thread.sleep(5)
+      assert(retries.forall(parked))
       release.countDown()
       first.join(); retries.foreach(_.join())
       count.get()
@@ -1796,6 +1802,40 @@ class ServingSpec extends SparkSpec {
     g.run(true) { n += 1 }
     g.run(true) { n += 1 }
     assert(n === 2, "a sequential forced reload must always run")
+    // ZERO parked waiters on the future form (the ADVICE r18 #2 hole:
+    // N HTTP reload requests used to park N ops threads for the full
+    // rebuild): N callers composing on one slow rebuild grow the
+    // graft-serving-ops pool by at most the ONE rebuild thread
+    locally {
+      val g2 = new Gate
+      // every graft-serving-ops thread alive, whatever its state — a
+      // per-waiter dispatch would show up here as +1 thread per rider
+      def opsThreads: Int = {
+        val all = new Array[Thread](Thread.activeCount() + 64)
+        val live = Thread.enumerate(all)
+        all.take(live).count(t =>
+          t != null && t.isAlive && t.getName == "graft-serving-ops")
+      }
+      val entered2 = new java.util.concurrent.CountDownLatch(1)
+      val release2 = new java.util.concurrent.CountDownLatch(1)
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val firstF = g2.runF(true) {
+        ran.incrementAndGet(); entered2.countDown(); release2.await() }
+      entered2.await()
+      val before = opsThreads
+      // 32 riders = 4× the old fixed pool: all compose, none dispatch
+      val riders = (0 until 32).map(_ => g2.runF(true) { ran.incrementAndGet() })
+      Thread.sleep(100) // give any (wrong) per-waiter dispatch time to appear
+      val during = opsThreads
+      // margin 2 absorbs unrelated concurrent pool activity; the failure
+      // mode this pins is +32
+      assert(during <= before + 2,
+        s"future riders must not grow the ops pool: $before -> $during")
+      release2.countDown()
+      firstF.join()
+      riders.foreach(_.join())
+      assert(ran.get() === 1, "all 32 riders must coalesce onto the one rebuild")
+    }
   }
 
   test("generationConsistent load (ADVICE r17 #4): a rewrite landing mid-read " +
