@@ -1290,12 +1290,21 @@ object Similarity {
   def retrainOnDrift(s: SparkSession, dir: String): Boolean = {
     val tripped = driftDecision(s, dir).collect().head.getBoolean(5)
     if (tripped) {
-      Artifacts.invalidate(s, dir, VectorIndexArtifacts: _*)
-      // the knob-versioned serving coarse-index artifacts are swept by
-      // prefix (their names carry the stride/iters, so the fixed
-      // registry cannot list them)
-      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCellsPrefix, "")
-      Artifacts.invalidateByPrefix(s, dir, VectorArtifacts.IvfCentsPrefix, "")
+      // BOTH namespaces (review r19 #3): batch readers key artifacts by
+      // the corpus ROOT (ivfPqIndexOf(s, dir)), the serving tiers key
+      // theirs by the embeddings FILE path they were constructed with —
+      // and drift is exactly the staleness the file fingerprint cannot
+      // see, so a root-only sweep would leave every serving replica
+      // reloading pre-drift geometry as lastIvfSource="artifact"
+      val namespaces = Seq(dir, dir.stripSuffix("/") + "/embeddings.parquet")
+      namespaces.foreach { ns =>
+        Artifacts.invalidate(s, ns, VectorIndexArtifacts: _*)
+        // the knob-versioned serving coarse-index artifacts are swept by
+        // prefix (their names carry the stride/iters, so the fixed
+        // registry cannot list them)
+        Artifacts.invalidateByPrefix(s, ns, VectorArtifacts.IvfCellsPrefix, "")
+        Artifacts.invalidateByPrefix(s, ns, VectorArtifacts.IvfCentsPrefix, "")
+      }
       invalidatePqIndex(); invalidateIvfPqIndex(); invalidateResIvfPqIndex()
     }
     tripped

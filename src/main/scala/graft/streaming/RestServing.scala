@@ -108,7 +108,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
         HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
       else reloadFuture().thenApply { _ =>
         val (gen, sh) = hot
-        (200, s"""{"reloaded":true,"keys":${sh.map.size},"generation":"$gen"}""",
+        (200, s"""{"reloaded":true,"keys":${sh.keyCount},"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
       }
     })
@@ -118,7 +118,7 @@ class RestServing(spark: SparkSession, storePath: String, keyCol: String,
       val key = path.stripPrefix("/state/keyvalue/hot/")
       val (gen, sh) = hot // one read: answer and stamp from one generation
       val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
-      Option(sh.map.get(key)) match {
+      sh.lookup(key) match {
         case Some(j) => (200, j, stamp)
         case None => (404, """{"error":"key not found"}""", stamp)
       }
@@ -274,7 +274,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
   @volatile private var hot: (String, HotKv.Shard) = _
 
   /** Owned-shard entry count — the memory-∝-owned-partitions evidence. */
-  def hotSize: Int = hot._2.map.size
+  def hotSize: Int = hot._2.keyCount
 
   /** The hot shard's generation — the store fingerprint it was loaded
     * from. */
@@ -347,7 +347,7 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       // that actually answered, even mid-reload
       val (gen, sh) = hot
       val stamp = Map(HttpJsonServer.GenerationHeader -> gen)
-      if (host == selfHost) Option(sh.map.get(key)) match {
+      if (host == selfHost) sh.lookup(key) match {
         case Some(j) => (200, j, stamp)
         case None => (404, """{"error":"key not found"}""", stamp)
       } else peerUrls.get(host) match {
@@ -2247,16 +2247,25 @@ private[streaming] object HotSearch {
 private[streaming] object HotKv {
   import org.apache.spark.sql.types._
 
-  /** One loaded store shard: the key→JSON-array point map, and the
-    * parallel per-ROW arrays the top-k ranks — canonical sort values
-    * per orderable column and the row's rendered JSON. Memory is
-    * state-store-grain (the same rows the point map already holds). */
+  /** One loaded store shard: each row's rendered JSON held ONCE
+    * (review r19 #6: a separate key→body map doubled the string heap at
+    * exactly the memory-∝-owned-partitions scale the federated tier
+    * advertises), with the point map reduced to key→row indices and the
+    * array-framed body assembled per lookup — byte-identical to the
+    * r18 map's values, a few µs of concat per point read. `vals` holds
+    * the canonical sort values per orderable column for the top-k. */
   final case class Shard(
-      map: java.util.HashMap[String, String],
+      keyRows: java.util.HashMap[String, Array[Int]],
       names: Array[String],
       types: Array[DataType],
       vals: Array[Array[Any]],
-      jsons: Array[String])
+      jsons: Array[String]) {
+    /** The point-read body for a key — exactly the string the r18 hot
+      * map stored. */
+    def lookup(key: String): Option[String] =
+      Option(keyRows.get(key)).map(ix => ix.map(jsons(_)).mkString("[", ",", "]"))
+    def keyCount: Int = keyRows.size
+  }
 
   /** Hot-tier-orderable column types: the canonical in-process sort
     * forms cover scalar comparables (integral → Long, fractional →
@@ -2300,15 +2309,19 @@ private[streaming] object HotKv {
         to_json(struct(dataCols.map(col): _*)).as("__j") +:
         dataCols.map(col): _*)
       .collect()
-    val map = new java.util.HashMap[String, String]()
-    collected.groupBy(_.getString(0)).foreach { case (k, rows) =>
-      map.put(k, rows.map(_.getString(1)).mkString("[", ",", "]"))
+    val grouped =
+      new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    collected.zipWithIndex.foreach { case (r, i) =>
+      grouped.computeIfAbsent(r.getString(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
     }
+    val keyRows = new java.util.HashMap[String, Array[Int]]()
+    grouped.forEach((k, ix) => keyRows.put(k, ix.toArray))
     val vals = collected.map { r =>
       Array.tabulate[Any](dataCols.size)(i =>
         if (orderable(types(i))) canon(r.get(i + 2)) else null)
     }
-    Shard(map, dataCols.toArray, types, vals, collected.map(_.getString(1)))
+    Shard(keyRows, dataCols.toArray, types, vals, collected.map(_.getString(1)))
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
@@ -2358,6 +2371,12 @@ private[streaming] object HotKv {
     if (!orderable(sh.types(vi)))
       HttpJsonServer.clientError(s"column $valueCol (${sh.types(vi).simpleString}) " +
         "is not hot-tier orderable; use /state/topk")
+    // the KEY column too (review r19 #5): a timestamp/date key would
+    // canon to null and SILENTLY lose the asc tie-break — the cold tier
+    // sorts it fine, so diverging quietly is worse than the 400
+    if (!orderable(sh.types(ki)))
+      HttpJsonServer.clientError(s"key column $keyCol (${sh.types(ki).simpleString}) " +
+        "is not hot-tier orderable; use /state/topk")
     // heap head = the WORST kept row (reverse rank order), so poll()
     // evicts it when a better row arrives
     val reversed: java.util.Comparator[(Any, Any, String)] =
@@ -2389,27 +2408,68 @@ private[streaming] object HotKv {
     partials.sortBy(t => (t._1, t._2))(rankOrdering).take(k)
       .map(_._3).mkString("[", ",", "]")
 
-  private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** BigDecimal parse for JSON decimals (review r19 #2): the default
+    * DoubleNode would round a decimal(22,2) beyond 2^53 and mis-rank
+    * the merge. */
+  private lazy val jackson = com.fasterxml.jackson.databind.json.JsonMapper
+    .builder()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS)
+    .build()
+
+  /** Byte-exact top-level element slices of a JSON array body (review
+    * r19 #2: re-rendering a parsed node normalizes number text —
+    * "1.20" → 1.2, "1.0E-5" → plain notation — and the naive
+    * `(?<=\}),(?=\{)` regex splits inside string values containing
+    * "},{"). The streaming parser reports each element's exact char
+    * offsets, so the rendered rows the coordinator merges are the
+    * owner's ORIGINAL bytes. */
+  private def rawElements(body: String): Seq[String] = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = jackson.getFactory.createParser(body)
+    try {
+      if (p.nextToken() != JsonToken.START_ARRAY)
+        throw new IllegalStateException("peer partial is not a JSON array")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      var start = -1L
+      var done = false
+      while (!done) {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new IllegalStateException("truncated peer partial")
+        else if (depth == 0 && tok == JsonToken.END_ARRAY) done = true
+        else tok match {
+          case JsonToken.START_OBJECT =>
+            if (depth == 0) start = p.currentTokenLocation().getCharOffset
+            depth += 1
+          case JsonToken.END_OBJECT =>
+            depth -= 1
+            if (depth == 0)
+              out += body.substring(start.toInt,
+                p.currentTokenLocation().getCharOffset.toInt + 1)
+          case _ => ()
+        }
+      }
+      out.toSeq
+    } finally p.close()
+  }
 
   /** Parse a peer's partial — a JSON array of row objects — back into
     * sort triples, typed by THIS instance's store schema (every
     * instance reads the same store, so the schemas agree by
-    * construction). Jackson is Spark's own JSON library: the sort
-    * values round-trip exactly, and the re-rendered row (object nodes
-    * preserve field order; Spark's `to_json` writes through the same
-    * generator) stays byte-identical to the owner's rendering —
-    * ServingSpec pins the end-to-end parity against the cold scatter. */
+    * construction). Jackson is Spark's own JSON library, so the sort
+    * values round-trip exactly; the rendered row is the owner's
+    * original byte slice, never a re-render — ServingSpec pins the
+    * end-to-end parity against the cold scatter. */
   def parsePartial(body: String, sh: Shard, valueCol: String, keyCol: String)
       : Seq[(Any, Any, String)] = {
-    val root = jackson.readTree(body)
-    if (!root.isArray)
-      throw new IllegalStateException("peer partial is not a JSON array")
     val vi = sh.names.indexOf(valueCol)
     val ki = sh.names.indexOf(keyCol)
-    (0 until root.size).map { i =>
-      val nd = root.get(i)
+    rawElements(body).map { s =>
+      val nd = jackson.readTree(s)
       (nodeCanon(nd.get(valueCol), sh.types(vi)),
-        nodeCanon(nd.get(keyCol), sh.types(ki)), nd.toString)
+        nodeCanon(nd.get(keyCol), sh.types(ki)), s)
     }
   }
 
@@ -2419,7 +2479,13 @@ private[streaming] object HotKv {
     else dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         java.lang.Long.valueOf(n.longValue)
-      case FloatType | DoubleType => java.lang.Double.valueOf(n.doubleValue)
+      // float parses AS A FLOAT then widens — the same canon as the
+      // local rows (review r19 #1: parsing the rendered "0.3" straight
+      // to double reads 0.29999999999999998 while the local widened
+      // float is 0.30000001192092896 — equal values compared unequal
+      // and the key tie-break never fired)
+      case FloatType => java.lang.Double.valueOf(n.floatValue.toDouble)
+      case DoubleType => java.lang.Double.valueOf(n.doubleValue)
       case _: DecimalType => n.decimalValue()
       case StringType => n.asText()
       case BooleanType => java.lang.Boolean.valueOf(n.booleanValue)
@@ -3335,7 +3401,13 @@ private[streaming] trait HttpJsonServer {
         catch { case e: Exception =>
           java.util.concurrent.CompletableFuture
             .failedFuture[(Int, String, Map[String, String])](e) }
-      fut.whenComplete { (res, err) =>
+      // ASYNC completion (review r19 #4): riders of one rebuild future
+      // complete on the rebuilder's thread — writing their responses
+      // there serially would let ONE stalled client block every other
+      // waiter's 200; each response write gets its own (short-lived)
+      // ops-pool task instead, the same isolation the synchronous
+      // handlers get from the request pool.
+      fut.whenCompleteAsync({ (res, err) =>
         try {
           val (status, body, hdrs) =
             if (err == null) res
@@ -3360,7 +3432,7 @@ private[streaming] trait HttpJsonServer {
           System.err.println(s"[graft] future response write failure: $t")
           try exchange.close() catch { case _: Throwable => () }
         }
-      }
+      }, HttpJsonServer.scatterPool)
       ()
     }
 

@@ -487,26 +487,36 @@ class ArtifactsSpec extends SparkSpec {
       Similarity.ivfPqTopK(spark, drifted).count()
       Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
         assert(Artifacts.exists(spark, drifted, a), s"$a written"))
-      // plant the knob-versioned SERVING coarse-index artifacts too:
-      // their names carry the build knobs, so retrainOnDrift must sweep
-      // them BY PREFIX — a fixed-registry drop cannot list them (round
-      // 19, VERDICT r18 next #3)
+      // plant the knob-versioned SERVING coarse-index artifacts too, the
+      // way a serving replica does — keyed by the embeddings FILE path,
+      // not the corpus root (review r19 #3: a root-namespace-only sweep
+      // left every serving artifact alive through a tripped drift, the
+      // one staleness the file fingerprint cannot see). Their names
+      // carry the build knobs, so retrainOnDrift must sweep BY PREFIX —
+      // a fixed-registry drop cannot list them (VERDICT r18 next #3).
+      val servingNs = s"$drifted/embeddings.parquet"
       val servingIvf = {
-        val emb = spark.read.parquet(s"$drifted/embeddings.parquet")
+        val emb = spark.read.parquet(servingNs)
           .select(col("vec_id"), col("embedding"),
             Similarity.l2norm(col("embedding")).as("norm"))
-        val (_, _, src) = Similarity.ivfIndexArtifact(spark, drifted, emb, 14, 1)
+        val (_, _, src) = Similarity.ivfIndexArtifact(spark, servingNs, emb, 14, 1)
         assert(src === "built", s"serving coarse index must persist: $src")
         Seq(Similarity.VectorArtifacts.ivfCells(14, 1),
           Similarity.VectorArtifacts.ivfCents(14, 1))
       }
       servingIvf.foreach(a =>
-        assert(Artifacts.exists(spark, drifted, a), s"$a written"))
+        assert(Artifacts.exists(spark, servingNs, a), s"$a written"))
+      // and a serving-namespace PQ table (the r18 readOrBuild path)
+      Artifacts.write(spark, servingNs, "pq_codes",
+        spark.range(3).toDF("vec_id"))
+      assert(Artifacts.exists(spark, servingNs, "pq_codes"))
       assert(Similarity.retrainOnDrift(spark, drifted),
         "orthogonal top-10% batch must trip retrain")
-      (Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents") ++
-        servingIvf).foreach(a =>
+      Seq("pq_codes", "pq_codebook", "ivfpq_cells", "ivfpq_cents").foreach(a =>
         assert(!Artifacts.exists(spark, drifted, a), s"$a must be dropped"))
+      (servingIvf :+ "pq_codes").foreach(a =>
+        assert(!Artifacts.exists(spark, servingNs, a),
+          s"serving-namespace $a must be dropped by the drift sweep"))
       // and the next build rebuilds: readOrBuild runs its builder again
       var rebuilt = false
       Artifacts.readOrBuild(spark, drifted, "ivfpq_cells") {

@@ -329,6 +329,59 @@ class ServingSpec extends SparkSpec {
     } finally { a.stop(); b.stop() }
   }
 
+  test("federated hot top-k over FLOAT and DECIMAL sort columns: peer-parsed " +
+      "partials rank and render byte-identically to the cold scatter (review " +
+      "r19 — float canon widening, decimal scale/precision, raw row slices)") {
+    import spark.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val n = 8
+    val hosts = Seq("instance-a", "instance-b")
+    def ownerOf(k: Long) = Serving.hostFor(Serving.partitionOf(k, n), hosts)
+    val keyOnA = (1L to 300L).find(ownerOf(_) == "instance-a").get
+    val keyOnB = (1L to 300L).find(ownerOf(_) == "instance-b").get
+    // float: the two TOP rows tie at 0.3f across DIFFERENT owners — the
+    // merge must widen the peer's rendered "0.3" back through a float
+    // (not straight to double) or the tie never fires and the key
+    // tie-break is skipped; decimal: > 2^53 with 2-digit scale — a
+    // double round-trip would lose the low digits and a node re-render
+    // would drop trailing zeros
+    val mpath = Files.createTempDirectory("graft-fedmixed").toString
+    val mixed = (1L to 300L).map { k =>
+      (k,
+        if (k == keyOnA || k == keyOnB) 0.3f else (k % 7).toFloat / 100f,
+        BigDecimal(s"123456789012345${100 + k % 97}.${10 + k % 90}"))
+    }.toDF("k", "f", "d")
+      .select(col("k"), col("f"), col("d").cast("decimal(22,2)").as("d"))
+    Serving.writePartitionedStore(mixed, "k", n, mpath)
+    val a = new FederatedRestServing(spark, mpath, "k", n, hosts, "instance-a")
+    val b = new FederatedRestServing(spark.newSession(), mpath, "k", n, hosts,
+      "instance-b")
+    val urls = Map("instance-a" -> s"http://127.0.0.1:${a.start()}",
+      "instance-b" -> s"http://127.0.0.1:${b.start()}")
+    a.peerUrls = urls; b.peerUrls = urls
+    try {
+      val client = HttpClient.newHttpClient()
+      def body(url: String): String =
+        client.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      for {
+        vcol <- Seq("f", "d")
+        k <- 1 to 5
+        via <- hosts
+      } {
+        val cold = body(s"${urls(via)}/state/topk?value=$vcol&k=$k")
+        val hot = body(s"${urls(via)}/state/topk/hot?value=$vcol&k=$k")
+        assert(hot === cold,
+          s"hot/cold gather disagreement via $via value=$vcol k=$k")
+      }
+      // the float tie really crossed owners and fell to the key tie-break
+      val top2 = body(s"${urls("instance-a")}/state/topk/hot?value=f&k=2")
+      val ids = """"k":(\d+)""".r.findAllMatchIn(top2).map(_.group(1).toLong).toSeq
+      assert(ids === Seq(keyOnA, keyOnB).sorted,
+        s"tied floats must rank by key asc across owners: $top2")
+    } finally { a.stop(); b.stop() }
+  }
+
   test("partition-scoped HOT KV tier: two instances hold DISJOINT shard maps " +
       "(memory ∝ owned partitions), every key serves byte-identically through " +
       "redirects, and the 307 target is the owner's hot endpoint") {
