@@ -2170,6 +2170,48 @@ private[streaming] object HotSearch {
       : (java.util.HashMap[String, String],
          java.util.HashMap[String, Array[String]],
          java.util.HashMap[String, TermHead],
+         java.util.HashMap[String, TermHead]) =
+    // literal rank bound on the UNJOINED postings: Spark plans the
+    // rank-filter as WindowGroupLimit (the bounded-collect shape the
+    // ADVICE r15 #2 memory contract rides on) — a column-valued cap
+    // cannot use that optimization, so the production path keeps its
+    // own plan instead of routing through the general form
+    buildTermShardImpl(stats, postings, dlens,
+      col("rn") <= maxTermK, nDocs, totalLen)
+
+  /** The general form: `cap` is a per-TERM head-depth column and may
+    * reference `df` (evaluated over a broadcast join of the vocab-grain
+    * stats) — the df-PROPORTIONAL champion depth SearchSweep's lever
+    * arm measures (VERDICT r18 next #6). Same builder core as the
+    * production overload, so a knob the sweep validates is one literal
+    * swap away from serving. */
+  private[streaming] def buildTermShardCap(
+      stats: org.apache.spark.sql.DataFrame,
+      postings0: org.apache.spark.sql.DataFrame,
+      dlens: org.apache.spark.sql.DataFrame,
+      cap: org.apache.spark.sql.Column,
+      nDocs: Long, totalLen: Long)
+      : (java.util.HashMap[String, String],
+         java.util.HashMap[String, Array[String]],
+         java.util.HashMap[String, TermHead],
+         java.util.HashMap[String, TermHead]) =
+    buildTermShardImpl(stats,
+      // df rides on every posting row (broadcast vocab join) so the
+      // df-referencing cap can filter the ranked window per term
+      postings0.join(broadcast(stats.select(col("term"), col("df"))),
+          Seq("term"))
+        .withColumn("__cap", cap),
+      dlens, col("rn") <= col("__cap"), nDocs, totalLen)
+
+  private def buildTermShardImpl(
+      stats: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      dlens: org.apache.spark.sql.DataFrame,
+      rankKeep: org.apache.spark.sql.Column,
+      nDocs: Long, totalLen: Long)
+      : (java.util.HashMap[String, String],
+         java.util.HashMap[String, Array[String]],
+         java.util.HashMap[String, TermHead],
          java.util.HashMap[String, TermHead]) = {
     import graft.ops.TextAnalysis.{Bm25K1, Bm25B}
     val freshStats = new java.util.HashMap[String, String]()
@@ -2187,7 +2229,7 @@ private[streaming] object HotSearch {
       .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
     postings
       .withColumn("rn", row_number().over(headRank))
-      .filter(col("rn") <= maxTermK)
+      .filter(rankKeep)
       .join(dlens, Seq("doc_id"))
       .select(col("term"), col("rn"), col("doc_id"), col("tf"), col("dl"),
         to_json(struct(col("doc_id"), col("tf"), col("first_pos"))).as("j"))
@@ -2209,7 +2251,7 @@ private[streaming] object HotSearch {
       .join(dlens, Seq("doc_id"))
       .withColumn("imp", impact)
       .withColumn("rn", row_number().over(impactRank))
-      .filter(col("rn") <= maxTermK)
+      .filter(rankKeep)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .collect()
       .groupBy(_.getString(0))

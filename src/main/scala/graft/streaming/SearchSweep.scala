@@ -109,25 +109,26 @@ object SearchSweep {
       q <- queries; bm25 <- Seq(false, true)
     } yield (q, bm25) -> top10(truthShard, q, bm25)).toMap
 
+    // bm25 is scored from its IMPACT-ordered list (the serving path);
+    // the raw-tf-list bm25 number is kept as the before/after evidence
+    // for the impact-ordering decision. ONE mean implementation
+    // (ADVICE r18 #4: the headline mean was a duplicated copy of this).
+    def meanOf(qs: Seq[Seq[String]],
+        shard: java.util.HashMap[String, HotSearch.TermHead],
+        bm25: Boolean): Double = {
+      val rs = qs.map { q =>
+        val t = truth((q, bm25))
+        if (t.isEmpty) 1.0
+        else top10(shard, q, bm25).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+
     val caps = Seq(5, 10, 25, 50, 100, 250)
     val rows = caps.map { cap =>
       val built = HotSearch.buildTermShard(stats, postings, dlens, cap,
         nDocs, totalLen)
       val (tfShard, bmShard) = (built._3, built._4)
-      // bm25 is scored from its IMPACT-ordered list (the serving path);
-      // the raw-tf-list bm25 number is kept as the before/after evidence
-      // for the impact-ordering decision. ONE mean implementation
-      // (ADVICE r18 #4: the headline mean was a duplicated copy of this).
-      def meanOf(qs: Seq[Seq[String]],
-          shard: java.util.HashMap[String, HotSearch.TermHead],
-          bm25: Boolean): Double = {
-        val rs = qs.map { q =>
-          val t = truth((q, bm25))
-          if (t.isEmpty) 1.0
-          else top10(shard, q, bm25).intersect(t).size.toDouble / t.size
-        }
-        rs.sum / rs.size
-      }
       val perClass = classes.map { case (name, qs) =>
         f""""${name}_tfidf":${meanOf(qs, tfShard, false)}%.3f,"${name}_bm25":${meanOf(qs, bmShard, true)}%.3f"""
       }.mkString(",")
@@ -137,8 +138,42 @@ object SearchSweep {
     // closing-window probes (the Bench/ServingBench discipline): both
     // calib probes gate the exit, both load windows set the warning
     val calibEnd = graft.Calib.runRounded(spark)
+    // ── the df-PROPORTIONAL cap lever (VERDICT r18 next #6) ──────────
+    // The realistic-class result motivates it: mid-df terms carry REAL
+    // idf and truncated heads (the top-24 heavy terms' idf is
+    // negligible, so q2/q3 was never the hard class — qz is). Lever:
+    // per-term head depth max(flatCap, β·df) — heavy/mid terms gain
+    // depth ∝ df, complete terms are untouched — measured against the
+    // FLAT cap of EQUAL total memory (the honest comparison: any knob
+    // can win by just spending more).
+    val dfs = stats.select(col("df")).collect().map(_.getLong(0))
+    def flatRows(c: Long) = dfs.map(math.min(_, c)).sum
+    val leverBase = 100
+    val levers = Seq(0.05, 0.1, 0.25).map { beta =>
+      val budget = dfs.map(df =>
+        math.min(df, math.max(leverBase.toLong, (beta * df).toLong))).sum
+      // the equal-memory flat cap, by bisection over the df histogram
+      var lo = leverBase.toLong; var hi = dfs.max
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (flatRows(mid) <= budget) lo = mid else hi = mid
+      }
+      val dfProp = HotSearch.buildTermShardCap(stats, postings, dlens,
+        greatest(lit(leverBase), (col("df") * beta).cast("long")),
+        nDocs, totalLen)
+      val flatEq = HotSearch.buildTermShard(stats, postings, dlens,
+        lo.toInt, nDocs, totalLen)
+      f""""lever_beta_$beta":{"rows":$budget,"flat_eq_cap":$lo,"recall10_bm25_dfprop":${
+        meanOf(queries, dfProp._4, true)}%.3f,"recall10_bm25_flat_eq":${
+        meanOf(queries, flatEq._4, true)}%.3f,"qz_bm25_dfprop":${
+        meanOf(zipf, dfProp._4, true)}%.3f,"qz_bm25_flat_eq":${
+        meanOf(zipf, flatEq._4, true)}%.3f,"qz_tfidf_dfprop":${
+        meanOf(zipf, dfProp._3, false)}%.3f,"qz_tfidf_flat_eq":${
+        meanOf(zipf, flatEq._3, false)}%.3f}"""
+    }
+
     val loadEnd = load1
-    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},"calib_sec":$calib,"calib_sec_end":$calibEnd,"calib_warning":${graft.Calib.warning(calib, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
+    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},${levers.mkString(",")},"calib_sec":$calib,"calib_sec_end":$calibEnd,"calib_warning":${graft.Calib.warning(calib, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
     spark.stop()
     graft.Calib.enforce(calib, calibEnd)
   }
