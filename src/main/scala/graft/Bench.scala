@@ -166,9 +166,17 @@ object Bench {
     // member read load1_end 15.55 with load_warning:false because the
     // flag only looked at the start probe — contention that arrives
     // mid-run must flag the artifact too, exactly like calib_sec_end.
+    // END threshold is SELF-LOAD-aware (measured, round 19): the bench's
+    // own 32-thread tail legitimately drives the closing 1-min loadavg
+    // to ~7–11 on a PRISTINE box (r17's committed quiet member read
+    // 6.63; the r19 quiet triple read 9.4–10.7 at calib 0.82–0.92 —
+    // faster than any prior epoch), while r18's burst member read
+    // 15.55 at calib ~1.0. A >4 end gate would flag every clean run;
+    // 12 splits the measured self-load band from the measured burst.
+    // The calib pair stays the primary fixed-work contamination gate.
     val calibEnd = Calib.runRounded(spark)
     val loadEnd = load1
-    val loadWarn = loadStart > 4.0 || loadEnd > 4.0
+    val loadWarn = loadStart > 4.0 || loadEnd > 12.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""total_best":$totalBest,"reps":$reps,""" +
       s""""calib_sec":$calibStart,"calib_sec_end":$calibEnd,""" +

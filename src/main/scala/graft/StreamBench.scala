@@ -438,7 +438,7 @@ object StreamBench {
     }.mkString(",")
     val errJson = errors.map { case (n, m) => s""""$n":"$m"""" }.mkString(",")
     println(
-      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"rocksdb":$useRocksDb,"shuffle_partitions":${shufflePartitions.getOrElse(cpus)},"pipelines":{$pipeJson},"errors":{$errJson},"calib_sec":$calibStart,"calib_sec_end":$calibEnd,"calib_warning":${Calib.warning(calibStart, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
+      f"""{"metric":"stream_throughput","value":${totalRows / math.max(totalSec, 1e-9)}%.0f,"unit":"rows/sec","rows_per_batch":$rowsPerBatch,"batches":$batches,"rocksdb":$useRocksDb,"shuffle_partitions":${shufflePartitions.getOrElse(cpus)},"pipelines":{$pipeJson},"errors":{$errJson},"calib_sec":$calibStart,"calib_sec_end":$calibEnd,"calib_warning":${Calib.warning(calibStart, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 12}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
     Calib.enforce(calibStart, calibEnd)

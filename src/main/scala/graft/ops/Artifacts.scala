@@ -63,9 +63,24 @@ object Artifacts {
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** CANONICAL namespace key for a corpus path (review r19 pass 2): the
+    * namespace is an md5 of the path STRING, so two spellings of the
+    * same location ("/data//x/", a trailing slash, a relative path)
+    * would otherwise key DISJOINT namespaces — a serving replica's
+    * artifacts written under one spelling would silently escape a
+    * drift sweep issued under another. Qualifying through the
+    * filesystem normalizes slashes, resolves relative paths, and pins
+    * the scheme, so every spelling of one location shares one
+    * namespace. */
+  private def canonical(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    try fsOf(s, p).makeQualified(p).toString
+    catch { case _: Exception => p.toString } // malformed URI: Path-normalized
+  }
+
   /** The artifact table's path for (corpus, name). */
   def path(s: SparkSession, dir: String, name: String): String =
-    root(s) + "/" + md5hex(dir) + "/" + name + ".parquet"
+    root(s) + "/" + md5hex(canonical(s, dir)) + "/" + name + ".parquet"
 
   /** Corpus content fingerprint — the staleness key every artifact is
     * validated against. Folds the corpus dir's file inventory (relative
@@ -188,7 +203,7 @@ object Artifacts {
     * orphaned forever — fresh by manifest, addressed by nothing). */
   def invalidateByPrefix(s: SparkSession, dir: String, prefix: String,
       keep: String): Unit = {
-    val parent = new Path(root(s) + "/" + md5hex(dir))
+    val parent = new Path(root(s) + "/" + md5hex(canonical(s, dir)))
     val fs = fsOf(s, parent)
     try fs.listStatus(parent).foreach { st =>
       val n = st.getPath.getName.stripSuffix(".parquet")

@@ -1295,7 +1295,14 @@ object Similarity {
       // theirs by the embeddings FILE path they were constructed with —
       // and drift is exactly the staleness the file fingerprint cannot
       // see, so a root-only sweep would leave every serving replica
-      // reloading pre-drift geometry as lastIvfSource="artifact"
+      // reloading pre-drift geometry as lastIvfSource="artifact".
+      // Namespace keys are CANONICALIZED inside Artifacts (review pass
+      // 2: qualified-path md5, so slash/relative spellings of one
+      // location share one namespace); the "/embeddings.parquet" leaf
+      // is the Tables layout every vector reader in this engine uses —
+      // driftDecision itself resolves the corpus through it, so a
+      // deployment serving a differently-laid-out store is already
+      // outside this function's corpus contract
       val namespaces = Seq(dir, dir.stripSuffix("/") + "/embeddings.parquet")
       namespaces.foreach { ns =>
         Artifacts.invalidate(s, ns, VectorIndexArtifacts: _*)

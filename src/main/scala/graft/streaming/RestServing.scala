@@ -316,8 +316,11 @@ class FederatedRestServing(spark: SparkSession, storePath: String,
       if (path != "/state/reload")
         HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
       else reloadFuture().thenApply { _ =>
-        val gen = generation
-        (200, s"""{"reloaded":true,"keys":$hotSize,"generation":"$gen"}""",
+        // ONE holder read (review r19 pass 2): generation + size from
+        // the same shard — a concurrent reload between two volatile
+        // reads would pair G1's stamp with G2's count
+        val (gen, sh) = hot
+        (200, s"""{"reloaded":true,"keys":${sh.keyCount},"generation":"$gen"}""",
           Map(HttpJsonServer.GenerationHeader -> gen))
       }
     })
@@ -1649,9 +1652,11 @@ class FederatedSearchServing(spark: SparkSession, documentsPath: String,
       if (path != "/search/reload")
         HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
       else reloadFuture().thenApply { _ =>
-        val gen = generation
-        (200, s"""{"reloaded":true,"terms":$hotSize,"generation":"$gen"}""",
-          Map(HttpJsonServer.GenerationHeader -> gen))
+        // one holder read: stamp and count from the same shard
+        val sh = shard
+        (200, s"""{"reloaded":true,"terms":${sh.stats.size},"generation":"${
+          sh.gen}"}""",
+          Map(HttpJsonServer.GenerationHeader -> sh.gen))
       }
     })
     // fleet reload: this instance + every peer concurrently, per-host
@@ -1928,10 +1933,11 @@ class FederatedDedupServing(spark: SparkSession, documentsPath: String,
       if (path != "/dedup/reload")
         HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
       else reloadFuture().thenApply { _ =>
-        val (h, b) = hotSize
-        (200, s"""{"reloaded":true,"hashes":$h,"buckets":$b,"generation":"${
-          generation}"}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        // one holder read: stamp and counts from the same shard
+        val (gen, h, b) = shard
+        (200, s"""{"reloaded":true,"hashes":${h.size},"buckets":${
+          b.size},"generation":"$gen"}""",
+          Map(HttpJsonServer.GenerationHeader -> gen))
       }
     })
     // fleet reload: this instance + every peer concurrently, per-host
@@ -2459,39 +2465,40 @@ private[streaming] object HotKv {
       .USE_BIG_DECIMAL_FOR_FLOATS)
     .build()
 
-  /** Byte-exact top-level element slices of a JSON array body (review
-    * r19 #2: re-rendering a parsed node normalizes number text —
-    * "1.20" → 1.2, "1.0E-5" → plain notation — and the naive
-    * `(?<=\}),(?=\{)` regex splits inside string values containing
-    * "},{"). The streaming parser reports each element's exact char
-    * offsets, so the rendered rows the coordinator merges are the
-    * owner's ORIGINAL bytes. */
-  private def rawElements(body: String): Seq[String] = {
+  /** ONE streaming pass over a peer-partial body, yielding each
+    * top-level element as (parsed node, byte-exact source slice).
+    * The slice matters (review r19 #2): re-rendering a parsed node
+    * normalizes number text — "1.20" → 1.2, sci-notation doubles →
+    * plain — and the naive `(?<=\}),(?=\{)` regex splits inside string
+    * values containing "},{"; the parser's token offsets slice the
+    * owner's ORIGINAL bytes. The node rides out of the SAME pass
+    * (review pass 2: a separate readTree per slice tokenized every
+    * element twice). */
+  private def parsedElements(body: String)
+      : Seq[(com.fasterxml.jackson.databind.JsonNode, String)] = {
     import com.fasterxml.jackson.core.JsonToken
     val p = jackson.getFactory.createParser(body)
+    p.setCodec(jackson)
     try {
       if (p.nextToken() != JsonToken.START_ARRAY)
         throw new IllegalStateException("peer partial is not a JSON array")
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var depth = 0
-      var start = -1L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(com.fasterxml.jackson.databind.JsonNode, String)]
       var done = false
       while (!done) {
         val tok = p.nextToken()
         if (tok == null)
           throw new IllegalStateException("truncated peer partial")
-        else if (depth == 0 && tok == JsonToken.END_ARRAY) done = true
-        else tok match {
-          case JsonToken.START_OBJECT =>
-            if (depth == 0) start = p.currentTokenLocation().getCharOffset
-            depth += 1
-          case JsonToken.END_OBJECT =>
-            depth -= 1
-            if (depth == 0)
-              out += body.substring(start.toInt,
-                p.currentTokenLocation().getCharOffset.toInt + 1)
-          case _ => ()
-        }
+        else if (tok == JsonToken.END_ARRAY) done = true
+        else if (tok == JsonToken.START_OBJECT) {
+          val start = p.currentTokenLocation().getCharOffset
+          val node = p.readValueAsTree[com.fasterxml.jackson.databind.JsonNode]()
+          // after readValueAsTree the current token is the matching
+          // END_OBJECT — its offset closes the slice
+          out += ((node, body.substring(start.toInt,
+            p.currentTokenLocation().getCharOffset.toInt + 1)))
+        } else throw new IllegalStateException(
+          s"unexpected $tok in peer partial")
       }
       out.toSeq
     } finally p.close()
@@ -2508,8 +2515,7 @@ private[streaming] object HotKv {
       : Seq[(Any, Any, String)] = {
     val vi = sh.names.indexOf(valueCol)
     val ki = sh.names.indexOf(keyCol)
-    rawElements(body).map { s =>
-      val nd = jackson.readTree(s)
+    parsedElements(body).map { case (nd, s) =>
       (nodeCanon(nd.get(valueCol), sh.types(vi)),
         nodeCanon(nd.get(keyCol), sh.types(ki)), s)
     }
@@ -2823,9 +2829,13 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       if (path != "/ann/reload")
         HttpJsonServer.done((404, """{"error":"not found"}""", Map.empty))
       else reloadFuture().thenApply { _ =>
-        (200, s"""{"reloaded":true,"vectors":$hotSize,"generation":"${
-          generation}"}""",
-          Map(HttpJsonServer.GenerationHeader -> generation))
+        // one holder read: stamp and member count from the same shard
+        val sh = vshard
+        var nMembers = 0
+        sh.hotCells.values.forEach(a => nMembers += a.length)
+        (200, s"""{"reloaded":true,"vectors":$nMembers,"generation":"${
+          sh.generation}"}""",
+          Map(HttpJsonServer.GenerationHeader -> sh.generation))
       }
     })
     // fleet reload: this instance + every peer concurrently, per-host

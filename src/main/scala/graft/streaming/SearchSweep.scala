@@ -135,9 +135,6 @@ object SearchSweep {
       f""""cap_$cap":{"recall10_tfidf":${meanOf(queries, tfShard, false)}%.3f,"recall10_bm25":${meanOf(queries, bmShard, true)}%.3f,"recall10_bm25_tfhead":${meanOf(queries, tfShard, true)}%.3f,$perClass}"""
     }
 
-    // closing-window probes (the Bench/ServingBench discipline): both
-    // calib probes gate the exit, both load windows set the warning
-    val calibEnd = graft.Calib.runRounded(spark)
     // ── the df-PROPORTIONAL cap lever (VERDICT r18 next #6) ──────────
     // The realistic-class result motivates it: mid-df terms carry REAL
     // idf and truncated heads (the top-24 heavy terms' idf is
@@ -172,8 +169,13 @@ object SearchSweep {
         meanOf(zipf, flatEq._3, false)}%.3f}"""
     }
 
+    // closing-window probes AFTER every measured build (review r19 pass
+    // 2: the lever arm briefly ran between the probes, where degradation
+    // was invisible to the calib gate): both calib probes gate the
+    // exit, both load windows set the warning
+    val calibEnd = graft.Calib.runRounded(spark)
     val loadEnd = load1
-    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},${levers.mkString(",")},"calib_sec":$calib,"calib_sec_end":$calibEnd,"calib_warning":${graft.Calib.warning(calib, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 4}}""")
+    println(f"""{"metric":"search_hot_recall","unit":"recall@10","n_docs":$nDocs,"vocab_top_df":$maxDf,"n_queries":${queries.size},${rows.mkString(",")},${levers.mkString(",")},"calib_sec":$calib,"calib_sec_end":$calibEnd,"calib_warning":${graft.Calib.warning(calib, calibEnd)},"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"load_warning":${loadStart > 4 || loadEnd > 12}}""")
     spark.stop()
     graft.Calib.enforce(calib, calibEnd)
   }

@@ -614,4 +614,20 @@ class ArtifactsSpec extends SparkSpec {
     info(s"in-dist: $same")
     info(s"drifted: $shifted")
   }
+
+  test("namespace keys are spelling-invariant (canonical qualified path)") {
+    // review r19 pass 2: the namespace is an md5 of the corpus path, so
+    // before canonicalization a trailing slash, a doubled slash, or a
+    // relative spelling of the SAME location keyed disjoint namespaces —
+    // artifacts written under one spelling escaped invalidation sweeps
+    // issued under another. All spellings must share one artifact path.
+    val base = Artifacts.path(spark, dir, "x")
+    Seq(dir + "/", "/root/testdata//sf0.001", "/root//testdata/sf0.001/")
+      .foreach { sp =>
+        assert(Artifacts.path(spark, sp, "x") === base,
+          s"spelling '$sp' must share the canonical namespace")
+      }
+    // and a DIFFERENT location still keys a different namespace
+    assert(Artifacts.path(spark, "/root/testdata/sf0.01", "x") !== base)
+  }
 }
