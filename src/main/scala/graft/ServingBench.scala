@@ -28,7 +28,13 @@ import graft.streaming.{RestServing, Serving}
   *
   * Output: ONE JSON line with per-mode p50/p95/max/mean milliseconds.
   * Knobs: SPARK_GRAFT_SERV_LOOKUPS (default 50), SPARK_GRAFT_SF_DIR,
-  * SPARK_GRAFT_CPUS. Like Bench: `load_warning` when load1_start > 4.
+  * SPARK_GRAFT_CPUS. Like Bench: `load_warning` when load1_start > 4
+  * OR load1_end > 12 — the end threshold is self-load-aware here too
+  * (the closing probe reads this bench's own 8-instance fleet phase:
+  * committed r17/r18/r19 captures read load1_end 11.1/7.6/6.9-8.2 on
+  * demonstrably calib-clean runs, and the decade run 13.1 at calib-end
+  * 0.68). The calib probe pair stays the primary contamination gate
+  * for the ~ms rows (BASELINE calib↔hot-latency relation).
   */
 object ServingBench {
 

@@ -72,15 +72,22 @@ object Artifacts {
     * filesystem normalizes slashes, resolves relative paths, and pins
     * the scheme, so every spelling of one location shares one
     * namespace. */
-  private def canonical(s: SparkSession, dir: String): String = {
-    val p = new Path(dir)
-    try fsOf(s, p).makeQualified(p).toString
-    catch { case _: Exception => p.toString } // malformed URI: Path-normalized
-  }
+  private def canonical(s: SparkSession, dir: String): String =
+    // Path construction itself rejects some strings (empty, odd colons)
+    // — inside the try so this stays a total function of the input like
+    // the raw-md5 key it replaced; a malformed dir keys its raw string.
+    try { val p = new Path(dir); fsOf(s, p).makeQualified(p).toString }
+    catch { case _: Exception => dir }
+
+  /** ONE namespace-directory derivation — [[path]] and
+    * [[invalidateByPrefix]] must agree on the key or artifacts escape
+    * prefix sweeps (the disjoint-namespace bug shape). */
+  private def namespaceDir(s: SparkSession, dir: String): String =
+    root(s) + "/" + md5hex(canonical(s, dir))
 
   /** The artifact table's path for (corpus, name). */
   def path(s: SparkSession, dir: String, name: String): String =
-    root(s) + "/" + md5hex(canonical(s, dir)) + "/" + name + ".parquet"
+    namespaceDir(s, dir) + "/" + name + ".parquet"
 
   /** Corpus content fingerprint — the staleness key every artifact is
     * validated against. Folds the corpus dir's file inventory (relative
@@ -175,6 +182,25 @@ object Artifacts {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // concurrent winner adopted
     else sweepNestedTmp(fs, dst)
+    sweepLegacyNamespace(s, fs, dir)
+  }
+
+  /** Remove this corpus's PRE-CANONICALIZATION namespace dir, if one
+    * exists: before the namespace key was the qualified path, it was
+    * the raw dir string, so a store written by older code holds this
+    * corpus's artifacts under `md5(raw)` — addressed by nothing since
+    * the key change ("fresh by manifest, addressed by nothing", the
+    * orphan shape [[invalidateByPrefix]] documents). Swept on every
+    * write under the SAME raw spelling, which is how an in-place
+    * upgrade re-encounters its own legacy namespace. */
+  private def sweepLegacyNamespace(s: SparkSession, fs: FileSystem,
+      dir: String): Unit = {
+    val legacy = md5hex(dir)
+    if (legacy != md5hex(canonical(s, dir))) {
+      val p = new Path(root(s) + "/" + legacy)
+      try if (fs.exists(p)) fs.delete(p, true)
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
   }
 
   /** Remove any `.tmp-*` dir that a lost rename race nested inside the
@@ -203,7 +229,7 @@ object Artifacts {
     * orphaned forever — fresh by manifest, addressed by nothing). */
   def invalidateByPrefix(s: SparkSession, dir: String, prefix: String,
       keep: String): Unit = {
-    val parent = new Path(root(s) + "/" + md5hex(canonical(s, dir)))
+    val parent = new Path(namespaceDir(s, dir))
     val fs = fsOf(s, parent)
     try fs.listStatus(parent).foreach { st =>
       val n = st.getPath.getName.stripSuffix(".parquet")

@@ -2653,12 +2653,16 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
 
   @volatile private var vshard: VecShard = _
 
-  /** Owned-shard member count — the memory-∝-owned-cells evidence. */
-  def hotSize: Int = {
+  /** Member count of ONE shard snapshot — shared by [[hotSize]] and
+    * the reload response so the two counts can never drift. */
+  private def memberCount(sh: VecShard): Int = {
     var n = 0
-    vshard.hotCells.values.forEach(a => n += a.length)
+    sh.hotCells.values.forEach(a => n += a.length)
     n
   }
+
+  /** Owned-shard member count — the memory-∝-owned-cells evidence. */
+  def hotSize: Int = memberCount(vshard)
 
   /** The owned shard's generation — the corpus fingerprint at load. */
   def generation: String = vshard.generation
@@ -2831,9 +2835,7 @@ class FederatedVectorServing(spark: SparkSession, embeddingsPath: String,
       else reloadFuture().thenApply { _ =>
         // one holder read: stamp and member count from the same shard
         val sh = vshard
-        var nMembers = 0
-        sh.hotCells.values.forEach(a => nMembers += a.length)
-        (200, s"""{"reloaded":true,"vectors":$nMembers,"generation":"${
+        (200, s"""{"reloaded":true,"vectors":${memberCount(sh)},"generation":"${
           sh.generation}"}""",
           Map(HttpJsonServer.GenerationHeader -> sh.generation))
       }

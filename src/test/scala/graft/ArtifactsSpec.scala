@@ -630,4 +630,23 @@ class ArtifactsSpec extends SparkSpec {
     // and a DIFFERENT location still keys a different namespace
     assert(Artifacts.path(spark, "/root/testdata/sf0.01", "x") !== base)
   }
+
+  test("a write sweeps the corpus's pre-canonicalization legacy namespace") {
+    // before the canonical key, the namespace was md5(raw dir string):
+    // a store written by older code holds this corpus's artifacts there,
+    // addressed by nothing since the key change. Any write under the
+    // same raw spelling must remove that orphaned namespace dir.
+    withArtifacts { tmp =>
+      def md5(v: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val legacy = new java.io.File(tmp, md5(dir))
+      assert(legacy.mkdirs())
+      val orphan = new java.io.File(legacy, "orphan.txt")
+      java.nio.file.Files.writeString(orphan.toPath, "stale")
+      Artifacts.write(spark, dir, "sweep_probe", spark.range(3).toDF("id"))
+      assert(!legacy.exists, "legacy raw-key namespace must be swept")
+      assert(Artifacts.exists(spark, dir, "sweep_probe"),
+        "the canonical-key write itself must land")
+    }
+  }
 }
