@@ -956,6 +956,22 @@ object OracleSql {
          |ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
     },
+    // cross-source duplicate attribution: the d6 pair set rolled up to
+    // source-pair grain (pair endpoints attributed, least/greatest
+    // canonicalization so (A,B) and (B,A) are one cell)
+    "d17_crosssource_dup" ->
+      (s"""WITH $simhashCtes,
+         |buckets AS (SELECT b AS band, (simhash >> (b * 8)) & 255 AS bucket, doc_id, simhash
+         |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bands(b)),
+         |p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM buckets l JOIN buckets r
+         |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS src_a,
+         |  greatest(x.source, y.source) AS src_b, count(*) AS n_pairs
+         |FROM p JOIN src x ON p.doc_a = x.doc_id JOIN src y ON p.doc_b = y.doc_id
+         |GROUP BY 1, 2""".stripMargin),
     "d7_ngram_jaccard" ->
       (s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS w
          |  FROM documents WHERE doc_id % 20 = 0 AND doc_id < ${Dedup.JaccardAuditCap}),
@@ -1748,6 +1764,45 @@ object OracleSql {
          |WHERE bucket * 1000000 < rate_ppm * 65536
          |GROUP BY source""".stripMargin
     },
+    // Gopher rule-based quality filter: integer-exact keep predicate
+    // (10·n_symbols ≤ n_words instead of ratio ≤ 0.1 — the t18 rule),
+    // ratios are 6-dp presentation values off the same integers
+    "t31_gopher_rules" -> {
+      val stops = graft.ops.TextAnalysis.GopherStopwords
+        .map(w => s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val minW = graft.ops.TextAnalysis.GopherMinWords
+      val maxW = graft.ops.TextAnalysis.GopherMaxWords
+      s"""WITH w AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(text), '$ws+'), y -> length(y) > 0) AS words,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum([length(y) for y in words]), 0) AS BIGINT) AS len_sum,
+         |    CAST(len(list_filter(words, y -> regexp_matches(y, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, y -> regexp_matches(y, '^[ \\t]*[-*\u2022]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, y -> ends_with(y, '...'))) AS BIGINT) AS n_ellipsis,
+         |    ($stops) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words,
+         |  round(CAST(len_sum AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
+         |  round(CAST(n_symbols AS DOUBLE) / greatest(n_words, 1), 6) AS symbol_ratio,
+         |  round(CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1), 6) AS bullet_frac,
+         |  round(CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1), 6) AS ellipsis_frac,
+         |  round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 6) AS alpha_frac,
+         |  stop_hits,
+         |  CASE WHEN n_words >= $minW AND n_words <= $maxW
+         |    AND len_sum >= 3 * n_words AND len_sum <= 10 * n_words
+         |    AND 10 * n_symbols <= n_words
+         |    AND 10 * n_bullet <= 9 * n_lines
+         |    AND 10 * n_ellipsis <= 3 * n_lines
+         |    AND 5 * n_alpha >= 4 * n_words
+         |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin
+    },
     "t19_inverted_index" -> {
       val top = graft.ops.TextAnalysis.IndexTopDocs
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
@@ -2354,6 +2409,29 @@ object OracleSql {
          |  CAST(sum(n_kept) AS BIGINT) AS total_kept_tokens,
          |  round(avg(boiler_ratio), 6) AS avg_boiler
          |FROM surv GROUP BY lang""".stripMargin),
+    // training-mix epoch planner: integer sqrt weights, 64-bit integer
+    // div/ppm arithmetic throughout (no float sum-order or pow drift)
+    "c23_epoch_plan" -> {
+      val bx = graft.ops.Composites.EpochBudgetX
+      val capPpm = graft.ops.Composites.MaxEpochsPpm
+      val capX = capPpm / 1000000L
+      s"""WITH d AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(trim(text), '$ws+'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, tokens,
+         |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_s FROM d),
+         |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+         |    CAST($bx * sum(tokens) AS BIGINT) AS budget FROM w)
+         |SELECT source, n_docs, tokens,
+         |  (w_s * 1000000) // greatest(w_tot, 1) AS weight_ppm,
+         |  (budget * w_s) // greatest(w_tot, 1) AS target_tokens,
+         |  least($capPpm, ((budget * w_s) // greatest(w_tot, 1)) * 1000000
+         |    // greatest(tokens, 1)) AS epochs_ppm,
+         |  least(tokens * $capX, (budget * w_s) // greatest(w_tot, 1)) AS alloc_tokens,
+         |  CASE WHEN ((budget * w_s) // greatest(w_tot, 1)) * 1000000
+         |    // greatest(tokens, 1) >= $capPpm THEN 1 ELSE 0 END AS capped
+         |FROM w CROSS JOIN tot""".stripMargin
+    },
     // the funnel's survivors packed into training bins (c10 ∘ t17)
     "c11_prep_packed" -> {
       val cap = graft.ops.TextAnalysis.PackCapacity

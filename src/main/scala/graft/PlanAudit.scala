@@ -126,6 +126,15 @@ object PlanAudit {
       ("t30_alpha_mixture", "the α-temperature sampler keeps t18's plan shape exactly: one map-side-combined totals aggregate, ONE one-row broadcast carrying BOTH scalars (min and the Σ T^α normalizer) on the zero key, and one corpus pass for the ppm-integer keep predicate — the temperature knob adds per-source column arithmetic, never a new shuffle or pairing",
         Seq("partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t31_gopher_rules", "the Gopher rule signals are ONE narrow projection over a single corpus scan — token and line arrays built once per row, every signal sliced off them, integer keep predicate — no shuffle, no window, no join anywhere in the plan",
+        Seq("FileScan parquet"),
+        Seq("Exchange hashpartitioning", "Window", "Join")),
+      ("c23_epoch_plan", "the epoch planner reads the corpus ONCE into a checkpointed source-grain aggregate (ExistingRDD — map-side partial_sum inside the checkpoint); the budget scalars fold in as a one-row broadcast on the non-foldable zero key (BroadcastHashJoin) and all planning arithmetic runs at source grain — zero parquet scans in the final plan, no re-scan at any corpus size",
+        Seq("ExistingRDD", "BroadcastHashJoin"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d17_crosssource_dup", "cross-source attribution runs at PAIR grain: the SimHash banding path's checkpointed fingerprints (ExistingRDD) generate candidates bucket-locally, the two doc_id→source joins see only the pair list (AQE picks broadcast vs shuffled-hash), and the rollup is a source-pair-grain hash aggregate — no all-pairs, no corpus-grain shuffle",
+        Seq("ExistingRDD", "HashAggregate"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c11_prep_packed", "the packing phase reads the MATERIALIZED survivor set (ExistingRDD — the funnel's gates ran once, in c10/the memo, not again here; production persists the cleaned corpus) and applies t17's two-level prefix scan: bucket-partitioned Window, map-side partial_sum, UN-hinted bucket-offset join keyed on the bucket the rows are already partitioned by (AQE owns broadcast-vs-shuffle) — no gate re-execution, no corpus-grain global sort",
         Seq("ExistingRDD", "Window", "partial_sum"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "LeftAnti")),

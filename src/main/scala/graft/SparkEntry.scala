@@ -100,6 +100,7 @@ object SparkEntry {
     "d14_substring_dup" -> (Dedup.substringDup _),
     "d15_substring_scrub" -> (Dedup.substringScrub _),
     "d16_delta_dedup"   -> (Dedup.deltaDedup _),
+    "d17_crosssource_dup" -> (Dedup.crossSourcePairs _),
     "c11_prep_packed" -> (Composites.prepPackedFunnel _),
     "c12_quality_report" -> (Composites.qualityReport _),
     "c13_leakage_split" -> (Composites.leakageSplit _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "t28_dsir_weights"  -> (TextAnalysis.dsirWeights _),
     "t29_token_ids"     -> (TextAnalysis.tokenIds _),
     "t30_alpha_mixture" -> (TextAnalysis.alphaMixture _),
+    "t31_gopher_rules"  -> (TextAnalysis.gopherRules _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
@@ -183,6 +185,7 @@ object SparkEntry {
     "c8_microservices"  -> (Composites.microservicesValidation _),
     "c9_email_routed"   -> (Composites.emailRouted _),
     "c10_prep_full"     -> (Composites.prepFullFunnel _),
+    "c23_epoch_plan"    -> (Composites.epochPlan _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

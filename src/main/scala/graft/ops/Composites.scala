@@ -895,4 +895,72 @@ object Composites {
           array_sort(collect_list(struct(col("ppl"), col("doc_id"), col("idstr")))),
           x => x.getField("idstr")), "|")).as("shard_hash"))
   }
+
+  // ---- training-mix epoch planner (c23) ------------------------------
+
+  /** Epoch planner knobs: the token budget is `EpochBudgetX ×` the
+    * corpus's own token count (a 2-epoch-average run), and no source may
+    * repeat more than `MaxEpochsPpm/1e6` = 4 epochs — the published
+    * repeat-tolerance ceiling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": ~4 epochs of repetition is close
+    * to free, beyond that returns decay rapidly). */
+  val EpochBudgetX = 2L
+  val MaxEpochsPpm = 4000000L
+
+  /** Training-mix epoch planner (c23): given the corpus's per-source
+    * token counts and a total token budget, decide how many EPOCHS of
+    * each source to run — the data-recipe step between corpus prep and
+    * shard packing (the LLaMA-style "sampling proportions" table).
+    * Source weights follow the sqrt rule (p_s ∝ √T_s — the α=0.5
+    * temperature point: upsamples small high-value sources without
+    * letting the largest crawl dominate), each source's allocation is
+    * capped at [[MaxEpochsPpm]], and `capped=1` marks sources whose
+    * uncapped share exceeded it (their surplus is visible as
+    * `target_tokens − alloc_tokens`; re-running the planner after
+    * dropping capped sources redistributes it — deliberately NOT done
+    * inside one query, matching how recipe iteration actually works).
+    *
+    * Determinism discipline: weights are INTEGER square roots
+    * (`floor(sqrt(T_s))` — exact for any count below 2^52) and every
+    * downstream quantity is 64-bit integer arithmetic (`div`, ppm
+    * units) — the t18 rule: no float sum-order or pow() drift between
+    * engine and oracle, ever.
+    *
+    * Scale shape: one map-side-combined aggregate to source grain
+    * (tiny), one one-row broadcast carrying the two corpus scalars, and
+    * all planning arithmetic at source grain — the corpus is read ONCE
+    * regardless of size. */
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlanFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[epochPlan]] — any (source, text). */
+  def epochPlanFrame(documents: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), TextAnalysis.Ws + "+")).cast(LongType)
+    val perSource = documents
+      .select(col("source"), nTok.as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      .withColumn("w_s", floor(sqrt(col("tokens").cast("double"))).cast(LongType))
+      // source grain — tiny at any corpus size; checkpointed so the corpus
+      // totals derivation below reads it instead of re-scanning the corpus
+      .localCheckpoint()
+    val tot = perSource.agg(
+        sum(col("w_s")).as("w_tot"),
+        (sum(col("tokens")) * lit(EpochBudgetX)).as("budget"))
+      // non-foldable zero key → BroadcastHashJoin, the t18 scalar-fold shape
+      .withColumn("jk", (col("w_tot") * 0).cast(LongType))
+    perSource.withColumn("jk", col("tokens") * 0)
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("weight_ppm", expr("w_s * 1000000 div greatest(w_tot, 1)"))
+      .withColumn("target_tokens", expr("budget * w_s div greatest(w_tot, 1)"))
+      .withColumn("epochs_raw_ppm",
+        expr("target_tokens * 1000000 div greatest(tokens, 1)"))
+      .select(
+        col("source"), col("n_docs"), col("tokens"), col("weight_ppm"),
+        col("target_tokens"),
+        least(lit(MaxEpochsPpm), col("epochs_raw_ppm")).as("epochs_ppm"),
+        least(col("tokens") * lit(MaxEpochsPpm / 1000000L), col("target_tokens"))
+          .as("alloc_tokens"),
+        when(col("epochs_raw_ppm") >= MaxEpochsPpm, 1).otherwise(0).as("capped"))
+  }
 }

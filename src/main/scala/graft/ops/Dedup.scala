@@ -841,4 +841,39 @@ object Dedup {
         when(col("exact_partner").isNotNull, 1.0)
           .otherwise(col("near_est")).as("est_jaccard"))
   }
+
+  // ---- cross-source duplicate attribution (d17) ----------------------
+
+  /** Cross-source near-duplicate attribution (d17): which source pairs
+    * overlap, and by how much — the crawl-audit rollup a corpus curator
+    * reads before deciding which feed to drop (two crawls of the same
+    * site show up as one heavy off-diagonal cell; within-source
+    * boilerplate shows up on the diagonal). Pairs come from the SimHash
+    * banding path ([[simhashPairs]] — hamming ≤ 3, bucketed candidate
+    * generation, never all-pairs); each endpoint is attributed to its
+    * source and the pair canonicalized (`least/greatest`) so (A,B) and
+    * (B,A) are one cell.
+    *
+    * Scale shape: the pair list is orders of magnitude smaller than the
+    * corpus (it exists precisely because duplicates are the minority),
+    * so the two doc_id→source attribution joins run at PAIR grain — AQE
+    * picks broadcast vs shuffled-hash by the actual pair count — and the
+    * final rollup is source-pair grain (tiny at any corpus size). */
+  def crossSourcePairs(s: SparkSession, dir: String): DataFrame =
+    crossSourcePairsFrame(
+      simhashPairs(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  /** Frame-level form of [[crossSourcePairs]]: `pairs` (doc_a, doc_b),
+    * `sources` (doc_id, source). */
+  def crossSourcePairsFrame(pairs: DataFrame, sources: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(sources.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(sources.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
 }

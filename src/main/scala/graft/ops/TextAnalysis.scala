@@ -1622,4 +1622,78 @@ object TextAnalysis {
         when(col("lr_micro") >= DsirTauMicro, 1).otherwise(0))
       .select(col("doc_id"), col("n_bigrams"), col("lr_micro"), col("selected"))
   }
+
+  // ---- Gopher rule-based quality filter (t31) ------------------------
+
+  /** Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+    * Models", Appendix A — the published rule-based filter every large
+    * English pretraining corpus since has started from). Word-count
+    * bounds, mean-word-length band, symbol/word and bullet/ellipsis line
+    * caps, alpha-word floor, required-stopword minimum. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Rule-based quality filter (t31): the Gopher heuristics as one
+    * per-document pass. Every signal is a codegen'd column expression
+    * over ONE whitespace-token array and ONE line array built per row —
+    * no UDFs, no shuffle (the operator is embarrassingly parallel and
+    * scales with input splits; output is document-grain).
+    *
+    * The KEEP decision is computed in PURE INTEGER arithmetic
+    * (`10·n_symbols ≤ n_words` rather than `ratio ≤ 0.1` — the t18
+    * integer-ppm discipline), so the decision can never drift between
+    * this engine and the DuckDB oracle on a float rounding boundary; the
+    * reported ratio columns are 6-dp presentation values derived from
+    * the same integers. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesFrame(Tables.documents(s, dir))
+
+  /** Frame-level form of [[gopherRules]] — any (doc_id, text). */
+  def gopherRulesFrame(documents: DataFrame): DataFrame = {
+    val words = filter(split(trim(col("text")), Ws + "+"), w => length(w) > 0)
+    val lines = split(col("text"), "\n")
+    val stopHits = GopherStopwords
+      .map(w => when(lower(col("text")).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    // token/line arrays built ONCE per row, every signal sliced off them
+    val withArrays = documents
+      .select(col("doc_id"), col("text"), words.as("words"), lines.as("lines"))
+    val nw = greatest(col("n_words"), lit(1L))
+    val nl = greatest(col("n_lines"), lit(1L))
+    withArrays.select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        aggregate(col("words"), lit(0L), (acc, w) => acc + length(w)).as("len_sum"),
+        size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+          .cast("long").as("n_symbols"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => l.rlike("^[ \\t]*[-*\u2022]")))
+          .cast("long").as("n_bullet"),
+        // ends_with, not a `$`-anchored regex: Java's `$` also matches
+        // before a final \r line terminator, RE2's does not — suffix
+        // equality is the one semantics both engines share exactly
+        size(filter(col("lines"), l => endswith(l, lit("..."))))
+          .cast("long").as("n_ellipsis"),
+        stopHits.as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("len_sum").cast("double") / nw, 6).as("mean_word_len"),
+        round(col("n_symbols").cast("double") / nw, 6).as("symbol_ratio"),
+        round(col("n_bullet").cast("double") / nl, 6).as("bullet_frac"),
+        round(col("n_ellipsis").cast("double") / nl, 6).as("ellipsis_frac"),
+        round(col("n_alpha").cast("double") / nw, 6).as("alpha_frac"),
+        col("stop_hits"),
+        when(
+          col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords
+            && col("len_sum") >= lit(3L) * col("n_words")
+            && col("len_sum") <= lit(10L) * col("n_words")
+            && lit(10L) * col("n_symbols") <= col("n_words")
+            && lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")
+            && lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines")
+            && lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")
+            && col("stop_hits") >= 2, 1).otherwise(0).as("keep"))
+  }
 }

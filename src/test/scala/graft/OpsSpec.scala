@@ -867,4 +867,22 @@ class OpsSpec extends SparkSpec {
       else assert(got(id) === exp, s"doc $id counts")
     }
   }
+
+  test("d17: crossSourcePairs canonicalizes source cells and conserves the pair count") {
+    import spark.implicits._
+    // synthetic graph: (a,b) arrives in both orientations and must land in
+    // ONE cell; a within-source pair lands on the diagonal
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val sources = Seq((1L, "webA"), (2L, "wiki"), (3L, "webA"), (4L, "wiki"), (5L, "wiki"))
+      .toDF("doc_id", "source")
+    val cells = Dedup.crossSourcePairsFrame(pairs, sources)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === Map(("webA", "wiki") -> 2L, ("wiki", "wiki") -> 1L))
+    // real corpus: the rollup conserves the SimHash pair count exactly and
+    // every cell is canonically ordered
+    val full = Dedup.crossSourcePairs(spark, sf001).collect()
+    val nPairs = Dedup.simhashPairs(spark, sf001).count()
+    assert(full.map(_.getLong(2)).sum === nPairs, "pair count conserved")
+    full.foreach(r => assert(r.getString(0) <= r.getString(1), "cell order"))
+  }
 }

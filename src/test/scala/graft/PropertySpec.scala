@@ -466,4 +466,105 @@ class PropertySpec extends SparkSpec {
         s"vector $id: err $err above the half-step bound $bound")
     }
   }
+
+  test("t31: gopherRules signals match an independent recompute; crafted docs " +
+      "keep/drop for the intended reasons") {
+    import spark.implicits._
+    val good = Seq.fill(4)("the data pipeline reads and filters documents " +
+      "with care that should have been good to keep").mkString(" ")
+    val boundary3 = (Seq.fill(24)("abc") ++ Seq("the", "and") ++ Seq.fill(24)("xyz"))
+      .mkString(" ") // 50 words, every length exactly 3: mean-len lower edge
+    val docs = Seq(
+      1L -> good,                                        // keeps
+      2L -> "the cat sat",                               // too short
+      3L -> Seq.fill(20)("- the item one").mkString("\n"), // bullet lines
+      4L -> Seq.fill(30)("# header the").mkString(" "),  // symbol-heavy
+      5L -> ("the of " + Seq.tabulate(60)(i => (10000 + i).toString).mkString(" ")),
+      6L -> Seq.fill(10)("the story continues...").mkString("\n"),
+      7L -> "",                                          // empty
+      8L -> boundary3)                                   // boundary keep
+    val got = graft.ops.TextAnalysis.gopherRulesFrame(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent recompute with plain JVM string ops
+    val bulletRe = java.util.regex.Pattern.compile("^[ \\t]*[-*\u2022]")
+    val symRe = java.util.regex.Pattern.compile("#|\\.\\.\\.")
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
+      val lines = text.split("\n", -1)
+      val nW = words.length.toLong
+      val lenSum = words.map(_.length.toLong).sum
+      val nAlpha = words.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong
+      val sm = symRe.matcher(text)
+      var nSym = 0L; while (sm.find()) nSym += 1
+      val nLines = lines.length.toLong
+      val nBullet = lines.count(l => bulletRe.matcher(l).find()).toLong
+      val nEll = lines.count(_.endsWith("...")).toLong
+      val stopHits = graft.ops.TextAnalysis.GopherStopwords.count(w =>
+        java.util.regex.Pattern.compile("\\b" + w + "\\b")
+          .matcher(text.toLowerCase).find())
+      val keep = if (nW >= 50 && nW <= 100000 &&
+        lenSum >= 3 * nW && lenSum <= 10 * nW &&
+        10 * nSym <= nW && 10 * nBullet <= 9 * nLines &&
+        10 * nEll <= 3 * nLines && 5 * nAlpha >= 4 * nW && stopHits >= 2) 1 else 0
+      val r = got(id)
+      assert(r.getLong(1) === nW, s"doc $id n_words")
+      assert(math.abs(r.getDouble(2) - lenSum.toDouble / math.max(nW, 1)) < 1e-6,
+        s"doc $id mean_word_len")
+      assert(math.abs(r.getDouble(3) - nSym.toDouble / math.max(nW, 1)) < 1e-6,
+        s"doc $id symbol_ratio")
+      assert(math.abs(r.getDouble(4) - nBullet.toDouble / math.max(nLines, 1)) < 1e-6,
+        s"doc $id bullet_frac")
+      assert(math.abs(r.getDouble(5) - nEll.toDouble / math.max(nLines, 1)) < 1e-6,
+        s"doc $id ellipsis_frac")
+      assert(math.abs(r.getDouble(6) - nAlpha.toDouble / math.max(nW, 1)) < 1e-6,
+        s"doc $id alpha_frac")
+      assert(r.getInt(7) === stopHits, s"doc $id stop_hits")
+      assert(r.getInt(8) === keep, s"doc $id keep")
+    }
+    // and the crafted intents held: which rule fired is part of the contract
+    assert(got(1L).getInt(8) === 1 && got(8L).getInt(8) === 1)
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(id =>
+      assert(got(id).getInt(8) === 0, s"doc $id should drop"))
+  }
+
+  test("c23: epochPlan is integer-exact against a BigInt recompute; caps and " +
+      "budget conservation hold") {
+    import spark.implicits._
+    // controlled token counts: split(trim, ws+) counts words, so a doc of
+    // n space-separated tokens contributes exactly n
+    def doc(n: Int): String = Seq.fill(n)("tok").mkString(" ")
+    val docs =
+      Seq.fill(2)("a" -> doc(10)) ++ Seq.fill(10)("b" -> doc(100)) ++ Seq("c" -> doc(4))
+    val df = docs.zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Composites.epochPlanFrame(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val toks = Map("a" -> 20L, "b" -> 1000L, "c" -> 4L)
+    val w = toks.map { case (s2, t) => s2 -> math.sqrt(t.toDouble).toLong }
+    val wTot = w.values.sum
+    val budget = graft.ops.Composites.EpochBudgetX * toks.values.sum
+    val cap = graft.ops.Composites.MaxEpochsPpm
+    toks.foreach { case (src, t) =>
+      val r = got(src)
+      val target = budget * w(src) / wTot
+      val raw = target * 1000000L / t
+      assert(r.getLong(2) === t, s"$src tokens")
+      assert(r.getLong(3) === w(src) * 1000000L / wTot, s"$src weight_ppm")
+      assert(r.getLong(4) === target, s"$src target_tokens")
+      assert(r.getLong(5) === math.min(cap, raw), s"$src epochs_ppm")
+      assert(r.getLong(6) === math.min(t * (cap / 1000000L), target), s"$src alloc")
+      assert(r.getInt(7) === (if (raw >= cap) 1 else 0), s"$src capped")
+      // no source ever exceeds the epoch ceiling, and allocation never
+      // exceeds the uncapped ask
+      assert(r.getLong(5) <= cap && r.getLong(6) <= r.getLong(4))
+    }
+    // the tiny sources hit the repeat ceiling, the big one does not
+    assert(got("a").getInt(7) === 1 && got("c").getInt(7) === 1)
+    assert(got("b").getInt(7) === 0)
+    // floor-rounded weights still sum to ~1e6
+    val wSum = got.values.map(_.getLong(3)).sum
+    assert(wSum <= 1000000L && wSum >= 1000000L - 3)
+  }
 }
