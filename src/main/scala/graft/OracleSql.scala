@@ -35,6 +35,52 @@ object OracleSql {
   /** DECIMAL-exact sum of a 2-decimal double column, emitted as DOUBLE. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** The integer-exact Gopher keep decision as one boolean expression
+    * over a `text` column in scope — derived from the same constants as
+    * TextAnalysis.gopherKeepWith so filter (c24, corpus profile) and
+    * report (t31, published profile) share one rule on both engines. */
+  private def gopherKeepSqlExpr(minWords: Long, stopwords: Seq[String]): String = {
+    val w = s"list_filter(string_split_regex(trim(text), '$ws+'), y -> length(y) > 0)"
+    val lines = "string_split(text, chr(10))"
+    val lenSum = s"CAST(COALESCE(list_sum([length(y) for y in $w]), 0) AS BIGINT)"
+    val stops = stopwords
+      .map(g => s"CASE WHEN regexp_matches(lower(text), '\\b$g\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""len($w) >= $minWords
+       | AND len($w) <= ${graft.ops.TextAnalysis.GopherMaxWords}
+       | AND $lenSum >= 3 * len($w) AND $lenSum <= 10 * len($w)
+       | AND 10 * len(regexp_extract_all(text, '#|\\.\\.\\.')) <= len($w)
+       | AND 10 * len(list_filter($lines, y -> regexp_matches(y, '^[ \\t]*[-*\u2022]')))
+       |   <= 9 * len($lines)
+       | AND 10 * len(list_filter($lines, y -> ends_with(y, '...'))) <= 3 * len($lines)
+       | AND 5 * len(list_filter($w, y -> regexp_matches(y, '[A-Za-z]'))) >= 4 * len($w)
+       | AND ($stops) >= 2""".stripMargin.replace("\n", "")
+  }
+
+  /** The c23 epoch-planner query over `relation` (optionally prefixed
+    * with extra CTEs — c24 injects the Gopher-filtered corpus). */
+  private def epochPlanSql(relation: String, pre: String = ""): String = {
+    val bx = graft.ops.Composites.EpochBudgetX
+    val capPpm = graft.ops.Composites.MaxEpochsPpm
+    val capX = capPpm / 1000000L
+    s"""WITH ${pre}d AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '$ws+'))) AS BIGINT) AS tokens
+       |  FROM $relation GROUP BY source),
+       |w AS (SELECT source, n_docs, tokens,
+       |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_s FROM d),
+       |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+       |    CAST($bx * sum(tokens) AS BIGINT) AS budget FROM w)
+       |SELECT source, n_docs, tokens,
+       |  (w_s * 1000000) // greatest(w_tot, 1) AS weight_ppm,
+       |  (budget * w_s) // greatest(w_tot, 1) AS target_tokens,
+       |  least($capPpm, ((budget * w_s) // greatest(w_tot, 1)) * 1000000
+       |    // greatest(tokens, 1)) AS epochs_ppm,
+       |  least(tokens * $capX, (budget * w_s) // greatest(w_tot, 1)) AS alloc_tokens,
+       |  CASE WHEN ((budget * w_s) // greatest(w_tot, 1)) * 1000000
+       |    // greatest(tokens, 1) >= $capPpm THEN 1 ELSE 0 END AS capped
+       |FROM w CROSS JOIN tot""".stripMargin
+  }
+
   private val nPerms = Dedup.NumPerms
   private val nBands = Dedup.Bands
   private val rowsPerBand = nPerms / nBands
@@ -1803,6 +1849,40 @@ object OracleSql {
          |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
          |FROM m""".stripMargin
     },
+    // Gopher repetition rules: per-row line/para/5-gram signals, modal
+    // bigram via (doc, gram) count; integer-exact keep decision
+    "t32_repetition_rules" ->
+      (s"""WITH tok AS (SELECT doc_id, $tokensSql AS t,
+         |    string_split(text, chr(10)) AS lines,
+         |    string_split_regex(text, '\\n\\n') AS paras
+         |  FROM documents),
+         |rs AS (SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_distinct(lines)) AS BIGINT) AS d_lines,
+         |    CAST(len(paras) AS BIGINT) AS n_paras,
+         |    CAST(len(list_distinct(paras)) AS BIGINT) AS d_paras,
+         |    CAST(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS total2,
+         |    CAST(CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END AS BIGINT) AS total5,
+         |    CAST(len(list_distinct(CASE WHEN len(t) >= 5
+         |      THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+         |      ELSE [] END)) AS BIGINT) AS d5
+         |  FROM tok),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    ELSE [] END) AS gm FROM tok),
+         |md AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS modal2 FROM
+         |  (SELECT doc_id, gm, count(*) AS cnt FROM g GROUP BY doc_id, gm)
+         |  GROUP BY doc_id)
+         |SELECT rs.doc_id, n_lines,
+         |  round(CAST(n_lines - d_lines AS DOUBLE) / greatest(n_lines, 1), 6) AS dup_line_frac,
+         |  round(CAST(n_paras - d_paras AS DOUBLE) / greatest(n_paras, 1), 6) AS dup_para_frac,
+         |  round(CAST(COALESCE(modal2, 0) AS DOUBLE) / greatest(total2, 1), 6) AS top_bigram_frac,
+         |  round(CAST(total5 - d5 AS DOUBLE) / greatest(total5, 1), 6) AS dup_5gram_frac,
+         |  CASE WHEN 10 * (n_lines - d_lines) <= 3 * n_lines
+         |    AND 10 * (n_paras - d_paras) <= 3 * n_paras
+         |    AND 5 * COALESCE(modal2, 0) <= total2
+         |    AND 20 * (total5 - d5) <= 3 * total5 THEN 1 ELSE 0 END AS keep
+         |FROM rs LEFT JOIN md ON rs.doc_id = md.doc_id""".stripMargin),
     "t19_inverted_index" -> {
       val top = graft.ops.TextAnalysis.IndexTopDocs
       s"""WITH tok AS (SELECT doc_id, $tokensSql AS t FROM documents),
@@ -2411,27 +2491,14 @@ object OracleSql {
          |FROM surv GROUP BY lang""".stripMargin),
     // training-mix epoch planner: integer sqrt weights, 64-bit integer
     // div/ppm arithmetic throughout (no float sum-order or pow drift)
-    "c23_epoch_plan" -> {
-      val bx = graft.ops.Composites.EpochBudgetX
-      val capPpm = graft.ops.Composites.MaxEpochsPpm
-      val capX = capPpm / 1000000L
-      s"""WITH d AS (SELECT source, count(*) AS n_docs,
-         |    CAST(sum(len(string_split_regex(trim(text), '$ws+'))) AS BIGINT) AS tokens
-         |  FROM documents GROUP BY source),
-         |w AS (SELECT source, n_docs, tokens,
-         |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_s FROM d),
-         |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
-         |    CAST($bx * sum(tokens) AS BIGINT) AS budget FROM w)
-         |SELECT source, n_docs, tokens,
-         |  (w_s * 1000000) // greatest(w_tot, 1) AS weight_ppm,
-         |  (budget * w_s) // greatest(w_tot, 1) AS target_tokens,
-         |  least($capPpm, ((budget * w_s) // greatest(w_tot, 1)) * 1000000
-         |    // greatest(tokens, 1)) AS epochs_ppm,
-         |  least(tokens * $capX, (budget * w_s) // greatest(w_tot, 1)) AS alloc_tokens,
-         |  CASE WHEN ((budget * w_s) // greatest(w_tot, 1)) * 1000000
-         |    // greatest(tokens, 1) >= $capPpm THEN 1 ELSE 0 END AS capped
-         |FROM w CROSS JOIN tot""".stripMargin
-    },
+    "c23_epoch_plan" -> epochPlanSql("documents"),
+    // the filter→mix composite: the identical planner over only the
+    // Gopher-kept documents (the integer keep predicate at the CORPUS
+    // profile as a WHERE — see TextAnalysis.GopherCorpusLexicon)
+    "c24_filtered_epochs" -> epochPlanSql("flt",
+      s"flt AS (SELECT * FROM documents WHERE ${gopherKeepSqlExpr(
+        graft.ops.TextAnalysis.GopherCorpusMinWords,
+        graft.ops.TextAnalysis.GopherCorpusLexicon)}),\n"),
     // the funnel's survivors packed into training bins (c10 ∘ t17)
     "c11_prep_packed" -> {
       val cap = graft.ops.TextAnalysis.PackCapacity

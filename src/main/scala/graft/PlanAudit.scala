@@ -132,6 +132,12 @@ object PlanAudit {
       ("c23_epoch_plan", "the epoch planner reads the corpus ONCE into a checkpointed source-grain aggregate (ExistingRDD — map-side partial_sum inside the checkpoint); the budget scalars fold in as a one-row broadcast on the non-foldable zero key (BroadcastHashJoin) and all planning arithmetic runs at source grain — zero parquet scans in the final plan, no re-scan at any corpus size",
         Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("c24_filtered_epochs", "the filtered planner keeps c23's shape exactly — the Gopher keep predicate rides the corpus pass INSIDE the checkpoint (one filtered scan), the final plan is source-grain arithmetic over ExistingRDD plus the zero-key scalar broadcast",
+        Seq("ExistingRDD", "BroadcastHashJoin"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t32_repetition_rules", "repetition signals are per-row array expressions on one corpus scan; only the modal-bigram count shuffles, keyed at (doc_id, bigram) grain with map-side combine (partial_count) then a doc-grain partial_max — no corpus-grain sort, no window, no all-pairs",
+        Seq("partial_count", "partial_max"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
       ("d17_crosssource_dup", "cross-source attribution runs at PAIR grain: the SimHash banding path's checkpointed fingerprints (ExistingRDD) generate candidates bucket-locally, the two doc_id→source joins see only the pair list (AQE picks broadcast vs shuffled-hash), and the rollup is a source-pair-grain hash aggregate — no all-pairs, no corpus-grain shuffle",
         Seq("ExistingRDD", "HashAggregate"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

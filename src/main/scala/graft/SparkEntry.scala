@@ -165,6 +165,7 @@ object SparkEntry {
     "t29_token_ids"     -> (TextAnalysis.tokenIds _),
     "t30_alpha_mixture" -> (TextAnalysis.alphaMixture _),
     "t31_gopher_rules"  -> (TextAnalysis.gopherRules _),
+    "t32_repetition_rules" -> (TextAnalysis.repetitionRules _),
     "t23_vocab_growth"  -> (TextAnalysis.vocabGrowth _),
     // multimodal plumbing
     "m1_decode_features" -> (Multimodal.decodeFeatures _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "c9_email_routed"   -> (Composites.emailRouted _),
     "c10_prep_full"     -> (Composites.prepFullFunnel _),
     "c23_epoch_plan"    -> (Composites.epochPlan _),
+    "c24_filtered_epochs" -> (Composites.filteredEpochPlan _),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names).

@@ -963,4 +963,19 @@ object Composites {
           .as("alloc_tokens"),
         when(col("epochs_raw_ppm") >= MaxEpochsPpm, 1).otherwise(0).as("capped"))
   }
+
+  /** Quality-filtered epoch plan (c24): the filter→mix composite a real
+    * data recipe runs — [[epochPlan]] over only the documents the Gopher
+    * rule family keeps, at the CORPUS-calibrated profile
+    * ([[TextAnalysis.gopherKeepWith]] with
+    * [[TextAnalysis.GopherCorpusMinWords]]/[[TextAnalysis.GopherCorpusLexicon]]
+    * — the published English lexicon keeps zero synthetic documents,
+    * which t31's report shows; the profile knob is exactly what a real
+    * deployment re-tunes per corpus). The integer-exact predicate rides
+    * the corpus scan as a plain filter; token mass and therefore
+    * weights, budget, and epoch caps all shift relative to c23 exactly
+    * as the filter moves each source's surviving tokens. */
+  def filteredEpochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlanFrame(Tables.documents(s, dir).filter(TextAnalysis.gopherKeepWith(
+      TextAnalysis.GopherCorpusMinWords, TextAnalysis.GopherCorpusLexicon)))
 }

@@ -1635,6 +1635,17 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Corpus-calibrated profile of the same rule family: the published
+    * constants were tuned for MassiveWeb English; a deployment re-tunes
+    * the required-word lexicon and the length floor to its own corpus
+    * (the rule SHAPE is the filter, the lexicon is data). This profile
+    * fits the synthetic test corpus (its ~40-word vocabulary carries
+    * exactly two English function words) and is what the c24 filter→mix
+    * composite runs — under the published English lexicon the synthetic
+    * corpus keeps zero documents, which t31's report makes visible. */
+  val GopherCorpusMinWords = 20L
+  val GopherCorpusLexicon: Seq[String] = Seq("the", "a")
+
   /** Rule-based quality filter (t31): the Gopher heuristics as one
     * per-document pass. Every signal is a codegen'd column expression
     * over ONE whitespace-token array and ONE line array built per row —
@@ -1649,6 +1660,113 @@ object TextAnalysis {
     * the same integers. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesFrame(Tables.documents(s, dir))
+
+  /** Repetition-rule filter (t32): the OTHER half of the Gopher filter
+    * table (Rae et al. 2021, Appendix A) — a document is dropped when it
+    * repeats itself at any granularity: duplicate lines (> 30%),
+    * duplicate paragraphs (> 30%), one dominant word bigram (> 20% of
+    * all bigrams), or duplicated 5-grams (> 15%). N-gram fractions are
+    * token-count fractions (the paper's character-weighted variant
+    * differs only in the weighting; the token form keeps every rule in
+    * exact integer arithmetic). Complements t8's distinct-token ratio
+    * (a score) with the production DECISION, and t31's quality rules
+    * with the repetition family.
+    *
+    * Scale shape: line/paragraph/5-gram signals are per-row array
+    * expressions (no shuffle); only the modal-bigram count needs an
+    * explode → count — keyed on (doc_id, bigram), map-side combined,
+    * doc-grain output — the t14/t19 postings discipline. The keep
+    * decision is integer-exact (the t18/t31 rule). */
+  def repetitionRules(s: SparkSession, dir: String): DataFrame =
+    repetitionRulesFrame(Tables.documents(s, dir))
+
+  /** n-gram token strings WITH duplicates kept (staggered-slice zip —
+    * the tokenizer evaluates once per row; shorter docs yield []). */
+  private def gramsCol(toksCol: Column, n: Int): Column = {
+    val m = size(toksCol) - (n - 1)
+    val gs = (1 to n).map(k => slice(toksCol, lit(k), m))
+      .reduce((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
+    when(size(toksCol) >= n, gs).otherwise(array().cast("array<string>"))
+  }
+
+  /** Frame-level form of [[repetitionRules]] — any (doc_id, text). */
+  def repetitionRulesFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val base = documents.select(
+      col("doc_id"),
+      split(col("text"), "\n").as("lines"),
+      split(col("text"), "\n\n").as("paras"),
+      toks.as("t"))
+    val rowStats = base.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(array_distinct(col("lines"))).cast("long").as("d_lines"),
+      size(col("paras")).cast("long").as("n_paras"),
+      size(array_distinct(col("paras"))).cast("long").as("d_paras"),
+      size(gramsCol(col("t"), 2)).cast("long").as("total2"),
+      size(gramsCol(col("t"), 5)).cast("long").as("total5"),
+      size(array_distinct(gramsCol(col("t"), 5))).cast("long").as("d5"))
+    val modal = base
+      .select(col("doc_id"), explode(gramsCol(col("t"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("modal2"))
+    val nl = greatest(col("n_lines"), lit(1L))
+    val np = greatest(col("n_paras"), lit(1L))
+    val t2 = greatest(col("total2"), lit(1L))
+    val t5 = greatest(col("total5"), lit(1L))
+    rowStats.join(modal, Seq("doc_id"), "left")
+      .withColumn("modal2", coalesce(col("modal2"), lit(0L)))
+      .select(
+        col("doc_id"), col("n_lines"),
+        round((col("n_lines") - col("d_lines")).cast("double") / nl, 6)
+          .as("dup_line_frac"),
+        round((col("n_paras") - col("d_paras")).cast("double") / np, 6)
+          .as("dup_para_frac"),
+        round(col("modal2").cast("double") / t2, 6).as("top_bigram_frac"),
+        round((col("total5") - col("d5")).cast("double") / t5, 6)
+          .as("dup_5gram_frac"),
+        when(
+          lit(10L) * (col("n_lines") - col("d_lines")) <= lit(3L) * col("n_lines")
+            && lit(10L) * (col("n_paras") - col("d_paras")) <= lit(3L) * col("n_paras")
+            && lit(5L) * col("modal2") <= col("total2")
+            && lit(20L) * (col("total5") - col("d5")) <= lit(3L) * col("total5"),
+          1).otherwise(0).as("keep"))
+  }
+
+  /** The t31 keep decision as a single reusable predicate over a `text`
+    * column — the integer-exact form of every Gopher rule, for callers
+    * that filter WITHOUT materializing the signal columns (c24's
+    * filter→plan composite). Kept textually in lockstep with
+    * [[gopherRulesFrame]]'s keep column; OpsSpec asserts the two agree
+    * row-for-row on the real corpus. */
+  def gopherKeep: org.apache.spark.sql.Column =
+    gopherKeepWith(GopherMinWords, GopherStopwords)
+
+  /** The rule family at an arbitrary (length floor, required lexicon) —
+    * the two knobs a deployment calibrates per corpus; every structural
+    * rule (mean word length, symbol/bullet/ellipsis caps, alpha floor)
+    * keeps its published constant. */
+  def gopherKeepWith(minWords: Long, stopwords: Seq[String]): org.apache.spark.sql.Column = {
+    val words = filter(split(trim(col("text")), Ws + "+"), w => length(w) > 0)
+    val lines = split(col("text"), "\n")
+    val nW = size(words).cast("long")
+    val lenSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*\u2022]"))).cast("long")
+    val nEll = size(filter(lines, l => endswith(l, lit("...")))).cast("long")
+    val stopHits = stopwords
+      .map(w => when(lower(col("text")).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    nW >= minWords && nW <= GopherMaxWords &&
+      lenSum >= lit(3L) * nW && lenSum <= lit(10L) * nW &&
+      lit(10L) * nSym <= nW &&
+      lit(10L) * nBullet <= lit(9L) * nLines &&
+      lit(10L) * nEll <= lit(3L) * nLines &&
+      lit(5L) * nAlpha >= lit(4L) * nW &&
+      stopHits >= 2
+  }
 
   /** Frame-level form of [[gopherRules]] — any (doc_id, text). */
   def gopherRulesFrame(documents: DataFrame): DataFrame = {

@@ -868,6 +868,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t31/c24: the reusable gopherKeep predicate equals the reported keep column " +
+      "doc-for-doc; the corpus profile keeps a real subset") {
+    import org.apache.spark.sql.functions.col
+    // published profile: predicate ≡ t31's keep column (both empty on the
+    // synthetic corpus — its vocabulary lacks the English lexicon, which
+    // is exactly what the report should show)
+    val reported = TextAnalysis.gopherRules(spark, sf001)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val filtered = graft.Tables.documents(spark, sf001)
+      .filter(TextAnalysis.gopherKeep).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reported === filtered)
+    // corpus profile (what c24 runs): keeps a nonempty PROPER subset
+    val n = graft.Tables.documents(spark, sf001).count()
+    val corpusKept = graft.Tables.documents(spark, sf001)
+      .filter(TextAnalysis.gopherKeepWith(
+        TextAnalysis.GopherCorpusMinWords, TextAnalysis.GopherCorpusLexicon))
+      .count()
+    assert(corpusKept > 0 && corpusKept < n,
+      s"corpus profile kept $corpusKept of $n")
+  }
+
   test("d17: crossSourcePairs canonicalizes source cells and conserves the pair count") {
     import spark.implicits._
     // synthetic graph: (a,b) arrives in both orientations and must land in

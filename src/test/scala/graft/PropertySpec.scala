@@ -528,6 +528,80 @@ class PropertySpec extends SparkSpec {
       assert(got(id).getInt(8) === 0, s"doc $id should drop"))
   }
 
+  test("t32: repetitionRules signals match an independent recompute; each rule " +
+      "fires on its crafted doc") {
+    import spark.implicits._
+    val clean = (0 until 100).map(i => s"w$i").mkString(" ")
+    val dupLines = Seq.fill(10)("the same line again").mkString("\n")
+    val dupParas = Seq.fill(3)(Seq("alpha paragraph", "beta paragraph"))
+      .flatten.mkString("\n\n")
+    val domBigram = Seq.fill(40)("ping pong").mkString(" ")
+    // repeated 7-token block between unique fillers: 5-gram dups without
+    // tripping the modal-bigram rule — isolates the 5-gram rule
+    val dupFive = (0 until 8).map(i =>
+      s"a b c d e f g u${4 * i} u${4 * i + 1} u${4 * i + 2} u${4 * i + 3}")
+      .mkString(" ")
+    val docs = Seq(1L -> clean, 2L -> dupLines, 3L -> dupParas,
+      4L -> domBigram, 5L -> dupFive, 6L -> "")
+    val got = graft.ops.TextAnalysis.repetitionRulesFrame(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      def grams(k: Int) = if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+        else Seq.empty[String]
+      val lines = text.split("\n", -1)
+      val paras = text.split("\n\n", -1)
+      val (nL, dL) = (lines.length.toLong, lines.distinct.length.toLong)
+      val (nP, dP) = (paras.length.toLong, paras.distinct.length.toLong)
+      val g2 = grams(2); val g5 = grams(5)
+      val modal2 = if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong
+      val (t2, t5, d5) = (g2.size.toLong, g5.size.toLong, g5.distinct.size.toLong)
+      val keep = if (10 * (nL - dL) <= 3 * nL && 10 * (nP - dP) <= 3 * nP &&
+        5 * modal2 <= t2 && 20 * (t5 - d5) <= 3 * t5) 1 else 0
+      val r = got(id)
+      assert(r.getLong(1) === nL, s"doc $id n_lines")
+      assert(math.abs(r.getDouble(2) - (nL - dL).toDouble / math.max(nL, 1)) < 1e-6, s"doc $id line")
+      assert(math.abs(r.getDouble(3) - (nP - dP).toDouble / math.max(nP, 1)) < 1e-6, s"doc $id para")
+      assert(math.abs(r.getDouble(4) - modal2.toDouble / math.max(t2, 1)) < 1e-6, s"doc $id bigram")
+      assert(math.abs(r.getDouble(5) - (t5 - d5).toDouble / math.max(t5, 1)) < 1e-6, s"doc $id 5gram")
+      assert(r.getInt(6) === keep, s"doc $id keep")
+    }
+    // intent: the clean doc survives, each repetition style drops its doc
+    assert(got(1L).getInt(6) === 1)
+    Seq(2L, 3L, 4L, 5L).foreach(id => assert(got(id).getInt(6) === 0, s"doc $id"))
+    // and the 5-gram doc drops for the 5-GRAM rule, not the bigram rule
+    assert(got(5L).getDouble(4) < 0.2 && got(5L).getDouble(5) > 0.15)
+  }
+
+  test("c24: the filtered planner sees only Gopher-kept token mass; an all-junk " +
+      "source vanishes") {
+    import spark.implicits._
+    // 36 words, contains both corpus-lexicon function words → passes the
+    // corpus profile c24 filters with
+    val goodText = Seq.fill(2)("the data pipeline reads a stream and filters " +
+      "documents with care that should have been good to keep").mkString(" ")
+    val docs = Seq.fill(3)(("good", goodText)) ++
+      Seq.fill(2)(("junk", "the cat sat")) ++
+      Seq(("mixed", goodText), ("mixed", "no stopword set here"))
+    val df = docs.zipWithIndex.map { case ((s2, t), i) => (i.toLong, s2, t) }
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Composites.epochPlanFrame(
+        df.filter(graft.ops.TextAnalysis.gopherKeepWith(
+          graft.ops.TextAnalysis.GopherCorpusMinWords,
+          graft.ops.TextAnalysis.GopherCorpusLexicon)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("good", "mixed"), "junk source must vanish")
+    val toks = Map("good" -> 108L, "mixed" -> 36L) // 3× and 1× the 36-word doc
+    val w = toks.map { case (s2, t) => s2 -> math.sqrt(t.toDouble).toLong }
+    val wTot = w.values.sum
+    val budget = graft.ops.Composites.EpochBudgetX * toks.values.sum
+    toks.foreach { case (src, t) =>
+      val r = got(src)
+      assert(r.getLong(2) === t, s"$src kept tokens")
+      assert(r.getLong(4) === budget * w(src) / wTot, s"$src target")
+    }
+  }
+
   test("c23: epochPlan is integer-exact against a BigInt recompute; caps and " +
       "budget conservation hold") {
     import spark.implicits._
