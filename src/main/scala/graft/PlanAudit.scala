@@ -65,16 +65,17 @@ object PlanAudit {
         Seq("Window", "partial_max", "BroadcastHashJoin"), Seq()),
       ("c7_music_chart", "both chart branches read the checkpointed song-grain counts (ExistingRDD — the broadcast song join ran once inside the checkpoint) and the rank+filter pair plans WindowGroupLimit: partial top-5 before any single-partition merge",
         Seq("ExistingRDD", "WindowGroupLimit"), Seq("CartesianProduct", "FileScan parquet")),
-      ("c8_microservices", "the synthesized orders topic is materialized ONCE (ExistingRDD) and consumed by all three validators plus the rejoin — no per-service re-scan of lineitem; the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle",
+      ("c8_microservices", "the synthesized orders topic is materialized ONCE (ExistingRDD) and consumed by all three validators — no per-service re-scan of lineitem; the warehouse dim broadcasts; the fraud session windows share ONE hashpartitioning(customer_id) exchange (cascaded specs re-sort, never re-shuffle); verdicts aggregate map-side before the order_id shuffle, and (round 19) the order's quantity rides the narrow details branch of that union, so the per-order state needs NO second exchange + sort-merge rejoin of the orders table",
         Seq("ExistingRDD", "BroadcastHashJoin", "partial_sum"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "lineitem")),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "lineitem",
+          "SortMergeJoin")),
       ("d10_dedup_apply", "the APPLY phase reads the memoized label table (ExistingRDD — the LSH+CC labeling pipeline ran once, in d8's label phase, not again here) and anti-joins the UN-hinted drop list against the single corpus scan — AQE picks broadcast LeftAnti at this scale (visible below) and is free to fall back to a shuffled LeftAnti when the dup fraction is corpus-proportional; either way one documents pass before the language rollup",
         Seq("ExistingRDD", "LeftAnti"),
         Seq("Generate explode")),
       ("s3_embedding_neardup", "the exact-cosine audit joins a FIXED-SIZE sample: the corpus-size-independent vec_id cap is pushed down to the parquet scan, so the quadratic pair count cannot grow with the corpus",
         Seq(s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"), Seq()),
-      ("c6_prep_chunked", "the chunk rollup reads the checkpointed dedup table (ExistingRDD) and Catalyst column-prunes the per-chunk md5/collect_list (chunk_hash is t11's oracle cross-check, dead weight here) — c6 pays for the chunk expansion itself, never for hashing it",
-        Seq("ExistingRDD"), Seq("md5", "collect_list")),
+      ("c6_prep_chunked", "the chunk rollup is the chunker's CLOSED FORM (round 19): one corpus scan into the md5-keyed dedup aggregate — which shuffles (hash, doc_id, lang, n_toks), never the text bytes — then per-doc ceil arithmetic and the lang rollup; the chunk EXPANSION (posexplode into owning chunks, collect_list hashing) no longer appears because the funnel needs counts, not chunk rows (t11 keeps the expansion under oracle proof) — two keyed exchanges total, no explode, no re-scan",
+        Seq(), Seq("PosExplode", "collect_list", "Generate")),
       ("d7_ngram_jaccard", "the exact-Jaccard audit reads a FIXED-SIZE sample: the corpus-size-independent doc_id cap is pushed to the parquet scan, so the audit's pair output cannot grow with the corpus",
         Seq(s"LessThan(doc_id,${graft.ops.Dedup.JaccardAuditCap})"), Seq()),
       ("c9_email_routed", "orders⋈payments is an equi-key join with a time-bound residual (hash/merge, never cartesian) and the customer level table broadcasts — the EmailService dataflow keeps the fact side un-replicated",
@@ -105,7 +106,7 @@ object PlanAudit {
       ("t17_sequence_pack", "sequence packing's global prefix sum is the w5 two-level scan: the row-grain running sum is a Window PARTITIONED by doc-id bucket, only the bucket summary (map-side partial_sum) crosses the single-partition window, and it broadcasts back — no corpus-grain global sort",
         Seq("Window", "partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once) and every join is keyed — candidates bound the work, never all-pairs",
+      ("d13_containment_pairs", "pair directionality reads the (doc, distinct-shingle) table from ONE materialization (ExistingRDD — sizes and both intersection sides re-read it, the tokenize+shingle pipeline ran once), the candidate pairs are the session d4 pairs memo (round 19 — the signature pipeline ran once, in d4's phase), and every join is keyed — candidates bound the work, never all-pairs",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c13_leakage_split", "the split reads the MEMOIZED d8 cluster labels (ExistingRDD — the labeling pipeline ran once, in d8's label phase, not here), LEFT-joins them to ONE corpus scan, and rolls up map-side (partial_count) — no pair generation, no all-pairs",
@@ -138,7 +139,7 @@ object PlanAudit {
       ("t32_repetition_rules", "repetition signals are per-row array expressions on one corpus scan; only the modal-bigram count shuffles, keyed at (doc_id, bigram) grain with map-side combine (partial_count) then a doc-grain partial_max — no corpus-grain sort, no window, no all-pairs",
         Seq("partial_count", "partial_max"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
-      ("d17_crosssource_dup", "cross-source attribution runs at PAIR grain: the SimHash banding path's checkpointed fingerprints (ExistingRDD) generate candidates bucket-locally, the two doc_id→source joins see only the pair list (AQE picks broadcast vs shuffled-hash), and the rollup is a source-pair-grain hash aggregate — no all-pairs, no corpus-grain shuffle",
+      ("d17_crosssource_dup", "cross-source attribution runs at PAIR grain over the MATERIALIZED near-dup pair list (ExistingRDD — the session pairs memo, round 19: the banding pipeline ran once, in d6's phase, not again here), the two doc_id→source joins see only the pair list (AQE picks broadcast vs shuffled-hash), and the rollup is a source-pair-grain hash aggregate — no all-pairs, no corpus-grain shuffle",
         Seq("ExistingRDD", "HashAggregate"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c11_prep_packed", "the packing phase reads the MATERIALIZED survivor set (ExistingRDD — the funnel's gates ran once, in c10/the memo, not again here; production persists the cleaned corpus) and applies t17's two-level prefix scan: bucket-partitioned Window, map-side partial_sum, UN-hinted bucket-offset join keyed on the bucket the rows are already partitioned by (AQE owns broadcast-vs-shuffle) — no gate re-execution, no corpus-grain global sort",
@@ -150,7 +151,7 @@ object PlanAudit {
       ("t20_pmi_pairs", "unigram AND bigram counts come from ONE tagged explode into the checkpointed count table (ExistingRDD, zero parquet re-scans); corpus totals fold in as a one-row broadcast, the vocabulary-side joins stay keyed and UN-hinted, and the collocation head plans TakeOrderedAndProject — per-partition top-50, never a global sort",
         Seq("ExistingRDD", "TakeOrderedAndProject"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("t21_bpe_merges", "nothing round-trips through the driver: every merge round's winning pair is a checkpointed one-row DataFrame (ExistingRDD) folded back on a non-foldable zero key (BroadcastHashJoin, never a nested loop), each round's corpus is checkpointed so round k never re-executes rounds 1..k-1, and the result union reads ONLY materializations — zero parquet re-scans in the final plan",
+      ("t21_bpe_merges", "nothing round-trips through the driver: every merge round's winning pair and vocab stats are limit(1)/one-row aggregates over that round's CHECKPOINTED tagged count table (round 19: one fused pair+token pass per corpus version — ExistingRDD), folded back on a non-foldable zero key (BroadcastHashJoin, never a nested loop), each round's corpus is checkpointed so round k never re-executes rounds 1..k-1, and the result union reads ONLY materializations — zero parquet re-scans in the final plan",
         Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s15_kmeans_cells", "the cluster summary reads the CHECKPOINTED ivfIndex assignment and centroid tables (ExistingRDD — the n×C Lloyd build ran inside the checkpoints, exactly s8's shape), joins them KEYED on cell id (un-hinted — AQE owns broadcast-vs-shuffle as C grows), and rolls up map-side — no all-pairs, no corpus re-scan",
@@ -218,24 +219,24 @@ object PlanAudit {
       ("s21_sq8", "scalar quantization is stats-then-scan: one posexplode into a 64-group map-side-combined min/max aggregate (partial_min), the grid folds back as ONE broadcast row, and the code+error pass is a single narrow projection — no Window, no shuffle of the corpus after the stats",
         Seq("partial_min", "HashAggregate"),
         Seq("CartesianProduct", "Window", "Exchange rangepartitioning")),
-      ("c15_curriculum", "the curriculum's global ORDER-BY-ppl prefix sum is the two-level scan: the row-grain running sum is a Window PARTITIONED by the ppl grid cell, and only the VALUE-bounded cell summary (never corpus-proportional) passes through the single-partition window — no corpus-grain global sort",
+      ("c15_curriculum", "the curriculum's global ORDER-BY-ppl prefix sum is the two-level scan: the row-grain running sum is a Window PARTITIONED by the ppl grid cell, and only the VALUE-bounded cell summary (never corpus-proportional) passes through the single-partition window — no corpus-grain global sort; the ppl table is the session t27 stats memo (ExistingRDD, round 19), not a re-run of the bigram LM",
         Seq("Window", "ExistingRDD"),
         Seq("CartesianProduct", "Exchange rangepartitioning")),
       ("c16_dataset_diff", "the version diff is two narrow hashed projections and ONE full-outer join on the primary key (co-partitionable at 100 TB via doc_id bucketing); md5s are map-side, output bounded by churn — no Window, no global sort, no second corpus scan per side",
         Seq("FullOuter"),
         Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin",
           "Exchange rangepartitioning")),
-      ("c18_trainer_shards", "shard emission is PURE COMPOSITION over prepared materializations: the survivor set, the encode table and the encoded rendering are all ExistingRDD (gates, merges and the encode each ran once, in their memo phases), the vocab folds in as ONE broadcast map row on the zero key, the bin assignment is c11's two-level prefix scan, and the per-shard rollup groups at bin grain (bounded by PackCapacity) — zero parquet scans, zero re-derivation, no all-pairs anywhere",
+      ("c18_trainer_shards", "shard emission is PURE COMPOSITION over prepared materializations: the survivor set, the encode table and the encoded rendering are all ExistingRDD (gates, merges and the encode each ran once, in their memo phases), the id arrays are the session ids memo (round 19: the vocab build + corpus-wide id transform materialize once per session, not once per consumer), the bin assignment is c11's two-level prefix scan, and the per-shard rollup groups at bin grain (bounded by PackCapacity) — zero parquet scans, zero re-derivation, no all-pairs anywhere",
         Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("c19_pack_manifest", "the loader manifest adds ONLY per-row column work to the packing pass: offsets fall out of the c11 two-level prefix scan (row-grain Window partitioned by the doc-id bucket; the single-partition window sees bucket summaries only) and the seeded shuffle keys are md5 projections — no global sort, no new shuffle beyond the packing aggregation, inputs are the survivor/encode memos (ExistingRDD)",
         Seq("ExistingRDD", "Window"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin",
           "Exchange rangepartitioning")),
-      ("c20_delta_shards", "the incremental refresh never re-shuffles the standing corpus: the standing side collapses to ONE broadcast scalar (its max bin, off the same two-level prefix scan c11 runs over the survivor/encode memos — ExistingRDD inputs), the delta pack's prefix scan runs over the ~10% batch alone, d16's verdicts come from the banded signature join (equality keys, never all-pairs), and the only nested-loops are the sanctioned one-row cut/max-bin broadcasts — no cartesian, no global sort",
+      ("c20_delta_shards", "the incremental refresh never re-shuffles the standing corpus: the standing side collapses to ONE broadcast scalar (its max bin, off the same two-level prefix scan c11 runs over the survivor/encode memos — ExistingRDD inputs), the delta pack's prefix scan runs over the ~10% batch alone, d16's verdicts come from the banded signature join (equality keys, never all-pairs), the id arrays are the session ids memo (ExistingRDD — round 19), and the only nested-loops are the sanctioned one-row cut/max-bin broadcasts — no cartesian, no global sort",
         Seq("ExistingRDD", "Window"),
         Seq("CartesianProduct", "Exchange rangepartitioning")),
-      ("c21_curriculum_shards", "curriculum-ordered packing sorts the corpus by perplexity WITHOUT a global sort: the ORDER-BY-(ppl, doc_id) prefix sum is the c15 two-level scan — the row-grain running sum is a Window PARTITIONED by the VALUE-bounded ppl grid cell, only cell summaries cross the single partition — and every input (survivors, ppl, BPE lengths, id arrays) is a memoized materialization (ExistingRDD) joined on the primary key; per-bin rollups are bounded by PackCapacity — no Exchange rangepartitioning anywhere, no cartesian, no corpus re-scan",
+      ("c21_curriculum_shards", "curriculum-ordered packing sorts the corpus by perplexity WITHOUT a global sort: the ORDER-BY-(ppl, doc_id) prefix sum is the c15 two-level scan — the row-grain running sum is a Window PARTITIONED by the VALUE-bounded ppl grid cell, only cell summaries cross the single partition — and every input (survivors, ppl, BPE lengths, id arrays — the round-19 session ids memo) is a memoized materialization (ExistingRDD) joined on the primary key; per-bin rollups are bounded by PackCapacity — no Exchange rangepartitioning anywhere, no cartesian, no corpus re-scan",
         Seq("ExistingRDD", "Window"),
         Seq("CartesianProduct", "Exchange rangepartitioning")),
       ("c22_loader_order", "the loader traversal adds NO data-grain global sort to the pack: the within-shard position is a Window PARTITIONED by bin (groups bounded by PackCapacity), the cross-shard order and seq bases run at SHARD grain only (one row per bin through the single-partition window — metadata grain, corpus-size-independent), and both inputs are the c18/c19 memoized materializations (ExistingRDD) joined on the primary key — zero parquet scans, no Exchange rangepartitioning, no cartesian",

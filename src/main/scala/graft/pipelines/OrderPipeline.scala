@@ -132,6 +132,50 @@ object OrderPipeline {
     aggregateValidations(validations, orders)
   }
 
+  /** Per-order_id (order_id, state, n_rows, total_qty) WITHOUT the
+    * orders rejoin (round-19 optimization): the details verdict is
+    * order-grain and narrow, so each orders row's quantity rides on it
+    * through the one verdict shuffle — the final state needs nothing
+    * else from the orders row, so the second shuffle + sort-merge
+    * rejoin of the full orders table is pure waste for a state-grain
+    * consumer. Duplicate-id semantics match [[validateOrders]] exactly:
+    * a repeated order_id pools its duplicates' verdicts into one state
+    * (that is what [[aggregateValidations]]'s groupBy does) and the
+    * rejoin then fans that state back onto every duplicate row —
+    * preserved here as `n_rows` (the details-branch row count; details
+    * emits exactly one verdict per orders row) and `total_qty` (the
+    * duplicates' quantity sum). Batch-only shape: every order has all
+    * [[NumRules]] verdicts in one pass, so the CREATED branch is the
+    * same dead arm it is in [[validateOrders]]'s batch output —
+    * OrderPipelineSpec pins equality between the two forms. */
+  def validationStates(orders: DataFrame, warehouse: DataFrame): DataFrame = {
+    // the details verdict inline with the quantity column attached
+    // (orderDetails is a narrow projection of orders — re-deriving it
+    // here costs one expression, not a join)
+    val details = orders.select(col("order_id"),
+      when(col("quantity") >= 0 && col("price") >= 0 && col("product").isNotNull,
+        1).otherwise(0).as("p"), col("quantity").cast("double").as("quantity"))
+      .select(col("order_id"), col("p"), (lit(1) - col("p")).as("f"),
+        lit(1L).as("row_cnt"), col("quantity"))
+    val fraud = fraudCheck(orders).select(col("order_id"),
+      when(col("result") === "PASS", 1).otherwise(0).as("p"),
+      when(col("result") === "FAIL", 1).otherwise(0).as("f"),
+      lit(0L).as("row_cnt"), lit(null).cast("double").as("quantity"))
+    val inv = inventoryCheck(orders, warehouse).select(col("order_id"),
+      when(col("result") === "PASS", 1).otherwise(0).as("p"),
+      when(col("result") === "FAIL", 1).otherwise(0).as("f"),
+      lit(0L).as("row_cnt"), lit(null).cast("double").as("quantity"))
+    details.unionByName(fraud).unionByName(inv)
+      .groupBy(col("order_id"))
+      .agg(sum(col("p")).as("n_pass"), sum(col("f")).as("n_fail"),
+        sum(col("row_cnt")).as("n_rows"), sum(col("quantity")).as("total_qty"))
+      .select(col("order_id"),
+        when(col("n_fail") > 0, "FAILED")
+          .when(col("n_pass") >= NumRules, "VALIDATED")
+          .otherwise("CREATED").as("state"),
+        col("n_rows"), col("total_qty"))
+  }
+
   /** EmailService.java:100-116: orders ⋈ payments within ±1 minute, then
     * a broadcast (GlobalKTable) join to customers; `topic` is the dynamic
     * routing column (per-record destination = customer level). */

@@ -207,6 +207,7 @@ class ArtifactsSpec extends SparkSpec {
       TextAnalysis.invalidateBpeEncoded()
       TextAnalysis.invalidateBpeRendered()
       TextAnalysis.invalidateBpeMerges()
+      TextAnalysis.invalidateTokenIdArrays()
       val second = Composites.trainerShardTable(spark, dir)
       val plan = second.queryExecution.executedPlan.toString
       assert(plan.contains(tmp), s"shard table must come from the store:\n$plan")
@@ -285,6 +286,7 @@ class ArtifactsSpec extends SparkSpec {
       TextAnalysis.invalidateBpeEncoded()
       TextAnalysis.invalidateBpeRendered()
       TextAnalysis.invalidateBpeMerges()
+      TextAnalysis.invalidateTokenIdArrays()
       val reader = Composites.shardReader(spark, dir)
       val plan = reader.queryExecution.executedPlan.toString
       assert(plan.contains(tmp), s"shard side must read the artifact store:\n$plan")
@@ -343,6 +345,7 @@ class ArtifactsSpec extends SparkSpec {
       TextAnalysis.invalidateBpeEncoded()
       TextAnalysis.invalidateBpeRendered()
       TextAnalysis.invalidateBpeMerges()
+      TextAnalysis.invalidateTokenIdArrays()
       assert(collectOrder().sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq,
         "second-session traversal must be byte-identical")
     }

@@ -48,6 +48,23 @@ class OrderPipelineSpec extends SparkSpec {
     ))
   }
 
+  test("validationStates matches validateOrders state-for-state and carries row count + quantity sum (round-19 rejoin removal)") {
+    import org.apache.spark.sql.functions.col
+    // duplicate order_id: validateOrders pools its verdicts into one
+    // state and fans it back onto both rows — validationStates must
+    // report the same state with n_rows=2 and the quantity sum
+    val dup = ordersDf.unionByName(ordersDf.filter(col("order_id") === "o1"))
+    val viaJoin = validateOrders(dup, warehouseDf)
+      .groupBy(col("order_id"), col("state"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("quantity").cast("double")).as("total_qty"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val viaUnion = validationStates(dup, warehouseDf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaUnion === viaJoin)
+  }
+
   test("fraud check judges each order against the running session total (FraudService)") {
     val fraud = fraudCheck(ordersDf).collect()
       .map(r => r.getString(0) -> r.getString(2)).toMap

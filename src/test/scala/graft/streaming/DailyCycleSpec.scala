@@ -279,7 +279,11 @@ class DailyCycleSpec extends SparkSpec {
       TextAnalysis.invalidateBpeMerges()
       TextAnalysis.invalidateBpeEncoded()
       TextAnalysis.invalidateBpeRendered()
+      TextAnalysis.invalidateTokenIdArrays()
       Dedup.invalidateLabels()
+      Dedup.invalidateSimhashPairs()
+      Dedup.invalidateLshPairs()
+      Dedup.invalidateDeltaVerdicts()
 
       // ================= REFRESH: c20 + drift =================
       // the incremental shard refresh packs ONLY the delta, strictly
@@ -446,7 +450,11 @@ class DailyCycleSpec extends SparkSpec {
       TextAnalysis.invalidateBpeMerges()
       TextAnalysis.invalidateBpeEncoded()
       TextAnalysis.invalidateBpeRendered()
+      TextAnalysis.invalidateTokenIdArrays()
       Dedup.invalidateLabels()
+      Dedup.invalidateSimhashPairs()
+      Dedup.invalidateLshPairs()
+      Dedup.invalidateDeltaVerdicts()
       Similarity.invalidatePqIndex()
       Similarity.invalidateIvfPqIndex()
       Similarity.invalidateResIvfPqIndex()
