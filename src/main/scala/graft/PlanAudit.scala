@@ -112,7 +112,7 @@ object PlanAudit {
       ("c13_leakage_split", "the split reads the MEMOIZED d8 cluster labels (ExistingRDD — the labeling pipeline ran once, in d8's label phase, not here), LEFT-joins them to ONE corpus scan, and rolls up map-side (partial_count) — no pair generation, no all-pairs",
         Seq("ExistingRDD", "partial_count"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("m4_phash_pairs", "perceptual-hash pairing keeps d6/d11's banded shape: the 4×16-bit fingerprint table is checkpointed once (ExistingRDD — the raster/DCT pipeline ran inside it) and the candidate join is a (band,bucket) EQUALITY join with first-matching-band emission — never all-pairs over images",
+      ("m4_phash_pairs", "perceptual-hash pairing keeps d6/d11's banded shape: the 4×16-bit fingerprint table is checkpointed once (ExistingRDD — round 19: the integer DCT/median/band signature is computed inside the SAME decode closure that parses the BMP, so 32 bytes per image reach the checkpoint instead of ~3k pixel-join rows) and the candidate join is a (band,bucket) EQUALITY join with first-matching-band emission — never all-pairs over images",
         Seq("ExistingRDD"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin", "FileScan parquet")),
       ("d14_substring_dup", "exact-substring anchoring reads the positional gram table from ONE materialization (ExistingRDD — the anchor-df filter and both match-join sides re-read it, the tokenize+gram pipeline ran once); the df-capped anchor join is a keyed equality join and the islands Window is partitioned by (pair, diagonal) — candidates bound the work, never all-pairs",

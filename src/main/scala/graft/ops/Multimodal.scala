@@ -319,57 +319,88 @@ object Multimodal {
     * fingerprint-grain (8 bytes/image). */
   def phashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val px = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // round 19: the fingerprint is computed WHERE THE PIXELS ARE — the
+    // decode closure already holds the raster, and the previous column
+    // pipeline shipped 256 pixel rows per image through two broadcast-
+    // join + shuffle rounds (~3k intermediate rows/image) to compute 64
+    // integer sums it could do in place (the guide-§8 rule: decide with
+    // small rows — here the proxy is the 32-byte band signature). Same
+    // integer arithmetic, same literals, oracle hash-identical.
+    val sig = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          (id, grayPixels(synthBmp(text)).getOrElse(
-            throw new IllegalStateException(s"synthBmp produced an unreadable BMP for doc $id")))
+          val px = grayPixels(synthBmp(text)).getOrElse(
+            throw new IllegalStateException(s"synthBmp produced an unreadable BMP for doc $id"))
+          val b = phashBands(px)
+          (id, b(0), b(1), b(2), b(3))
         }
-      }.toDF("doc_id", "px")
-    phashPairsFromPixels(px)
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    bandedPhashPairs(sig)
+  }
+
+  /** 4×16-bit pHash band signature of one [[PhashGrid]]² row-major gray
+    * raster — bit-identical to the previous column pipeline (and to the
+    * oracle's literal-interpolated SQL): separable integer DCT over
+    * [[DctCoef]] (r(u,y) = Σₓ v·C(u,x); h(u,v2) = Σ_y r·C(v2,y); k =
+    * 8u+v2), median = the 32nd of the 63 AC coefficients ordered by
+    * (h, k) (the row_number rule — deterministic under ties), bit k set
+    * iff h(k) > median, band b = Σ_{k div 16 = b} bit << (k mod 16).
+    * All Long arithmetic — exact, order-free. */
+  private[graft] def phashBands(px: Array[Int]): Array[Long] = {
+    val g = PhashGrid
+    val r = Array.ofDim[Long](8, g)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < g) {
+        var s = 0L; var x = 0
+        while (x < g) { s += px(y * g + x).toLong * DctCoef(u)(x); x += 1 }
+        r(u)(y) = s; y += 1
+      }
+      u += 1
+    }
+    val h = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        var s = 0L; var y = 0
+        while (y < g) { s += r(u)(y) * DctCoef(v2)(y); y += 1 }
+        h(u * 8 + v2) = s; v2 += 1
+      }
+      u += 1
+    }
+    val med = (1 until 64).map(k => (h(k), k)).sorted.apply(31)._1
+    val bands = new Array[Long](4)
+    var k = 0
+    while (k < 64) {
+      if (h(k) > med) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    bands
   }
 
   /** Frame-level pHash pipeline over (doc_id, px: array&lt;int&gt; of
     * [[PhashGrid]]² row-major grays) — specs drive it with hand-built
-    * rasters. */
+    * rasters. Same [[phashBands]] closure as the production path, so the
+    * spec pins the exact fingerprint arithmetic m4 ships. */
   def phashPairsFromPixels(pixels: DataFrame): DataFrame = {
     val s = pixels.sparkSession
     import s.implicits._
-    val coef = DctCoef.zipWithIndex.flatMap { case (row, u) =>
-      row.zipWithIndex.map { case (c, x) => (u, x, c) }
-    }.toSeq.toDF("u", "x", "c")
-    val g = PhashGrid
-    val pts = pixels
-      .select(col("doc_id"), posexplode(col("px")))
-      .select(col("doc_id"), expr(s"pos % $g").as("x"),
-        expr(s"pos div $g").as("y"), col("col").cast("long").as("v"))
-    val rows = pts.join(broadcast(coef), Seq("x"))
-      .groupBy(col("doc_id"), col("u"), col("y"))
-      .agg(sum(col("v") * col("c")).as("r"))
-    val hk = rows
-      .join(broadcast(coef.toDF("v2", "y", "c2")), Seq("y"))
-      .groupBy(col("doc_id"), col("u"), col("v2"))
-      .agg(sum(col("r") * col("c2")).as("h"))
-      .select(col("doc_id"), (col("u") * 8 + col("v2")).as("k"), col("h"))
-    val medWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("h"), col("k"))
-    val med = hk.filter(col("k") >= 1)
-      .withColumn("rn", row_number().over(medWin))
-      .filter(col("rn") === 32)
-      .select(col("doc_id"), col("h").as("med"))
-    // fingerprint as FOUR 16-bit band integers (not one 64-bit word):
-    // every shift stays below bit 16, so the oracle's integer arithmetic
-    // is range-safe, and the bands are exactly the LSH buckets anyway
-    val bandAggs = (0 until 4).map { b =>
-      sum(when(expr(s"k div 16 = $b"), expr("shiftleft(bit, k % 16)"))
-        .otherwise(0L)).as(s"b$b")
-    }
-    val sig = hk.join(med, Seq("doc_id"))
-      .withColumn("bit", when(col("h") > col("med"), 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(bandAggs.head, bandAggs.tail: _*)
-      .localCheckpoint()
+    val sig = pixels.select(col("doc_id"), col("px"))
+      .as[(Long, Array[Int])]
+      .map { case (id, px) =>
+        val b = phashBands(px); (id, b(0), b(1), b(2), b(3))
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    bandedPhashPairs(sig)
+  }
+
+  /** The d6/d11 banded candidate join over a (doc_id, b0..b3) signature
+    * frame: checkpoint once, (band, bucket) equality join, first-
+    * matching-band emission — never all-pairs. */
+  private def bandedPhashPairs(sig0: DataFrame): DataFrame = {
+    val sig = sig0.localCheckpoint()
     // d6/d11's banded shape: first-matching-band emission, no post-join
     // distinct
     val banded = sig.select((col("doc_id") +: (0 until 4).map(b => col(s"b$b"))) :+
