@@ -184,7 +184,7 @@ object PlanAudit {
       ("t25_bm25_topk", "BM25 derives everything from ONE postings checkpoint (ExistingRDD): df, doclen and the corpus totals are rollups of the materialization (zero parquet re-scans), the query-term and totals sides broadcast, and the per-term top-k plans WindowGroupLimit — candidates are the query terms' postings only, never a corpus scan",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)) and its removal set is a keyed left join back to the positional token table — the covered-position expansion is bounded by real duplicated mass, never corpus size; no all-pairs, no BNLJ",
+      ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)); the removal sets roll to DOC grain (one small position array per scrubbed doc, bounded by real duplicated mass) and join back to ONE corpus scan whose kept sequence is an indexed per-row array filter — round 19: the corpus is never re-shuffled at token grain to delete a few positions; no all-pairs, no BNLJ",
         Seq("ExistingRDD", "Window"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("s19_filtered_ann", "filtered ANN pre-filters INSIDE the index scan: the label predicate is part of the candidate EQUALITY join key (cell AND label — BroadcastHashJoin over the checkpointed s13 index), so the filter prunes candidates instead of post-filtering a top-k; the n√n build is confined inside the checkpoint, per-query top-5 over the pre-filtered survivors",

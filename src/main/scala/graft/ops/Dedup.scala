@@ -759,25 +759,35 @@ object Dedup {
       .withColumn("island", col("pa") - row_number().over(diagWin))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
       .agg(min(col("pb")).as("b0"), count(lit(1)).as("run"))
-    // covered 1-based positions in the LATER doc, from any source doc
-    val removed = spans
+    // covered 1-based positions in the LATER doc, from any source doc,
+    // rolled to DOC grain: one small array per scrubbed document,
+    // bounded by the real duplicated token mass times the df cap.
+    // Round 19: the scrub itself is now PER-ROW column work — the
+    // previous tail posexploded every corpus token (with its string)
+    // into a (doc, pos) join + per-doc collect_list rebuild, i.e. the
+    // whole corpus re-shuffled at token grain to delete a few
+    // positions. Only the removed-position arrays move now (AQE
+    // broadcasts them); the kept sequence is an indexed filter of the
+    // token array already on the row — identical order, identical hash.
+    val rmPerDoc = spans
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("b0") + 1, col("b0") + col("run") + lit(n - 1)))
           .as("p"))
-      .distinct()
-      .withColumn("rm", lit(1))
-    documents.select(col("doc_id"), tokens.as("t"))
-      .select(col("doc_id"), size(col("t")).as("n_tokens"), posexplode(col("t")))
-      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"),
-        col("col").as("tok"))
-      .join(removed, Seq("doc_id", "p"), "left")
       .groupBy(col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"),
-        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        md5(array_join(transform(
-          sort_array(collect_list(when(col("rm").isNull,
-            struct(col("p"), col("tok"))))),
-          x => x.getField("tok")), " ")).as("clean_hash"))
+      .agg(collect_set(col("p")).as("rm"))
+    documents.select(col("doc_id"), tokens.as("t"))
+      // zero-token docs emitted nothing from the old posexplode tail
+      .filter(size(col("t")) >= 1)
+      .join(rmPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        when(col("rm").isNull, lit(0L))
+          .otherwise(size(col("rm")).cast(LongType)).as("n_removed"),
+        md5(array_join(
+          when(col("rm").isNull, col("t")).otherwise(
+            filter(col("t"), (tok, i) =>
+              not(array_contains(col("rm"), i + 1)))),
+          " ")).as("clean_hash"))
   }
 
   // ---- incremental (delta) dedup (d16) -------------------------------
