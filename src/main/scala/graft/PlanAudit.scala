@@ -86,7 +86,7 @@ object PlanAudit {
       ("s4_native_cosine", "native graft_cosine in the join condition over the same FIXED-SIZE pushed-down audit sample; no UDF/Python evaluation",
         Seq("graft_cosine", s"LessThan(vec_id,${graft.ops.Similarity.AuditCap})"),
         Seq("BatchEvalPython")),
-      ("c10_prep_full", "the full prep funnel keeps its components' shapes: t14's stats subtree stays checkpointed (ExistingRDD), the bounded d12 drop list broadcasts (LeftAnti), the corpus-sized exact-dup keeper set joins UN-hinted (AQE strategy), and nothing goes all-pairs",
+      ("c10_prep_full", "the full prep funnel keeps its components' shapes: the boilerplate ratios and the decontamination drop list BOTH derive from the ONE checkpointed tagged 3-gram pass (ExistingRDD — round 20: before, t14's occ pass and d12's shingle pass each tokenized+exploded the corpus), the bounded drop list broadcasts (LeftAnti), the corpus-sized exact-dup keeper set joins UN-hinted (AQE strategy), t13's kept count is INLINE per-row work on the survivor rows (no second corpus scan + join for it), and nothing goes all-pairs",
         Seq("ExistingRDD", "BroadcastHashJoin", "LeftAnti"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("d12_decontam_attrib", "both the bench-shingle join and the bench-size join BROADCAST (the bench side is fixed-size; the 100-TB corpus is never shuffled on shingles) and the bench subtree's doc_id cap pushes to its scan",
@@ -184,9 +184,10 @@ object PlanAudit {
       ("t25_bm25_topk", "BM25 derives everything from ONE postings checkpoint (ExistingRDD): df, doclen and the corpus totals are rollups of the materialization (zero parquet re-scans), the query-term and totals sides broadcast, and the per-term top-k plans WindowGroupLimit — candidates are the query terms' postings only, never a corpus scan",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
-      ("d15_substring_scrub", "the span-scrub APPLY keeps d14's shape (checkpointed positional gram table re-read by the df filter and both match sides, islands Window per (pair, diagonal)); the removal sets roll to DOC grain (one small position array per scrubbed doc, bounded by real duplicated mass) and join back to ONE corpus scan whose kept sequence is an indexed per-row array filter — round 19: the corpus is never re-shuffled at token grain to delete a few positions; no all-pairs, no BNLJ",
-        Seq("ExistingRDD", "Window"),
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("d15_substring_scrub", "the span-scrub APPLY reads the MATERIALIZED span table (ExistingRDD — round 20: the anchoring pipeline ran once, in d14's label phase/the session memo, not again here; the islands Window and the gram posexplode live inside that build); the removal sets roll to DOC grain (one small position array per scrubbed doc, bounded by real duplicated mass) and join back to ONE corpus scan whose kept sequence is an indexed per-row array filter — no re-anchoring, no corpus re-shuffle at token grain, no all-pairs",
+        Seq("ExistingRDD"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+          "posexplode")),
       ("s19_filtered_ann", "filtered ANN pre-filters INSIDE the index scan: the label predicate is part of the candidate EQUALITY join key (cell AND label — BroadcastHashJoin over the checkpointed s13 index), so the filter prunes candidates instead of post-filtering a top-k; the n√n build is confined inside the checkpoint, per-query top-5 over the pre-filtered survivors",
         Seq("ExistingRDD", "BroadcastHashJoin"), Seq("CartesianProduct")),
       ("s22_ivfpq_residual", "residual IVF-PQ (IVFADC proper) preserves the prune-before-ADC shape: the probed-cell EQUALITY join (broadcast per-cell query residuals) bounds the scored codes to NProbe·√n per query BEFORE the four ADC lookups, whose key now carries the cell ((q_id, cell, code) — the residual differs per probed cell); the coarse index, residual code table and residual codebook are prepared materializations (ExistingRDD), per-query top-5 plans WindowGroupLimit, and the query slice is a prepared materialization too (the vec_id filter was pushed to the parquet scan INSIDE the localCheckpoint's build plan, so the executed search plan shows only ExistingRDD scans — same audit stance as s18). The one nested-loop is the s8/s13-sanctioned BOUNDED probe of the broadcast centroid table",

@@ -332,8 +332,16 @@ object Composites {
       .select(col("doc_id"), col("text"), col("lang"))
     val exactKeep = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val contaminated = Dedup.decontamAttribution(s, dir)
-      .select(col("doc_id")).distinct()
+    // Round 20 (VERDICT r19 #3): the gates share ONE tokenize+3-gram
+    // corpus pass — the tagged t14 materialization serves both the
+    // boilerplate ratios and the decontamination drop list (before, the
+    // t14 occ pass and d12's shingle pass each tokenized+exploded the
+    // whole corpus). The drop-list derivation is decontamAttribution's
+    // pair filter verbatim (Dedup.decontamIdsFrom — equivalence argued
+    // there); d12's own query keeps its direct pipeline.
+    val contaminated = Dedup.decontamIdsFrom(
+      TextAnalysis.boilerTaggedOccMemo(s, dir)
+        .select(col("doc_id"), col("g").as("sh")))
     val ratios = TextAnalysis.boilerStatsMemo(s, dir)
       .select(col("doc_id"), col("boiler_ratio"))
     // Exact keep-fraction quantile of the ratio distribution: thr =
@@ -343,8 +351,6 @@ object Composites {
     // one-row by construction — see TextAnalysis.quantileThreshold.
     val thr = TextAnalysis.quantileThreshold(
       ratios, "boiler_ratio", BoilerKeepFrac, "boiler_thr")
-    val cleaned = TextAnalysis.collapseRepeats(s, dir)
-      .select(col("doc_id"), col("n_kept"))
     docs
       .join(exactKeep, Seq("doc_id"))
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
@@ -352,7 +358,13 @@ object Composites {
       .withColumn("jk", col("doc_id") * 0)
       .join(broadcast(thr), Seq("jk"))
       .filter(col("boiler_ratio") <= col("boiler_thr"))
-      .join(cleaned, Seq("doc_id"))
+      // t13's kept count INLINE on the rows already here (round 20): the
+      // stutter collapse is pure per-row array math and t13 emits one row
+      // per doc unconditionally, so the old corpus re-scan + inner join
+      // added a pass and a join for what one projection computes — and
+      // only survivors pay it now. collapsedTokens keeps the expression
+      // shared with t13, so the two cannot drift.
+      .withColumn("n_kept", TextAnalysis.keptCountCol)
       .select(col("doc_id"), col("lang"), col("boiler_ratio"), col("n_kept"))
   }
 
@@ -366,7 +378,7 @@ object Composites {
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def prepSurvivorsMemo(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(survCache)
+    Dedup.boundToDir(survCache, s, dir)
     survCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir),
       _ => prepSurvivors(s, dir).localCheckpoint())

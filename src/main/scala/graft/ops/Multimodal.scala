@@ -349,6 +349,13 @@ object Multimodal {
     * All Long arithmetic — exact, order-free. */
   private[graft] def phashBands(px: Array[Int]): Array[Long] = {
     val g = PhashGrid
+    // phashPairsFromPixels accepts arbitrary hand-built rasters; a short
+    // array must fail with the cause, not an index error mid-DCT
+    // (ADVICE r19 #4 — the synthBmp IllegalStateException idiom)
+    if (px.length != g * g)
+      throw new IllegalStateException(
+        s"phashBands: raster has ${px.length} pixels, expected ${g * g} " +
+          s"($g×$g row-major grays)")
     val r = Array.ofDim[Long](8, g)
     var u = 0
     while (u < 8) {

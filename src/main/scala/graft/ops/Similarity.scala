@@ -1466,7 +1466,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def semanticLabels(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(labelCache) // dead-context entries, see Dedup
+    Dedup.boundToDir(labelCache, s, dir) // dead-context entries + one-dir bound, see Dedup
     labelCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         Artifacts.readOrBuild(s, dir, "s10_labels") {

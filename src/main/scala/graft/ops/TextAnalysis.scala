@@ -285,20 +285,33 @@ object TextAnalysis {
     collapseFrame(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("clean_hash"))
 
-  /** Frame-level form of [[collapseRepeats]] — any frame with
-    * (doc_id, text); specs drive it with constructed/generated corpora. */
-  def collapseFrame(documents: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
-    val t = col("t")
+  /** The stutter-collapsed survivor array of a token-array column —
+    * [[collapseFrame]]'s kernel, factored so the funnel can compute the
+    * kept count INLINE on its own corpus scan (round 20) without the
+    * expression drifting from t13's. */
+  private[graft] def collapsedTokens(t: Column): Column = {
     // survivors after the first token: current != predecessor
     val tail = filter(
       zip_with(slice(t, lit(2), size(t) - 1), slice(t, lit(1), size(t) - 1),
         (cur, prev) => when(cur === prev, lit(null)).otherwise(cur)),
       x => x.isNotNull)
-    val kept = when(size(t) <= 1, t).otherwise(concat(slice(t, 1, 1), tail))
+    when(size(t) <= 1, t).otherwise(concat(slice(t, 1, 1), tail))
+  }
+
+  /** Per-row kept-token count over a raw `text` column — t13's `n_kept`
+    * as one inline expression (tokenizer + [[collapsedTokens]] + size). */
+  private[graft] def keptCountCol: Column =
+    size(collapsedTokens(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)))
+
+  /** Frame-level form of [[collapseRepeats]] — any frame with
+    * (doc_id, text); specs drive it with constructed/generated corpora. */
+  def collapseFrame(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+    val t = col("t")
     documents
       .select(col("doc_id"), toks.as("t"))
-      .withColumn("k", kept)
+      .withColumn("k", collapsedTokens(t))
       .select(col("doc_id"), size(t).as("n_tokens"), size(col("k")).as("n_kept"),
         md5(concat_ws(" ", col("k"))).as("clean_hash"),
         concat_ws(" ", col("k")).as("clean_text"))
@@ -422,16 +435,72 @@ object TextAnalysis {
 
   private def statsMemo(s: SparkSession, dir: String, which: String)
       (build: => DataFrame): DataFrame = {
-    Dedup.evictStopped(statsCache)
+    Dedup.boundToDir(statsCache, s, dir)
     statsCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime,
         which + ":" + dir),
       _ => build.localCheckpoint())
   }
 
-  /** [[boilerplateNgrams]] output, materialized once per (session, dir). */
+  /** ONE tokenize+explode corpus pass serving BOTH t14's boilerplate
+    * statistics and the funnel's decontamination gate (round 20, VERDICT
+    * r19 #3 — the t21 tagged-pass treatment at the funnel grain: c10's
+    * gate rep used to run TWO tokenize+3-gram corpus passes, t14's
+    * occurrence counts and d12's shingle sets, over the same documents).
+    * Rows are (doc_id, tag, g, n):
+    *  - tag 't': exactly [[boilerplateNgrams]]' checkpointed (doc,
+    *    3-gram, multiplicity) occurrence table — and, because the grain
+    *    is one row per (doc, gram), `SELECT doc_id, g WHERE tag='t'` is
+    *    ALSO the distinct 3-shingle set of every ≥3-token document
+    *    (Dedup.shingleCol(3)'s array_distinct branch);
+    *  - tag 'd': the short-document fallback shingles (shingleCol's
+    *    whole-doc `array_join` branch for <3-token docs — such docs emit
+    *    no 't' rows), completing d12's shingle semantics.
+    * The funnel derives its ratios ([[boilerStatsMemo]]) and its
+    * contamination drop list (Dedup.decontamIdsFrom) from this one
+    * materialization. t14's and d12's OWN bench queries keep their
+    * direct pipelines — their measurements are untouched. Lives in the
+    * statsCache, so Bench's invalidateStatsMemos keeps c10's gate rep
+    * re-measuring the pass honestly. */
+  private[graft] def boilerTaggedOccMemo(s: SparkSession, dir: String): DataFrame =
+    statsMemo(s, dir, "t14occ") {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)
+      val t = col("t")
+      val m = size(t) - (NgramN - 1)
+      val ngrams = when(size(t) >= NgramN,
+        zip_with(
+          zip_with(slice(t, lit(1), m), slice(t, lit(2), m), (a, b) => concat(a, lit(" "), b)),
+          slice(t, lit(3), m), (ab, c) => concat(ab, lit(" "), c)))
+        .otherwise(array().cast("array<string>"))
+      val fallback = when(size(t) >= NgramN, array().cast("array<string>"))
+        .otherwise(array(array_join(t, " ")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), explode(concat(
+          transform(ngrams, g => struct(lit("t").as("tag"), g.as("g"))),
+          transform(fallback, g => struct(lit("d").as("tag"), g.as("g"))))).as("e"))
+        .groupBy(col("doc_id"), col("e.tag").as("tag"), col("e.g").as("g"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  /** [[boilerplateNgrams]] output, materialized once per (session, dir) —
+    * derived FROM the tagged pass (the 't' rows ARE the occ table, so the
+    * df/ratio rollup is identical arithmetic over the identical rows;
+    * round 20 removes the second tokenize+explode the separate build
+    * paid). */
   def boilerStatsMemo(s: SparkSession, dir: String): DataFrame =
-    statsMemo(s, dir, "t14")(boilerplateNgrams(s, dir))
+    statsMemo(s, dir, "t14") {
+      val occ = boilerTaggedOccMemo(s, dir)
+        .filter(col("tag") === "t")
+        .select(col("doc_id"), col("g").as("ng"), col("n"))
+      val dfT = occ.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      occ.join(dfT, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_ngrams"),
+          sum(when(col("df") >= BoilerMinDocs, col("n")).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_ngrams"), 6))
+    }
 
   /** [[lmSupport]] output, materialized once per (session, dir). */
   def lmSupportMemo(s: SparkSession, dir: String): DataFrame =
@@ -1111,7 +1180,7 @@ object TextAnalysis {
   def invalidateBpeMerges(): Unit = mergesCache.clear()
 
   def bpeMergesMemo(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(mergesCache)
+    Dedup.boundToDir(mergesCache, s, dir)
     mergesCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         bpeMerges(s, dir).localCheckpoint())
@@ -1275,7 +1344,7 @@ object TextAnalysis {
   def invalidateTokenIdArrays(): Unit = idArraysCache.clear()
 
   private[graft] def tokenIdArraysMemo(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(idArraysCache)
+    Dedup.boundToDir(idArraysCache, s, dir)
     idArraysCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         tokenIdArrays(s, dir).localCheckpoint())
@@ -1328,7 +1397,7 @@ object TextAnalysis {
   def invalidateBpeEncoded(): Unit = encodedCache.clear()
 
   def bpeEncodedMemo(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(encodedCache)
+    Dedup.boundToDir(encodedCache, s, dir)
     encodedCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         bpeEncode(s, dir).localCheckpoint())
@@ -1344,7 +1413,7 @@ object TextAnalysis {
   def invalidateBpeRendered(): Unit = renderedCache.clear()
 
   private[graft] def bpeRenderedMemo(s: SparkSession, dir: String): DataFrame = {
-    Dedup.evictStopped(renderedCache)
+    Dedup.boundToDir(renderedCache, s, dir)
     renderedCache.computeIfAbsent(
       (s.sparkContext.applicationId + "@" + s.sparkContext.startTime, dir), _ =>
         bpeEncodedRendering(Tables.documents(s, dir), bpeMergesMemo(s, dir))

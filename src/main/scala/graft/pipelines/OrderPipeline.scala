@@ -147,7 +147,14 @@ object OrderPipeline {
     * duplicates' quantity sum). Batch-only shape: every order has all
     * [[NumRules]] verdicts in one pass, so the CREATED branch is the
     * same dead arm it is in [[validateOrders]]'s batch output —
-    * OrderPipelineSpec pins equality between the two forms. */
+    * OrderPipelineSpec pins equality between the two forms.
+    *
+    * PRECONDITION (ADVICE r19 #2): order_id must be non-null. The rejoin
+    * in [[validateOrders]] is a null-rejecting equi-join, so a null-id
+    * row stays CREATED there, while this groupBy would pool all null-id
+    * rows into one group and assign them a real state. Every current
+    * caller synthesizes a non-null order_id; a caller with nullable ids
+    * must route them around this form. */
   def validationStates(orders: DataFrame, warehouse: DataFrame): DataFrame = {
     // the details verdict inline with the quantity column attached
     // (orderDetails is a narrow projection of orders — re-deriving it

@@ -284,6 +284,7 @@ class DailyCycleSpec extends SparkSpec {
       Dedup.invalidateSimhashPairs()
       Dedup.invalidateLshPairs()
       Dedup.invalidateDeltaVerdicts()
+      Dedup.invalidateSpans()
 
       // ================= REFRESH: c20 + drift =================
       // the incremental shard refresh packs ONLY the delta, strictly
@@ -455,6 +456,7 @@ class DailyCycleSpec extends SparkSpec {
       Dedup.invalidateSimhashPairs()
       Dedup.invalidateLshPairs()
       Dedup.invalidateDeltaVerdicts()
+      Dedup.invalidateSpans()
       Similarity.invalidatePqIndex()
       Similarity.invalidateIvfPqIndex()
       Similarity.invalidateResIvfPqIndex()
