@@ -15,9 +15,10 @@ object Tables {
   def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    =
-    fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+    fanOut(s, s.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"))
   def lineitem(s: SparkSession, dir: String): DataFrame  =
-    fanOut(s, s.read.parquet(s"$dir/lineitem.parquet"))
+    fanOut(s, s.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_linenumber"))
   /** events.ts has shipped as either TIMESTAMP(MICROS) (readable directly)
     * or INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects; in
     * the nanos generation, read it as a long and truncate to micros (exactly
@@ -34,28 +35,43 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw // already TIMESTAMP(MICROS)
     }
-    fanOut(s, fixed)
+    fanOut(s, fixed, Seq("event_id"))
   }
   /** The testdata parquet files are single-row-group, so Spark scans them
     * as ONE split — which would serialize every CPU-heavy per-row pipeline
     * (tokenize, shingle, hash, cosine) on one core. Fan the scan out to
     * the cluster's parallelism when the scan itself can't provide splits.
     * On production multi-split inputs (100 TB = thousands of row groups)
-    * the condition is false and no shuffle is added. */
-  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    * the condition is false and no shuffle is added.
+    *
+    * Round 20: the fan-out HASHES each table's primary key instead of the
+    * old keyless round-robin. A keyless `repartition(n)` first pays a
+    * LOCAL SORT of its whole input (sortBeforeRepartition, SPARK-23207 —
+    * needed so retried tasks reproduce the same row placement), and on a
+    * single-split scan that sort runs over the entire table on one core
+    * (measured: 2× the whole checkpoint-build cost of c8's 600k-row
+    * orders topic). Hash partitioning on a deterministic unique key needs
+    * no such sort — row placement is a pure function of the row — and is
+    * the guide-§2.5 fix for the same retry-determinism hazard. Unique
+    * keys spread uniformly, and the known hashpartitioning lets
+    * downstream same-key operations reuse the exchange. */
+  private def fanOut(s: SparkSession, df: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // metadata-only estimate (file listing): a single-row-group file yields
     // one populated split no matter how maxPartitionBytes slices it, so few
     // files => fan out. Production inputs have >= target files and skip the
     // shuffle. (df.rdd.getNumPartitions would force a full physical plan
     // per table load just to read this number.)
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    if (df.inputFiles.length < target)
+      df.repartition(target, keys.map(org.apache.spark.sql.functions.col): _*)
+    else df
   }
 
   def documents(s: SparkSession, dir: String): DataFrame =
-    fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
+    fanOut(s, s.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
+    fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
 
   /** Exact table row count from parquet FOOTER metadata — no data scan,
     * no Spark job: footers already store per-row-group counts, which is
