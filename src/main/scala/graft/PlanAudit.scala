@@ -54,7 +54,7 @@ object PlanAudit {
       ("j7_table_table", "both latest-per-key sides are pure HashAggregates (max of a primitive) feeding a broadcast join — no Window, no SortAggregate",
         Seq("HashAggregate"), Seq("Window", "SortAggregate")),
       ("t4_fingerprint", "rolling-hash fingerprint is one narrow projection pipeline: char codes built once, 5 staggered slices zipped — no md5-per-position, no shuffle",
-        Seq("zip_with"), Seq("Exchange hashpartitioning", "Window")),
+        Seq("zip_with"), Seq("), ENSURE_REQUIREMENTS", "Window")),
       ("t10_tfidf_top", "tf is checkpointed (ExistingRDD) and N folds in as a one-row broadcast — a single job, no separate driver-side count action",
         Seq("ExistingRDD"), Seq()),
       ("s8_ivf_topk", "IVF search is an EQUALITY join on cell id over the checkpointed index (ExistingRDD) — the n×C scoring is confined to the index build, whose per-vector top-1 cell is a map-side-combining max_by aggregate (asserted by SimilaritySpec, invisible here because the checkpoint consumes the build plan)",
@@ -93,13 +93,13 @@ object PlanAudit {
         Seq("BroadcastHashJoin", "LessThan(doc_id,10)"),
         Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t13_collapse_repeats", "stutter collapse is one narrow projection pipeline — the token array zipped against its own shifted slice, no keyed shuffle, no window, no UDF",
-        Seq("zip_with"), Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+        Seq("zip_with"), Seq("), ENSURE_REQUIREMENTS", "Window", "BatchEvalPython")),
       ("t14_boilerplate_ngrams", "the df table derives FROM the checkpointed (doc,ngram) occurrence counts (ExistingRDD — the tokenize+explode ran once), so the boilerplate join re-reads the materialization, never the corpus; no all-pairs anywhere",
         Seq("ExistingRDD"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t15_scrub_numeric", "field scrubbing is pure codegen'd column work — regexp_replace/extract projections with no shuffle beyond the single-split fan-out, no aggregation, no UDF",
         Seq("regexp_replace"),
-        Seq("Exchange hashpartitioning", "HashAggregate", "BatchEvalPython")),
+        Seq("), ENSURE_REQUIREMENTS", "HashAggregate", "BatchEvalPython")),
       ("t16_lm_support", "the corpus-LM support score keeps t14's stats shape: ONE tokenize+explode into the checkpointed occurrence table (ExistingRDD), both count tables derive FROM the materialization (zero parquet re-scans), joins stay keyed — no all-pairs",
         Seq("ExistingRDD"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -129,7 +129,7 @@ object PlanAudit {
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t31_gopher_rules", "the Gopher rule signals are ONE narrow projection over a single corpus scan — token and line arrays built once per row, every signal sliced off them, integer keep predicate — no shuffle, no window, no join anywhere in the plan",
         Seq("FileScan parquet"),
-        Seq("Exchange hashpartitioning", "Window", "Join")),
+        Seq("), ENSURE_REQUIREMENTS", "Window", "Join")),
       ("c23_epoch_plan", "the epoch planner reads the corpus ONCE into a checkpointed source-grain aggregate (ExistingRDD — map-side partial_sum inside the checkpoint); the budget scalars fold in as a one-row broadcast on the non-foldable zero key (BroadcastHashJoin) and all planning arithmetic runs at source grain — zero parquet scans in the final plan, no re-scan at any corpus size",
         Seq("ExistingRDD", "BroadcastHashJoin"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -162,10 +162,10 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin", "Generate explode")),
       ("t22_winnowing", "winnowing is ONE narrow projection pipeline like t4: the gram-hash array built once (staggered-slice zip), the w windows four more zipped slices with a rightmost-min fold, packed-integer distinct — per-row array math, no shuffle, no window, no UDF",
         Seq("zip_with"),
-        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+        Seq("), ENSURE_REQUIREMENTS", "Window", "BatchEvalPython")),
       ("m5_audio_stats", "the sample-grain WAV walk is a NARROW batched mapPartitions (one iterator per partition, the mapInPandas shape) with no exchange anywhere — per-doc rows in, per-doc stats out, linear in corpus bytes",
         Seq("MapPartitions"),
-        Seq("Exchange hashpartitioning", "Window", "BatchEvalPython")),
+        Seq("), ENSURE_REQUIREMENTS", "Window", "BatchEvalPython")),
       ("t23_vocab_growth", "cumulative distinct without re-scanning: each term contributes its FIRST slice (map-side-combined min at vocabulary grain), slice bounds fold in as a one-row broadcast on the zero key, and the only un-partitioned Window runs over the TEN slice rows — no rank, no corpus-grain global sort, no all-pairs",
         Seq("partial_min", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -180,7 +180,7 @@ object PlanAudit {
         Seq("FileScan parquet", "CartesianProduct")),
       ("t24_bpe_encode", "the tokenizer APPLY reads the memoized 6-row merge table (ExistingRDD — induction ran once, in t21's phase) collapsed to ONE broadcast row on the zero key and folds the merges over each document in a single narrow corpus pass — one BroadcastHashJoin, no shuffle of the corpus, no driver round-trip",
         Seq("ExistingRDD", "BroadcastHashJoin"),
-        Seq("Exchange hashpartitioning", "CartesianProduct", "BroadcastNestedLoopJoin")),
+        Seq("), ENSURE_REQUIREMENTS", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t25_bm25_topk", "BM25 derives everything from ONE postings checkpoint (ExistingRDD): df, doclen and the corpus totals are rollups of the materialization (zero parquet re-scans), the query-term and totals sides broadcast, and the per-term top-k plans WindowGroupLimit — candidates are the query terms' postings only, never a corpus scan",
         Seq("ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"),
         Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -204,7 +204,7 @@ object PlanAudit {
         Seq("CartesianProduct")),
       ("t26_pii_scrub", "PII scrub is one narrow codegen'd projection pipeline over the corpus scan — four regexp counts and the nested redaction chain per row, zero shuffles, zero joins, no UDFs; the per-doc report filter is pushed into the same stage",
         Seq("FileScan parquet"),
-        Seq("Exchange hashpartitioning", "Window", "CartesianProduct",
+        Seq("), ENSURE_REQUIREMENTS", "Window", "CartesianProduct",
           "BroadcastNestedLoopJoin")),
       ("t27_lm_quality", "the bigram-LM gate keeps the t10 discipline: ONE tokenize+explode into the checkpointed doc-grain bigram table (ExistingRDD), corpus counts / contexts / V all derive FROM materializations (zero second tokenize), V folds in as a one-row broadcast, and the per-doc reduction is a map-side-combined integer sum — no Window, no corpus sort",
         Seq("ExistingRDD", "HashAggregate"),
