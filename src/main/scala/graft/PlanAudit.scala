@@ -124,6 +124,13 @@ object PlanAudit {
       ("t18_domain_balance", "domain reweighting is one aggregation for source totals (map-side partial_sum), a one-row broadcast minimum on the non-foldable zero key (BroadcastHashJoin, never a nested-loop), and one corpus pass for the integer keep predicate — no all-pairs",
         Seq("partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("t28_dsir_weights", "DSIR trains BOTH LMs from the one checkpointed doc-grain bigram table (ExistingRDD — target flag rode the single tokenize), and both models' count tables ride ONE rollup each of it (round 20: raw and target counts are two conditional-sum columns of the same vocabulary-bounded aggregate, so the per-bigram attach is 2 keyed joins, not 4, and one checkpoint, not two); V and V_t fold in as a single one-row broadcast on the non-foldable zero key (BroadcastHashJoin, never a nested loop); per-doc reduction a map-side-combined integer sum — no Window, no second corpus scan, zero parquet scans in the final plan",
+        Seq("ExistingRDD", "BroadcastHashJoin", "HashAggregate"),
+        Seq("FileScan parquet", "CartesianProduct", "BroadcastNestedLoopJoin",
+          "Window", "SortAggregate")),
+      ("j8_asof", "the as-of join reads the events table ONCE (round 20: clicks and purchases are a tagged single pass — the click collapse is a conditional max whose group key carries each purchase's own event id, so purchases never merge), and the as-of lookup is the running last-non-null Window — no self-join, no second scan",
+        Seq("Window", "HashAggregate"),
+        Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("t30_alpha_mixture", "the α-temperature sampler keeps t18's plan shape exactly: one map-side-combined totals aggregate, ONE one-row broadcast carrying BOTH scalars (min and the Σ T^α normalizer) on the zero key, and one corpus pass for the ppm-integer keep predicate — the temperature knob adds per-source column arithmetic, never a new shuffle or pairing",
         Seq("partial_sum", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -211,9 +218,6 @@ object PlanAudit {
         Seq("CartesianProduct", "Window", "SortAggregate")),
       ("d16_delta_dedup", "incremental dedup joins the BATCH side (~10% of docs) against the corpus on EQUALITY keys only — md5(text) for the exact tier, (band, bucket) over the checkpointed signature table (ExistingRDD, hashed once) for the near tier; the 90% cut is a one-row broadcast predicate, partner selection a map-side-combined max_by — never all-pairs, no re-hash per side",
         Seq("ExistingRDD"), Seq("CartesianProduct")),
-      ("t28_dsir_weights", "DSIR trains BOTH LMs from the one checkpointed doc-grain bigram table (ExistingRDD — target flag rode the single tokenize); all four count tables are vocabulary-bounded rollups, V_raw/V_target fold in as one-row broadcasts, per-doc reduction a map-side-combined integer sum — no Window, no second corpus scan",
-        Seq("ExistingRDD", "HashAggregate"),
-        Seq("CartesianProduct", "Window", "SortAggregate")),
       ("s20_delta_assign", "incremental assignment trains the IVF index on the CORPUS side only (the build confined to the checkpoint — ExistingRDD) and scores batch×C through the map-side-combined max_by (partial_max_by, no Window on the corpus-sized side); occupancy is a rollup of the checkpointed corpus assignment",
         Seq("ExistingRDD", "partial_max_by"),
         Seq("CartesianProduct", "Window")),

@@ -147,20 +147,27 @@ object Joins {
     * user_id, event_type) columns — lets specs drive the real operator
     * with in-memory data. */
   def asOfJoinFrame(e: DataFrame): DataFrame = {
-    // Collapse clicks to one per (user, ts) — max event_id wins — so the
-    // as-of result is unique and deterministic.
-    val clicks = e.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("click_id"))
-      .select(col("user_id"), col("ts"), lit(0).as("kind"),
-        col("click_id"), lit(null).cast(LongType).as("purchase_id"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("kind"),
-        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+    // ONE scan for both sides (round 20): the click and purchase views
+    // used to be two filters of the same events scan — Catalyst does not
+    // share scans across union branches, so the table was read (and
+    // fanned out) twice. One tagged pass groups clicks to one row per
+    // (user, ts) — max event_id wins, so the as-of result is unique and
+    // deterministic, exactly the old clicks collapse — while each
+    // purchase row keeps its own group (its unique event_id is part of
+    // the key), i.e. purchases pass through ungrouped as before.
+    val kind = when(col("event_type") === "click", 0).otherwise(1)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), kind.as("kind"),
+        col("event_id"),
+        when(kind === 1, col("event_id")).cast(LongType).as("pe"))
+      .groupBy(col("user_id"), col("ts"), col("kind"), col("pe"))
+      .agg(max(when(col("kind") === 0, col("event_id"))).as("click_id"))
+      .select(col("user_id"), col("ts"), col("kind"), col("click_id"),
+        col("pe").as("purchase_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
+    tagged
       .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
       .select(col("purchase_id"), col("user_id"), col("asof_click_id"))

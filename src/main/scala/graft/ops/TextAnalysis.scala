@@ -1725,25 +1725,37 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tgt"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    def lm(c: DataFrame) = {
-      val cb = c.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cnt"))
-        .localCheckpoint()
-      val ctx = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
-      val vv = cb.agg(countDistinct(col("w2")).cast("double").as("v"))
-      (cb, ctx, vv)
-    }
-    val (cbR, ctxR, vvR) = lm(tb)
-    val (cbT, ctxT, vvT) = lm(tb.filter(col("tgt") === 1))
+    // BOTH models' count tables ride ONE rollup each (round 20): the
+    // raw and target counts differ only in which rows they sum, so one
+    // (w1,w2) aggregate carries both columns — cnt_t = Σ n over target
+    // rows is NULL when the group has none, exactly the old LEFT-join
+    // miss (lpm coalesces either to the add-k floor); same at w1 grain
+    // (sum skips nulls, all-null → NULL ≡ the old missing ctxT row);
+    // V_t counts distinct w2 among pairs any target doc produced ≡ the
+    // old countDistinct over the target-only table. Halves the count
+    // builds (4 → 2 rollups of the checkpoint) and the per-bigram
+    // joins (4 → 2), removing one checkpoint and two shuffles from a
+    // top-10 query whose arithmetic is integer-exact either way.
+    val cb = tb.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("cnt"),
+        sum(when(col("tgt") === 1, col("n"))).as("cnt_t"))
+      .localCheckpoint()
+    val ctx = cb.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), sum(col("cnt_t")).as("ctx_t"))
+    // one-row V/V_t scalars fold in on a NON-FOLDABLE zero key (the
+    // t18/t23/t24 idiom): BroadcastHashJoin, never a nested loop
+    val vv = cb.agg(countDistinct(col("w2")).cast("double").as("v"),
+      countDistinct(when(col("cnt_t").isNotNull, col("w2")))
+        .cast("double").as("v_t"))
+      .withColumn("jk", pmod(col("v").cast("long"), lit(1L)).cast("int"))
     def lpm(cnt: Column, ctx: Column, v: Column): Column =
       round(log((coalesce(cnt, lit(0L)).cast("double") + LmAlpha) /
         (coalesce(ctx, lit(0L)).cast("double") + v * LmAlpha)) * 1e6, 0)
         .cast("long")
-    tb.join(cbR, Seq("w1", "w2"))
-      .join(ctxR, Seq("w1"))
-      .join(cbT.withColumnRenamed("cnt", "cnt_t"), Seq("w1", "w2"), "left")
-      .join(ctxT.withColumnRenamed("ctx_cnt", "ctx_t"), Seq("w1"), "left")
-      .crossJoin(broadcast(vvR))
-      .crossJoin(broadcast(vvT.withColumnRenamed("v", "v_t")))
+    tb.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .withColumn("jk", pmod(col("n"), lit(1L)).cast("int"))
+      .join(broadcast(vv), Seq("jk"))
       .withColumn("d", lpm(col("cnt_t"), col("ctx_t"), col("v_t"))
         - lpm(col("cnt"), col("ctx_cnt"), col("v")))
       .groupBy(col("doc_id"))

@@ -63,6 +63,28 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(3L -> 2L, 4L -> 2L, 5L -> -1L))
   }
 
+  test("asOfJoin: purchases sharing (user, ts) each keep their own row; " +
+      "only clicks collapse (round-20 single-scan form)") {
+    import spark.implicits._
+    // the tagged single-pass groups by (user, ts, kind, purchase event_id):
+    // clicks at one (user, ts) collapse to max event_id, purchases never
+    // collapse — two same-timestamp purchases must BOTH come out, matched
+    // to the same as-of click
+    val events = Seq(
+      (1L, 10L, 100L, "click", 0.0),
+      (2L, 10L, 100L, "click", 0.0),   // same (user, ts) click — collapses with 1
+      (3L, 20L, 100L, "purchase", 5.0),
+      (4L, 20L, 100L, "purchase", 6.0), // same (user, ts) purchase — must survive
+      (5L, 15L, 100L, "view", 0.0)      // other event types are ignored
+    ).map { case (id, t, u, ty, v) => (id, new java.sql.Timestamp(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Joins.asOfJoinFrame(events)
+      .select("purchase_id", "asof_click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(3L -> 2L, 4L -> 2L),
+      "both same-ts purchases out, matched to the collapsed (max id) click")
+  }
+
   test("dailyWindowStart handles the Paris DST transition (CustomWindowTest golden)") {
     import spark.implicits._
     // reference: window/CustomWindowTest.java:192-235 — events at Paris
